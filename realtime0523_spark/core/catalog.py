@@ -1,0 +1,183 @@
+"""Schema registry + table catalog.
+
+The reference declares schema-by-convention via Scala case classes
+parsed with fastjson (e.g. reference scala/…/bean/Order_info.scala:7-29,
+parse at scala/…/dwd/Ods_to_DWD_order_info.scala:58 — missing fields
+silently null). Our engine makes schemas explicit: every table the
+engine reads has a registered StructType, and loads validate against
+it. Missing-field→null CDC semantics are reproduced by
+`from_json(..., PERMISSIVE)` in the streaming layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- driver testdata tables (TESTDATA.md) -------------------------------
+
+TABLES: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# The driver's parquet stores timestamps as TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read
+# those columns as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong)
+# and convert to TimestampType at microsecond precision — the same
+# truncation DuckDB applies, so oracle comparisons line up.
+NANO_TS_COLS: dict[str, list[str]] = {
+    "events": ["ts"],  # orders/lineitem store timestamp[ms] — natively fine
+}
+
+# Dimension tables small enough to broadcast at any scale factor
+# (mirrors the reference's hand-built broadcast of province/sku dims,
+# reference scala/…/dwd/Ods_to_DWD_order_info.scala:171,
+# scala/…/dim/SkuInfoApp.scala:81).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+@dataclass
+class Catalog:
+    """Loads registered tables from a scale-factor directory.
+
+    At cluster scale the same catalog would point at partitioned /
+    bucketed table roots; the API (name → DataFrame with a verified
+    schema) is storage-independent.
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # The engine's timestamp semantics are UTC (SURVEY §1.2); the
+        # driver/judge may hand us a session created on a non-UTC
+        # machine, where date_format() would silently shift days/hours
+        # away from the TZ-naive DuckDB oracle. Pin it here so every
+        # query is self-sufficient.
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; registered: {sorted(TABLES)}")
+        if name not in self._cache:
+            schema = TABLES[name]
+            ts_cols = NANO_TS_COLS.get(name, [])
+            if ts_cols:
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                physical = T.StructType(
+                    [
+                        T.StructField(f.name, T.LongType() if f.name in ts_cols else f.dataType)
+                        for f in schema.fields
+                    ]
+                )
+            else:
+                physical = schema
+            df = self.spark.read.schema(physical).parquet(
+                f"{self.sf_dir}/{name}.parquet"
+            )
+            for c in ts_cols:
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+            df = df.select(*[f.name for f in schema.fields])
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_views(self, names: list[str] | None = None) -> None:
+        """Register tables as temp views for the SQL API."""
+        for name in names or TABLES:
+            self.table(name).createOrReplaceTempView(name)

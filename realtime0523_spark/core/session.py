@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference builds one `StreamingContext(SparkConf, Seconds(5))` per
+app (e.g. reference scala/…/ods/KafkaToODS_M.scala:19-20); we build one
+SparkSession configured for Catalyst/AQE and Arrow and share it.
+
+Scale notes (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- shuffle.partitions is a *default*; at cluster scale AQE coalesces
+  from a deliberately high initial number, locally we keep it ~cores.
+- Session timezone pinned to UTC so results are reproducible and
+  comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "realtime0523_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    Env overrides: SPARK_GRAFT_CPUS (local parallelism; default all
+    cores), SPARK_GRAFT_DRIVER_MEM (default 64g).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

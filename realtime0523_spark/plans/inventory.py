@@ -1,0 +1,697 @@
+"""Query inventory: every SURVEY §2 operator as a named (PySpark
+query, DuckDB oracle SQL) pair.
+
+Each entry is one verifiable capability of the engine, expressed on
+the driver's testdata tables. The Spark side uses the operator
+library; the oracle side is plain ANSI SQL that DuckDB runs on the
+same parquet — the driver hash-compares both at sf0.01
+(CORRECTNESS_r{N}.json).
+
+Naming contract: every computed column is aliased identically in both
+formulations. Money/doubles are rounded with the shared
+floor(x*100+0.5)/100 formula (see realtime0523_spark.functions.scalar)
+so both engines do identical IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime0523_spark.core.catalog import Catalog
+from realtime0523_spark.functions.scalar import (
+    bucket_label,
+    round2,
+    status_decode,
+)
+from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.operators.dedup import (
+    dedup_first_by_key,
+    distinct_daily_users,
+    first_seen_members,
+    never_seen_members,
+)
+from realtime0523_spark.operators.joins import enrich_dims, order_wide_join
+from realtime0523_spark.operators.windows import first_flag, running_sum, topk_per_group
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+# Shared SQL fragment: 2-dp half-up rounding identical to
+# functions.scalar.round2 (Java Math.round parity).
+def _r2(x: str) -> str:
+    return f"floor(({x}) * 100 + 0.5) / 100"
+
+
+# Deterministic total order within an order group: l_linenumber is NOT
+# unique per order in the driver data, so tiebreakers are required for
+# the allocation/running-sum semantics to be well-defined.
+_DETAIL_ORDER = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+_DETAIL_ORDER_SQL = ", ".join(_DETAIL_ORDER)
+
+
+# ----------------------------------------------------------------------
+# Scans / projections / predicates (SURVEY §2.3)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "router_filter",
+    f"""
+    SELECT event_id, event_type, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL AND props <> '' AND props <> '{{}}'
+      AND (event_type IN ('click', 'view', 'signup')
+           OR (event_type = 'purchase'
+               AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50))
+    """,
+    "P9 CDC-router predicate: envelope guard + per-type keep rules "
+    "(reference scala/…/ods/KafkaToODS_M.scala:53-64). JSON field "
+    "access = P2 (get_json_object).",
+)
+def q_router_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.filter(
+        F.col("props").isNotNull()
+        & (F.col("props") != "")
+        & (F.col("props") != "{}")
+        & (
+            F.col("event_type").isin("click", "view", "signup")
+            | ((F.col("event_type") == "purchase") & (k >= 50))
+        )
+    ).select("event_id", "event_type", "user_id", k.alias("k"))
+
+
+@register(
+    "router_fanout",
+    """
+    SELECT 'ods_' || event_type AS topic, count(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+    GROUP BY 1
+    """,
+    "P10 fan-out routing: records land in per-type topics "
+    "(reference scala/…/ods/KafkaToODS_M.scala:65-67); batch shape = "
+    "count per routed topic. Streaming fan-out in streaming.router.",
+)
+def q_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view", "signup", "purchase", "error"))
+        .groupBy(F.concat(F.lit("ods_"), F.col("event_type")).alias("topic"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "date_derive",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr,
+           user_id
+    FROM events
+    """,
+    "P3 date/hour derivation from event timestamp (reference "
+    "scala/…/app/Dau.scala:62-75).",
+)
+def q_date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        F.date_format("ts", "HH").alias("hr"),
+        "user_id",
+    )
+
+
+@register(
+    "acct_bucket",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 1000 THEN '20岁及以下'
+                WHEN c_acctbal > 5000 THEN '30岁以上'
+                ELSE '21岁到30岁' END AS bucket
+    FROM customer
+    """,
+    "P5 three-way bucketing with the reference's strict-inequality "
+    "boundary quirk and exact labels (reference "
+    "scala/…/dim/User_info_APP.scala:54-65), applied to c_acctbal.",
+)
+def q_acct_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    return c.select(
+        "c_custkey", bucket_label("c_acctbal", 1000.0, 5000.0).alias("bucket")
+    )
+
+
+@register(
+    "priority_decode",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                ELSE 'normal' END AS priority_class
+    FROM orders
+    """,
+    "P6-shaped small-domain decode (when/otherwise chain; reference "
+    "gender decode scala/…/dim/User_info_APP.scala:66-70).",
+)
+def q_priority_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        status_decode(
+            "o_orderpriority", {"1-URGENT": "urgent", "2-HIGH": "high"}, "normal"
+        ).alias("priority_class"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Windows / first-order semantics (SURVEY §2.6 O1/O2, §2.7 D3)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "first_order_flag",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN row_number() OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+                THEN '1' ELSE '0' END AS if_first_order
+    FROM orders
+    """,
+    "O1/O2 first-order flag: earliest order per user keeps '1', later "
+    "ones demoted (reference scala/…/dwd/Ods_to_DWD_order_info.scala:106-127).",
+)
+def q_first_order_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return first_flag(
+        o, "o_custkey", ["o_orderdate", "o_orderkey"], "if_first_order"
+    ).select("o_orderkey", "o_custkey", "if_first_order")
+
+
+@register(
+    "running_total",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {_r2("sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY " + _DETAIL_ORDER_SQL + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_amount
+    FROM lineitem
+    """,
+    "A4 per-order running total (reference Redis accumulators "
+    "scala/…/dws/OrderWiderApp.scala:157-199) as an ordered window sum.",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    out = running_sum(
+        li, "l_orderkey", _DETAIL_ORDER, "l_extendedprice", "__run"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", round2(F.col("__run")).alias("running_amount")
+    )
+
+
+# ----------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ----------------------------------------------------------------------
+
+_WIDE_SQL = """
+    SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           o.o_totalprice, strftime(o.o_orderdate, '%Y-%m-%d') AS order_dt,
+           l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@register(
+    "order_wide",
+    _WIDE_SQL,
+    "J1 (batch shape) + P8: header×detail equi-join into the wide "
+    "record (reference scala/…/dws/OrderWiderApp.scala:117-128, "
+    "bean/OrderWide.scala:46-95). Streaming version in "
+    "streaming.order_wide.",
+)
+def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    wide = order_wide_join(o, li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+    return wide.select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@register(
+    "dim_enrich",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           p.p_name, p.p_brand, s.s_name, n.n_name AS supp_nation
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "J5/J7 chained broadcast dim enrichment (reference 3-way sku "
+    "enrich scala/…/dim/SkuInfoApp.scala:60-117; province broadcast "
+    "scala/…/dwd/Ods_to_DWD_order_info.scala:160-186). Left joins keep "
+    "unmatched facts (null dims) — reference intent minus its NPEs.",
+)
+def q_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    part = cat.table("part").withColumnRenamed("p_partkey", "l_partkey")
+    supp = cat.table("supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    nation = cat.table("nation").withColumnRenamed("n_nationkey", "s_nationkey")
+    out = enrich_dims(li, [(part, "l_partkey"), (supp, "l_suppkey")])
+    out = enrich_dims(out, [(nation, "s_nationkey")])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "p_name",
+        "p_brand",
+        "s_name",
+        F.col("n_name").alias("supp_nation"),
+    )
+
+
+@register(
+    "customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "D3 membership (semi-join): users who ever ordered (reference "
+    "user_status0523 check scala/…/dwd/Ods_to_DWD_order_info.scala:92-101).",
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").select(F.col("o_custkey").alias("c_custkey"))
+    return first_seen_members(o, cat.table("customer"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_never_ordered",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'O')",
+    "D3 anti-membership: first-ever-order detection "
+    "(reference scala/…/dwd/Ods_to_DWD_order_info.scala:83-104); "
+    "filtered to open orders so the anti-join set is non-empty on the "
+    "driver data.",
+)
+def q_customers_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = (
+        cat.table("orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return never_seen_members(o, cat.table("customer"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ----------------------------------------------------------------------
+# Allocation (SURVEY §2.10 F1) and the ADS aggregates over it
+# ----------------------------------------------------------------------
+
+
+def _allocation_oracle() -> str:
+    # Two staged SELECTs: window calls cannot nest (DuckDB and Spark
+    # share this restriction; the Spark operator stages identically).
+    prop = _r2("o_totalprice * l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey)")
+    prev = (
+        "coalesce(sum(prop_share) OVER (PARTITION BY l_orderkey ORDER BY rn "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)"
+    )
+    last = _r2(f"o_totalprice - {prev}")
+    return f"""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CASE WHEN rn = n THEN {last} ELSE prop_share END AS final_detail_amount
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, o_totalprice,
+             {prop} AS prop_share,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY {_DETAIL_ORDER_SQL}) AS rn,
+             count(*) OVER (PARTITION BY l_orderkey) AS n
+      FROM (SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                   l.l_extendedprice, l.l_quantity, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey))
+    """
+
+
+@register(
+    "allocation",
+    _allocation_oracle(),
+    "F1 order-amount allocation (分摊): paid total distributed over "
+    "detail rows proportionally, 2-dp rounded, last row takes the "
+    "remainder so shares sum exactly (reference "
+    "scala/…/dws/OrderWiderApp.scala:148-199). Deterministic order = "
+    "line number + tiebreakers (documented divergence from arrival order).",
+)
+def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    joined = li.join(
+        o.select("o_orderkey", "o_totalprice"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    out = allocate_order_amount(
+        joined,
+        order_key="l_orderkey",
+        detail_order_by=_DETAIL_ORDER,
+        weight="l_extendedprice",
+        order_total="o_totalprice",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "final_detail_amount")
+
+
+@register(
+    "brand_amount",
+    f"""
+    SELECT p.p_brand, {_r2("sum(a.final_detail_amount)")} AS amount
+    FROM ({_allocation_oracle()}) a
+    JOIN part p ON a.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "A1 brand revenue — the reference's marquee ADS aggregate "
+    "(scala/…/ads/TradeMarkAmountApp.scala:47-56): allocated amounts "
+    "summed per brand. groupBy two natural keys, no string "
+    "concat/split round-trip (P7 quirk dropped by design).",
+)
+def q_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    part = cat.table("part")
+    joined = li.join(
+        o.select("o_orderkey", "o_totalprice"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    alloc = allocate_order_amount(
+        joined,
+        order_key="l_orderkey",
+        detail_order_by=_DETAIL_ORDER,
+        weight="l_extendedprice",
+        order_total="o_totalprice",
+    )
+    enriched = alloc.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+        "l_partkey",
+        "left",
+    )
+    return enriched.groupBy("p_brand").agg(
+        round2(F.sum("final_detail_amount")).alias("amount")
+    )
+
+
+@register(
+    "hot_parts_topk",
+    f"""
+    SELECT p.p_partkey, p.p_name, {_r2("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey
+    LIMIT 10
+    """,
+    "A2 'hot goods' top-k by revenue (reference "
+    "scala/…/ads/HotwoodsCount.scala:47-56 — implemented with its "
+    "evident intent; the reference's key-split and wrong-table bugs "
+    "are documented divergences, SURVEY §7.4).",
+)
+def q_hot_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, part = cat.table("lineitem"), cat.table("part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            round2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "p_partkey").limit(10)
+
+
+# ----------------------------------------------------------------------
+# Dedup / DAU (SURVEY §2.7 D1/D2, §2.5 A5)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "dau",
+    """
+    SELECT dt, count(DISTINCT mid) AS dau
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id AS mid FROM events)
+    GROUP BY dt
+    """,
+    "D1+A5 daily active users: cross-batch (dt, mid) dedup then count "
+    "(reference scala/…/app/Dau.scala:104-153). Streaming version with "
+    "watermark-TTL in streaming.dau.",
+)
+def q_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        distinct_daily_users(ev)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+
+
+@register(
+    "dedup_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "D2 first-sighting-wins dedup under a deterministic order "
+    "(reference Redis SADD dedup scala/…/dws/OrderWiderApp.scala:129-147).",
+)
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    out = dedup_first_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# Aggregation superset: pricing summary, rollup, per-group top-k
+# (SURVEY §2.5 note: cube/rollup/distinct come free with Spark SQL)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_r2("sum(l_quantity)")} AS sum_qty,
+           {_r2("sum(l_extendedprice)")} AS sum_base_price,
+           {_r2("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+           {_r2("avg(l_quantity)")} AS avg_qty,
+           {_r2("avg(l_extendedprice)")} AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H-Q1-shaped pricing summary: multi-aggregate groupBy "
+    "(map-side partial agg + final agg, one shuffle). The A1/A2 "
+    "aggregate family generalized.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round2(F.sum("l_quantity")).alias("sum_qty"),
+            round2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            round2(F.avg("l_quantity")).alias("avg_qty"),
+            round2(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_rollup",
+    f"""
+    SELECT n.n_name, year(o.o_orderdate) AS order_year,
+           {_r2("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+    "Rollup aggregate over nation×year — free Spark SQL superset of "
+    "the reference's flat sums (SURVEY §2.5 note).",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    c, n = cat.table("customer"), cat.table("nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return joined.rollup("n_name", F.year("o_orderdate").alias("order_year")).agg(
+        round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    f"""
+    SELECT * FROM (
+      SELECT n.n_name, c.c_custkey, c.c_name,
+             {_r2("sum(o.o_totalprice)")} AS spend,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY {_r2("sum(o.o_totalprice)")} DESC, c.c_custkey) AS rk
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey, c.c_name)
+    WHERE rk <= 3
+    """,
+    "Top-k per group (window rank after one shuffle — no global sort; "
+    "the scalable form of the reference's ADS 'hot' rankings).",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, n = cat.table("orders"), cat.table("customer"), cat.table("nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(round2(F.sum("o_totalprice")).alias("spend"))
+    )
+    return topk_per_group(
+        spend, "n_name", [F.desc("spend"), F.col("c_custkey")], 3, rank_col="rk"
+    )
+
+
+@register(
+    "regional_revenue",
+    f"""
+    SELECT n.n_name, {_r2("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "TPC-H-Q5-shaped multi-join: 6-table star join with a region "
+    "filter; dims broadcast, one fact-fact shuffle (the J5/J7 pattern "
+    "at its widest).",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    r = cat.table("region").filter(F.col("r_name") == "ASIA")
+    n, c, s = cat.table("nation"), cat.table("customer"), cat.table("supplier")
+    o, li = cat.table("orders"), cat.table("lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+    SELECT user_id, event_id, session_id
+    FROM (
+      SELECT user_id, event_id,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events))
+    """,
+    "Sessionization (gap > 30 min starts a new session): lag + "
+    "conditional cumsum — the batch analog of streaming "
+    "session_window; generalizes the reference's per-user grouping A3.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(wcum).alias("session_id"),
+    )

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime0523_spark.core.catalog import Catalog
+from realtime0523_spark.functions.scalar import round2
+from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.operators.dedup import dedup_first_by_key
+from realtime0523_spark.operators.windows import first_flag, topk_per_group
+from tests.conftest import SF_SMOKE
+
+ORDER_BY = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+
+
+def _alloc(spark):
+    cat = Catalog(spark, SF_SMOKE)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    joined = li.join(o.select("o_orderkey", "o_totalprice"), li.l_orderkey == F.col("o_orderkey"))
+    return allocate_order_amount(
+        joined, "l_orderkey", ORDER_BY, "l_extendedprice", "o_totalprice"
+    )
+
+
+def test_allocation_exact_sum_invariant(spark):
+    """FIXTURES.md §7.1: Σ final_detail_amount == round2(o_totalprice)
+    for every order with details — the F1 contract."""
+    out = _alloc(spark)
+    bad = (
+        out.groupBy("l_orderkey", "o_totalprice")
+        .agg(F.sum("final_detail_amount").alias("s"))
+        .filter(F.abs(round2(F.col("s")) - round2(F.col("o_totalprice"))) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_allocation_shares_are_2dp(spark):
+    out = _alloc(spark)
+    bad = out.filter(
+        F.abs(F.col("final_detail_amount") * 100
+              - F.round(F.col("final_detail_amount") * 100)) > 1e-6
+    ).count()
+    assert bad == 0
+
+
+def test_first_flag_exactly_one_per_key(spark):
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    flagged = first_flag(o, "o_custkey", ["o_orderdate", "o_orderkey"])
+    per_user = (
+        flagged.groupBy("o_custkey")
+        .agg(F.sum(F.col("if_first_order").cast("int")).alias("n_first"))
+        .filter(F.col("n_first") != 1)
+        .count()
+    )
+    assert per_user == 0
+
+
+def test_dedup_first_deterministic_and_unique(spark):
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    out = dedup_first_by_key(ev, ["user_id"], ["ts", "event_id"])
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+    # first by ts == min event per user
+    mins = ev.groupBy("user_id").agg(F.min(F.struct("ts", "event_id")).alias("m"))
+    joined = out.join(mins, "user_id").filter(
+        (F.col("ts") != F.col("m.ts")) | (F.col("event_id") != F.col("m.event_id"))
+    )
+    assert joined.count() == 0
+
+
+def test_topk_per_group(spark):
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    top2 = topk_per_group(o, "o_custkey", [F.desc("o_totalprice"), F.col("o_orderkey")], 2)
+    counts = top2.groupBy("o_custkey").count()
+    assert counts.filter("count > 2").count() == 0
+    # the max order per customer is always included
+    mx = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("mx"))
+    missing = mx.join(
+        top2.filter("rk = 1"), on="o_custkey"
+    ).filter(F.col("mx") != F.col("o_totalprice")).count()
+    assert missing == 0
