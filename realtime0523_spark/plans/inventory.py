@@ -660,6 +660,100 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Streaming spine (SURVEY §2.8): Structured Streaming pipelines whose
+# drained output equals a batch-SQL oracle — the strongest correctness
+# statement available for a stream (same answer as the batch engine).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "stream_dau",
+    """
+    SELECT dt, count(DISTINCT mid) AS dau
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id AS mid FROM events)
+    GROUP BY dt
+    """,
+    "Streaming D1+A5: watermarked dropDuplicates(dt, mid) + per-day "
+    "counts over a file-source stream, drained to completion "
+    "(reference scala/…/app/Dau.scala:104-153; watermark = the 24 h "
+    "Redis TTL, T4).",
+)
+def q_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.dau import streaming_dau
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    return run_to_memory(
+        streaming_dau(stream_table(spark, sf_dir, "events")), output_mode="complete"
+    )
+
+
+@register(
+    "stream_order_wide",
+    _WIDE_SQL,
+    "Streaming J1+P8: stream-stream inner equi-join of header×detail "
+    "file streams (reference scala/…/dws/OrderWiderApp.scala:117-128). "
+    "Unbounded-state variant on the testdata (its event times are "
+    "unrelated); the watermark+time-range variant (state bounded, "
+    "exactly-once pair emission, no J2 dedup needed) is exercised in "
+    "tests/test_streaming.py.",
+)
+def q_stream_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.order_wide import streaming_order_wide
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    wide = streaming_order_wide(
+        stream_table(spark, sf_dir, "orders"),
+        stream_table(spark, sf_dir, "lineitem"),
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return run_to_memory(wide)
+
+
+@register(
+    "stream_first_seen",
+    """
+    SELECT o_custkey AS key, epoch_us(o_orderdate) AS first_ts,
+           o_orderkey AS first_id
+    FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    "Streaming D3 first-seen: applyInPandasWithState keyed state "
+    "tracking each user's earliest order (reference user_status0523 "
+    "flow scala/…/dwd/Ods_to_DWD_order_info.scala:83-104,219-225). "
+    "Event-time min semantics → replay-stable, batch-oracle-checkable.",
+)
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.first_seen import streaming_first_seen
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    return run_to_memory(
+        streaming_first_seen(
+            stream_table(spark, sf_dir, "orders"),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+        ),
+        output_mode="update",
+    )
+
+
 @register(
     "sessionize",
     """

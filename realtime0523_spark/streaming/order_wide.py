@@ -1,0 +1,53 @@
+"""Streaming OrderWide — SURVEY §2.4 J1/J2, §2.10 F1 (DWS layer).
+
+Reference: scala/…/dws/OrderWiderApp.scala:117-199 — both streams
+keyed by order_id, `window(Seconds(50), Seconds(5))` + join (the
+overlap re-emits pairs), Redis-set dedup, then per-order amount
+allocation with Redis running sums.
+
+Ours: a native stream-stream equi-join. With event-time columns that
+carry real arrival skew, add watermarks + a time-range condition
+(`detail.ts BETWEEN order.ts - tolerance AND order.ts + tolerance`) —
+the engine then bounds join state and emits each pair exactly once
+(no J2 dedup pass needed). The driver testdata's order/ship dates are
+unrelated synthetic times, so the default entry runs the unbounded
+inner equi-join (correct, state unbounded); the `tolerance` path is
+exercised by the tight-timing fixtures in tests/test_streaming.py.
+
+Allocation on a stream: F1 needs all of an order's details. Within
+the reference's design the join window guarantees co-arrival; we
+compute it per micro-batch in `foreachBatch` (see tests), keeping the
+window-function formulation identical to batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_order_wide(
+    orders: DataFrame,
+    details: DataFrame,
+    order_key: str = "o_orderkey",
+    detail_key: str = "l_orderkey",
+    order_ts: str | None = None,
+    detail_ts: str | None = None,
+    tolerance: str = "50 seconds",
+) -> DataFrame:
+    """Stream-stream inner equi-join of order headers × details.
+
+    With `order_ts`/`detail_ts` set, applies watermarks of `tolerance`
+    on both sides and a symmetric time-range condition — the J1
+    window/slide semantics, state evicted by the engine (T4/T5).
+    """
+    if order_ts and detail_ts:
+        o = orders.withWatermark(order_ts, tolerance)
+        d = details.withWatermark(detail_ts, tolerance)
+        cond = (
+            (o[order_key] == d[detail_key])
+            & (d[detail_ts] >= o[order_ts] - F.expr(f"INTERVAL {tolerance}"))
+            & (d[detail_ts] <= o[order_ts] + F.expr(f"INTERVAL {tolerance}"))
+        )
+        return o.join(d, cond, "inner")
+    return orders.join(details, orders[order_key] == details[detail_key], "inner")

@@ -1,0 +1,85 @@
+"""Sinks & delivery semantics — SURVEY §2.2 K1-K7, §2.8 T6.
+
+The reference's delivery contracts:
+- idempotent Kafka producer (K1, KafkaStreamSink.scala:25),
+- Phoenix upsert-by-PK = SCD-1 dims (K2),
+- ES doc-id idempotent bulk (K3),
+- aggregates + offsets in one MySQL transaction = exactly-once (K5,
+  TradeMarkAmountApp.scala:66-83).
+
+Ours: Structured Streaming checkpoints own the offsets; sinks get
+exactly-once-style behavior from `foreachBatch` keyed by batchId —
+a retried batch re-runs with the SAME batchId, so an
+idempotent-by-batchId writer commits once (the K5 contract without a
+database transaction).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def idempotent_batch_writer(out_dir: str):
+    """foreachBatch writer with the K5 exactly-once contract: one
+    committed directory per batchId; replays of a committed batch are
+    no-ops. Commit protocol: write to `_tmp_<id>`, atomic rename."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):  # replayed batch → already committed
+            return
+        tmp = os.path.join(out_dir, f"_tmp_{batch_id}")
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)
+
+    return write
+
+
+def upsert_parquet_dim(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    dim_dir: str,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """K2 Phoenix-upsert equivalent: SCD-1 merge into a parquet dim —
+    last write (highest version_col) wins per key. Without Delta in
+    the container, merge = union + window-dedup + atomic swap; on a
+    cluster this is a Delta/Iceberg MERGE INTO (one-line swap).
+    """
+    if os.path.exists(dim_dir):
+        existing = spark.read.parquet(dim_dir)
+        merged = existing.unionByName(batch_df, allowMissingColumns=True)
+    else:
+        merged = batch_df
+    w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = dim_dir.rstrip("/") + "__tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(dim_dir):
+        shutil.rmtree(dim_dir)
+    os.replace(tmp, dim_dir)
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, checkpoint_dir: str, topic: str | None = None):
+    """K1 production sink: built-in Kafka writer (idempotent producer
+    semantics are the connector's defaults). If `topic` is None the
+    stream must carry a `topic` column — native per-record fan-out
+    (the P10 router sink). Requires the Kafka package; unused in the
+    test container."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if topic is not None:
+        writer = writer.option("topic", topic)
+    return writer.start()

@@ -1,0 +1,91 @@
+"""Streaming sources — SURVEY §2.1 S1-S3 re-expressed.
+
+The reference consumes Kafka topics with hand-managed offsets in
+Redis/MySQL (scala/…/utils/KafkaStreamUtils.scala:33-59,
+OffsetManagerUtil.scala:22-59). Structured Streaming replaces all of
+that: the source is declarative, offsets live in the checkpoint.
+
+In this container there is no Kafka broker, so the test/bench path is
+the FILE source (same incremental-execution machinery, same watermark
+and state semantics). `kafka_stream` builds the production source and
+is import-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime0523_spark.core.catalog import NANO_TS_COLS, TABLES
+
+# Maxwell-style CDC envelope (reference scala/…/ods/KafkaToODS_M.scala:38-52):
+# `table`/`type` route the record, `data` is the row payload. `data` is
+# kept as MapType — the router is schema-free by design; per-table
+# schemas are applied downstream (P1 permissive-parse semantics).
+CDC_ENVELOPE = T.StructType(
+    [
+        T.StructField("table", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over a driver testdata table (file source; S1/S2
+    stand-in). Applies the same nano→micro timestamp handling as the
+    batch Catalog."""
+    schema = TABLES[name]
+    ts_cols = NANO_TS_COLS.get(name, [])
+    if ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        physical = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name in ts_cols else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    else:
+        physical = schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # FileStreamSource requires a directory or glob; the testdata is one
+    # parquet FILE per table, so wrap the name in a {}-glob (exact match,
+    # basePath resolves to the parent directory).
+    df = spark.readStream.schema(physical).parquet(f"{sf_dir}/{{{name}}}.parquet")
+    for c in ts_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def cdc_json_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Maxwell-envelope JSON stream from a directory (the Kafka topic
+    `gmall0523_db_m` stand-in). PERMISSIVE parse: absent fields → null,
+    reproducing fastjson's lenient semantics (P1)."""
+    reader = spark.readStream.schema(CDC_ENVELOPE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.option("mode", "PERMISSIVE").json(input_dir)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Production Kafka source (S1): subscribe + engine-managed offsets
+    (replacing Redis/MySQL offset hashes, S2/S3 — checkpointing covers
+    restart-at-committed-offset). Requires the spark-sql-kafka package
+    on the classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp")
+    )

@@ -1,0 +1,181 @@
+"""Streaming-layer tests (SURVEY §5.4): file sources + memory/foreachBatch
+sinks; replay, late-data, and restart semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime0523_spark.core.catalog import Catalog
+from realtime0523_spark.streaming.dau import streaming_dau
+from realtime0523_spark.streaming.first_seen import streaming_first_seen
+from realtime0523_spark.streaming.order_wide import streaming_order_wide
+from realtime0523_spark.streaming.router import route_cdc, run_router_to_parquet
+from realtime0523_spark.streaming.runner import run_foreach_batch, run_to_memory
+from realtime0523_spark.streaming.sinks import idempotent_batch_writer, upsert_parquet_dim
+from realtime0523_spark.streaming.sources import cdc_json_stream, stream_table
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_dau_equals_batch_dau(spark):
+    got = run_to_memory(
+        streaming_dau(stream_table(spark, SF_SMOKE, "events")), output_mode="complete"
+    )
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    want = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_order_wide_equals_batch_join(spark):
+    orders = stream_table(spark, SF_SMOKE, "orders")
+    details = stream_table(spark, SF_SMOKE, "lineitem")
+    wide = streaming_order_wide(orders, details).select(
+        "o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice"
+    )
+    got = run_to_memory(wide)
+    cat = Catalog(spark, SF_SMOKE)
+    want = cat.table("orders").join(
+        cat.table("lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    assert got.count() == want.count()
+
+
+def _write_cdc_batch(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+CDC_ROWS = [
+    {"table": "order_info", "type": "insert", "data": {"id": "1", "amt": "10.5"}, "ts": 1},
+    {"table": "order_info", "type": "update", "data": {"id": "1", "amt": "99"}, "ts": 2},  # dropped: fact non-insert
+    {"table": "order_detail", "type": "insert", "data": {"id": "7", "order_id": "1"}, "ts": 3},
+    {"table": "user_info", "type": "update", "data": {"id": "u1", "name": "n"}, "ts": 4},  # kept: dim any-op
+    {"table": "noise_table", "type": "insert", "data": {"id": "x"}, "ts": 5},  # dropped: unrouted table
+    {"table": "base_trademark", "type": "insert", "data": {}, "ts": 6},  # dropped: empty data
+    {"table": "sku_info", "type": "bootstrap-insert", "data": {"id": "s1"}, "ts": 7},  # kept: dim any-op
+]
+
+
+def test_cdc_router_predicate_and_fanout(spark, tmp_path):
+    in_dir = tmp_path / "cdc_in"
+    _write_cdc_batch(str(in_dir / "b0.json"), CDC_ROWS)
+    out_dir, ckpt = str(tmp_path / "ods"), str(tmp_path / "ckpt")
+    run_router_to_parquet(cdc_json_stream(spark, str(in_dir)), out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    topics = {r.topic: r.n for r in got.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert topics == {
+        "ods_order_info": 1,
+        "ods_order_detail": 1,
+        "ods_user_info": 1,
+        "ods_sku_info": 1,
+    }
+    # payload survives as JSON (P1 round-trip)
+    row = got.filter(F.col("topic") == "ods_order_info").first()
+    assert json.loads(row.value) == {"id": "1", "amt": "10.5"}
+
+
+def test_windowed_join_keeps_within_tolerance_drops_beyond(spark, tmp_path):
+    """J1 semantics: detail arriving within ±50 s of its header joins;
+    beyond the watermark horizon it is dropped (T5)."""
+    base = 1_700_000_000
+    orders_rows = [(1, base), (2, base + 1000)]
+    details_rows = [
+        (10, 1, base + 20),     # within 50 s → kept
+        (11, 1, base + 49),     # boundary-inside → kept
+        (12, 1, base + 120),    # 120 s late → outside range condition
+        (13, 2, base + 1030),   # within → kept
+    ]
+    odir, ddir = str(tmp_path / "o"), str(tmp_path / "d")
+    spark.createDataFrame(orders_rows, "o_orderkey long, o_ts_s long").withColumn(
+        "o_ts", F.timestamp_seconds("o_ts_s")
+    ).drop("o_ts_s").write.parquet(odir)
+    spark.createDataFrame(details_rows, "d_id long, l_orderkey long, d_ts_s long").withColumn(
+        "d_ts", F.timestamp_seconds("d_ts_s")
+    ).drop("d_ts_s").write.parquet(ddir)
+
+    o_stream = spark.readStream.schema("o_orderkey long, o_ts timestamp").parquet(odir)
+    d_stream = spark.readStream.schema("d_id long, l_orderkey long, d_ts timestamp").parquet(ddir)
+    joined = streaming_order_wide(
+        o_stream, d_stream, order_ts="o_ts", detail_ts="d_ts", tolerance="50 seconds"
+    )
+    got = run_to_memory(joined.select("o_orderkey", "d_id"))
+    assert sorted(map(tuple, got.collect())) == [(1, 10), (1, 11), (2, 13)]
+
+
+def test_first_seen_state_equals_batch_min(spark):
+    orders = stream_table(spark, SF_SMOKE, "orders")
+    got = run_to_memory(
+        streaming_first_seen(orders, "o_custkey", "o_orderdate", "o_orderkey"),
+        output_mode="update",
+    )
+    cat = Catalog(spark, SF_SMOKE)
+    want = (
+        cat.table("orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.min(F.struct(F.unix_micros("o_orderdate").alias("ts"), F.col("o_orderkey").alias("id"))).alias("m"))
+        .select("key", F.col("m.ts").alias("first_ts"), F.col("m.id").alias("first_id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_idempotent_batch_writer_commits_once(spark, tmp_path):
+    out = str(tmp_path / "ads")
+    os.makedirs(out)
+    df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    w = idempotent_batch_writer(out)
+    w(df, 7)
+    first = spark.read.parquet(os.path.join(out, "batch_id=7")).collect()
+    w(df.union(df), 7)  # replay with different content → must be a no-op
+    again = spark.read.parquet(os.path.join(out, "batch_id=7")).collect()
+    assert first == again and len(again) == 1
+
+
+def test_upsert_parquet_dim_scd1(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    b1 = spark.createDataFrame([("u1", "alice", 1), ("u2", "bob", 1)], "id string, name string, v int")
+    b2 = spark.createDataFrame([("u1", "ALICE", 2), ("u3", "carol", 2)], "id string, name string, v int")
+    upsert_parquet_dim(spark, b1, dim, ["id"], "v")
+    upsert_parquet_dim(spark, b2, dim, ["id"], "v")
+    got = {r.id: r.name for r in spark.read.parquet(dim).collect()}
+    assert got == {"u1": "ALICE", "u2": "bob", "u3": "carol"}
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """T6: restart from checkpoint resumes at committed progress — a
+    replayed run must not double-count (replaces the reference's
+    Redis/MySQL offset-management tests)."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(out)
+
+    spark.createDataFrame([(1,), (2,)], "v long").write.parquet(os.path.join(in_dir, "f1"))
+
+    def make_stream():
+        return spark.readStream.schema("v long").option("latestFirst", "false").parquet(in_dir + "/*")
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        writer = idempotent_batch_writer(out)
+        writer(batch_df, batch_id)
+        seen.append((batch_id, batch_df.count()))
+
+    run_foreach_batch(make_stream(), sink, checkpoint_dir=ckpt, output_mode="append")
+    spark.createDataFrame([(3,)], "v long").write.parquet(os.path.join(in_dir, "f2"))
+    run_foreach_batch(make_stream(), sink, checkpoint_dir=ckpt, output_mode="append")
+
+    total = spark.read.parquet(out).count()
+    assert total == 3  # 1,2 from batch 0 + 3 from batch 1 — no re-reads
