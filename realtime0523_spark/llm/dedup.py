@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- exact: one shuffle on the content hash (map-side partial agg).
+- n-gram Jaccard: exact but quadratic in colliding shingles — the
+  correctness baseline, not the scale path.
+- MinHash+LSH: the scale path — signatures are a linear scan;
+  candidate generation is an equi-join on (band, band_hash) buckets,
+  so cost is bounded by true-ish-duplicate density, not n².
+- SimHash: linear scan + band-bucketed hamming verification.
+
+All hash arithmetic is integer math on values < 2^53 derived from
+md5 hex prefixes — bit-identical in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime0523_spark.llm.text import tokens, word_shingles
+
+# --- portable hashing constants (shared with the SQL oracle) ----------
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """(a, b) of the i-th universal-hash permutation h_i(x)=(a*x+b)%P.
+    a odd and < 2^6, x < 2^32 ⇒ a*x+b < 2^39: exact in int64/double."""
+    return 2 * i + 1, (i * 2654435761) % MINHASH_PRIME
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 md5 hex chars as an int in [0, 2^32) — the portable
+    shingle/token hash (same expression exists in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct content hash: the kept (minimum) id and
+    the copy count. Hash-groupBy — the canonical exact dedup."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard similarity over word-n-gram shingle sets for every
+    colliding pair (doc_a < doc_b), filtered to >= threshold.
+
+    inter(a,b) from a shingle self-join; |A|,|B| from per-doc counts;
+    J = inter / (|A|+|B|-inter). Exact — the oracle for MinHash.
+    """
+    s = _shingle_rows(docs, id_col, text_col, n)
+    cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    joined = (
+        inter.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over shingles of
+    (a_i * md5_int32(sh) + b_i) % P, i in [0, MINHASH_PERMS).
+    One explode + one groupBy — linear in total shingle count.
+    Docs with no shingles (< n tokens) have no signature."""
+    s = _shingle_rows(docs, id_col, text_col, n).withColumn("x", md5_int32(F.col("sh")))
+    aggs = []
+    for i in range(MINHASH_PERMS):
+        a, b = perm_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{i}")
+        )
+    return s.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified on the full signature.
+
+    Banding: MINHASH_BANDS bands of MINHASH_PERMS/MINHASH_BANDS rows;
+    docs sharing any band's hash become candidates (equi-join on the
+    band bucket — never a cross join). Candidates are scored by
+    signature agreement est_sim = |{i: sig_a_i = sig_b_i}| / perms and
+    kept when est_sim >= threshold.
+    """
+    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    bucket_frames = []
+    for band in range(MINHASH_BANDS):
+        cols = [f"sig_{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bucket_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    buckets = bucket_frames[0]
+    for fr in bucket_frames[1:]:
+        buckets = buckets.unionByName(fr)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_PERMS)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_PERMS)])
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    est = agree.cast("double") / F.lit(float(MINHASH_PERMS))
+    return (
+        verified.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= threshold)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over token counts: bit j of the fingerprint is
+    set iff Σ_tokens count * (bit_j(md5_int32(token)) ? +1 : -1) > 0."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    h = cnt.withColumn("h", md5_int32(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("c")).otherwise(-F.col("c"))
+        ).alias(f"bs_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        F.when(F.col(f"bs_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidates via SIMHASH_BANDS byte-bands (pigeonhole: any pair with
+    hamming < bands must agree on >= one band) — equi-join, no n²."""
+    sh = simhash(docs, id_col, text_col).cache()
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    bands = None
+    for band in range(SIMHASH_BANDS):
+        fr = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.expr(
+                f"shiftright(simhash, {band * band_bits}) & {(1 << band_bits) - 1}"
+            ).alias("bv"),
+        )
+        bands = fr if bands is None else bands.unionByName(fr)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

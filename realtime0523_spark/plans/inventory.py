@@ -57,11 +57,19 @@ def register(name: str, oracle: str | None, doc: str):
     return deco
 
 
+def _ensure_full_registry() -> None:
+    # llm_inventory registers into REGISTRY but imports from this
+    # module — load it lazily to avoid the cycle.
+    import realtime0523_spark.plans.llm_inventory  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_full_registry()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_full_registry()
     return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
 
 

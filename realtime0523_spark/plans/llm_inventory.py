@@ -1,0 +1,396 @@
+"""LLM-data-pipeline query inventory: dedup / similarity / text /
+multimodal operators on the `documents` and `embeddings` tables, each
+paired with an exact DuckDB oracle.
+
+Oracle-parity ground rules (shared with the operator code):
+- hashes: md5 hex (identical builtins), ints from hex prefixes,
+- integer arithmetic < 2^53 only,
+- float outputs rounded floor(x*1e9+0.5)/1e9 in BOTH engines,
+- identical regexes valid in Java regex and RE2.
+
+The SQL twins are generated from the SAME constants the Spark
+operators use (realtime0523_spark.llm.dedup) so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime0523_spark.core.catalog import Catalog
+from realtime0523_spark.llm import dedup as D
+from realtime0523_spark.llm import multimodal as M
+from realtime0523_spark.llm import similarity as S
+from realtime0523_spark.llm import text as X
+from realtime0523_spark.plans.inventory import register
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_EST_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+EMB_DEDUP_THRESHOLD = 0.45
+TOPK_QUERIES = 10
+TOPK_K = 5
+EMB_DIMS = 64
+
+
+def _r9(x: str) -> str:
+    return f"floor(({x}) * 1000000000 + 0.5) / 1000000000"
+
+
+def r9(col):
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+# Shared SQL fragments -------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+# distinct word-3-gram shingles per doc (mirrors llm.text.word_shingles)
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks))
+"""
+
+_MD5_INT32_SQL = "CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT)"
+
+
+# ----------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------
+
+
+@register(
+    "docs_token_stats",
+    f"""
+    SELECT doc_id, len(t) AS n_tokens,
+           CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+             / len(t) AS avg_token_len
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    """,
+    "Token counting (whitespace tokenizer) + mean token length — "
+    "pure built-ins, no shuffle (north-star text analysis).",
+)
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = X.tokens("text")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (tok_chars.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
+    )
+
+
+def _lang_guess_sql() -> str:
+    hit = {
+        lang: f"len(regexp_extract_all(text, '{pat}'))"
+        for lang, pat in X.LANG_PATTERNS.items()
+    }
+    cases = []
+    for lang in X.LANG_PRIORITY:
+        conds = [f"c_{lang} > 0"]
+        for other in X.LANG_PRIORITY:
+            if other == lang:
+                continue
+            op = ">" if X.LANG_PRIORITY.index(other) < X.LANG_PRIORITY.index(lang) else ">="
+            conds.append(f"c_{lang} {op} c_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hits_select = ", ".join(f"{expr} AS c_{lang}" for lang, expr in hit.items())
+    return f"""
+    SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_guess
+    FROM (SELECT doc_id, {hits_select} FROM documents)
+    """
+
+
+@register(
+    "docs_lang_guess",
+    _lang_guess_sql(),
+    "Language ID via stopword/CJK-codepoint hit counts with a "
+    "deterministic priority argmax (north-star text analysis).",
+)
+def q_docs_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", X.lang_guess("text").alias("lang_guess"))
+
+
+@register(
+    "docs_quality",
+    f"""
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           greatest(0.0, least(1.0, 0.05 * avg_token_len + stopword_ratio - punct_ratio))
+             AS quality_score
+    FROM (
+      SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+             CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+               / len(t) AS avg_token_len,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(regexp_extract_all(text, '{X.LANG_PATTERNS['en']}')) AS DOUBLE)
+               / len(t) AS stopword_ratio
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+    """,
+    "Document quality scoring: length/punct/stopword ratios folded "
+    "into a clipped linear score (north-star text analysis).",
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    feats = X.quality_features("text")
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+@register(
+    "docs_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    " AS fingerprint FROM documents",
+    "Document fingerprinting: md5 of the normalized text (lowercase, "
+    "punctuation-collapsed) — whole-document identity hash.",
+)
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ----------------------------------------------------------------------
+# Dedup family
+# ----------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "Exact dedup: hash-groupBy on content md5, keep min id "
+    "(map-side partial agg; one shuffle on the hash).",
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(Catalog(spark, sf_dir).table("documents"))
+
+
+@register(
+    "docs_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN cnt ca ON inter.doc_a = ca.doc_id
+    JOIN cnt cb ON inter.doc_b = cb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "Exact n-gram Jaccard near-dup pairs (word 3-gram shingles, "
+    "J >= 0.8) — the exact baseline the MinHash path approximates.",
+)
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        Catalog(spark, sf_dir).table("documents"), JACCARD_THRESHOLD
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def _minhash_sql() -> str:
+    sig_exprs = []
+    for i in range(D.MINHASH_PERMS):
+        a, b = D.perm_coeffs(i)
+        sig_exprs.append(f"min(({a} * x + {b}) % {D.MINHASH_PRIME}) AS sig_{i}")
+    rows_per_band = D.MINHASH_PERMS // D.MINHASH_BANDS
+    band_selects = []
+    for band in range(D.MINHASH_BANDS):
+        cols = [f"sig_{band * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {concat})) AS bh FROM sig"
+        )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(D.MINHASH_PERMS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    x AS (SELECT doc_id, {_MD5_INT32_SQL.format(col='sh')} AS x FROM sh),
+    sig AS (SELECT doc_id, {', '.join(sig_exprs)} FROM x GROUP BY doc_id),
+    bands AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, est_sim FROM (
+      SELECT doc_a, doc_b, ({agree}) / {float(D.MINHASH_PERMS)} AS est_sim
+      FROM cand
+      JOIN sig sa ON cand.doc_a = sa.doc_id
+      JOIN sig sb ON cand.doc_b = sb.doc_id)
+    WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+    """
+
+
+@register(
+    "docs_minhash_lsh",
+    _minhash_sql(),
+    "MinHash+LSH near-dup: 16-perm universal-hash signatures over "
+    "md5-derived shingle ints, 4-band bucketing (equi-join candidate "
+    "generation — no n² pass), signature-agreement verification. The "
+    "100 TB dedup path.",
+)
+def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        Catalog(spark, sf_dir).table("documents"), MINHASH_EST_THRESHOLD
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN c ELSE -c END) AS bs_{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN bs_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    h AS (SELECT doc_id, c, {_MD5_INT32_SQL.format(col='tok')} AS h FROM cnt),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({fp}) AS simhash FROM bits
+    """
+
+
+@register(
+    "docs_simhash",
+    _simhash_sql(),
+    "SimHash fingerprints: 32-bit sign-of-weighted-bit-sums over "
+    "token hashes — linear scan, one groupBy; near-dup = small "
+    "hamming distance (pairs variant in llm.dedup.simhash_pairs).",
+)
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(Catalog(spark, sf_dir).table("documents"))
+
+
+# ----------------------------------------------------------------------
+# Embedding similarity
+# ----------------------------------------------------------------------
+
+_DOT_CTE = """
+    pairdot AS (
+      SELECT qid, vec_id,
+             sum(CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))) AS n_a,
+             sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS n_b
+      FROM (SELECT q.qid, e.vec_id, e.embedding AS ev, q.qv
+            FROM embeddings e,
+                 (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id < {nq}) q
+            WHERE e.vec_id <> q.qid),
+           LATERAL (SELECT unnest(range(1, len(ev) + 1)) AS i)
+      GROUP BY qid, vec_id)
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH {_DOT_CTE.format(nq=TOPK_QUERIES)}
+    SELECT qid, vec_id, score, rk FROM (
+      SELECT qid, vec_id, {_r9('dot / (n_a * n_b)')} AS score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {_r9('dot / (n_a * n_b)')} DESC, vec_id) AS rk
+      FROM pairdot)
+    WHERE rk <= {TOPK_K}
+    """,
+    "Brute-force cosine top-k similarity search (queries broadcast, "
+    "corpus scanned once; JVM zip_with/aggregate dot products — the "
+    "exact baseline; the LSH path is emb_ann_lsh).",
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    from realtime0523_spark.operators.windows import topk_per_group
+
+    j = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("qid"))
+    scored = j.select(
+        "qid", "vec_id", r9(S.cosine(F.col("embedding"), F.col("qv"))).alias("score")
+    )
+    return topk_per_group(scored, "qid", [F.desc("score"), F.col("vec_id")], TOPK_K)
+
+
+@register(
+    "emb_dedup_pairs",
+    f"""
+    WITH pd AS (
+      SELECT blk, id_a, id_b,
+             sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))) AS n_a,
+             sqrt(sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) AS n_b
+      FROM (SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS va, b.embedding AS vb
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id),
+           LATERAL (SELECT unnest(range(1, len(va) + 1)) AS i)
+      GROUP BY blk, id_a, id_b)
+    SELECT blk, id_a, id_b, cos_sim FROM (
+      SELECT blk, id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM pd)
+    WHERE cos_sim >= {EMB_DEDUP_THRESHOLD}
+    """,
+    "Embedding-cosine near-dup pairs blocked by the label column "
+    "(IVF-cell analog): equi-join on the block then exact cosine — "
+    "Σ block² instead of n².",
+)
+def q_emb_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    out = S.embedding_dedup_pairs(emb, EMB_DEDUP_THRESHOLD)
+    return out.select("blk", "id_a", "id_b", r9(F.col("cos_sim")).alias("cos_sim")).filter(
+        F.col("cos_sim") >= EMB_DEDUP_THRESHOLD
+    )
+
+
+@register(
+    "emb_ann_lsh",
+    None,  # approximate by construction — driver records rows-only
+    "Sign-LSH approximate top-k: 12 deterministic hyperplanes bucket "
+    "the corpus; exact cosine within the query's bucket. Recall vs "
+    "the exact baseline is asserted in tests/test_llm.py.",
+)
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ann_topk_lsh(emb, queries, dims=EMB_DIMS, k=TOPK_K).select(
+        "qid", "vec_id", r9(F.col("score")).alias("score"), "rk"
+    )
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing
+# ----------------------------------------------------------------------
+
+
+@register(
+    "media_features",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+    FROM documents
+    """,
+    "Multimodal byte-level feature extraction: opaque binary column + "
+    "metadata struct processed by an Arrow-batched mapInPandas kernel "
+    "(decode step stubbed — no codecs in the container; batch shape "
+    "and schema are the real plumbing).",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    with_media = M.attach_media(docs)
+    return M.media_features(with_media).select("doc_id", "n_bytes", "sha256")

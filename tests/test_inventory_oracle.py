@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from realtime0523_spark.plans.inventory import REGISTRY
+from realtime0523_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
 from tools.check_oracle import compare, duckdb_con
 

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime0523_spark.core.catalog import Catalog
+from realtime0523_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from realtime0523_spark.llm.multimodal import attach_media, decode_image_stub, media_features
+from realtime0523_spark.llm.similarity import ann_topk_lsh, cosine_topk
+from realtime0523_spark.llm.text import lang_guess
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)  # same text, new ids
+    out = exact_dedup(docs.unionByName(dup))
+    assert out.count() == 50
+    assert out.filter("n_copies = 2").count() == 50
+    # kept id is always the original (minimum)
+    assert out.filter("kept_doc_id >= 100000").count() == 0
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """MinHash-LSH must recover the exact high-jaccard pairs (16 perms,
+    est >= 0.5 — generous for J >= 0.8 pairs)."""
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    exact = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.5).collect()}
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, (recall, exact - approx)
+
+
+def test_simhash_near_duplicates_have_small_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup
+        (3, "completely different words about database engines and queries " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ann_lsh_recall_against_brute_force(spark):
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx_df = ann_topk_lsh(emb, queries, dims=64, k=3, bits=4)
+    approx = {(r.qid, r.vec_id) for r in approx_df.collect()}
+    # 4 bits → 16 buckets over 500 vectors: buckets ~31 vectors; the
+    # top neighbor often shares the bucket. Weak bound — ANN is
+    # approximate; we assert it finds a meaningful fraction.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
+
+
+def test_lang_guess_domain(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    vals = {r.g for r in docs.select(lang_guess("text").alias("g")).distinct().collect()}
+    assert vals <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_media_features_roundtrip(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(20)
+    out = media_features(attach_media(docs)).collect()
+    assert len(out) == 20
+    by_id = {r.doc_id: r for r in out}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    import hashlib
+
+    for doc_id, text in src.items():
+        r = by_id[doc_id]
+        assert r.n_bytes == len(text.encode())
+        assert r.head_byte == text.encode()[0]
+        assert r.sha256 == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_decode_stub_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")

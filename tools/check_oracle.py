@@ -77,7 +77,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from realtime0523_spark.core.session import get_spark
-    from realtime0523_spark.plans.inventory import REGISTRY
+    from realtime0523_spark.plans import REGISTRY
 
     spark = get_spark("oracle-check")
     con = duckdb_con(sf_dir)
