@@ -762,6 +762,111 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Set operations & grouping-set superset (SURVEY §2.7 note: the
+# reference has no union/intersect/except; §2.5 note: no cube/rollup —
+# Spark SQL provides them, so the engine exposes them as first-class.)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "repeat_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "INTERSECT set op: customers active in both 1995 and 1996 "
+    "(free Spark superset, SURVEY §2.7 note; planned as a "
+    "distinct + semi shuffle, AQE-sized).",
+)
+def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "churned_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "EXCEPT set op: customers active in 1995 but gone in 1996 "
+    "(anti-join-shaped plan; free Spark superset, SURVEY §2.7 note).",
+)
+def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT DISTINCT
+
+
+@register(
+    "event_cube",
+    f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+           count(*) AS n, {_r2("sum(value)")} AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "CUBE aggregate over type×day — all four grouping sets in one "
+    "pass (free Spark superset of the reference's flat sums, "
+    "SURVEY §2.5 note; expand + single shuffle).",
+)
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.cube(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        round2(F.sum("value")).alias("sum_value"),
+    )
+
+
+_WINDOWED_COUNTS_SQL = f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, {_r2("sum(value)")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "windowed_event_counts",
+    _WINDOWED_COUNTS_SQL,
+    "T2 event-time tumbling-window aggregation (1 h windows): "
+    "count + 2-dp value sum per (window, type). Batch execution of "
+    "the identical plan the streaming layer runs watermarked.",
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.windowed import streaming_windowed_counts
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return streaming_windowed_counts(ev)
+
+
+@register(
+    "stream_windowed_counts",
+    _WINDOWED_COUNTS_SQL,
+    "Streaming T2/T4/T5: watermarked tumbling-window aggregation over "
+    "a file-source stream, drained and compared to the batch oracle — "
+    "the watermark bounds window state (the eviction the reference "
+    "lacks, SURVEY §2.8 T5).",
+)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.windowed import streaming_windowed_counts
+
+    return run_to_memory(
+        streaming_windowed_counts(stream_table(spark, sf_dir, "events")),
+        output_mode="complete",
+    )
+
+
 @register(
     "sessionize",
     """

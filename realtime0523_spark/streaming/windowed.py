@@ -1,0 +1,51 @@
+"""Watermarked tumbling-window aggregation — SURVEY §2.8 T2/T5.
+
+The reference's only windowing is the 50 s/5 s sliding window that
+feeds its stream-stream join (reference
+scala/…/dws/OrderWiderApp.scala:119-120), and it has NO event-time
+watermarks — late data silently drops out of join scope (T5). This
+module is the general form our engine exposes: event-time tumbling
+windows with an explicit watermark, so (a) late data within the
+horizon is aggregated correctly, (b) window state is evicted once the
+watermark passes (bounded state at 100 TB), and (c) results are
+replay-deterministic and batch-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime0523_spark.functions.scalar import round2
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(tumbling window, key) event counts and 2-dp value sums.
+
+    Works on a stream (watermarked state, append/update output) and on
+    a batch DataFrame (withWatermark is a no-op there) — the same plan
+    text both ways, which is how the oracle check runs it.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_size), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round2(F.sum(value_col)).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
