@@ -98,13 +98,38 @@ def _lsh_table_entries(
 ) -> DataFrame:
     """(row, table, bucket) entries for all hash tables in one pass —
     explode of a per-row bucket array, so candidate generation is a
-    single equi-join on (table, bucket) regardless of L."""
-    buckets = F.array(
-        *[lsh_bucket(F.col(vec_col), dims, bits, t) for t in range(tables)]
-    )
-    return df.withColumn("__t", F.posexplode_outer(buckets).alias("__t", "__bucket")[0]) if False else (
-        df.select("*", F.posexplode(buckets).alias("__t", "__bucket"))
-    )
+    single equi-join on (table, bucket) regardless of L.
+
+    All `tables*bits` projections are one Arrow-batched numpy matmul
+    (a Pandas UDF): higher-order array functions are interpreted
+    per-element in Spark, and profiling showed the 32-plane fold
+    dominating the ANN path. Bucket ids are sign bits, so the
+    float-backend difference vs the JVM fold is immaterial (ANN output
+    is approximate by contract; recall is asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [
+            [_plane_component(b, d) for d in range(dims)]
+            for b in range(tables * bits)
+        ]
+    )  # (tables*bits, dims); row t*bits+i = bit i of table t
+    weights = 1 << np.arange(bits)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local pd import; the
+    # returnType alone selects scalar eval.
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_ids(v):
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dims)
+        proj = mat @ planes.T  # (n, tables*bits)
+        bits_m = (proj > 0).reshape(len(v), tables, bits)
+        ids = (bits_m * weights).sum(axis=2).astype(np.int64)  # (n, tables)
+        return pd.Series(list(ids))
+
+    return df.select("*", F.posexplode(bucket_ids(F.col(vec_col))).alias("__t", "__bucket"))
 
 
 def ann_topk_lsh(

@@ -762,6 +762,43 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_brand_amount",
+    f"""
+    SELECT p.p_brand, {_r2("sum(a.final_detail_amount)")} AS amount
+    FROM ({_allocation_oracle()}) a
+    JOIN part p ON a.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "End-to-end streaming DWS→ADS: stream-stream join → per-batch F1 "
+    "allocation → broadcast brand enrich → partial sums committed "
+    "idempotently by batchId (K5 exactly-once) → final rollup. The "
+    "reference's full OrderWiderApp→TradeMarkAmountApp chain "
+    "(scala/…/dws/OrderWiderApp.scala:117-199, "
+    "scala/…/ads/TradeMarkAmountApp.scala:47-88) with the same answer "
+    "as the batch oracle.",
+)
+def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.ads import streaming_brand_amount
+    from realtime0523_spark.streaming.order_wide import streaming_order_wide
+    from realtime0523_spark.streaming.sources import stream_table
+
+    wide = streaming_order_wide(
+        stream_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        stream_table(spark, sf_dir, "lineitem"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_brand_amount_")
+    return streaming_brand_amount(
+        spark,
+        wide,
+        Catalog(spark, sf_dir).table("part"),
+        out_dir=f"{work}/partials",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+
+
 # ----------------------------------------------------------------------
 # Set operations & grouping-set superset (SURVEY §2.7 note: the
 # reference has no union/intersect/except; §2.5 note: no cube/rollup —

@@ -1,0 +1,93 @@
+"""End-to-end streaming ADS pipeline — the reference's marquee chain
+(DWS OrderWide → ADS brand revenue) as one Structured Streaming job.
+
+Reference: scala/…/dws/OrderWiderApp.scala:117-199 (windowed
+stream-stream join + Redis dedup + Redis-running-sum allocation) feeding
+scala/…/ads/TradeMarkAmountApp.scala:47-88 (reduceByKey sums, collect()
+to the driver, aggregates + offsets in one MySQL transaction).
+
+Ours, per micro-batch in `foreachBatch`:
+  1. amount allocation (F1) as window functions over the joined batch
+     (the join window guarantees an order's details co-arrive — the
+     same co-arrival assumption the reference's Redis design encodes);
+  2. broadcast dim enrichment (J5) — dims re-read per batch, matching
+     the reference's per-batch dim snapshot;
+  3. map-side PARTIAL brand sums — only (brand, partial) rows leave
+     the batch, the streaming analog of reduceByKey's combiner;
+  4. idempotent-by-batchId commit (K5 exactly-once contract: a
+     replayed batch re-runs with the same id and is a no-op).
+Final totals = re-aggregation of committed partials — associative, so
+batch boundaries don't change the answer (oracle-verified).
+
+At 100 TB: per-batch state is bounded by the join watermark; the
+partial-sum rows per batch are |brands|, so the commit is tiny no
+matter the input rate; the final rollup reads only committed partials.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime0523_spark.functions.scalar import round2
+from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.streaming.runner import run_foreach_batch
+from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+
+
+def streaming_brand_amount(
+    spark: SparkSession,
+    wide_stream: DataFrame,
+    part_dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    detail_order_by: list[str] | None = None,
+) -> DataFrame:
+    """Run the joined order-wide STREAM through allocation + brand
+    partial sums with exactly-once commits, drain it, and return the
+    final brand totals as a batch DataFrame.
+
+    `wide_stream` must carry lineitem detail columns plus
+    `o_totalprice`; `part_dim` is the (small, broadcast) part table.
+    """
+    order_by = detail_order_by or [
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+    ]
+    commit = idempotent_batch_writer(out_dir)
+    brand_dim = F.broadcast(
+        part_dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        alloc = allocate_order_amount(
+            batch_df,
+            order_key="l_orderkey",
+            detail_order_by=order_by,
+            weight="l_extendedprice",
+            order_total="o_totalprice",
+        )
+        partial = (
+            alloc.join(brand_dim, "l_partkey", "left")
+            .groupBy("p_brand")
+            .agg(F.sum("final_detail_amount").alias("partial_amount"))
+        )
+        commit(partial, batch_id)
+
+    run_foreach_batch(
+        wide_stream, process, checkpoint_dir=checkpoint_dir, output_mode="append"
+    )
+
+    if not os.path.exists(out_dir):  # no batches arrived
+        return spark.createDataFrame([], "p_brand string, amount double")
+    partials = spark.read.parquet(out_dir)
+    return partials.groupBy("p_brand").agg(
+        round2(F.sum("partial_amount")).alias("amount")
+    )

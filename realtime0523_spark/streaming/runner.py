@@ -4,14 +4,37 @@
 file-source equivalent of the reference's `ssc.start();
 awaitTermination()` loop, but bounded, so correctness queries can be
 compared against batch oracles.
+
+Shuffle sizing: stateful streaming operators (joins, dedup, windowed
+aggs) create one state-store instance per shuffle partition per
+micro-batch; with small batches the per-instance fixed cost dominates
+(measured ~2.5× end-to-end on the sf0.01 stream-stream join). The
+runners therefore pin `spark.sql.shuffle.partitions` to
+SPARK_GRAFT_STREAM_SHUFFLE (default 8) while a stream runs and restore
+it afterwards. On a real cluster this knob must instead be sized to
+state volume / executor count — the state partition count is fixed at
+the first run of a checkpoint, which is why it is explicit here rather
+than left to the batch default.
 """
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.streaming import StreamingQuery
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory(
@@ -23,13 +46,14 @@ def run_to_memory(
     """Run a streaming DataFrame to a memory sink, drain it, stop, and
     return the materialized result as a batch DataFrame."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
     spark = df.sparkSession
+    with _stream_shuffle(spark):
+        writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -41,9 +65,10 @@ def run_foreach_batch(
 ) -> None:
     """Run a streaming DataFrame through `foreachBatch(fn)` to
     completion (fn: (batch_df, batch_id) -> None)."""
-    writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(df.sparkSession):
+        writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
