@@ -170,9 +170,10 @@ class Catalog:
                 f"{self.sf_dir}/{name}.parquet"
             )
             for c in ts_cols:
-                df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-                )
+                # integer `div`, not `/`: nano epochs (~1.7e18) exceed
+                # double's 2^53 exact range, so float division is off
+                # by ±1 µs — enough to break oracle parity.
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
             df = df.select(*[f.name for f in schema.fields])
             self._cache[name] = df
         return self._cache[name]

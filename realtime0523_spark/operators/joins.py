@@ -12,7 +12,7 @@ streaming J1 equivalent lives in realtime0523_spark.streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -43,3 +43,53 @@ def enrich_dims(
     for dim, key in dims:
         out = out.join(F.broadcast(dim), on=key, how=how)
     return out
+
+
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    on: str | list[str],
+    probe_ts: str,
+    ref_ts: str,
+    ref_cols: list[str],
+    ref_order: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each probe row is enriched with the payload
+    of the latest ref row with the same key and ``ref_ts <= probe_ts``
+    (left semantics — unmatched probes keep null payloads).
+
+    The reference has no as-of operator (SURVEY §2.4 join-type note);
+    this is the time-series lookup its per-record "latest dim state"
+    Phoenix reads approximate (reference
+    scala/…/dwd/Ods_to_DWD_order_info.scala:68-81).
+
+    Execution is the sort-merge formulation: union both sides, one
+    shuffle on the key, a single ordered window pass carries the last
+    non-null ref payload forward. Linear in rows, no per-probe probing,
+    no range-explosion — the shape that survives 100 TB. Ties:
+    a ref at exactly probe_ts wins (sorts before the probe), and
+    equal-timestamp refs are resolved by ``ref_order`` (max wins) so
+    output is deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(*[F.col(c) for c in ref_cols]).alias("__asof")
+    r = ref.select(
+        *keys,
+        F.col(ref_ts).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        (F.col(ref_order) if ref_order else F.lit(0)).alias("__ro"),
+        payload,
+    )
+    p = probe.withColumn("__t", F.col(probe_ts)).withColumn(
+        "__is_probe", F.lit(1)
+    )
+    u = p.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__t", "__is_probe", "__ro")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("__m", F.last("__asof", ignorenulls=True).over(w))
+    return matched.filter(F.col("__is_probe") == 1).select(
+        *probe.columns, *[F.col(f"__m.{c}").alias(c) for c in ref_cols]
+    )

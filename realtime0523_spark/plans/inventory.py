@@ -34,7 +34,8 @@ from realtime0523_spark.operators.dedup import (
     first_seen_members,
     never_seen_members,
 )
-from realtime0523_spark.operators.joins import enrich_dims, order_wide_join
+from realtime0523_spark.operators.aggregates import exact_quantiles, salted_agg
+from realtime0523_spark.operators.joins import asof_join, enrich_dims, order_wide_join
 from realtime0523_spark.operators.windows import first_flag, running_sum, topk_per_group
 
 
@@ -938,4 +939,323 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.sum(is_new).over(wcum).alias("session_id"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Join-type completion (full outer, as-of, range-band), set-op
+# completion (UNION), SQL-frontend grouping sets, quantiles, skew-safe
+# aggregation, scalar-subquery shape, window moving stats.
+# ----------------------------------------------------------------------
+
+
+@register(
+    "active_buyers_union",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    UNION
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "UNION (distinct) set op: customers active in 1995 or 1996 — "
+    "completes the set-op family with repeat_buyers/churned_buyers "
+    "(SURVEY §2.7 note).",
+)
+def q_active_buyers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.union(y96).distinct()
+
+
+@register(
+    "spend_full_outer",
+    f"""
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           a.spend_95, b.spend_96
+    FROM (SELECT o_custkey, {_r2("sum(o_totalprice)")} AS spend_95
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) a
+    FULL JOIN (SELECT o_custkey, {_r2("sum(o_totalprice)")} AS spend_96
+               FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    """,
+    "J3 full-outer equi-join (the reference's commented-out "
+    "fullOuterJoin design, scala/…/dws/OrderWiderApp.scala:63-115): "
+    "per-customer 1995 vs 1996 spend with unmatched sides kept null.",
+)
+def q_spend_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def spend(year: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(round2(F.sum("o_totalprice")).alias(alias))
+        )
+
+    a, b = spend(1995, "spend_95"), spend(1996, "spend_96")
+    return a.join(b, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"), "spend_95", "spend_96"
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT n_name, year(o_orderdate) AS order_year,
+           {_r2("sum(o_totalprice)")} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+    """,
+    "Explicit GROUPING SETS through the engine's SQL frontend "
+    "(spark.sql over registered catalog views) — the reference has no "
+    "SQL surface at all (SURVEY §3); ours is first-class.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(["orders", "customer", "nation"])
+    return spark.sql(
+        f"""
+        SELECT n_name, year(o_orderdate) AS order_year,
+               {_r2("sum(o_totalprice)")} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "qty_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact linear-interpolation quantiles per group (integer-valued "
+    "measure → bit-exact across engines). approx_percentile is the "
+    "documented swap-in at scales where per-group sort is unaffordable.",
+)
+def q_qty_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return exact_quantiles(
+        li, ["l_returnflag"], "l_quantity", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
+    )
+
+
+@register(
+    "asof_last_click",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS last_click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    "Backward as-of join: each purchase matched to the same user's "
+    "latest click at-or-before it (sort-merge union+window formulation "
+    "— one shuffle, linear, no per-probe lookups). DuckDB's native "
+    "ASOF JOIN is the oracle. Payload = the matched timestamp, which "
+    "is tie-insensitive.",
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        probe_ts="ts",
+        ref_ts="click_ts",
+        ref_cols=["click_ts"],
+        ref_order="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("last_click_us"),
+    )
+
+
+@register(
+    "follow_on_clicks",
+    """
+    SELECT a.event_id, count(b.event_id) AS n_follow
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 12 HOUR
+    GROUP BY a.event_id
+    """,
+    "Range-band join: clicks within 12 h after each error, same user. "
+    "The equi key keeps it a hash join with a residual band predicate "
+    "— scales with key cardinality, never |L|×|R|.",
+)
+def q_follow_on_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    j = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 12 HOURS")),
+        "left",
+    )
+    return j.groupBy("event_id").agg(F.count("c_id").alias("n_follow"))
+
+
+@register(
+    "salted_flag_agg",
+    """
+    SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Skew-safe two-stage salted aggregation (3 giant groups spread "
+    "over 16 sub-keys, partial agg, re-combine) — identical answer to "
+    "the plain groupBy the oracle runs; the strategy a hot brand key "
+    "needs at 100 TB (SURVEY §2.5 A1 at scale).",
+)
+def q_salted_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sum_cols=["l_quantity"],
+        salt_from="l_orderkey",
+        buckets=16,
+    )
+
+
+@register(
+    "small_qty_revenue",
+    f"""
+    SELECT {_r2("sum(l.l_extendedprice) / 7.0")} AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#17' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    "TPC-H-Q17-shaped scalar-subquery aggregate: per-part average "
+    "quantity (decorrelated into a join — what Catalyst does to the "
+    "correlated form) gating a small-quantity revenue sum.",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, part = cat.table("lineitem"), cat.table("part")
+    pavg = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#17").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    j = (
+        li.join(F.broadcast(brand_parts), "l_partkey")
+        .join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+_MOVING_ORDER = [
+    "l_shipdate",
+    "l_orderkey",
+    "l_linenumber",
+    "l_suppkey",
+    "l_extendedprice",
+    "l_quantity",
+]
+_MOVING_ORDER_SQL = ", ".join(_MOVING_ORDER)
+
+
+@register(
+    "qty_moving_stats",
+    f"""
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           sum(l_quantity) OVER w3 AS mov_qty_sum,
+           {_r2("avg(l_quantity) OVER w3")} AS mov_qty_avg,
+           l_quantity - lag(l_quantity, 1, 0.0) OVER
+             (PARTITION BY l_partkey ORDER BY {_MOVING_ORDER_SQL}) AS qty_delta
+    FROM lineitem
+    WINDOW w3 AS (PARTITION BY l_partkey ORDER BY {_MOVING_ORDER_SQL}
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "Moving-frame window stats per part (3-row moving sum/avg over "
+    "ship history + lag delta) — the frame-bounded generalization of "
+    "A4's running sums; integer-valued measure keeps both engines "
+    "bit-exact.",
+)
+def q_qty_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    wo = W.partitionBy("l_partkey").orderBy(*_MOVING_ORDER)
+    w3 = wo.rowsBetween(-2, 0)
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w3).alias("mov_qty_sum"),
+        round2(F.avg("l_quantity").over(w3)).alias("mov_qty_avg"),
+        (F.col("l_quantity") - F.lag("l_quantity", 1, 0.0).over(wo)).alias(
+            "qty_delta"
+        ),
+    )
+
+
+_SESSION_SQL = f"""
+    SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+           count(*) AS n_events, {_r2("sum(value)")} AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM (SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER
+                                  (PARTITION BY user_id ORDER BY ts, event_id))
+                                >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events))
+    GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_session_counts",
+    _SESSION_SQL,
+    "Streaming session_window aggregation (30 min gap, 1 h watermark): "
+    "per-(user, session) counts and value sums over a file-source "
+    "stream, drained and compared to a gap-sessionization batch oracle. "
+    "Session state merges and evicts as the watermark passes (bounded "
+    "state; the cross-batch sessions the reference's per-batch A3 "
+    "grouping cannot see).",
+)
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sessions import streaming_session_counts
+    from realtime0523_spark.streaming.sources import stream_table
+
+    return run_to_memory(
+        streaming_session_counts(stream_table(spark, sf_dir, "events")),
+        output_mode="complete",
     )

@@ -147,6 +147,29 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_tokens",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    "Corpus-level token frequency (explode → count → top-k): the "
+    "UDTF/explode surface plus the classic wordcount, with a "
+    "deterministic tiebreak. Partial agg keeps the shuffle at "
+    "|vocab|, not |tokens|.",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
     "docs_fingerprint",
     "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
     " AS fingerprint FROM documents",

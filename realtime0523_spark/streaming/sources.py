@@ -55,7 +55,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # basePath resolves to the parent directory).
     df = spark.readStream.schema(physical).parquet(f"{sf_dir}/{{{name}}}.parquet")
     for c in ts_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div` — see core.catalog: float division loses µs
+        # precision on nano epochs.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df.select(*[f.name for f in schema.fields])
 
 

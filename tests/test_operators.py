@@ -78,3 +78,75 @@ def test_topk_per_group(spark):
         top2.filter("rk = 1"), on="o_custkey"
     ).filter(F.col("mx") != F.col("o_totalprice")).count()
     assert missing == 0
+
+
+# ---------------------------------------------------------------------------
+# asof_join / salted_agg / exact_quantiles
+# ---------------------------------------------------------------------------
+
+
+def _rows_to_df(spark, cols, rows):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_asof_join_boundary_tie_and_unmatched(spark):
+    from realtime0523_spark.operators.joins import asof_join
+
+    probe = _rows_to_df(
+        spark,
+        ["pid", "k", "pts"],
+        [
+            (1, "a", 100),  # ref at exactly 100 must match (at-or-before)
+            (2, "a", 99),   # before every ref for key a at t<100 except t=50
+            (3, "a", 49),   # unmatched: earliest ref at 50
+            (4, "b", 10),   # key with no refs at all
+        ],
+    )
+    ref = _rows_to_df(
+        spark,
+        ["k", "rts", "rid", "payload"],
+        [
+            ("a", 50, 7, "early"),
+            ("a", 100, 8, "tie_lo"),
+            ("a", 100, 9, "tie_hi"),  # equal ts: max rid wins deterministically
+        ],
+    )
+    out = {
+        r["pid"]: (r["payload"], r["rid"])
+        for r in asof_join(
+            probe, ref, on="k", probe_ts="pts", ref_ts="rts",
+            ref_cols=["payload", "rid"], ref_order="rid",
+        ).collect()
+    }
+    assert out[1] == ("tie_hi", 9)
+    assert out[2] == ("early", 7)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from realtime0523_spark.operators.aggregates import salted_agg
+
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    salted = {
+        r["l_returnflag"]: (r["sum_l_quantity"], r["n"])
+        for r in salted_agg(
+            li, ["l_returnflag"], ["l_quantity"], salt_from="l_orderkey", buckets=16
+        ).collect()
+    }
+    plain = {
+        r["l_returnflag"]: (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain  # integer-valued sums → bit-exact
+
+
+def test_exact_quantiles_interpolation(spark):
+    from realtime0523_spark.operators.aggregates import exact_quantiles
+
+    df = _rows_to_df(spark, ["g", "v"], [("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 10.0)])
+    row = exact_quantiles(df, ["g"], "v", {"q25": 0.25, "q50": 0.5}).collect()[0]
+    assert row["q25"] == 1.75  # 1 + 0.75*(2-1)
+    assert row["q50"] == 2.5
