@@ -22,17 +22,29 @@ from realtime0523_spark.core.session import get_spark
 from realtime0523_spark.plans.inventory import REGISTRY
 
 
+def _release_query_state(spark) -> None:
+    """Drop leftovers a query pins in executor/driver memory (operator
+    caches, streaming memory-sink tables) so each measurement is
+    hermetic — without this, accumulated state inflates later queries'
+    GC time by multiples."""
+    spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.name.startswith("mem_"):
+            spark.catalog.dropTempView(t.name)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, Python workers, parquet footer caches
     for name, spec in REGISTRY.items():
         try:
             spec.fn(spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
+        _release_query_state(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -42,6 +54,7 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+        _release_query_state(spark)
 
     print(
         json.dumps(

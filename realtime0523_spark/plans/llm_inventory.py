@@ -333,21 +333,17 @@ _DOT_CTE = """
     WHERE rk <= {TOPK_K}
     """,
     "Brute-force cosine top-k similarity search (queries broadcast, "
-    "corpus scanned once; JVM zip_with/aggregate dot products — the "
-    "exact baseline; the LSH path is emb_ann_lsh).",
+    "corpus scanned once through a batched numpy matmul with exact "
+    "per-batch top-k pruning — the exact baseline; the LSH path is "
+    "emb_ann_lsh).",
 )
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    from realtime0523_spark.operators.windows import topk_per_group
-
-    j = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("qid"))
-    scored = j.select(
-        "qid", "vec_id", r9(S.cosine(F.col("embedding"), F.col("qv"))).alias("score")
-    )
-    return topk_per_group(scored, "qid", [F.desc("score"), F.col("vec_id")], TOPK_K)
+    out = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9)
+    return out.select("qid", "vec_id", "score", "rk")
 
 
 @register(
