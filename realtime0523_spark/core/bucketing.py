@@ -1,0 +1,42 @@
+"""Bucketed-table support: co-located joins without a shuffle.
+
+At 100 TB the dominant cost of the header×detail join (SURVEY §2.4 J1
+batch shape) is shuffling both fact tables on the order key. Bucketing
+both sides into the same number of buckets on that key at write time
+makes the join a per-bucket zip — the physical plan has NO Exchange on
+either side (asserted in tests/test_scale_plans.py). This is the
+batch analog of the reference pre-partitioning its Kafka topics by key
+("4 partitions, 4 executors", reference scala/…/app/Dau.scala:41-42),
+done once at ingest instead of per query.
+
+Uses the session catalog's parquet data-source tables — no Hive
+dependency; at cluster scale the same API writes to the shared
+metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: str | list[str],
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed (and optionally sorted) catalog
+    table. Sorting within buckets additionally removes the join-time
+    sort of a sort-merge join."""
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(buckets, *bc)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sc)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

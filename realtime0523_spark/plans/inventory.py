@@ -1220,6 +1220,61 @@ def q_qty_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_year_pivot",
+    f"""
+    SELECT n_name,
+           {_r2("sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END)")} AS y1995,
+           {_r2("sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END)")} AS y1996,
+           {_r2("sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END)")} AS y1997
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    "PIVOT: nation × year revenue cross-tab (groupBy().pivot() — "
+    "conditional aggregation in one pass, single shuffle; the explicit "
+    "value list keeps the plan static, no driver-side distinct scan).",
+)
+def q_nation_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, n = cat.table("orders"), cat.table("customer"), cat.table("nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("order_year", F.year("o_orderdate"))
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("order_year", [1995, 1996, 1997])
+        .agg(round2(F.sum("o_totalprice")))
+    )
+    return pivoted.select(
+        "n_name",
+        F.col("1995").alias("y1995"),
+        F.col("1996").alias("y1996"),
+        F.col("1997").alias("y1997"),
+    )
+
+
+@register(
+    "dau_approx",
+    None,  # HLL sketch ≠ DuckDB's sketch — rows-only here; the error
+    # bound vs exact DAU is asserted in tests/test_operators.py
+    "A5 at scale: approx_count_distinct (HyperLogLog++) per day — the "
+    "sketch that replaces exact distinct-count state when the key set "
+    "no longer fits (mergeable across partitions, one pass, fixed "
+    "memory). Exact twin: the `dau` query.",
+)
+def q_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .groupBy("dt")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("dau_approx"))
+    )
+
+
 _SESSION_SQL = f"""
     SELECT epoch_us(min(ts)) AS session_start_us, user_id,
            count(*) AS n_events, {_r2("sum(value)")} AS sum_value

@@ -150,3 +150,16 @@ def test_exact_quantiles_interpolation(spark):
     row = exact_quantiles(df, ["g"], "v", {"q25": 0.25, "q50": 0.5}).collect()[0]
     assert row["q25"] == 1.75  # 1 + 0.75*(2-1)
     assert row["q50"] == 2.5
+
+
+def test_approx_dau_within_hll_error_bound(spark):
+    from realtime0523_spark.plans import REGISTRY
+
+    approx = {
+        r["dt"]: r["dau_approx"]
+        for r in REGISTRY["dau_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {r["dt"]: r["dau"] for r in REGISTRY["dau"].fn(spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)
+    for dt, ex in exact.items():
+        assert abs(approx[dt] - ex) <= max(3, 0.05 * ex), (dt, approx[dt], ex)

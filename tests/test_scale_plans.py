@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on at 100 TB must be visible in the plan NOW — filters reaching
+the parquet scan, small dims broadcast, no accidental cartesians, and
+bucketed co-located joins running shuffle-free.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime0523_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = formatted_plan(REGISTRY["pricing_summary"].fn(spark, SF_SMOKE))
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_partition_filter_pushed_on_dim(spark):
+    plan = formatted_plan(REGISTRY["regional_revenue"].fn(spark, SF_SMOKE))
+    assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan), plan
+
+
+def test_dim_enrichment_uses_broadcast_joins(spark):
+    plan = formatted_plan(REGISTRY["dim_enrich"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No inventory query may plan a cartesian or broadcast-nested-loop
+    join — the shapes that melt down at scale. (Streaming queries are
+    skipped: building their result executes the stream; their join
+    shapes are covered by tests/test_streaming.py.)"""
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        plan = formatted_plan(spec.fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_bucketed on both join sides ⇒ the equi-join plan contains
+    no Exchange (co-located, per-bucket join) — the ingest-time layout
+    that removes the header×detail shuffle at 100 TB."""
+    from realtime0523_spark.core.bucketing import write_bucketed
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, "bkt_left", 8, "k", sort_cols="k")
+        write_bucketed(right, "bkt_right", 8, "k", sort_cols="k")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")  # managed: drops data too
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
