@@ -34,12 +34,21 @@ def streaming_order_wide(
     order_ts: str | None = None,
     detail_ts: str | None = None,
     tolerance: str = "50 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join of order headers × details.
+    """Stream-stream equi-join of order headers × details.
 
     With `order_ts`/`detail_ts` set, applies watermarks of `tolerance`
     on both sides and a symmetric time-range condition — the J1
     window/slide semantics, state evicted by the engine (T4/T5).
+
+    `how` extends to the outer family ("left_outer", "right_outer",
+    "full_outer") — the reference's commented J3 design
+    (scala/…/dws/OrderWiderApp.scala:63-115: fullOuterJoin with Redis
+    caches for unmatched sides). Outer streaming joins REQUIRE the
+    watermark/time-range form: the engine emits an unmatched row with
+    nulls only once the watermark proves no partner can arrive —
+    exactly the TTL-expiry behavior the reference hand-rolled.
     """
     if order_ts and detail_ts:
         o = orders.withWatermark(order_ts, tolerance)
@@ -49,5 +58,7 @@ def streaming_order_wide(
             & (d[detail_ts] >= o[order_ts] - F.expr(f"INTERVAL {tolerance}"))
             & (d[detail_ts] <= o[order_ts] + F.expr(f"INTERVAL {tolerance}"))
         )
-        return o.join(d, cond, "inner")
+        return o.join(d, cond, how)
+    if how != "inner":
+        raise ValueError("outer stream-stream joins need order_ts/detail_ts watermarks")
     return orders.join(details, orders[order_key] == details[detail_key], "inner")

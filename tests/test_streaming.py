@@ -114,6 +114,53 @@ def test_windowed_join_keeps_within_tolerance_drops_beyond(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == [(1, 10), (1, 11), (2, 13)]
 
 
+def test_outer_streaming_join_emits_null_after_watermark(spark, tmp_path):
+    """J3 semantics: the reference's commented fullOuterJoin+Redis-cache
+    design (OrderWiderApp.scala:63-115) — an unmatched header is emitted
+    with null detail columns only once the watermark proves no partner
+    can arrive (the TTL-expiry the reference hand-rolled)."""
+    base = 1_700_000_000
+    odir, ddir = str(tmp_path / "o"), str(tmp_path / "d")
+
+    def write(path, rows, schema, ts_col):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            ts_col, F.timestamp_seconds(ts_col + "_s")
+        ).drop(ts_col + "_s")
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # batch 0: order 1 has a detail, order 2 never will
+    write(odir, [(1, base), (2, base + 1)], "o_orderkey long, o_ts_s long", "o_ts")
+    write(ddir, [(10, 1, base + 5)], "d_id long, l_orderkey long, d_ts_s long", "d_ts")
+    time.sleep(1.1)  # file source orders batches by mod time
+    # batch 1: flush rows far in the future push both watermarks past order 2
+    write(odir, [(99, base + 10_000)], "o_orderkey long, o_ts_s long", "o_ts")
+    write(ddir, [(999, 999, base + 10_000)], "d_id long, l_orderkey long, d_ts_s long", "d_ts")
+
+    o_stream = (
+        spark.readStream.schema("o_orderkey long, o_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(odir)
+    )
+    d_stream = (
+        spark.readStream.schema("d_id long, l_orderkey long, d_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(ddir)
+    )
+    joined = streaming_order_wide(
+        o_stream, d_stream, order_ts="o_ts", detail_ts="d_ts",
+        tolerance="50 seconds", how="left_outer",
+    )
+    got = sorted(map(tuple, run_to_memory(joined.select("o_orderkey", "d_id")).collect()))
+    # (1,10) matched; (2,None) expired-unmatched; flush order 99 still in
+    # state (watermark hasn't passed it) so not emitted
+    assert got == [(1, 10), (2, None)]
+
+
+def test_outer_streaming_join_without_watermark_rejected(spark):
+    orders = stream_table(spark, SF_SMOKE, "orders")
+    details = stream_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="watermark"):
+        streaming_order_wide(orders, details, how="full_outer")
+
+
 def test_first_seen_state_equals_batch_min(spark):
     orders = stream_table(spark, SF_SMOKE, "orders")
     got = run_to_memory(
