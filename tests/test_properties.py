@@ -1,0 +1,160 @@
+"""Property-based invariants (SURVEY §5.3) — hypothesis generates the
+inputs, Spark computes, plain Python is the oracle.
+
+These cover the invariants that golden-output tests can't sweep:
+ - F1 allocation: Σ shares == round2(total) for EVERY order shape, not
+   just the fixtures' (SURVEY §2.10 invariant; reference
+   scala/…/dws/OrderWiderApp.scala:148-199).
+ - dedup-first: idempotent, minimal-per-key (D1/D2 semantics).
+ - salted aggregation: identical answer to the plain groupBy it
+   replaces (skew strategy must never change results).
+ - as-of join: matches the brute-force per-probe lookup it replaces.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from realtime0523_spark.operators.aggregates import salted_agg
+from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.operators.dedup import dedup_first_by_key
+from realtime0523_spark.operators.joins import asof_join
+
+PROP_SETTINGS = dict(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def round2(x: float) -> float:
+    return math.floor(x * 100.0 + 0.5) / 100.0
+
+
+@st.composite
+def order_batches(draw):
+    """Orders with 1-6 details; cent-valued prices, a discount so the
+    paid total is NOT the weight sum (the allocation must scale)."""
+    rows = []
+    for oid in range(draw(st.integers(1, 4))):
+        n = draw(st.integers(1, 6))
+        weights = [
+            draw(st.integers(1, 10)) * draw(st.integers(1, 10_000)) / 100.0
+            for _ in range(n)
+        ]
+        total = round2(sum(weights) * draw(st.integers(500, 1000)) / 1000.0)
+        rows += [(oid, i, w, total) for i, w in enumerate(weights)]
+    return rows
+
+
+@given(order_batches())
+@settings(**PROP_SETTINGS)
+def test_allocation_exact_sum_invariant(spark, rows):
+    df = spark.createDataFrame(
+        rows, "order_id long, detail_id long, weight double, total double"
+    )
+    out = allocate_order_amount(
+        df, "order_id", ["detail_id"], "weight", "total",
+    ).collect()
+    by_order: dict[int, list] = {}
+    for r in out:
+        by_order.setdefault(r.order_id, []).append(r)
+    for oid, details in by_order.items():
+        details.sort(key=lambda r: r.detail_id)
+        total = details[0].total
+        # every share is a whole number of cents
+        for r in details:
+            assert abs(r.final_detail_amount * 100 - round(r.final_detail_amount * 100)) < 1e-6
+        # non-last rows carry the rounded proportional share
+        wsum = sum(r.weight for r in details)
+        for r in details[:-1]:
+            assert abs(r.final_detail_amount - round2(total * r.weight / wsum)) < 1e-9
+        # the invariant: shares sum exactly to the paid total
+        assert abs(sum(r.final_detail_amount for r in details) - round2(total)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_dedup_first_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(rows, "k long, ord long, payload long")
+    once = dedup_first_by_key(df, ["k"], ["ord", "payload"])
+    got = sorted(map(tuple, once.collect()))
+    # minimal: exactly the lexicographic-min (ord, payload) row per key
+    want = {}
+    for k, o, p in rows:
+        if k not in want or (o, p) < want[k]:
+            want[k] = (o, p)
+    assert got == sorted((k, o, p) for k, (o, p) in want.items())
+    # idempotent: dedup of the deduped frame is a no-op
+    twice = dedup_first_by_key(once, ["k"], ["ord", "payload"])
+    assert sorted(map(tuple, twice.collect())) == got
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 8),
+)
+@settings(**PROP_SETTINGS)
+def test_salted_agg_matches_plain_groupby(spark, rows, buckets):
+    # integer-valued doubles: salted re-add order cannot change the sum
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)],
+        "g long, v double, rid long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_agg(
+                df, keys=["g"], sum_cols=["v"], salt_from="rid", buckets=buckets
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("g")
+            .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=15
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, probes, refs):
+    probe = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)], "k long, pts long, pid long"
+    )
+    ref = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(refs)], "k long, rts long, v long"
+    )
+    got = {
+        r.pid: r.v
+        for r in asof_join(
+            probe, ref, on="k", probe_ts="pts", ref_ts="rts",
+            ref_cols=["v"], ref_order="v",
+        ).collect()
+    }
+    for pid, (k, pts) in enumerate(probes):
+        cands = [(rts, v) for j, (rk, rts) in enumerate(refs) if rk == k and rts <= pts for v in [j]]
+        want = max(cands)[1] if cands else None
+        assert got[pid] == want, (pid, k, pts, cands)
