@@ -393,6 +393,25 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_ann_ivf",
+    None,  # approximate by construction — driver records rows-only
+    "IVF approximate top-k: spherical-k-means cells trained on a "
+    "bounded TakeOrdered sample, map-only cell assignment (broadcast "
+    "centroids), queries probe nprobe cells, exact cosine re-rank "
+    "within probed cells. Recall vs the exact baseline is asserted in "
+    "tests/test_llm.py.",
+)
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ann_topk_ivf(emb, queries, n_cells=16, nprobe=4, k=TOPK_K).select(
+        "qid", "vec_id", r9(F.col("score")).alias("score"), "rk"
+    )
+
+
 # ----------------------------------------------------------------------
 # Multimodal plumbing
 # ----------------------------------------------------------------------

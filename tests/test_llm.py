@@ -12,7 +12,7 @@ from realtime0523_spark.llm.dedup import (
     simhash_pairs,
 )
 from realtime0523_spark.llm.multimodal import attach_media, decode_image_stub, media_features
-from realtime0523_spark.llm.similarity import ann_topk_lsh, cosine_topk
+from realtime0523_spark.llm.similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
 from realtime0523_spark.llm.text import lang_guess
 from tests.conftest import SF_SMOKE
 
@@ -68,6 +68,36 @@ def test_ann_lsh_recall_against_brute_force(spark):
     # approximate; we assert it finds a meaningful fraction.
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_ann_ivf_recall_against_brute_force(spark):
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx_df = ann_topk_ivf(emb, queries, n_cells=8, nprobe=3, k=3)
+    approx = {(r.qid, r.vec_id) for r in approx_df.collect()}
+    # clustered fixture embeddings: true neighbors share the IVF cell
+    # far more often than LSH buckets — expect strong recall
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_centroids_deterministic(spark):
+    from realtime0523_spark.llm.similarity import ivf_train_centroids
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    c1 = ivf_train_centroids(emb, n_cells=8, sample=256)
+    c2 = ivf_train_centroids(emb.repartition(7), n_cells=8, sample=256)
+    import numpy as np
+
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # replay/repartition-stable: the TakeOrdered sample is deterministic
+    assert np.allclose(c1, c2)
 
 
 def test_lang_guess_domain(spark):
