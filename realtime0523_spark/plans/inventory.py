@@ -669,6 +669,72 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ship_priority_topk",
+    f"""
+    SELECT * FROM (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             {_r2("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority)
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "TPC-H-Q3-shaped global top-N: unshipped-order revenue, ORDER BY + "
+    "LIMIT. Spark plans TakeOrderedAndProject — per-partition top-N "
+    "then a driver merge of N·P rows, never a global sort of the "
+    "aggregate (the scalable global-rank counterpart to the "
+    "per-group top-k of O3).",
+)
+def q_ship_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .join(li.filter(F.col("l_shipdate") > cutoff), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "late_ship_priority_counts",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H-Q4-shaped decorrelated EXISTS: orders with any lineitem "
+    "shipped >60 days after order date, counted by priority. The "
+    "correlated subquery is a left-semi join (what Catalyst rewrites "
+    "EXISTS to) — one shuffle on the order key, no row explosion "
+    "however many lineitems match (the D3 semi-join shape on a "
+    "non-equi residual).",
+)
+def q_late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
 # ----------------------------------------------------------------------
 # Streaming spine (SURVEY §2.8): Structured Streaming pipelines whose
 # drained output equals a batch-SQL oracle — the strongest correctness
