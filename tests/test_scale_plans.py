@@ -40,6 +40,20 @@ def test_dim_enrichment_uses_broadcast_joins(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_global_topn_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-N + driver merge), never a global Sort of the aggregate."""
+    plan = formatted_plan(REGISTRY["ship_priority_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exists_plans_semi_join(spark):
+    """Decorrelated EXISTS must plan a LeftSemi join — one row per
+    qualifying order regardless of matching-lineitem fan-out."""
+    plan = formatted_plan(REGISTRY["late_ship_priority_counts"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
 def test_no_cartesian_products_anywhere(spark):
     """No inventory query may plan a cartesian or broadcast-nested-loop
     join — the shapes that melt down at scale. (Streaming queries are
