@@ -31,6 +31,16 @@ def _release_query_state(spark) -> None:
     for t in spark.catalog.listTables():
         if t.name.startswith("mem_"):
             spark.catalog.dropTempView(t.name)
+    # Unload streaming state-store providers: each drained stream leaves
+    # its providers loaded, and the shared maintenance task then scans
+    # every provider ever created — measured 3-5× inflation on later
+    # streaming queries in a long-lived benchmark JVM. (A real cluster
+    # unloads providers when a query's executors go away; a single
+    # benchmark JVM never does, hence the explicit stop.)
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # internal API; timing hygiene only — never fail the bench
 
 
 def main() -> None:
