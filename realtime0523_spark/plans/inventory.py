@@ -765,6 +765,28 @@ def q_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "Streaming D2: watermarked dropDuplicates on a key pair — the "
+    "reference's Redis SADD first-sighting dedup with the 100 s TTL as "
+    "a watermark (scala/…/dws/OrderWiderApp.scala:129-147). Horizon "
+    "set wider than the fixture's event-time span so the drained "
+    "stream equals DISTINCT; TTL-expiry re-emission semantics are "
+    "exercised in tests/test_streaming.py.",
+)
+def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.dedup import streaming_dedup
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    deduped = streaming_dedup(ev, ["user_id", "event_type"], "ts", ttl="3650 days")
+    return run_to_memory(deduped.select("user_id", "event_type"))
+
+
+@register(
     "stream_order_wide",
     _WIDE_SQL,
     "Streaming J1+P8: stream-stream inner equi-join of header×detail "

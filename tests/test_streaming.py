@@ -161,6 +161,47 @@ def test_outer_streaming_join_without_watermark_rejected(spark):
         streaming_order_wide(orders, details, how="full_outer")
 
 
+def test_streaming_dedup_ttl_expiry_reemits(spark, tmp_path):
+    """D2/T4 semantics: duplicates within the TTL horizon are
+    suppressed; once the watermark evicts a key's state, a fresh
+    sighting re-emits — exactly the reference's expired Redis set
+    (OrderWiderApp.scala:129-147)."""
+    from realtime0523_spark.streaming.dedup import streaming_dedup
+
+    base = 1_700_000_000
+    d = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, ts_s long").withColumn(
+            "ts", F.timestamp_seconds("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(d)
+
+    write([("A", base)])
+    time.sleep(1.1)
+    # dup within horizon (suppressed) + a row pushing the watermark to
+    # base+200, past A's stored event time
+    write([("A", base + 10), ("B", base + 300)])
+    time.sleep(1.1)
+    # eviction applies the advanced watermark at this batch's commit
+    # (state removal lags the watermark advance by one batch)
+    write([("C", base + 310)])
+    time.sleep(1.1)
+    write([("A", base + 400)])  # state gone → re-emits
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        (r.k, r.ts.timestamp() - base)
+        for r in run_to_memory(
+            streaming_dedup(stream, ["k"], "ts", ttl="100 seconds")
+        ).collect()
+    )
+    assert got == [("A", 0.0), ("A", 400.0), ("B", 300.0), ("C", 310.0)]
+
+
 def test_first_seen_state_equals_batch_min(spark):
     orders = stream_table(spark, SF_SMOKE, "orders")
     got = run_to_memory(
