@@ -48,6 +48,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT
+        # (e.g. sum over integers) surfaces as float64/object while
+        # Spark returns int64 — equal values, different hash. Flag any
+        # int-vs-float/object kind split as a failure so we catch it
+        # before the driver does (this is exactly what bit r1
+        # `sessionize`).
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if len(kinds) > 1 and kinds & {"i", "u"} and kinds & {"f", "O"}:
+            issues.append(
+                f"col {c}: dtype kind mismatch spark={av.dtype} "
+                f"oracle={bv.dtype} (driver hash would differ even on "
+                f"equal values — CAST the oracle)"
+            )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
