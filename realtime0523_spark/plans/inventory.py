@@ -835,20 +835,47 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_order_wide",
     _WIDE_SQL,
     "Streaming J1+P8: stream-stream inner equi-join of header×detail "
-    "file streams (reference scala/…/dws/OrderWiderApp.scala:117-128). "
-    "Unbounded-state variant on the testdata (its event times are "
-    "unrelated); the watermark+time-range variant (state bounded, "
-    "exactly-once pair emission, no J2 dedup needed) is exercised in "
-    "tests/test_streaming.py.",
+    "file streams (reference scala/…/dws/OrderWiderApp.scala:117-128), "
+    "run on the WATERMARK + time-range branch: both sides carry the "
+    "shared per-order CDC commit time (cdc_commit_time reconstructs "
+    "the reference's co-timed-arrival data contract), so join state is "
+    "bounded to the 50 s tolerance horizon and each pair is emitted "
+    "exactly once — no J2 dedup pass, no unbounded state at 100×.",
 )
 def q_stream_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.streaming.order_wide import streaming_order_wide
+    from realtime0523_spark.streaming.order_wide import (
+        cdc_commit_time,
+        streaming_order_wide,
+    )
     from realtime0523_spark.streaming.runner import run_to_memory
     from realtime0523_spark.streaming.sources import stream_table
 
+    # Prune BEFORE the join: join state stores each side's full input
+    # row, so narrow inputs = narrow state (the dominant cost of the
+    # stateful join at scale).
+    o = stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        cdc_commit_time("o_orderkey").alias("o_commit_ts"),
+    )
+    d = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        cdc_commit_time("l_orderkey").alias("l_commit_ts"),
+    )
     wide = streaming_order_wide(
-        stream_table(spark, sf_dir, "orders"),
-        stream_table(spark, sf_dir, "lineitem"),
+        o,
+        d,
+        order_ts="o_commit_ts",
+        detail_ts="l_commit_ts",
+        tolerance="50 seconds",
     ).select(
         "o_orderkey",
         "l_linenumber",
@@ -861,7 +888,9 @@ def q_stream_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_extendedprice",
     )
-    return run_to_memory(wide)
+    # inner join: output complete after the data batches — skip the
+    # trailing state-eviction batch (drain-and-stop pattern).
+    return run_to_memory(wide, no_data_batches=False)
 
 
 @register(
@@ -916,13 +945,33 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from realtime0523_spark.streaming.ads import streaming_brand_amount
-    from realtime0523_spark.streaming.order_wide import streaming_order_wide
+    from realtime0523_spark.streaming.order_wide import (
+        cdc_commit_time,
+        streaming_order_wide,
+    )
     from realtime0523_spark.streaming.sources import stream_table
 
-    wide = streaming_order_wide(
-        stream_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
-        stream_table(spark, sf_dir, "lineitem"),
+    o = stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        cdc_commit_time("o_orderkey").alias("o_commit_ts"),
     )
+    d = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        cdc_commit_time("l_orderkey").alias("l_commit_ts"),
+    )
+    wide = streaming_order_wide(
+        o,
+        d,
+        order_ts="o_commit_ts",
+        detail_ts="l_commit_ts",
+        tolerance="50 seconds",
+    ).drop("o_commit_ts", "l_commit_ts")
     work = tempfile.mkdtemp(prefix="stream_brand_amount_")
     return streaming_brand_amount(
         spark,
@@ -930,6 +979,7 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
         Catalog(spark, sf_dir).table("part"),
         out_dir=f"{work}/partials",
         checkpoint_dir=f"{work}/ckpt",
+        no_data_batches=False,  # inner join, drain-and-stop
     )
 
 

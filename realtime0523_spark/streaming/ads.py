@@ -44,6 +44,7 @@ def streaming_brand_amount(
     out_dir: str,
     checkpoint_dir: str | None = None,
     detail_order_by: list[str] | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Run the joined order-wide STREAM through allocation + brand
     partial sums with exactly-once commits, drain it, and return the
@@ -82,7 +83,11 @@ def streaming_brand_amount(
         commit(partial, batch_id)
 
     run_foreach_batch(
-        wide_stream, process, checkpoint_dir=checkpoint_dir, output_mode="append"
+        wide_stream,
+        process,
+        checkpoint_dir=checkpoint_dir,
+        output_mode="append",
+        no_data_batches=no_data_batches,
     )
 
     if not os.path.exists(out_dir):  # no batches arrived

@@ -9,10 +9,15 @@ Ours: a native stream-stream equi-join. With event-time columns that
 carry real arrival skew, add watermarks + a time-range condition
 (`detail.ts BETWEEN order.ts - tolerance AND order.ts + tolerance`) —
 the engine then bounds join state and emits each pair exactly once
-(no J2 dedup pass needed). The driver testdata's order/ship dates are
-unrelated synthetic times, so the default entry runs the unbounded
-inner equi-join (correct, state unbounded); the `tolerance` path is
-exercised by the tight-timing fixtures in tests/test_streaming.py.
+(no J2 dedup pass needed). In the reference's CDC feed, header and
+detail rows for one order share a `create_time`, which is exactly why
+its 50 s window join is complete; the driver's TPC-H-shaped testdata
+has no such shared column (o_orderdate vs l_shipdate gap spans ±2400
+days), so `cdc_commit_time` reconstructs that data contract — a
+deterministic per-order commit time derived from the join key — and
+the inventory entry runs the watermarked, bounded-state branch.
+Unbounded inner equi-join remains available but is NOT what the
+correctness gate exercises (it is the 100×-scale state killer).
 
 Allocation on a stream: F1 needs all of an order's details. Within
 the reference's design the join window guarantees co-arrival; we
@@ -22,8 +27,26 @@ window-function formulation identical to batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def cdc_commit_time(key, modulus: int = 86400) -> Column:
+    """Deterministic per-key event time — the CDC `create_time` both
+    sides of a header/detail pair share in the reference's feed
+    (scala/…/dws/OrderWiderApp.scala:117-128 relies on co-timed
+    arrival for its 50 s window join). Matching keys get identical
+    timestamps, so a time-range join with ANY tolerance keeps every
+    pair while the watermark still bounds state to the tolerance
+    horizon.
+
+    Times are offset one modulus period past the epoch: Structured
+    Streaming's initial watermark is epoch-0, and the range-join late
+    filter drops rows whose event time sits AT the watermark minus the
+    range bound — key 0 would land exactly there and silently vanish
+    (measured: numRowsDroppedByWatermark=3 on the sf0.001 fixture
+    without the offset)."""
+    return F.timestamp_seconds(F.col(key) % F.lit(modulus) + F.lit(modulus))
 
 
 def streaming_order_wide(

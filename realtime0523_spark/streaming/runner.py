@@ -27,14 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, no_data_batches: bool = True):
     parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(ndb_key)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set(ndb_key, str(no_data_batches).lower())
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(ndb_key, prev_ndb)
 
 
 def run_to_memory(
@@ -42,12 +46,21 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     trigger_seconds: float | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink, drain it, stop, and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    `no_data_batches=False` suppresses the trailing watermark-advance
+    micro-batch. For drain-and-stop INNER pipelines whose output is
+    complete once the data batches run, that trailing batch is pure
+    state-eviction overhead (measured: a full scan + removal of every
+    state row, ~40% of the sf0.1 stream-stream join runtime). Leave it
+    ON for anything that emits on watermark: outer joins, append-mode
+    windowed aggregates, expiring state."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, no_data_batches):
         writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
         if trigger_seconds is not None:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
@@ -62,10 +75,11 @@ def run_foreach_batch(
     fn,
     checkpoint_dir: str | None = None,
     output_mode: str = "update",
+    no_data_batches: bool = True,
 ) -> None:
     """Run a streaming DataFrame through `foreachBatch(fn)` to
     completion (fn: (batch_df, batch_id) -> None)."""
-    with _stream_shuffle(df.sparkSession):
+    with _stream_shuffle(df.sparkSession, no_data_batches):
         writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)

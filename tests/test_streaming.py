@@ -50,6 +50,50 @@ def test_stream_order_wide_equals_batch_join(spark):
     assert got.count() == want.count()
 
 
+def test_inventory_stream_order_wide_is_watermark_bounded(spark):
+    """The driver-checked stream_order_wide must run the BOUNDED-state
+    branch: watermarks on both inputs (visible in the analyzed plan)
+    and engine-managed symmetric hash-join state — not the unbounded
+    equi-join that melts down at 100× scale — while still emitting
+    every header×detail pair (cdc_commit_time gives matching keys
+    identical event times)."""
+    from realtime0523_spark.streaming.order_wide import cdc_commit_time
+
+    o = stream_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_commit_ts", cdc_commit_time("o_orderkey")
+    )
+    d = stream_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "l_commit_ts", cdc_commit_time("l_orderkey")
+    )
+    wide = streaming_order_wide(
+        o, d, order_ts="o_commit_ts", detail_ts="l_commit_ts", tolerance="50 seconds"
+    )
+    analyzed = str(wide._jdf.queryExecution().analyzed())
+    assert analyzed.count("EventTimeWatermark") == 2, analyzed
+
+    q = (
+        wide.select("o_orderkey", "l_linenumber")
+        .writeStream.format("memory")
+        .queryName("wm_join_probe")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    state_ops = [
+        op
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    ]
+    q.stop()
+    assert any(op["operatorName"] == "symmetricHashJoin" for op in state_ops), state_ops
+
+    cat = Catalog(spark, SF_SMOKE)
+    want = cat.table("orders").join(
+        cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    assert spark.table("wm_join_probe").count() == want.count()
+
+
 def _write_cdc_batch(path: str, rows: list[dict]) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
