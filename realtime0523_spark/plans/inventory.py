@@ -983,6 +983,61 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dwd_order",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_dt,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY o.o_custkey
+                    ORDER BY o.o_orderdate, o.o_orderkey) = 1
+                THEN 1 ELSE 0 END AS INT) AS if_first_order,
+           c.c_name, n.n_name AS nation_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    "End-to-end streaming DWD pipeline (reference "
+    "scala/…/dwd/Ods_to_DWD_order_info.scala:29-245): CDC order stream "
+    "→ first-order flag via user-status membership (J4 batched-IN) "
+    "with same-batch correction → broadcast customer+nation enrich "
+    "(J5/J7) → persist + multi-sink fan-out (T8) into the daily "
+    "doc-id-idempotent index (K3) and the user-status write-back (K2) "
+    "that feeds the NEXT batch's flags (D3). Single-batch drain "
+    "equals the batch first-order oracle; cross-batch flag semantics "
+    "are exercised in tests/test_streaming.py.",
+)
+def q_stream_dwd_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.dwd import streaming_dwd_order
+    from realtime0523_spark.streaming.sources import stream_table
+
+    cat = Catalog(spark, sf_dir)
+    orders = stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    out = streaming_dwd_order(
+        spark,
+        orders,
+        cat.table("customer"),
+        cat.table("nation"),
+        work_dir=tempfile.mkdtemp(prefix="stream_dwd_order_"),
+        # the whole 7-year table drains in one batch (historical
+        # replay) — monthly index dirs, not 2400 daily ones
+        index_granularity="month",
+        no_data_batches=False,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("order_dt").cast("string").alias("order_dt"),
+        "if_first_order",
+        "c_name",
+        "nation_name",
+    )
+
+
 # ----------------------------------------------------------------------
 # Set operations & grouping-set superset (SURVEY §2.7 note: the
 # reference has no union/intersect/except; §2.5 note: no cube/rollup —

@@ -284,6 +284,91 @@ def test_upsert_parquet_dim_scd1(spark, tmp_path):
     assert got == {"u1": "ALICE", "u2": "bob", "u3": "carol"}
 
 
+def test_daily_idempotent_sink_replay_and_docid_overwrite(spark, tmp_path):
+    """K3 contract (MyESUtil.scala:21-37): replaying a committed batch
+    is a no-op; a later batch writing the same doc id overwrites (ES
+    index-by-id), never duplicates."""
+    from realtime0523_spark.streaming.sinks import daily_partitioned_idempotent_sink
+
+    out = str(tmp_path / "idx")
+    os.makedirs(out)
+    write, read = daily_partitioned_idempotent_sink(out, dt_col="dt", id_cols=["id"])
+    b0 = spark.createDataFrame([(1, "2024-01-01", "v1"), (2, "2024-01-02", "v1")],
+                               "id long, dt string, payload string")
+    write(b0, 0)
+    write(b0.union(b0), 0)  # replay with different content → no-op
+    assert read(spark).count() == 2
+    # batch 1 re-indexes doc 1 → overwrite, not duplicate
+    write(spark.createDataFrame([(1, "2024-01-01", "v2")],
+                                "id long, dt string, payload string"), 1)
+    got = {r.id: r.payload for r in read(spark).collect()}
+    assert got == {1: "v2", 2: "v1"}
+
+
+def test_fanout_sinks_persist_once(spark):
+    """T8: the batch is cached while every sink runs (reference caches
+    before Phoenix+Kafka+ES, Ods_to_DWD_order_info.scala:218) and
+    released after."""
+    from realtime0523_spark.streaming.sinks import fanout_sinks
+
+    df = spark.createDataFrame([(1,)], "v long")
+    cached_during: list[bool] = []
+
+    def sink(batch_df, batch_id):
+        cached_during.append(batch_df.storageLevel.useMemory)
+
+    fanout_sinks(sink, sink)(df, 0)
+    assert cached_during == [True, True]
+    assert not df.storageLevel.useMemory  # unpersisted after fan-out
+
+
+def test_streaming_dwd_cross_batch_first_order_flag(spark, tmp_path):
+    """The DWD composition's cross-batch contract (D3 write-back,
+    Ods_to_DWD_order_info.scala:128-169): a user's second-ever order
+    arriving in a LATER batch is flagged 0 because batch N's
+    first-timers were upserted into the status dim before batch N+1
+    ran; two orders of one user in the SAME batch keep only the
+    event-time-earliest flagged (same-batch correction)."""
+    from realtime0523_spark.streaming.dwd import streaming_dwd_order
+
+    in_dir = str(tmp_path / "orders_in")
+    os.makedirs(in_dir)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_dt_s long"
+        ).withColumn("o_orderdate", F.timestamp_seconds("o_dt_s")).drop(
+            "o_dt_s"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    base = 1_700_000_000
+    # batch 0: u1's first order
+    write([(100, 1, base)])
+    time.sleep(1.1)
+    # batch 1: u1's SECOND order (flag 0), u2's first (flag 1),
+    # u3 twice in one batch (earliest flag 1, other 0)
+    write([(101, 1, base + 100), (102, 2, base + 100),
+           (103, 3, base + 100), (104, 3, base + 200)])
+
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_custkey long, o_orderdate timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    customer = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 10), (3, "carol", 20)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE"), (20, "PERU")], "n_nationkey long, n_name string"
+    )
+    out = streaming_dwd_order(
+        spark, stream, customer, nation, work_dir=str(tmp_path / "dwd")
+    )
+    flags = {r.o_orderkey: r.if_first_order for r in out.collect()}
+    assert flags == {100: 1, 101: 0, 102: 1, 103: 1, 104: 0}
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """T6: restart from checkpoint resumes at committed progress — a
     replayed run must not double-count (replaces the reference's
