@@ -90,13 +90,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-n-gram shingle sets for every
     colliding pair (doc_a < doc_b), filtered to >= threshold.
 
     inter(a,b) from a shingle self-join; |A|,|B| from per-doc counts;
     J = inter / (|A|+|B|-inter). Exact — the oracle for MinHash.
+
+    THIS IS THE CORRECTNESS BASELINE, NOT THE SCALE PATH: the shingle
+    self-join is quadratic in colliding shingles, so by default it
+    refuses corpora above `max_docs` rows (the probe is an
+    early-stopping limit(n+1).count(), not a full scan). Near-dup
+    detection on a large corpus belongs to `minhash_lsh_pairs` (same
+    semantics, bucketed candidates, linear scan); pass `max_docs=None`
+    only to verify the approximate path on a deliberately small sample.
     """
+    if max_docs is not None:
+        probe = docs.limit(max_docs + 1).count()
+        if probe > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the quadratic exact baseline and "
+                f"refuses corpora > {max_docs} docs; use minhash_lsh_pairs "
+                f"for near-dup detection at scale, or pass max_docs=None "
+                f"to opt into the full exact scan."
+            )
     s = _shingle_rows(docs, id_col, text_col, n)
     cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")

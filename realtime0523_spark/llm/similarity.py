@@ -96,31 +96,31 @@ def cosine_topk(
 
     `score_transform` (Column→Column, e.g. round-to-9dp for oracle
     parity) is applied to the ranking key of the FINAL rank only; the
-    batch-local prune then over-fetches a small margin so a transform-
-    induced tie at the cutoff cannot drop a row the final rounded rank
-    would keep."""
+    batch-local prune then keeps every row whose raw score is within
+    1e-9 of the k-th score (adaptive margin), so a transform-induced
+    tie at the cutoff cannot drop a row the final rounded rank would
+    keep — regardless of how many raw-distinct scores round together."""
     qrows = queries.select(query_id_col, query_vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = np.array([r[0] for r in qrows])
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
 
     out_schema = T.StructType(
         [
-            T.StructField(query_id_col, T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField("score", T.DoubleType()),
         ]
     )
 
     def score_batches(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
             mat = _mat(pdf[vec_col])
             scores = (mat @ qmat.T) / (
                 np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :]
             )  # (n, nq)
             parts = []
-            kk = min(k if score_transform is None else k + 8, len(ids))
             for j, qid in enumerate(qids):
                 s = scores[:, j]
                 mask = ids != qid  # exclude self-match
@@ -129,9 +129,17 @@ def cosine_topk(
                     continue
                 # order by (score desc, id asc) — same total order as the
                 # final rank, so ties at the k-cutoff prune identically
-                top = cand_idx[
-                    np.lexsort((ids[cand_idx], -s[cand_idx]))[:kk]
-                ]
+                ranked = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))]
+                if score_transform is None or len(ranked) <= k:
+                    top = ranked[:k]
+                else:
+                    # adaptive margin: any row whose raw score is within
+                    # 1e-9 of the k-th could outrank it after rounding
+                    kth = s[ranked[k - 1]]
+                    n_keep = int(
+                        np.searchsorted(-s[ranked], -(kth - 1e-9), side="right")
+                    )
+                    top = ranked[: max(k, n_keep)]
                 parts.append(
                     pd.DataFrame(
                         {
@@ -294,8 +302,14 @@ def ivf_train_centroids(
         .limit(sample)
         .collect()
     )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"IVF training sample has {len(rows)} vectors < n_cells={n_cells}; "
+            f"lower n_cells or raise `sample`."
+        )
     x = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # zero-norm guard: a zero vector normalizes to zero, not NaN
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cent = x[:n_cells].copy()
     for _ in range(iters):
         assign = (x @ cent.T).argmax(axis=1)
@@ -303,7 +317,7 @@ def ivf_train_centroids(
             members = x[assign == c]
             if len(members):
                 v = members.sum(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
     return cent
 
 
@@ -315,7 +329,7 @@ def _nearest_cells_udf(centroids: np.ndarray, nprobe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(v):
         mat = _mat(v)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cent.T  # (n, n_cells)
         top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(top))
@@ -410,9 +424,11 @@ def embedding_dedup_pairs(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
-    # pre-filter inside the kernel with a 1e-9 slack so query-level
-    # round-to-9dp-then-threshold semantics are decided by the exact
-    # filter below, not float noise at the kernel boundary
+    # the kernel keeps a 1e-9 slack under the threshold so the FINAL
+    # round-to-9dp-then-threshold filter decides the boundary: a pair
+    # with raw cosine in [threshold-5e-10, threshold) rounds UP to the
+    # threshold and must survive (this is the oracle's round-first
+    # semantics; an unrounded >= filter would drop it)
     slack = threshold - 1e-9
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -435,4 +451,7 @@ def embedding_dedup_pairs(
     scored = emb.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
         block_pairs, out_schema
     )
-    return scored.filter(F.col("cos_sim") >= threshold)
+    # round-then-threshold (half-up at 9 dp), matching the SQL oracle's
+    # semantics exactly at the boundary; cos_sim stays raw in the output
+    rounded = F.floor(F.col("cos_sim") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return scored.filter(rounded >= threshold)

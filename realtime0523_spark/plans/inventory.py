@@ -1144,6 +1144,39 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_counts",
+    f"""
+    SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 900) * 900
+                                         - k.k * 900) * 1000000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, {_r2("sum(value)")} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    GROUP BY 1, 2
+    """,
+    "T2 SLIDING-window aggregation — the reference's only window form, "
+    "window(Seconds(50), Seconds(5)) at scala/…/dws/OrderWiderApp.scala"
+    ":119-120, here 1 h windows sliding every 15 min: each event lands "
+    "in size/slide = 4 overlapping windows (the oracle materializes the "
+    "same 4-per-event expansion on the epoch-aligned 15-min grid). "
+    "Watermark still bounds state; it just holds 4x the tumbling "
+    "window count.",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.windowed import streaming_windowed_counts
+
+    return run_to_memory(
+        streaming_windowed_counts(
+            stream_table(spark, sf_dir, "events"),
+            window_size="1 hour",
+            slide="15 minutes",
+        ),
+        output_mode="complete",
+    )
+
+
+@register(
     "sessionize",
     """
     SELECT user_id, event_id, session_id

@@ -26,8 +26,16 @@ def streaming_windowed_counts(
     window_size: str = "1 hour",
     watermark: str = "2 hours",
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Per-(tumbling window, key) event counts and 2-dp value sums.
+    """Per-(window, key) event counts and 2-dp value sums.
+
+    `slide=None` → tumbling. A slide shorter than `window_size` gives
+    the reference's overlapping form — `window(Seconds(50), Seconds(5))`
+    (scala/…/dws/OrderWiderApp.scala:119-120) is
+    `window_size="50 seconds", slide="5 seconds"`: each event lands in
+    size/slide windows. State scales by the same factor — watermark
+    eviction still bounds it.
 
     Works on a stream (watermarked state, append/update output) and on
     a batch DataFrame (withWatermark is a no-op there) — the same plan
@@ -35,7 +43,7 @@ def streaming_windowed_counts(
     """
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window_size), F.col(key_col))
+        .groupBy(F.window(F.col(ts_col), window_size, slide or window_size), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             round2(F.sum(value_col)).alias("sum_value"),

@@ -40,6 +40,21 @@ def test_minhash_recall_vs_exact_jaccard(spark):
         assert recall >= 0.8, (recall, exact - approx)
 
 
+def test_ngram_jaccard_refuses_large_corpus_by_default(spark):
+    """The exact-Jaccard baseline is quadratic in colliding shingles —
+    the default gate must refuse a corpus above the cap and point at
+    the MinHash scale path; explicit opt-out runs it."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(11)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, 0.8, max_docs=10)
+    # opt-out (and the default cap on a small corpus) both run
+    ngram_jaccard_pairs(docs, 0.8, max_docs=None).collect()
+    ngram_jaccard_pairs(docs, 0.8).collect()
+
+
 def test_simhash_near_duplicates_have_small_hamming(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     rows = [

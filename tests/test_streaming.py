@@ -246,6 +246,23 @@ def test_streaming_dedup_ttl_expiry_reemits(spark, tmp_path):
     assert got == [("A", 0.0), ("A", 400.0), ("B", 300.0), ("C", 310.0)]
 
 
+def test_sliding_window_event_in_size_over_slide_windows(spark):
+    """T2 sliding semantics (reference window(50s,5s)): one event falls
+    in exactly size/slide overlapping windows, each 15 min apart."""
+    from realtime0523_spark.streaming.windowed import streaming_windowed_counts
+
+    df = spark.createDataFrame([("click", 1_700_000_450, 2.0)],
+                               "event_type string, ts_s long, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    got = streaming_windowed_counts(df, window_size="1 hour", slide="15 minutes").collect()
+    starts = sorted(r.window_start for r in got)
+    assert len(starts) == 4 and all(r.n_events == 1 for r in got)
+    # consecutive window starts are one slide (15 min) apart
+    from datetime import datetime
+    parsed = [datetime.strptime(s, "%Y-%m-%d %H:%M:%S") for s in starts]
+    assert all((b - a).total_seconds() == 900 for a, b in zip(parsed, parsed[1:]))
+
+
 def test_first_seen_state_equals_batch_min(spark):
     orders = stream_table(spark, SF_SMOKE, "orders")
     got = run_to_memory(
