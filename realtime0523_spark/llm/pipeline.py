@@ -1,0 +1,217 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, eval-set contamination checks, PII redaction, sequence
+packing, and domain-mixture statistics.
+
+These are the corpus-preparation steps between "raw documents" and
+"training batches" that a 100 TB pipeline runs after dedup (llm.dedup)
+and quality scoring (llm.text). Everything here is built-in
+`pyspark.sql.functions` (JVM-side, codegen'd) — no Python in the hot
+path — and every randomized-looking choice is a deterministic md5
+derivation, so runs are reproducible and each operator has an exact
+DuckDB-SQL twin (plans/llm_inventory.py).
+
+Scale notes per operator:
+- split/sample: pure per-row map over the scan — no shuffle, no state.
+- contamination: the eval shingle set is small by contract and
+  broadcast; the corpus streams through one scan + one groupBy.
+- pii_redact: per-row regex map.
+- pack_sequences: one window per shard (a shard is the packing
+  parallelism unit — real pipelines pack within shards, never across).
+- domain_mix: map-side partial agg into |domains| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from realtime0523_spark.llm.dedup import md5_int32
+from realtime0523_spark.llm.text import token_count, word_shingles
+
+# hash-bucket resolution for split/sample fractions: 1/10000ths
+BUCKETS = 10_000
+
+# PII patterns — valid with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(id ':' salt) —
+    the portable substitute for rand(): stable under repartitioning,
+    replay, and engine (same expression exists in SQL)."""
+    return md5_int32(F.concat_ws(":", id_col.cast("string"), F.lit(salt))) % BUCKETS
+
+
+def train_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to exactly one named split (train/val/
+    test/...) by hash bucket: cumulative fraction boundaries over
+    md5(id:salt). Changing the salt re-rolls the split; adding rows
+    never moves existing ones between splits.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        bound = int(round(cum * BUCKETS))
+        expr = (
+            F.when(b < bound, F.lit(name))
+            if expr is None
+            else expr.when(b < bound, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (domain
+    re-weighting / downsampling): keep iff hash bucket < f*BUCKETS for
+    the row's stratum. Same reproducibility contract as train_split."""
+    b = hash_bucket(F.col(id_col), salt)
+    bound = None
+    for stratum, frac in fractions.items():
+        v = F.lit(int(round(frac * BUCKETS)))
+        bound = (
+            F.when(F.col(stratum_col) == stratum, v)
+            if bound is None
+            else bound.when(F.col(stratum_col) == stratum, v)
+        )
+    bound = (
+        F.lit(int(round(default_fraction * BUCKETS)))
+        if bound is None
+        else bound.otherwise(F.lit(int(round(default_fraction * BUCKETS))))
+    )
+    return docs.filter(b < bound)
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per training doc: how many of its distinct word-n-gram shingles
+    also appear anywhere in the eval set (benchmark-leak detection à la
+    GPT-3/PaLM n-gram overlap decontamination).
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_ratio)
+    for contaminated docs only. The eval shingle set is distinct'd and
+    broadcast (eval benchmarks are ≪ corpus by contract); the corpus
+    makes one pass: explode shingles → broadcast semi-ish join →
+    groupBy doc. Shuffle = one partial-agg'd groupBy on doc_id."""
+    t = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    e = (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        t.join(F.broadcast(e), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return per_doc.filter(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails and phone numbers, keeping per-doc counts of each.
+    Pure per-row regex map (Java regex, codegen'd); patterns are
+    RE2-compatible so the SQL twin redacts identically."""
+    c = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            text_col: F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        }
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid end-to-end in a deterministic hash order and every doc is
+    assigned the fixed-`budget` context window its FIRST token falls in
+    (bin = floor(token_offset / budget)) — the standard GPT-style
+    "concatenate the corpus, slice fixed-length windows" strategy, as
+    an assignment instead of a materialization.
+
+    A bin's token count is ≤ budget + (straddling doc's tokens); exact
+    boundary splitting is the tokenizer's job downstream. The window
+    runs PER SHARD (partitionBy) — shards are the packing parallelism
+    unit at 100 TB, matching how real pipelines pack within data
+    shards; there is no global sort."""
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(hash_bucket(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n_tok = token_count(F.col(text_col))
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(budget)).cast("bigint").alias("bin_id"),
+    )
+
+
+def domain_mix(
+    docs: DataFrame,
+    domain_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain document and token counts plus each domain's share of
+    corpus tokens — the input to mixture-weight tuning. The share's
+    denominator is a window over the already-aggregated |domains| rows,
+    not the corpus."""
+    agg = docs.groupBy(*domain_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return agg.withColumn(
+        "token_share", F.col("n_tokens").cast("double") / total.cast("double")
+    )

@@ -432,3 +432,191 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     with_media = M.attach_media(docs)
     return M.media_features(with_media).select("doc_id", "n_bytes", "sha256")
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline: splits, sampling, contamination, PII,
+# packing, mixture stats (llm/pipeline.py)
+# ----------------------------------------------------------------------
+
+from realtime0523_spark.llm import pipeline as P  # noqa: E402
+
+SPLIT_SALT = "split-v1"
+SAMPLE_SALT = "sample-v1"
+PACK_SALT = "pack-v1"
+PACK_BUDGET = 2048
+SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+SAMPLE_DEFAULT = 0.1
+EVAL_MOD = 20  # doc_id % 20 == 0 stands in for "the eval benchmark"
+
+
+def _bucket_sql(salt: str) -> str:
+    return (
+        _MD5_INT32_SQL.format(col=f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+        + f" % {P.BUCKETS}"
+    )
+
+
+@register(
+    "docs_train_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql(SPLIT_SALT)} < 9000 THEN 'train'
+                WHEN {_bucket_sql(SPLIT_SALT)} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "Deterministic train/val/test split (90/5/5) by md5(id:salt) hash "
+    "bucket — reproducible, repartition-stable, engine-portable; a pure "
+    "per-row map (no shuffle, no rand()).",
+)
+def q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.train_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, salt=SPLIT_SALT
+    ).select("doc_id", "split")
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_bucket_sql(SAMPLE_SALT)} <
+          CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500 ELSE 1000 END
+    """,
+    "Stratified deterministic sampling (domain re-weighting): keep a "
+    "per-source fraction by hash bucket — the mixture-downsampling "
+    "step of a training pipeline, as a pushdown-friendly per-row "
+    "filter.",
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.stratified_sample(
+        docs, SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT, salt=SAMPLE_SALT
+    ).select("doc_id", "source")
+
+
+@register(
+    "docs_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks)),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT doc_id, n_shingles, n_contaminated,
+           {_r9('CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)')}
+             AS contamination_ratio
+    FROM (
+      SELECT s.doc_id, count(*) AS n_shingles,
+             CAST(count(*) FILTER (ev.sh IS NOT NULL) AS BIGINT) AS n_contaminated
+      FROM sh s LEFT JOIN ev ON s.sh = ev.sh
+      WHERE s.doc_id % {EVAL_MOD} <> 0
+      GROUP BY s.doc_id)
+    WHERE n_contaminated > 0
+    """,
+    "Eval-set contamination check (GPT-3/PaLM-style n-gram overlap "
+    "decontamination): per training doc, the count and share of its "
+    "distinct 3-gram shingles that appear anywhere in the (broadcast) "
+    "eval set. One corpus scan + one partial-agg'd groupBy.",
+)
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    out = P.contamination_check(train, ev)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        r9(F.col("contamination_ratio")).alias("contamination_ratio"),
+    )
+
+
+@register(
+    "docs_pii_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '{P.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{P.PHONE_RE}', '<PHONE>', 'g') AS text
+    FROM (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+          FROM documents)
+    """,
+    "PII redaction (emails + phone numbers masked, per-doc counts) as "
+    "a per-row JVM regex map. The corpus fixture contains no PII, so "
+    "the query plants one deterministic email+phone per doc (same "
+    "expression in both engines) and the hash compare verifies the "
+    "full redacted text byte-for-byte.",
+)
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return P.pii_redact(planted).select("doc_id", "n_emails", "n_phones", "text")
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+    SELECT doc_id, source AS shard, CAST(len(t) AS INT) AS n_tokens,
+           CAST(floor((cum - len(t)) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, source, t,
+             sum(len(t)) OVER (PARTITION BY source
+                               ORDER BY {_bucket_sql(PACK_SALT)}, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents))
+    """,
+    "Concat-and-chunk sequence packing: per shard (source), docs are "
+    "laid end-to-end in deterministic hash order and assigned the "
+    f"{PACK_BUDGET}-token context window their first token falls in — "
+    "the GPT-style pretraining packing strategy as an assignment. One "
+    "window per shard; no global sort.",
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.pack_sequences(docs, budget=PACK_BUDGET, salt=PACK_SALT)
+
+
+@register(
+    "docs_domain_mix",
+    f"""
+    SELECT source, lang, n_docs, n_tokens,
+           {_r9('CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)')}
+             AS token_share
+    FROM (SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source, lang)
+    """,
+    "Domain-mixture statistics: per (source, lang) doc/token counts "
+    "and each domain's share of corpus tokens — the input to mixture-"
+    "weight tuning. Map-side partial agg to |domains| rows; the share "
+    "denominator windows over the aggregate, not the corpus.",
+)
+def q_docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = P.domain_mix(docs)
+    return out.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r9(F.col("token_share")).alias("token_share"),
+    )

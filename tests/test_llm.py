@@ -139,3 +139,98 @@ def test_media_features_roundtrip(spark):
 def test_decode_stub_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+# --- training-data pipeline ops (llm/pipeline.py) ---------------------
+
+
+def test_train_split_disjoint_exhaustive_deterministic(spark):
+    from realtime0523_spark.llm.pipeline import train_split
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    out = train_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    got = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    assert len(got) == docs.count()  # every doc in exactly one split
+    n = len(got)
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.8 * n <= c["train"] <= 0.97 * n  # ~90% ± hash noise at n=100
+    # re-running yields the identical assignment (no rand())
+    again = {r.doc_id: r.split for r in train_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}).select("doc_id", "split").collect()}
+    assert got == again
+    with pytest.raises(ValueError, match="sum to 1"):
+        train_split(docs, {"train": 0.5})
+
+
+def test_stratified_sample_subset_and_full_stratum(spark):
+    from realtime0523_spark.llm.pipeline import stratified_sample
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    out = stratified_sample(docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.0)
+    kept = out.select("doc_id", "source").collect()
+    assert all(r.source in ("src0", "src1") for r in kept)  # default 0 drops rest
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert sum(1 for r in kept if r.source == "src0") == n_src0  # fraction 1.0 keeps all
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from realtime0523_spark.llm.pipeline import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "the secret benchmark answer is here today"),
+         (2, "completely unrelated words about nothing at all")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "leaked copy: the secret benchmark answer revealed")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_check(train, ev).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1].n_contaminated >= 2  # "the secret benchmark", "secret benchmark answer"
+    assert 0 < got[1].contamination_ratio <= 1
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from realtime0523_spark.llm.pipeline import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "mail alice.smith+x@corp.example.org or call +44 123-4567 now"),
+         (2, "no pii in this row at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "<EMAIL>" in got[1].text and "<PHONE>" in got[1].text
+    assert "@" not in got[1].text and "4567" not in got[1].text
+    assert got[2].text == "no pii in this row at all"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from realtime0523_spark.llm.pipeline import pack_sequences
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    budget = 256
+    out = pack_sequences(docs, budget=budget).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly one bin
+    from collections import defaultdict
+    bins = defaultdict(int)
+    max_tok = max(r.n_tokens for r in out)
+    for r in out:
+        bins[(r.shard, r.bin_id)] += r.n_tokens
+    # concat-and-chunk bound: a bin holds <= budget + one straddling doc
+    assert all(v <= budget + max_tok for v in bins.values())
+    # bins are contiguous from 0 within each shard
+    per_shard = defaultdict(set)
+    for (shard, b) in bins:
+        per_shard[shard].add(b)
+    for shard, ids in per_shard.items():
+        assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
+
+
+def test_domain_mix_shares_sum_to_one(spark):
+    from realtime0523_spark.llm.pipeline import domain_mix
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    rows = domain_mix(docs).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert sum(r.n_docs for r in rows) == docs.count()
