@@ -214,19 +214,25 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, n, id_col, text_col).cache()
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
 
-    bucket_frames = []
-    for band in range(MINHASH_BANDS):
-        cols = [f"sig_{band * rows_per_band + r}" for r in range(rows_per_band)]
-        bucket_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("bh"),
+    # one (doc, band, band_hash) row per band via posexplode — a single
+    # scan of the signature frame, not a BANDS-way union of scans
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        )
-    buckets = bucket_frames[0]
-    for fr in bucket_frames[1:]:
-        buckets = buckets.unionByName(fr)
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bh")
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -312,17 +318,15 @@ def simhash_pairs(
     hamming < bands must agree on >= one band) — equi-join, no n²."""
     sh = simhash(docs, id_col, text_col).cache()
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
-    bands = None
-    for band in range(SIMHASH_BANDS):
-        fr = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(band).alias("band"),
-            F.expr(
-                f"shiftright(simhash, {band * band_bits}) & {(1 << band_bits) - 1}"
-            ).alias("bv"),
-        )
-        bands = fr if bands is None else bands.unionByName(fr)
+    band_values = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {band * band_bits}) & {(1 << band_bits) - 1}")
+            for band in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.posexplode(band_values).alias("band", "bv")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

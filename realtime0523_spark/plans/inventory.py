@@ -78,7 +78,7 @@ _PRIORITY: list[str] = [
     # §2 core: windows/joins/aggs/dedup
     "first_order_flag", "running_total", "order_wide", "dim_enrich",
     "customers_with_orders", "customers_never_ordered", "allocation",
-    "brand_amount", "hot_parts_topk", "dau", "dau_approx", "dedup_first",
+    "brand_amount", "hot_parts_topk", "dau", "dedup_first",
     "ship_priority_topk", "sessionize",
     # §2 streaming family
     "stream_dau", "stream_dedup_pairs", "stream_order_wide",
@@ -87,7 +87,6 @@ _PRIORITY: list[str] = [
     "spend_full_outer",
     # LLM text analysis
     "docs_token_stats", "docs_lang_guess", "docs_quality", "top_tokens",
-    "docs_fingerprint",
     # LLM dedup / similarity / multimodal (r1 gap: were past the window)
     "docs_exact_dedup", "docs_ngram_jaccard", "docs_minhash_lsh",
     "docs_simhash", "emb_cosine_topk", "emb_dedup_pairs", "emb_ann_lsh",
@@ -95,10 +94,10 @@ _PRIORITY: list[str] = [
     # LLM training-pipeline ops (round 2)
     "docs_train_split", "docs_stratified_sample", "docs_contamination",
     "docs_pii_redact", "docs_pack_sequences", "docs_domain_mix",
-    # highest-value extra that still fits the window (the displaced
-    # superset queries were driver-verified green in round 1 and are
+    # dedup clustering (round 2; displaced asof_last_click, dau_approx,
+    # docs_fingerprint — all driver-verified green in round 1 and
     # unchanged since)
-    "asof_last_click",
+    "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
 ]
 
 

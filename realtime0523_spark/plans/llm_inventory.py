@@ -620,3 +620,122 @@ def q_docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         r9(F.col("token_share")).alias("token_share"),
     )
+
+
+# ----------------------------------------------------------------------
+# Dedup clustering: connected components + representative selection
+# (llm/clusters.py)
+# ----------------------------------------------------------------------
+
+from realtime0523_spark.llm import clusters as C  # noqa: E402
+
+# quality_score exactly as docs_quality computes it (llm.text
+# quality_features) — the keep-best ranking key.
+_QUAL_CTE = f"""
+    qual AS (
+      SELECT doc_id,
+             greatest(0.0, least(1.0,
+               0.05 * (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t))
+               + (CAST(len(regexp_extract_all(text, '{X.LANG_PATTERNS["en"]}')) AS DOUBLE) / len(t))
+               - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text))
+             )) AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+"""
+
+# transitive closure of the MinHash-LSH pair graph; min reachable id
+# per node == the label-propagation fixpoint the Spark side iterates to
+_COMPONENTS_CTE = f"""
+    pairs AS ({{pairs_sql}}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u)
+"""
+
+
+def _components_sql(select: str, extra_ctes: str = "") -> str:
+    return (
+        "WITH RECURSIVE "
+        + _COMPONENTS_CTE.format(pairs_sql=_minhash_sql())
+        + (("," + extra_ctes) if extra_ctes else "")
+        + select
+    )
+
+
+@register(
+    "docs_dedup_clusters",
+    _components_sql("SELECT doc_id, cluster_id FROM comp"),
+    "Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph by iterative min-label propagation (join + partial-agg "
+    "min per round, lineage truncated per round, sum(label) fixpoint "
+    "detection; diameter-bounded rounds — near-dup graphs are "
+    "near-cliques). The oracle is DuckDB's recursive transitive "
+    "closure. Singleton docs are omitted by both by definition.",
+)
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    return C.connected_components(pairs)
+
+
+@register(
+    "docs_dedup_keep_best",
+    _components_sql(
+        """
+    SELECT cluster_id, doc_id AS kept_doc_id, n_members FROM (
+      SELECT c.cluster_id, c.doc_id,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rk
+      FROM comp c JOIN qual q USING (doc_id))
+    WHERE rk = 1
+    """,
+        extra_ctes=_QUAL_CTE,
+    ),
+    "Cluster-representative selection: per near-dup cluster keep the "
+    "highest-quality member (quality_score from docs_quality; ties to "
+    "the smallest doc_id) plus the member count — one broadcast join "
+    "and one struct-max groupBy, no window shuffle.",
+)
+def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    comp = C.connected_components(pairs)
+    scored = docs.select(
+        "doc_id", X.quality_features("text")["quality_score"].alias("quality_score")
+    )
+    return C.keep_best(scored, comp)
+
+
+@register(
+    "docs_dedup_filter",
+    _components_sql(
+        """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (
+      SELECT c.doc_id FROM comp c JOIN (
+        SELECT cluster_id, doc_id AS kept FROM (
+          SELECT c2.cluster_id, c2.doc_id,
+                 row_number() OVER (PARTITION BY c2.cluster_id
+                                    ORDER BY q.quality_score DESC, c2.doc_id) AS rk
+          FROM comp c2 JOIN qual q USING (doc_id))
+        WHERE rk = 1) k
+      ON c.cluster_id = k.cluster_id
+      WHERE c.doc_id <> k.kept)
+    """,
+        extra_ctes=_QUAL_CTE,
+    ),
+    "The dedup end-to-end: corpus minus non-representative cluster "
+    "members (singletons pass through). Anti-join against the "
+    "duplicate-density-sized drop set — the corpus is never shuffled.",
+)
+def q_docs_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    comp = C.connected_components(pairs)
+    scored = docs.select(
+        "doc_id", X.quality_features("text")["quality_score"].alias("quality_score")
+    )
+    return C.dedup_filter(scored, comp).select("doc_id")

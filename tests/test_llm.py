@@ -234,3 +234,57 @@ def test_domain_mix_shares_sum_to_one(spark):
     rows = domain_mix(docs).collect()
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+# --- dedup clustering (llm/clusters.py) -------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    from realtime0523_spark.llm.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),   # chain -> one component labeled 1
+         (10, 11),                 # separate pair
+         (20, 21), (21, 20)],      # duplicate edge both ways
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty_and_nonconvergence(spark):
+    from realtime0523_spark.llm.clusters import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+
+    # a 6-chain needs ~3 rounds; max_iter=1 must raise, not emit wrong labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_keep_best_quality_then_id_tiebreak(spark):
+    from realtime0523_spark.llm.clusters import connected_components, keep_best
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comp = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9),    # 2 and 3 tie -> keep smaller id 2
+         (10, 0.1), (11, 0.2),
+         (99, 1.0)],                      # singleton: not in any cluster
+        "doc_id long, quality_score double")
+    got = {r.cluster_id: (r.kept_doc_id, r.n_members) for r in keep_best(docs, comp).collect()}
+    assert got == {1: (2, 3), 10: (11, 2)}
+
+
+def test_dedup_filter_keeps_singletons_and_representatives(spark):
+    from realtime0523_spark.llm.clusters import connected_components, dedup_filter
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comp = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.8), (10, 0.1), (11, 0.2), (99, 1.0)],
+        "doc_id long, quality_score double")
+    kept = sorted(r.doc_id for r in dedup_filter(docs, comp).collect())
+    assert kept == [2, 11, 99]  # best per cluster + untouched singleton
