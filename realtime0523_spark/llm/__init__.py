@@ -5,6 +5,8 @@ from realtime0523_spark.llm.text import (
     quality_features,
     doc_fingerprint,
     word_shingles,
+    word_ngrams,
+    ngram_repetition,
 )
 from realtime0523_spark.llm.dedup import (
     exact_dedup,
@@ -14,12 +16,25 @@ from realtime0523_spark.llm.dedup import (
     simhash,
     simhash_pairs,
 )
+from realtime0523_spark.llm.clusters import (
+    connected_components,
+    keep_best,
+    dedup_filter,
+)
 from realtime0523_spark.llm.similarity import (
     cosine,
     cosine_topk,
     lsh_bucket,
     ann_topk_lsh,
     embedding_dedup_pairs,
+)
+from realtime0523_spark.llm.pipeline import (
+    train_split,
+    stratified_sample,
+    contamination_check,
+    pii_redact,
+    pack_sequences,
+    domain_mix,
 )
 from realtime0523_spark.llm.multimodal import (
     attach_media,
@@ -34,17 +49,28 @@ __all__ = [
     "quality_features",
     "doc_fingerprint",
     "word_shingles",
+    "word_ngrams",
+    "ngram_repetition",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
+    "keep_best",
+    "dedup_filter",
     "cosine",
     "cosine_topk",
     "lsh_bucket",
     "ann_topk_lsh",
     "embedding_dedup_pairs",
+    "train_split",
+    "stratified_sample",
+    "contamination_check",
+    "pii_redact",
+    "pack_sequences",
+    "domain_mix",
     "attach_media",
     "media_features",
     "decode_image_stub",

@@ -11,7 +11,7 @@ no shuffle, no state; at 100 TB they pipeline inside the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from realtime0523_spark.functions.scalar import round2  # noqa: F401  (re-export convenience)
@@ -109,6 +109,116 @@ def doc_fingerprint(text: Column | str) -> Column:
     """128-bit content fingerprint of the normalized text (md5 hex).
     Rolling-hash-equivalent for whole-document identity."""
     return F.md5(normalize_text(text))
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (repetition analysis needs the
+    counts that `word_shingles` deliberately collapses). Same
+    let-binding as word_shingles so tokenization runs once per row."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(tokens(text)), build)[0]
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, table A1 —
+# public paper): docs above any of these are repetition spam.
+DUP_LINE_FRAC_MAX = 0.30
+TOP_2GRAM_CHAR_FRAC_MAX = 0.20
+DUP_3GRAM_CHAR_FRAC_MAX = 0.18
+
+
+def line_repetition(text: Column | str) -> dict[str, Column]:
+    """Line-level repetition: line count and the fraction of lines that
+    are duplicates of an earlier line (1 - distinct/total). Pure array
+    ops — no explode, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(lines)).cast(
+        "double"
+    ) / n_lines.cast("double")
+    return {"n_lines": n_lines, "dup_line_frac": dup_frac}
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals per document:
+
+    - top_2gram_char_frac: max over REPEATED 2-grams (count >= 2) of
+      occurrences × gram length, / text length — the "top n-gram
+      character fraction" screen. Two documented variations vs the
+      paper: the count×length product replaces
+      chars-of-the-most-frequent-gram (deterministic under count ties
+      in any engine), and once-occurring grams contribute 0 — a single
+      occurrence is not repetition, and counting it makes the 0.2
+      threshold fire on any short doc containing one long 2-gram
+      (the paper's web-scale docs hide that edge).
+    - dup_3gram_char_frac: Σ occurrences × gram length over 3-grams
+      occurring more than once, / text length — the "duplicate n-gram
+      character fraction" screen (upper-bound variant: overlapping
+      occurrences all counted; capped at 1.0).
+    - passes_repetition_filter: Gopher table-A1 thresholds on the
+      above plus the duplicate-line fraction.
+
+    Shape at 100 TB: explode n-grams → two partial-agg'd groupBys
+    ((doc, gram) count, then per-doc max/sum) — shuffle rows bounded by
+    distinct (doc, gram), never a cross-doc join. Line stats ride along
+    as pure per-row array ops.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.col(text_col).alias("__text"),
+    )
+
+    def gram_agg(n: int, out: str, dup_only: bool) -> DataFrame:
+        g = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        per_gram = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        weighted = F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        agg = F.sum(weighted) if dup_only else F.max(weighted)
+        return per_gram.groupBy("doc_id").agg(agg.alias(out))
+
+    top2 = gram_agg(2, "top2_chars", dup_only=False)
+    dup3 = gram_agg(3, "dup3_chars", dup_only=True)
+
+    lines = line_repetition(F.col("__text"))
+    out = (
+        d.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            lines["n_lines"].alias("n_lines"),
+            lines["dup_line_frac"].alias("dup_line_frac"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+            ).alias("top_2gram_char_frac"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+            ).alias("dup_3gram_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "passes_repetition_filter",
+        (F.col("dup_line_frac") <= DUP_LINE_FRAC_MAX)
+        & (F.col("top_2gram_char_frac") <= TOP_2GRAM_CHAR_FRAC_MAX)
+        & (F.col("dup_3gram_char_frac") <= DUP_3GRAM_CHAR_FRAC_MAX),
+    )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

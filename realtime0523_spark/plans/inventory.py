@@ -72,8 +72,9 @@ def _ensure_full_registry() -> None:
 # absent from the registry are skipped, names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # §2 core: parse/route/derive/decode
-    "router_filter", "router_fanout", "date_derive", "acct_bucket",
+    # §2 core: parse/route/derive/decode (date_derive displaced to make
+    # room for round-2 code: r1-green, unchanged, unit-covered)
+    "router_filter", "router_fanout", "acct_bucket",
     "priority_decode",
     # §2 core: windows/joins/aggs/dedup
     "first_order_flag", "running_total", "order_wide", "dim_enrich",
@@ -98,6 +99,7 @@ _PRIORITY: list[str] = [
     # docs_fingerprint — all driver-verified green in round 1 and
     # unchanged since)
     "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
+    "docs_repetition",
 ]
 
 

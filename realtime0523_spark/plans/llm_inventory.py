@@ -739,3 +739,75 @@ def q_docs_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.quality_features("text")["quality_score"].alias("quality_score")
     )
     return C.dedup_filter(scored, comp).select("doc_id")
+
+
+# ----------------------------------------------------------------------
+# Repetition filters (Gopher table-A1 screens; llm/text.py)
+# ----------------------------------------------------------------------
+
+
+def _ngram_cte(n: int, name: str) -> str:
+    # i in [1, len-(n-1)]; t[i:i+(n-1)] is DuckDB's inclusive slice of n
+    # elements. greatest(...) guards < n-token docs to an empty range.
+    upper = f"greatest(len(t) - {n - 2}, 1)" if n >= 2 else "len(t) + 1"
+    return f"""
+    {name} AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, {upper}),
+                                     i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+        FROM toks)
+      GROUP BY doc_id, g)
+"""
+
+
+@register(
+    "docs_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_ngram_cte(2, 'g2')},
+    {_ngram_cte(3, 'g3')},
+    top2 AS (SELECT doc_id,
+                    max(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS top2_chars
+             FROM g2 GROUP BY doc_id),
+    dup3 AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT)
+                      AS dup3_chars
+             FROM g3 GROUP BY doc_id),
+    lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls, length(text) AS n_chars
+              FROM documents)
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           {_r9('1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)')}
+             AS dup_line_frac,
+           {_r9('least(1.0, CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE))')}
+             AS top_2gram_char_frac,
+           {_r9('least(1.0, CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE))')}
+             AS dup_3gram_char_frac,
+           ((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE))
+              <= {X.DUP_LINE_FRAC_MAX}
+            AND least(1.0, CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE))
+              <= {X.TOP_2GRAM_CHAR_FRAC_MAX}
+            AND least(1.0, CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE))
+              <= {X.DUP_3GRAM_CHAR_FRAC_MAX}) AS passes_repetition_filter
+    FROM lines
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN dup3 USING (doc_id)
+    """,
+    "Gopher-style repetition screens per doc: duplicate-line fraction "
+    "(pure array ops, no explode), top-2-gram and duplicate-3-gram "
+    "character fractions (explode -> two partial-agg'd groupBys, "
+    "shuffle bounded by distinct (doc, gram)), folded into the "
+    "table-A1 pass/fail verdict.",
+)
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = X.ngram_repetition(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        r9(F.col("dup_line_frac")).alias("dup_line_frac"),
+        r9(F.col("top_2gram_char_frac")).alias("top_2gram_char_frac"),
+        r9(F.col("dup_3gram_char_frac")).alias("dup_3gram_char_frac"),
+        "passes_repetition_filter",
+    )

@@ -288,3 +288,34 @@ def test_dedup_filter_keeps_singletons_and_representatives(spark):
         "doc_id long, quality_score double")
     kept = sorted(r.doc_id for r in dedup_filter(docs, comp).collect())
     assert kept == [2, 11, 99]  # best per cluster + untouched singleton
+
+
+# --- repetition screens (llm/text.py Gopher filters) ------------------
+
+
+def test_ngram_repetition_flags_planted_spam(spark):
+    from realtime0523_spark.llm.text import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 20),                      # one 2-gram dominates
+         (2, "line\nline\nline\nother"),            # 3/4 lines duplicated
+         (3, "a perfectly normal sentence with distinct words only"),
+         (4, "xy")],                                # single token: no 2-grams
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_repetition(docs).collect()}
+
+    assert got[1].top_2gram_char_frac > 0.2 and not got[1].passes_repetition_filter
+    assert got[2].n_lines == 4 and abs(got[2].dup_line_frac - 0.5) < 1e-9
+    assert not got[2].passes_repetition_filter
+    assert got[3].passes_repetition_filter
+    assert got[4].top_2gram_char_frac == 0.0 and got[4].dup_3gram_char_frac == 0.0
+    assert got[4].passes_repetition_filter
+
+
+def test_word_ngrams_keeps_multiplicity(spark):
+    from realtime0523_spark.llm.text import word_ngrams
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a b a b",)], "text string")
+    [row] = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()
+    assert row.g == ["a b", "b a", "a b"]  # duplicates preserved, in order
