@@ -811,3 +811,125 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         r9(F.col("dup_3gram_char_frac")).alias("dup_3gram_char_frac"),
         "passes_repetition_filter",
     )
+
+
+# ----------------------------------------------------------------------
+# Embedding vector aggregation + end-to-end corpus preparation
+# ----------------------------------------------------------------------
+
+CORPUS_MIN_QUALITY = 0.25
+
+
+@register(
+    "emb_label_centroids",
+    f"""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           {_r9('avg(CAST(embedding[i] AS DOUBLE))')} AS centroid
+    FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    GROUP BY label, pos
+    """,
+    "Per-label embedding centroids (class means / mean pooling): "
+    "posexplode the vector to (label, dim) and partial-agg the mean — "
+    "the shuffle carries |labels| x dims rows per partition, never "
+    "vectors. The building block for centroid classifiers and IVF "
+    "seeding. 9-dp rounding absorbs partial-agg summation-order ulps.",
+)
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(r9(F.avg(F.col("v").cast("double"))).alias("centroid"))
+    )
+
+
+# repetition screen SQL (mirrors docs_repetition's CTEs) as a
+# fragment reusable inside the corpus-prep oracle
+_REPETITION_PASS_CTE = f"""
+    g2 AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                              i -> array_to_string(t[i:i+1], ' '))) AS g
+        FROM toks) GROUP BY doc_id, g),
+    g3 AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                              i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks) GROUP BY doc_id, g),
+    rep AS (
+      SELECT d.doc_id,
+             ((1.0 - CAST(len(list_distinct(string_split(d.text, chr(10)))) AS DOUBLE)
+                     / CAST(len(string_split(d.text, chr(10))) AS DOUBLE))
+                <= {X.DUP_LINE_FRAC_MAX}
+              AND least(1.0, CAST(coalesce(t2.v, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE))
+                <= {X.TOP_2GRAM_CHAR_FRAC_MAX}
+              AND least(1.0, CAST(coalesce(d3.v, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE))
+                <= {X.DUP_3GRAM_CHAR_FRAC_MAX}) AS pass_rep
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, max(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS v
+                 FROM g2 GROUP BY doc_id) t2 USING (doc_id)
+      LEFT JOIN (SELECT doc_id,
+                        CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS v
+                 FROM g3 GROUP BY doc_id) d3 USING (doc_id))
+"""
+
+
+@register(
+    "docs_corpus_prep",
+    "WITH RECURSIVE toks AS (SELECT doc_id, " + _TOKS + " AS t FROM documents),\n"
+    + _QUAL_CTE
+    + ","
+    + _REPETITION_PASS_CTE
+    + ","
+    + _COMPONENTS_CTE.format(pairs_sql=_minhash_sql())
+    + f""",
+    drop AS (
+      SELECT c.doc_id FROM comp c JOIN (
+        SELECT cluster_id, doc_id AS kept FROM (
+          SELECT c2.cluster_id, c2.doc_id,
+                 row_number() OVER (PARTITION BY c2.cluster_id
+                                    ORDER BY q.quality_score DESC, c2.doc_id) AS rk
+          FROM comp c2 JOIN qual q USING (doc_id))
+        WHERE rk = 1) k
+      ON c.cluster_id = k.cluster_id
+      WHERE c.doc_id <> k.kept)
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql(SPLIT_SALT)} < 9000 THEN 'train'
+                WHEN {_bucket_sql(SPLIT_SALT)} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    JOIN qual USING (doc_id)
+    JOIN rep USING (doc_id)
+    WHERE quality_score >= {CORPUS_MIN_QUALITY}
+      AND pass_rep
+      AND doc_id NOT IN (SELECT doc_id FROM drop)
+    """,
+    "The corpus-preparation pipeline end-to-end: quality screen "
+    "(docs_quality score), repetition screen (Gopher table-A1), "
+    "near-dup removal (MinHash-LSH -> connected components -> keep "
+    "best), then the deterministic train/val/test split — one "
+    "composed DataFrame, the 'raw crawl to training corpus' story. "
+    "Every stage is the already-verified operator; this query proves "
+    "they compose.",
+)
+def q_docs_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        X.quality_features("text")["quality_score"].alias("quality_score"),
+    )
+    rep = X.ngram_repetition(docs).select("doc_id", "passes_repetition_filter")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    comp = C.connected_components(pairs)
+    kept = C.dedup_filter(scored, comp)
+    filtered = (
+        kept.join(rep, "doc_id")
+        .filter(
+            (F.col("quality_score") >= CORPUS_MIN_QUALITY)
+            & F.col("passes_repetition_filter")
+        )
+    )
+    return P.train_split(filtered, {"train": 0.9, "val": 0.05, "test": 0.05},
+                         salt=SPLIT_SALT).select("doc_id", "split")
