@@ -158,3 +158,40 @@ def test_asof_join_matches_bruteforce(spark, probes, refs):
         cands = [(rts, v) for j, (rk, rts) in enumerate(refs) if rk == k and rts <= pts for v in [j]]
         want = max(cands)[1] if cands else None
         assert got[pid] == want, (pid, k, pts, cands)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Label propagation must agree with a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from realtime0523_spark.llm.clusters import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges or [(0, 0)], "doc_a long, doc_b long")
+    if not edges:
+        df = df.filter("doc_a <> doc_b")  # empty frame, schema kept
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(df).collect()
+    }
+    assert got == expected
