@@ -92,3 +92,20 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS bkt_left")  # managed: drops data too
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast (it is ≪ corpus by
+    contract); the corpus side must never shuffle before the per-doc
+    groupBy."""
+    plan = formatted_plan(REGISTRY["docs_contamination"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_uses_partial_aggregation(spark):
+    """The n-gram counts must partial-agg before the shuffle so the
+    exchange carries distinct (doc, gram) rows, not raw gram rows."""
+    plan = formatted_plan(REGISTRY["docs_repetition"].fn(spark, SF_SMOKE))
+    # two gram families (2-gram, 3-gram) x (partial, final) = >= 4
+    assert plan.count("HashAggregate") >= 4, plan
