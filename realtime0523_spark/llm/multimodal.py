@@ -32,14 +32,16 @@ FEATURE_SCHEMA = "doc_id long, n_bytes int, head_byte int, sha256 string"
 def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Testdata adapter: materialize an opaque binary column (UTF-8
     bytes of the text — a deterministic stand-in for image bytes) plus
-    the metadata struct every real media table carries."""
+    the metadata struct every real media table carries. duration_ms is
+    a deterministic synthetic (10 ms per source char) so the
+    frame-sampling plumbing has a real value to stride over."""
     return docs.withColumn("media", F.encode(F.col(text_col), "UTF-8")).withColumn(
         "media_meta",
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            (F.length(F.col(text_col)) * 10).cast("int").alias("duration_ms"),
         ),
     )
 
@@ -77,3 +79,96 @@ def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "medi
             )
 
     return df.select(id_col, media_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = f"doc_id long, media binary, media_meta struct<{MEDIA_META_SCHEMA.replace(', ', ', ').replace(' string', ': string').replace(' int', ': int')}>"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms int, frame binary"
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize plumbing: stream (id, payload) Arrow batches through a
+    per-partition kernel and emit the resized payload plus updated
+    metadata. The KERNEL BODY IS A DETERMINISTIC FAKE (truncate to
+    width*height bytes) because this container ships no image codecs —
+    a real deployment replaces the two marked lines with
+    decode→resize→encode (PIL/cv2); schema, batch shape, and
+    partitioning are the real contract and are oracle-tested.
+
+    Scale: map-only (mapInPandas) — payloads never shuffle; output
+    size is bounded by width*height per row regardless of input."""
+    cap = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # FAKE-RESIZE (replace with real decode→resize→encode):
+            resized = pdf[media_col].map(lambda b: bytes(b)[:cap])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": resized,
+                    "media_meta": [
+                        {
+                            "mime": "application/octet-stream",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    frame_bytes: int = 16,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame —
+    frame i at timestamp i*every_ms for i in [0, duration_ms/every_ms).
+    The FRAME EXTRACTION IS A DETERMINISTIC FAKE (the i-th
+    `frame_bytes`-wide slice of the payload; short/empty at the tail)
+    standing in for a video decoder's keyframe grab; the row-expansion
+    contract — one input row fans out to a variable number of frame
+    rows inside the Arrow kernel — is the real plumbing.
+
+    Scale: map-only fan-out; output rows = Σ duration/stride, emitted
+    streaming per batch, never materialized per partition."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf[id_col], pdf[media_col], pdf[meta_col]
+            ):
+                duration = meta["duration_ms"] or 0
+                b = bytes(payload)
+                for i in range(duration // every_ms):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    # FAKE-DECODE (replace with real frame grab):
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )

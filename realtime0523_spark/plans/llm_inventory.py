@@ -933,3 +933,67 @@ def q_docs_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return P.train_split(filtered, {"train": 0.9, "val": 0.05, "test": 0.05},
                          salt=SPLIT_SALT).select("doc_id", "split")
+
+
+# ----------------------------------------------------------------------
+# Multimodal resize / frame-sample plumbing (llm/multimodal.py)
+# ----------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 32, 8
+FRAME_EVERY_MS = 500
+FRAME_BYTES = 16
+
+
+@register(
+    "media_resize",
+    f"""
+    SELECT doc_id,
+           CAST(least(length(text), {RESIZE_W * RESIZE_H}) AS INT) AS out_bytes,
+           {RESIZE_W} AS width, {RESIZE_H} AS height,
+           sha256(substring(text, 1, {RESIZE_W * RESIZE_H})) AS sha256
+    FROM documents
+    """,
+    "Image-resize plumbing: mapInPandas Arrow kernel emitting the "
+    "resized payload + updated metadata (map-only; payloads never "
+    "shuffle, output bounded by WxH per row). The resize body is a "
+    "clearly-marked deterministic fake (no codecs in the container); "
+    "the oracle verifies the full plumbing contract byte-for-byte via "
+    "the payload sha.",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = M.resize_media(M.attach_media(docs), RESIZE_W, RESIZE_H)
+    return out.select(
+        "doc_id",
+        F.octet_length("media").alias("out_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.sha2("media", 256).alias("sha256"),
+    )
+
+
+@register(
+    "media_frames",
+    f"""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * {FRAME_EVERY_MS} AS INT) AS frame_ts_ms,
+           sha256(substring(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_sha
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, (length(text) * 10) // {FRAME_EVERY_MS})) AS i)
+    """,
+    "Video frame-sampling plumbing: one row per sampled frame "
+    "(frame i at i*stride ms), fanned out inside the Arrow kernel — "
+    "variable-row-expansion mapInPandas, map-only. Frame extraction is "
+    "a clearly-marked deterministic fake (payload byte slices) standing "
+    "in for a decoder keyframe grab; the oracle checks the fan-out "
+    "cardinality, timestamps, and per-frame payload shas exactly.",
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = M.sample_frames(M.attach_media(docs), FRAME_EVERY_MS, FRAME_BYTES)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.sha2("frame", 256).alias("frame_sha"),
+    )

@@ -319,3 +319,33 @@ def test_word_ngrams_keeps_multiplicity(spark):
     df = spark.createDataFrame([("a b a b",)], "text string")
     [row] = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()
     assert row.g == ["a b", "b a", "a b"]  # duplicates preserved, in order
+
+
+# --- multimodal resize / frame-sample plumbing ------------------------
+
+
+def test_resize_media_caps_payload_and_sets_meta(spark):
+    from realtime0523_spark.llm.multimodal import attach_media, resize_media
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    out = resize_media(attach_media(docs), 4, 4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r.media) <= 16
+        assert r.media_meta.width == 4 and r.media_meta.height == 4
+
+
+def test_sample_frames_fanout_and_slices(spark):
+    from realtime0523_spark.llm.multimodal import attach_media, sample_frames
+
+    docs = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    # duration = 1000 ms, every 300 ms -> frames 0,1,2 at 0/300/600
+    rows = sorted(
+        sample_frames(attach_media(docs), 300, frame_bytes=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (1, 300), (2, 600)]
+    assert all(bytes(r.frame) == b"x" * 8 for r in rows)
+    # zero-duration media -> no frames, no error
+    empty = spark.createDataFrame([(2, "")], "doc_id long, text string")
+    assert sample_frames(attach_media(empty), 300).count() == 0
