@@ -11,6 +11,8 @@ skewed user with 10M orders doesn't OOM an executor the way
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -78,4 +80,36 @@ def topk_per_group(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """SCD-2 dimension history from a change stream: one validity row
+    per change, with `valid_from` = the change timestamp, `valid_to` =
+    the NEXT change's timestamp for the same key (null = current), and
+    `is_current` on the open row.
+
+    The reference's dim sink is SCD-1 (upsert-in-place,
+    scala/…/utils/PhoenixUtil upsert path); SCD-2 is the
+    warehouse-standard extension a dim consumer asks for next — the
+    whole history is one `lead()` window per key, no joins, no state.
+
+    Scale: a single window partitioned by the dimension key — the
+    shuffle is one hash exchange on the key, and each partition sorts
+    only that key's changes (skew = hottest key's change count, not
+    table size).
+    """
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

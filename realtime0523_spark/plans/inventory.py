@@ -1590,3 +1590,28 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_counts(stream_table(spark, sf_dir, "events")),
         output_mode="complete",
     )
+
+
+@register(
+    "scd2_history",
+    """
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM events
+    """,
+    "SCD-2 dimension history from a change stream: per-key validity "
+    "ranges (valid_from/valid_to/is_current) via one lead() window — "
+    "the warehouse-standard extension of the reference's SCD-1 "
+    "upsert dim sink. One hash exchange on the key; per-partition "
+    "sort bounded by the hottest key's change count.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.windows import scd2_history
+
+    events = Catalog(spark, sf_dir).table("events")
+    return scd2_history(
+        events, key_cols=["user_id"], ts_col="ts", attr_cols=["event_type", "value"]
+    )

@@ -163,3 +163,26 @@ def test_approx_dau_within_hll_error_bound(spark):
     assert set(approx) == set(exact)
     for dt, ex in exact.items():
         assert abs(approx[dt] - ex) <= max(3, 0.05 * ex), (dt, approx[dt], ex)
+
+
+def test_scd2_history_validity_ranges(spark):
+    from realtime0523_spark.operators.windows import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "new"),
+         (1, "2024-01-02 00:00:00", "paid"),
+         (1, "2024-01-03 00:00:00", "shipped"),
+         (2, "2024-01-05 00:00:00", "new")],
+        "k long, ts string, status string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {(r.k, str(r.valid_from)): r for r in scd2_history(
+        changes, ["k"], "ts", ["status"]).collect()}
+    r1 = rows[(1, "2024-01-01 00:00:00")]
+    assert str(r1.valid_to) == "2024-01-02 00:00:00" and not r1.is_current
+    r3 = rows[(1, "2024-01-03 00:00:00")]
+    assert r3.valid_to is None and r3.is_current
+    r4 = rows[(2, "2024-01-05 00:00:00")]
+    assert r4.valid_to is None and r4.is_current
+    # exactly one current row per key
+    cur = [r for r in rows.values() if r.is_current]
+    assert sorted(r.k for r in cur) == [1, 2]
