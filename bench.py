@@ -43,9 +43,31 @@ def _release_query_state(spark) -> None:
         pass  # internal API; timing hygiene only — never fail the bench
 
 
+def _host_contention() -> dict[str, float]:
+    """Load average + hypervisor CPU-steal %, sampled so readers of the
+    JSON can interpret run-to-run variance (repeat totals on this
+    shared host ranged 63-181 s with identical code; idle steal
+    measured 4-6%)."""
+    out: dict[str, float] = {}
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+        with open("/proc/stat") as fh:
+            a = [int(x) for x in fh.readline().split()[1:]]
+        time.sleep(0.5)
+        with open("/proc/stat") as fh:
+            b = [int(x) for x in fh.readline().split()[1:]]
+        d = [y - x for x, y in zip(a, b)]
+        if sum(d) > 0 and len(d) > 7:
+            out["cpu_steal_pct"] = round(100.0 * d[7] / sum(d), 1)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    contention_before = _host_contention()
     spark = get_spark("bench")
 
     # warm-up: JVM, codegen, Python workers, parquet footer caches
@@ -74,6 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_before": contention_before,
+                "host_after": _host_contention(),
             }
         )
     )
