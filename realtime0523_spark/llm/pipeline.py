@@ -36,6 +36,7 @@ BUCKETS = 10_000
 # and RE2 (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def hash_bucket(id_col: Column, salt: str) -> Column:
@@ -148,16 +149,23 @@ def contamination_check(
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Mask emails and phone numbers, keeping per-doc counts of each.
-    Pure per-row regex map (Java regex, codegen'd); patterns are
-    RE2-compatible so the SQL twin redacts identically."""
+    """Mask emails, phone numbers, and IPv4 addresses, keeping per-doc
+    counts of each. Pure per-row regex map (Java regex, codegen'd);
+    patterns are RE2-compatible so the SQL twin redacts identically.
+    Order matters: emails first (their domains may contain dotted
+    quads), then phones, then IPs."""
     c = F.col(text_col)
     return docs.withColumns(
         {
             "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
             "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
             text_col: F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+                F.regexp_replace(
+                    F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+                ),
+                IPV4_RE,
+                "<IP>",
             ),
         }
     )

@@ -542,19 +542,24 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(t2, '{P.EMAIL_RE}')) AS INT) AS n_emails,
            CAST(len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS INT) AS n_phones,
-           regexp_replace(regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{P.PHONE_RE}', '<PHONE>', 'g') AS text
+           CAST(len(regexp_extract_all(t2, '{P.IPV4_RE}')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{P.PHONE_RE}', '<PHONE>', 'g'),
+             '{P.IPV4_RE}', '<IP>', 'g') AS text
     FROM (SELECT doc_id,
                  text || ' contact user' || CAST(doc_id AS VARCHAR)
                       || '@example.com or +1 555-'
-                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) AS t2
           FROM documents)
     """,
-    "PII redaction (emails + phone numbers masked, per-doc counts) as "
-    "a per-row JVM regex map. The corpus fixture contains no PII, so "
-    "the query plants one deterministic email+phone per doc (same "
-    "expression in both engines) and the hash compare verifies the "
-    "full redacted text byte-for-byte.",
+    "PII redaction (emails, phone numbers, IPv4 addresses masked, "
+    "per-doc counts) as a per-row JVM regex map. The corpus fixture "
+    "contains no PII, so the query plants one deterministic "
+    "email+phone+IP per doc (same expression in both engines) and the "
+    "hash compare verifies the full redacted text byte-for-byte.",
 )
 def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
@@ -566,9 +571,15 @@ def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com or +1 555-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
         ).alias("text"),
     )
-    return P.pii_redact(planted).select("doc_id", "n_emails", "n_phones", "text")
+    return P.pii_redact(planted).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "text"
+    )
 
 
 @register(

@@ -195,14 +195,17 @@ def test_pii_redact_masks_and_counts(spark):
 
     docs = spark.createDataFrame(
         [(1, "mail alice.smith+x@corp.example.org or call +44 123-4567 now"),
-         (2, "no pii in this row at all")],
+         (2, "no pii in this row at all"),
+         (3, "server at 192.168.1.254 answered")],
         "doc_id long, text string")
     got = {r.doc_id: r for r in pii_redact(docs).collect()}
-    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].n_emails == 1 and got[1].n_phones == 1 and got[1].n_ips == 0
     assert "<EMAIL>" in got[1].text and "<PHONE>" in got[1].text
     assert "@" not in got[1].text and "4567" not in got[1].text
     assert got[2].text == "no pii in this row at all"
-    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].n_emails == 0 and got[2].n_phones == 0 and got[2].n_ips == 0
+    assert got[3].n_ips == 1 and "<IP>" in got[3].text
+    assert "192.168" not in got[3].text
 
 
 def test_pack_sequences_invariants(spark):
