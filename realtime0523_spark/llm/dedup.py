@@ -161,31 +161,46 @@ def minhash_signatures(
     import hashlib
     import re
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    coeffs = [perm_coeffs(i) for i in range(MINHASH_PERMS)]
+    coeffs = np.array([perm_coeffs(i) for i in range(MINHASH_PERMS)], dtype=np.int64)
+    a_col = coeffs[:, 0:1]  # (perms, 1)
+    b_col = coeffs[:, 1:2]
     # \s with re.ASCII == Java/RE2 [ \t\n\x0b\f\r] — tokenizer parity
     ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts):
-        out = []
+        # one flat array of shingle hashes for the whole Arrow batch +
+        # per-doc boundaries, then every permutation-min via ONE
+        # vectorized (a*x+b) % P and np.minimum.reduceat — the Python
+        # loop only tokenizes and hashes; all arithmetic is numpy.
+        # (a < 2^6, x < 2^32 ⇒ a*x+b < 2^39: exact in int64.)
+        flat: list[int] = []
+        starts: list[int] = []
+        keep: list[bool] = []
         for t in texts:
             toks = [x for x in ws.split(t) if x]
             if len(toks) < n:
-                out.append(None)
+                keep.append(False)
                 continue
-            shingles = {
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            }
-            xs = [
+            keep.append(True)
+            starts.append(len(flat))
+            flat.extend(
                 int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                for s in shingles
-            ]
-            out.append(
-                [min((a * x + b) % MINHASH_PRIME for x in xs) for a, b in coeffs]
+                for s in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             )
+        out: list[list[int] | None] = []
+        if starts:
+            x = np.array(flat, dtype=np.int64)
+            hashed = (a_col * x[None, :] + b_col) % MINHASH_PRIME  # (perms, N)
+            mins = np.minimum.reduceat(hashed, np.array(starts), axis=1)  # (perms, docs)
+            sigs = iter(mins.T.tolist())
+            out = [next(sigs) if k else None for k in keep]
+        else:
+            out = [None for _ in keep]
         return pd.Series(out)
 
     sig = docs.select(
