@@ -61,22 +61,25 @@ def connected_components(
     if prev_sum is None:  # no edges at all
         return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
-    for _ in range(max_iter):
+    def propagate(lbl):
         nbr_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            edges.join(lbl.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        return lbl.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+
+    for _ in range(max_iter):
+        # two hops per materialization+check: halves the job count the
+        # iteration schedules (checkpoint + sum are whole Spark jobs,
+        # and their fixed latency — not the tiny shuffles — dominates
+        # each round), at worst one wasted hop after the fixpoint.
+        labels = propagate(propagate(labels)).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
             return labels.select(
