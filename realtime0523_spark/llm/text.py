@@ -16,9 +16,16 @@ from pyspark.sql import functions as F
 
 from realtime0523_spark.functions.scalar import round2  # noqa: F401  (re-export convenience)
 
-# Whitespace tokenization — the lowest-common-denominator tokenizer;
-# the BPE-ish variant is `word_shingles` over these tokens.
+# Whitespace tokenization — the lowest-common-denominator tokenizer.
 TOKEN_PATTERN = r"\s+"
+
+# BPE-ish pre-tokenization: the GPT-2 pattern family (contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+# minus its trailing-whitespace lookahead, which RE2 (the oracle
+# engine) does not support. Token counts from this pattern track real
+# BPE token budgets far better than whitespace counts (punctuation and
+# numbers split off; "don't" is 2 tokens).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'"
 
 # Stopword regexes per language for the n-gram/stopword-hit language
 # heuristic. \x{...} escapes work in both Java regex and RE2.
@@ -39,6 +46,17 @@ def tokens(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """GPT-2-style pre-tokens (see BPE_ISH_PATTERN) — one JVM
+    regexp_extract_all, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
 
 
 def lang_hits(text: Column | str) -> dict[str, Column]:

@@ -1008,3 +1008,41 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.sha2("frame", 256).alias("frame_sha"),
     )
+
+
+# ----------------------------------------------------------------------
+# BPE-ish token counting (llm/text.py BPE_ISH_PATTERN)
+# ----------------------------------------------------------------------
+
+_BPE_SQL_PAT = X.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "docs_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+           {_r9('CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, ' + "'" + _BPE_SQL_PAT + "'" + ')) AS DOUBLE)')}
+             AS chars_per_bpe_token
+    FROM documents
+    """,
+    "BPE-ish token counting: the GPT-2 pre-tokenization pattern "
+    "(contraction suffixes, space-prefixed letter runs, digit runs, "
+    "punctuation runs; lookahead-free so the same regex runs in Java "
+    "and RE2) next to the whitespace count, plus chars-per-token — "
+    "the token-budget estimator a training pipeline actually bills "
+    "by. Pure per-row JVM regex, no shuffle.",
+)
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id",
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        X.token_count("text").alias("n_ws_tokens"),
+        r9(
+            F.length("text").cast("double")
+            / X.bpe_ish_token_count("text").cast("double")
+        ).alias("chars_per_bpe_token"),
+    )

@@ -352,3 +352,12 @@ def test_sample_frames_fanout_and_slices(spark):
     # zero-duration media -> no frames, no error
     empty = spark.createDataFrame([(2, "")], "doc_id long, text string")
     assert sample_frames(attach_media(empty), 300).count() == 0
+
+
+def test_bpe_ish_tokens_split_contractions_digits_punct(spark):
+    from realtime0523_spark.llm.text import bpe_ish_tokens
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("I've got 42 apples, don't I?",)], "text string")
+    [row] = df.select(bpe_ish_tokens(F.col("text")).alias("t")).collect()
+    assert row.t == ["I", "'ve", " got", " 42", " apples", ",", " don", "'t", " I", "?"]
