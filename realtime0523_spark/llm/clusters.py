@@ -75,11 +75,13 @@ def connected_components(
         )
 
     for _ in range(max_iter):
-        # two hops per materialization+check: halves the job count the
-        # iteration schedules (checkpoint + sum are whole Spark jobs,
-        # and their fixed latency — not the tiny shuffles — dominates
-        # each round), at worst one wasted hop after the fixpoint.
-        labels = propagate(propagate(labels)).localCheckpoint()
+        # two hops per convergence check: the check (sum) is a whole
+        # Spark job whose fixed latency — not the tiny shuffle —
+        # dominates a round, so pay it every OTHER hop; each hop still
+        # checkpoints so no join input is ever evaluated twice. At
+        # worst one wasted hop after the fixpoint.
+        labels = propagate(labels).localCheckpoint()
+        labels = propagate(labels).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
             return labels.select(
