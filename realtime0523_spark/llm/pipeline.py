@@ -57,6 +57,8 @@ def train_split(
     md5(id:salt). Changing the salt re-rolls the split; adding rows
     never moves existing ones between splits.
     """
+    if not fractions:
+        raise ValueError("split fractions must name at least one split")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
@@ -191,6 +193,8 @@ def pack_sequences(
     runs PER SHARD (partitionBy) — shards are the packing parallelism
     unit at 100 TB, matching how real pipelines pack within data
     shards; there is no global sort."""
+    if budget <= 0:
+        raise ValueError(f"pack budget must be positive, got {budget}")
     w = (
         W.partitionBy(shard_col)
         .orderBy(hash_bucket(F.col(id_col), salt), F.col(id_col))
