@@ -81,7 +81,10 @@ def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "medi
     return df.select(id_col, media_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
-RESIZED_SCHEMA = f"doc_id long, media binary, media_meta struct<{MEDIA_META_SCHEMA.replace(', ', ', ').replace(' string', ': string').replace(' int', ': int')}>"
+RESIZED_SCHEMA = (
+    "doc_id long, media binary, "
+    "media_meta struct<mime: string, width: int, height: int, duration_ms: int>"
+)
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms int, frame binary"
 
 
@@ -106,8 +109,14 @@ def resize_media(
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # FAKE-RESIZE (replace with real decode→resize→encode):
-            resized = pdf[media_col].map(lambda b: bytes(b)[:cap])
+            # FAKE-RESIZE (replace with real decode→resize→encode).
+            # Slices in the DECODED domain (characters of the utf-8
+            # stand-in), not raw bytes: that is where a real resize
+            # operates, and it keeps the SQL oracle (character
+            # substring) exact for non-ASCII payloads too.
+            resized = pdf[media_col].map(
+                lambda b: bytes(b).decode("utf-8")[:cap].encode("utf-8")
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -130,7 +139,7 @@ def resize_media(
 def sample_frames(
     df: DataFrame,
     every_ms: int,
-    frame_bytes: int = 16,
+    frame_len: int = 16,
     id_col: str = "doc_id",
     media_col: str = "media",
     meta_col: str = "media_meta",
@@ -138,10 +147,12 @@ def sample_frames(
     """Frame-sampling plumbing: one output row per sampled frame —
     frame i at timestamp i*every_ms for i in [0, duration_ms/every_ms).
     The FRAME EXTRACTION IS A DETERMINISTIC FAKE (the i-th
-    `frame_bytes`-wide slice of the payload; short/empty at the tail)
-    standing in for a video decoder's keyframe grab; the row-expansion
-    contract — one input row fans out to a variable number of frame
-    rows inside the Arrow kernel — is the real plumbing.
+    `frame_len`-character slice of the decoded payload; short/empty at
+    the tail — decoded-domain slicing, like a real keyframe grab, and
+    oracle-exact for non-ASCII) standing in for a video decoder; the
+    row-expansion contract — one input row fans out to a variable
+    number of frame rows inside the Arrow kernel — is the real
+    plumbing.
 
     Scale: map-only fan-out; output rows = Σ duration/stride, emitted
     streaming per batch, never materialized per partition."""
@@ -153,13 +164,15 @@ def sample_frames(
                 pdf[id_col], pdf[media_col], pdf[meta_col]
             ):
                 duration = meta["duration_ms"] or 0
-                b = bytes(payload)
+                decoded = bytes(payload).decode("utf-8")
                 for i in range(duration // every_ms):
                     ids.append(doc_id)
                     idxs.append(i)
                     tss.append(i * every_ms)
                     # FAKE-DECODE (replace with real frame grab):
-                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    frames.append(
+                        decoded[i * frame_len : (i + 1) * frame_len].encode("utf-8")
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

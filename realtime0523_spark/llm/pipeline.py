@@ -90,6 +90,9 @@ def stratified_sample(
     """Keep a per-stratum deterministic fraction of rows (domain
     re-weighting / downsampling): keep iff hash bucket < f*BUCKETS for
     the row's stratum. Same reproducibility contract as train_split."""
+    for name, frac in {**fractions, "<default>": default_fraction}.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"sample fraction for {name!r} must be in [0, 1], got {frac}")
     b = hash_bucket(F.col(id_col), salt)
     bound = None
     for stratum, frac in fractions.items():

@@ -88,6 +88,7 @@ def scd2_history(
     key_cols: Sequence[str],
     ts_col: str,
     attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """SCD-2 dimension history from a change stream: one validity row
     per change, with `valid_from` = the change timestamp, `valid_to` =
@@ -103,8 +104,14 @@ def scd2_history(
     shuffle is one hash exchange on the key, and each partition sorts
     only that key's changes (skew = hottest key's change count, not
     table size).
+
+    Pass `tiebreak_cols` (e.g. the change-log sequence id) whenever
+    (key, ts) is not unique: without it, same-timestamp changes get
+    nondeterministic valid_to attribution.
     """
-    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
     nxt = F.lead(F.col(ts_col)).over(w)
     return changes.select(
         *key_cols,

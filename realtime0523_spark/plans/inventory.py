@@ -95,9 +95,12 @@ _PRIORITY: list[str] = [
     # LLM training-pipeline ops (round 2)
     "docs_train_split", "docs_stratified_sample", "docs_contamination",
     "docs_pii_redact", "docs_pack_sequences", "docs_domain_mix",
-    # dedup clustering (round 2; displaced asof_last_click, dau_approx,
-    # docs_fingerprint — all driver-verified green in round 1 and
-    # unchanged since)
+    # dedup clustering + repetition (round 2). Everything displaced
+    # from the 50-slot window across round 2 (asof_last_click,
+    # dau_approx, docs_fingerprint, date_derive, pricing_summary,
+    # qty_quantiles, grouping_sets_revenue, nation_year_pivot,
+    # salted_flag_agg, event_cube) was driver-verified green in
+    # round 1 and is unchanged since.
     "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
     "docs_repetition",
 ]
@@ -1597,8 +1600,8 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_type, value,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
              AS is_current
     FROM events
     """,
@@ -1613,5 +1616,9 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = Catalog(spark, sf_dir).table("events")
     return scd2_history(
-        events, key_cols=["user_id"], ts_col="ts", attr_cols=["event_type", "value"]
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type", "value"],
+        tiebreak_cols=["event_id"],
     )

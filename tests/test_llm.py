@@ -222,12 +222,16 @@ def test_pack_sequences_invariants(spark):
         bins[(r.shard, r.bin_id)] += r.n_tokens
     # concat-and-chunk bound: a bin holds <= budget + one straddling doc
     assert all(v <= budget + max_tok for v in bins.values())
-    # bins are contiguous from 0 within each shard
+    # bins start at 0 per shard; contiguity only holds when no doc
+    # exceeds the budget (an over-budget doc legitimately covers
+    # multiple windows by itself, skipping bin ids)
     per_shard = defaultdict(set)
     for (shard, b) in bins:
         per_shard[shard].add(b)
     for shard, ids in per_shard.items():
-        assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
+        assert min(ids) == 0, (shard, sorted(ids))
+        if max_tok <= budget:
+            assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
 
 
 def test_domain_mix_shares_sum_to_one(spark):
@@ -336,6 +340,11 @@ def test_resize_media_caps_payload_and_sets_meta(spark):
     for r in out:
         assert len(r.media) <= 16
         assert r.media_meta.width == 4 and r.media_meta.height == 4
+    # decoded-domain slicing: multibyte chars are kept whole, so the
+    # byte length may exceed the char cap but never splits a char
+    nonascii = spark.createDataFrame([(1, "héllo wörld")], "doc_id long, text string")
+    [r] = resize_media(attach_media(nonascii), 2, 1).collect()
+    assert bytes(r.media).decode("utf-8") == "hé" and len(r.media) == 3
 
 
 def test_sample_frames_fanout_and_slices(spark):
@@ -344,7 +353,7 @@ def test_sample_frames_fanout_and_slices(spark):
     docs = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
     # duration = 1000 ms, every 300 ms -> frames 0,1,2 at 0/300/600
     rows = sorted(
-        sample_frames(attach_media(docs), 300, frame_bytes=8).collect(),
+        sample_frames(attach_media(docs), 300, frame_len=8).collect(),
         key=lambda r: r.frame_idx,
     )
     assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (1, 300), (2, 600)]
