@@ -239,6 +239,52 @@ def ngram_repetition(
     )
 
 
+def _gram_repetition_chars(text: Column | str, n: int, dup_only: bool) -> Column:
+    """Row-wise n-gram repetition chars: Σ (dup_only) or max of
+    count×length over grams occurring >1 times — the same numbers
+    `ngram_repetition` computes with groupBys, as ONE per-row
+    expression (O(|grams|·|distinct|) per row; ~50 tokens/doc ⇒
+    trivial). Exists so streaming gates can screen repetition
+    statelessly — no (doc, gram) shuffle, no watermark coupling.
+    Every reused subexpression is let-bound (1-element transform):
+    no CSE across HOF lambdas."""
+
+    def build(grams: Column) -> Column:
+        def per_distinct(d: Column) -> Column:
+            c = F.size(F.filter(grams, lambda g: g == d))
+            return F.transform(
+                F.array(c),
+                lambda cc: F.when(cc > 1, cc * F.length(d)).otherwise(F.lit(0)),
+            )[0]
+
+        weighted = F.transform(F.array_distinct(grams), per_distinct)
+        if dup_only:
+            return F.aggregate(weighted, F.lit(0), lambda a, x: a + x)
+        return F.aggregate(weighted, F.lit(0), lambda a, x: F.greatest(a, x))
+
+    return F.transform(F.array(word_ngrams(text, n)), build)[0]
+
+
+def repetition_pass_rowwise(text: Column | str) -> Column:
+    """The Gopher repetition verdict of `ngram_repetition` as a single
+    stateless per-row boolean — identical thresholds and arithmetic,
+    usable inside a streaming filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    lines = line_repetition(c)
+    top2 = F.least(
+        F.lit(1.0), _gram_repetition_chars(c, 2, dup_only=False).cast("double") / n_chars
+    )
+    dup3 = F.least(
+        F.lit(1.0), _gram_repetition_chars(c, 3, dup_only=True).cast("double") / n_chars
+    )
+    return (
+        (lines["dup_line_frac"] <= DUP_LINE_FRAC_MAX)
+        & (top2 <= TOP_2GRAM_CHAR_FRAC_MAX)
+        & (dup3 <= DUP_3GRAM_CHAR_FRAC_MAX)
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (the MinHash/Jaccard shingle set).
     Documents with fewer than n tokens yield an empty set.

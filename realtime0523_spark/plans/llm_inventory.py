@@ -1046,3 +1046,51 @@ def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / X.bpe_ish_token_count("text").cast("double")
         ).alias("chars_per_bpe_token"),
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming corpus ingest (streaming/docs_ingest.py)
+# ----------------------------------------------------------------------
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@register(
+    "stream_docs_ingest",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_QUAL_CTE},
+    {_REPETITION_PASS_CTE},
+    kept AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d
+      JOIN qual USING (doc_id)
+      JOIN rep USING (doc_id)
+      WHERE quality_score >= {CORPUS_MIN_QUALITY} AND pass_rep
+      GROUP BY {_FP_SQL})
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql(SPLIT_SALT)} < 9000 THEN 'train'
+                WHEN {_bucket_sql(SPLIT_SALT)} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+    """,
+    "Streaming corpus ingest: documents stream through stateless "
+    "quality + repetition gates (single per-row expressions — no "
+    "shuffle before the state store), cross-batch exact dedup keyed "
+    "by content fingerprint (applyInPandasWithState, one long of "
+    "state per distinct content), and the deterministic split "
+    "assignment — the training pipeline's front door on the "
+    "streaming spine, drained and compared to the batch contract.",
+)
+def q_stream_docs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.docs_ingest import streaming_docs_ingest
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    out = streaming_docs_ingest(
+        stream_table(spark, sf_dir, "documents"),
+        min_quality=CORPUS_MIN_QUALITY,
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt=SPLIT_SALT,
+    )
+    return run_to_memory(out, output_mode="update")

@@ -413,3 +413,41 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
 
     total = spark.read.parquet(out).count()
     assert total == 3  # 1,2 from batch 0 + 3 from batch 1 — no re-reads
+
+
+def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path):
+    """Same normalized content arriving in a LATER batch must fold into
+    the existing fingerprint state: a higher doc_id never displaces the
+    winner; a lower doc_id updates it."""
+    import pandas as pd
+
+    from realtime0523_spark.streaming.docs_ingest import streaming_docs_ingest
+    from realtime0523_spark.streaming.runner import run_to_memory
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    good = "a perfectly normal different sentence with the many distinct words of it"
+    # batch 1: doc 5 (content A), doc 6 (content B)
+    pd.DataFrame({"doc_id": [5, 6], "text": [good + " alpha", good + " beta"],
+                  "lang": ["en"] * 2, "source": ["s"] * 2,
+                  "n_chars": [len(good) + 6] * 2}).to_parquet(d / "b1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = streaming_docs_ingest(stream, min_quality=0.0, fractions={"train": 1.0})
+    first = {r.doc_id for r in run_to_memory(out, output_mode="update").collect()}
+    assert first == {5, 6}
+
+    # batch 2 adds: doc 9 duplicating content A (loses to 5), doc 1
+    # duplicating content B (beats 6), doc 7 with new content C
+    pd.DataFrame({"doc_id": [9, 1, 7],
+                  "text": [good + " alpha", good + " beta", good + " gamma"],
+                  "lang": ["en"] * 3, "source": ["s"] * 3,
+                  "n_chars": [len(good) + 6] * 3}).to_parquet(d / "b2.parquet")
+    final = {r.doc_id for r in run_to_memory(out, output_mode="update").collect()}
+    # update-mode memory table holds the latest emission per key:
+    # content A -> 5 (doc 9 folded away), content B -> 1, content C -> 7
+    assert 5 in final and 1 in final and 7 in final
+    assert 9 not in final
