@@ -1062,13 +1062,13 @@ _FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
     {_QUAL_CTE},
     {_REPETITION_PASS_CTE},
     kept AS (
-      SELECT min(d.doc_id) AS doc_id
+      SELECT {_FP_SQL} AS fingerprint, min(d.doc_id) AS doc_id
       FROM documents d
       JOIN qual USING (doc_id)
       JOIN rep USING (doc_id)
       WHERE quality_score >= {CORPUS_MIN_QUALITY} AND pass_rep
-      GROUP BY {_FP_SQL})
-    SELECT doc_id,
+      GROUP BY fingerprint)
+    SELECT fingerprint, doc_id,
            CASE WHEN {_bucket_sql(SPLIT_SALT)} < 9000 THEN 'train'
                 WHEN {_bucket_sql(SPLIT_SALT)} < 9500 THEN 'val'
                 ELSE 'test' END AS split
@@ -1093,4 +1093,9 @@ def q_stream_docs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"train": 0.9, "val": 0.05, "test": 0.05},
         salt=SPLIT_SALT,
     )
-    return run_to_memory(out, output_mode="update")
+    emitted = run_to_memory(out, output_mode="update")
+    # compact like an upserting consumer: winners only decrease, so
+    # min per fingerprint == the latest emission per key
+    return emitted.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("split", "doc_id").alias("split")
+    ).select("fingerprint", "doc_id", "split")

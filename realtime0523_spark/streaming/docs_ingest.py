@@ -58,9 +58,14 @@ def streaming_docs_ingest(
 ) -> DataFrame:
     """docs stream → quality gate → repetition gate → cross-batch
     exact dedup (min doc_id per content fingerprint) → split
-    assignment. Returns (doc_id, split).
+    assignment. Returns (fingerprint, doc_id, split) in UPDATE mode:
+    the fingerprint is the upsert key — each batch re-emits the
+    current winner for every fingerprint that received data, and a
+    keyed sink (idempotent_batch_writer-style upsert, or a compaction
+    `groupBy(fingerprint).min(doc_id)`) converges to the final answer.
+    The winner only ever decreases, so min-per-key == latest-per-key.
 
-    Drained to completion this equals the batch contract: of the
+    Drained and compacted this equals the batch contract: of the
     gate-passing docs, one representative (min doc_id) per distinct
     normalized content, each assigned its deterministic split — the
     oracle-checkable statement.
@@ -79,4 +84,6 @@ def streaming_docs_ingest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return train_split(kept, fractions, salt=salt).select("doc_id", "split")
+    return train_split(kept, fractions, salt=salt).select(
+        "fingerprint", "doc_id", "split"
+    )

@@ -446,8 +446,15 @@ def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path):
                   "text": [good + " alpha", good + " beta", good + " gamma"],
                   "lang": ["en"] * 3, "source": ["s"] * 3,
                   "n_chars": [len(good) + 6] * 3}).to_parquet(d / "b2.parquet")
-    final = {r.doc_id for r in run_to_memory(out, output_mode="update").collect()}
-    # update-mode memory table holds the latest emission per key:
-    # content A -> 5 (doc 9 folded away), content B -> 1, content C -> 7
-    assert 5 in final and 1 in final and 7 in final
-    assert 9 not in final
+    emitted = run_to_memory(out, output_mode="update").collect()
+    raw_ids = {r.doc_id for r in emitted}
+    # raw update-mode emissions accumulate: batch 1's winner 6 for
+    # content B is still present alongside its batch-2 replacement 1
+    assert {5, 6, 1, 7} <= raw_ids and 9 not in raw_ids
+    # the upsert contract: compacting by key (winners only decrease,
+    # min == latest) yields exactly one current winner per content
+    compacted = {}
+    for r in emitted:
+        if r.fingerprint not in compacted or r.doc_id < compacted[r.fingerprint]:
+            compacted[r.fingerprint] = r.doc_id
+    assert sorted(compacted.values()) == [1, 5, 7]
