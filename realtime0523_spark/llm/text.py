@@ -243,24 +243,42 @@ def _gram_repetition_chars(text: Column | str, n: int, dup_only: bool) -> Column
     """Row-wise n-gram repetition chars: Σ (dup_only) or max of
     count×length over grams occurring >1 times — the same numbers
     `ngram_repetition` computes with groupBys, as ONE per-row
-    expression (O(|grams|·|distinct|) per row; ~50 tokens/doc ⇒
-    trivial). Exists so streaming gates can screen repetition
+    expression. Exists so streaming gates can screen repetition
     statelessly — no (doc, gram) shuffle, no watermark coupling.
-    Every reused subexpression is let-bound (1-element transform):
-    no CSE across HOF lambdas."""
+
+    Cost: sort the gram array once and fold over runs of equal grams
+    — O(n log n) per row, safe for arbitrarily long documents (a
+    filter-per-distinct formulation would be O(n·distinct) and stall
+    a micro-batch on one book-sized doc). The fold accumulator is
+    (prev gram, run length, metric so far); the finish lambda flushes
+    the final run. Every reused subexpression is let-bound (1-element
+    transform): no CSE across HOF lambdas."""
 
     def build(grams: Column) -> Column:
-        def per_distinct(d: Column) -> Column:
-            c = F.size(F.filter(grams, lambda g: g == d))
-            return F.transform(
-                F.array(c),
-                lambda cc: F.when(cc > 1, cc * F.length(d)).otherwise(F.lit(0)),
-            )[0]
+        def contrib(acc: Column) -> Column:
+            return F.when(
+                acc["cnt"] > 1, acc["cnt"] * F.length(acc["prev"])
+            ).otherwise(F.lit(0))
 
-        weighted = F.transform(F.array_distinct(grams), per_distinct)
-        if dup_only:
-            return F.aggregate(weighted, F.lit(0), lambda a, x: a + x)
-        return F.aggregate(weighted, F.lit(0), lambda a, x: F.greatest(a, x))
+        def fold_in(acc: Column, m_flushed: Column) -> Column:
+            return (m_flushed + contrib(acc)) if dup_only else F.greatest(
+                m_flushed, contrib(acc)
+            )
+
+        def merge(acc: Column, g: Column) -> Column:
+            same = acc["prev"] == g
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["cnt"] + 1).otherwise(F.lit(1)).alias("cnt"),
+                F.when(same, acc["m"]).otherwise(fold_in(acc, acc["m"])).alias("m"),
+            )
+
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cnt"), F.lit(0).alias("m")
+        )
+        return F.aggregate(
+            F.array_sort(grams), init, merge, lambda acc: fold_in(acc, acc["m"])
+        )
 
     return F.transform(F.array(word_ngrams(text, n)), build)[0]
 

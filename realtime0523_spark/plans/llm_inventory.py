@@ -57,6 +57,12 @@ _SHINGLES_CTE = f"""
 
 _MD5_INT32_SQL = "CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT)"
 
+# normalized-content fingerprint (mirrors llm.text.doc_fingerprint);
+# shared by docs_fingerprint and stream_docs_ingest so document
+# identity cannot drift between them
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
 
 # ----------------------------------------------------------------------
 # Text analysis
@@ -171,8 +177,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_fingerprint",
-    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
-    " AS fingerprint FROM documents",
+    f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
     "Document fingerprinting: md5 of the normalized text (lowercase, "
     "punctuation-collapsed) — whole-document identity hash.",
 )
@@ -1051,8 +1056,6 @@ def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # Streaming corpus ingest (streaming/docs_ingest.py)
 # ----------------------------------------------------------------------
-
-_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
 
 @register(

@@ -370,3 +370,25 @@ def test_bpe_ish_tokens_split_contractions_digits_punct(spark):
     df = spark.createDataFrame([("I've got 42 apples, don't I?",)], "text string")
     [row] = df.select(bpe_ish_tokens(F.col("text")).alias("t")).collect()
     assert row.t == ["I", "'ve", " got", " 42", " apples", ",", " don", "'t", " I", "?"]
+
+
+def test_repetition_rowwise_equals_groupby_form(spark):
+    """The stateless per-row repetition verdict must agree with the
+    groupBy formulation on the corpus AND adversarial docs (runs-fold
+    over the sorted gram array vs (doc, gram) aggregation)."""
+    from realtime0523_spark.llm.text import ngram_repetition, repetition_pass_rowwise
+
+    corpus = Catalog(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "buy now " * 20),
+         (9002, "line\nline\nline\nother"),
+         (9003, "a b a b a b c d c d"),
+         (9004, "xy"),
+         (9005, "solo"),
+         (9006, ("tok%d " % 7) * 3 + " ".join(f"w{i}" for i in range(60)))],
+        "doc_id long, text string")
+    docs = corpus.unionByName(extra)
+    a = ngram_repetition(docs).select(
+        "doc_id", F.col("passes_repetition_filter").alias("p1"))
+    b = docs.select("doc_id", repetition_pass_rowwise("text").alias("p2"))
+    assert a.join(b, "doc_id").filter(F.col("p1") != F.col("p2")).count() == 0

@@ -428,9 +428,10 @@ def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path):
     d.mkdir()
     good = "a perfectly normal different sentence with the many distinct words of it"
     # batch 1: doc 5 (content A), doc 6 (content B)
-    pd.DataFrame({"doc_id": [5, 6], "text": [good + " alpha", good + " beta"],
+    texts1 = [good + " alpha", good + " beta"]
+    pd.DataFrame({"doc_id": [5, 6], "text": texts1,
                   "lang": ["en"] * 2, "source": ["s"] * 2,
-                  "n_chars": [len(good) + 6] * 2}).to_parquet(d / "b1.parquet")
+                  "n_chars": [len(t) for t in texts1]}).to_parquet(d / "b1.parquet")
     stream = (
         spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
         .option("maxFilesPerTrigger", "1")
@@ -442,10 +443,10 @@ def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path):
 
     # batch 2 adds: doc 9 duplicating content A (loses to 5), doc 1
     # duplicating content B (beats 6), doc 7 with new content C
-    pd.DataFrame({"doc_id": [9, 1, 7],
-                  "text": [good + " alpha", good + " beta", good + " gamma"],
+    texts2 = [good + " alpha", good + " beta", good + " gamma"]
+    pd.DataFrame({"doc_id": [9, 1, 7], "text": texts2,
                   "lang": ["en"] * 3, "source": ["s"] * 3,
-                  "n_chars": [len(good) + 6] * 3}).to_parquet(d / "b2.parquet")
+                  "n_chars": [len(t) for t in texts2]}).to_parquet(d / "b2.parquet")
     emitted = run_to_memory(out, output_mode="update").collect()
     raw_ids = {r.doc_id for r in emitted}
     # raw update-mode emissions accumulate: batch 1's winner 6 for
