@@ -964,7 +964,11 @@ FRAME_BYTES = 16
     "media_resize",
     f"""
     SELECT doc_id,
-           CAST(least(length(text), {RESIZE_W * RESIZE_H}) AS INT) AS out_bytes,
+           -- BYTE length of the UTF-8-encoded character prefix: the kernel
+           -- slices in the decoded (character) domain then re-encodes, so a
+           -- character count would diverge on any non-ASCII payload.
+           CAST(octet_length(encode(substring(text, 1, {RESIZE_W * RESIZE_H}))) AS INT)
+               AS out_bytes,
            {RESIZE_W} AS width, {RESIZE_H} AS height,
            sha256(substring(text, 1, {RESIZE_W * RESIZE_H})) AS sha256
     FROM documents

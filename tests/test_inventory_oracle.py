@@ -27,6 +27,39 @@ def test_query_matches_oracle(spark, con, name):
     assert not issues, issues
 
 
+@pytest.mark.parametrize("name", ["media_resize", "media_frames", "media_features"])
+def test_media_oracles_hold_on_non_ascii(spark, tmp_path, name):
+    """The driver corpus is 100% ASCII, which hides char-vs-byte
+    divergence between a decoded-domain kernel and a SQL oracle. Run
+    the same (query, oracle) pair on a fixture with multibyte text."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld " * 40, "fr", "web", 480),
+            (2, "日本語のテキストです。" * 30, "ja", "web", 330),
+            (3, "plain ascii only here " * 20, "en", "web", 440),
+            (4, "", "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fixture = str(tmp_path / "fix")
+    (tmp_path / "fix").mkdir()
+    docs.toPandas().to_parquet(f"{fixture}/documents.parquet")
+
+    from tools.check_oracle import compare
+
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, fixture).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fixture}/documents.parquet'"
+    )
+    odf = con.execute(spec.oracle).df()
+    issues = compare(sdf, odf)
+    assert not issues, issues
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
