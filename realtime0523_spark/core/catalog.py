@@ -113,14 +113,91 @@ TABLES: dict[str, T.StructType] = {
     ),
 }
 
-# The driver's parquet stores timestamps as TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read
-# those columns as raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong)
-# and convert to TimestampType at microsecond precision — the same
-# truncation DuckDB applies, so oracle comparisons line up.
-NANO_TS_COLS: dict[str, list[str]] = {
-    "events": ["ts"],  # orders/lineitem store timestamp[ms] — natively fine
-}
+# Some fixture generations store timestamps as parquet TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). For
+# those columns we read raw int64 nanos (spark.sql.legacy.parquet.
+# nanosAsLong) and convert to TimestampType at microsecond precision —
+# the same truncation DuckDB applies, so oracle comparisons line up.
+#
+# The unit is NOT hard-coded: it is probed from the parquet footer per
+# table (see `nano_ts_cols`), because the fixture generator has shipped
+# both NANOS and MICROS over time and guessing wrong silently collapses
+# every timestamp into 1970 (micros div 1000 ≈ epoch + minutes).
+
+
+def _footer_file(path: str) -> str:
+    """Resolve `path` (a parquet file, or a directory of part files) to
+    one concrete file whose footer represents the table's physical
+    schema. Footer reads are metadata-only — no data pages touched —
+    so this stays O(1) regardless of table size."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "part-*"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return parts[0]
+    return path
+
+
+def nano_ts_cols(path: str, schema: T.StructType) -> list[str]:
+    """Which of `schema`'s TimestampType columns are physically stored
+    as TIMESTAMP(NANOS) in the footer at `path`. Columns stored at
+    us/ms/s precision read natively and are NOT returned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    declared = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+    if not declared:
+        return []
+    arrow_schema = pq.read_schema(_footer_file(path))
+    nanos = []
+    for name in declared:
+        if name in arrow_schema.names:
+            typ = arrow_schema.field(name).type
+            if pa.types.is_timestamp(typ) and typ.unit == "ns":
+                nanos.append(name)
+    return nanos
+
+
+def assert_ts_sanity(path: str, schema: T.StructType, table: str) -> None:
+    """Load-time tripwire: fail LOUDLY at registration if a registered
+    timestamp column's footer min-statistic lands near the 1970 epoch.
+
+    A wrong unit assumption (or a corrupted fixture regeneration) shows
+    up as every timestamp collapsing toward 1970 (micros divided as if
+    nanos land on 1970-01-20; nanos read as micros land inside 1970);
+    without this check it surfaces only as opaque hash mismatches six
+    queries downstream. The 1975 threshold is far above any unit
+    mix-up yet below legitimately historical data (TPC-H dates start in
+    1992). Footer statistics are metadata-only, so the check is free
+    even on a 100 TB table."""
+    import pyarrow.parquet as pq
+
+    declared = {f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)}
+    if not declared:
+        return
+    md = pq.ParquetFile(_footer_file(path)).metadata
+    arrow_names = [md.schema.column(i).name for i in range(md.num_columns)]
+    rg = md.row_group(0)
+    for i, name in enumerate(arrow_names):
+        if name not in declared:
+            continue
+        stats = rg.column(i).statistics
+        if stats is None or not stats.has_min_max:
+            continue
+        lo = stats.min
+        year = getattr(lo, "year", None)
+        if year is not None and year < 1975:
+            raise ValueError(
+                f"{table}.{name}: parquet footer min statistic is {lo!r} "
+                f"(near the 1970 epoch). This usually means the fixture was "
+                f"written with a different timestamp unit than expected — "
+                f"refusing to load garbage timestamps."
+            )
 
 # Dimension tables small enough to broadcast at any scale factor
 # (mirrors the reference's hand-built broadcast of province/sku dims,
@@ -155,7 +232,9 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; registered: {sorted(TABLES)}")
         if name not in self._cache:
             schema = TABLES[name]
-            ts_cols = NANO_TS_COLS.get(name, [])
+            path = f"{self.sf_dir}/{name}.parquet"
+            assert_ts_sanity(path, schema, name)
+            ts_cols = nano_ts_cols(path, schema)
             if ts_cols:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 physical = T.StructType(
@@ -166,9 +245,7 @@ class Catalog:
                 )
             else:
                 physical = schema
-            df = self.spark.read.schema(physical).parquet(
-                f"{self.sf_dir}/{name}.parquet"
-            )
+            df = self.spark.read.schema(physical).parquet(path)
             for c in ts_cols:
                 # integer `div`, not `/`: nano epochs (~1.7e18) exceed
                 # double's 2^53 exact range, so float division is off

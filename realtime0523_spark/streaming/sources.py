@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realtime0523_spark.core.catalog import NANO_TS_COLS, TABLES
+from realtime0523_spark.core.catalog import TABLES, assert_ts_sanity, nano_ts_cols
 
 # Maxwell-style CDC envelope (reference scala/…/ods/KafkaToODS_M.scala:38-52):
 # `table`/`type` route the record, `data` is the row payload. `data` is
@@ -35,10 +35,13 @@ CDC_ENVELOPE = T.StructType(
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over a driver testdata table (file source; S1/S2
-    stand-in). Applies the same nano→micro timestamp handling as the
-    batch Catalog."""
+    stand-in). Applies the same footer-probed timestamp-unit handling
+    as the batch Catalog — the unit is read from the parquet metadata,
+    never assumed."""
     schema = TABLES[name]
-    ts_cols = NANO_TS_COLS.get(name, [])
+    path = f"{sf_dir}/{name}.parquet"
+    assert_ts_sanity(path, schema, name)
+    ts_cols = nano_ts_cols(path, schema)
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         physical = T.StructType(

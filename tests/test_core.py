@@ -40,3 +40,73 @@ def test_timestamp_columns_are_timestamps(spark):
 def test_unknown_table_raises(spark):
     with pytest.raises(KeyError):
         Catalog(spark, SF_SMOKE).table("nope")
+
+
+def _write_events_fixture(path, unit):
+    """A 3-row events.parquet with `ts` stored at the given unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array([1704067200_000_000, 1704067260_000_000, 1704067320_000_000]).cast(
+        pa.timestamp("us")
+    ).cast(pa.timestamp(unit))
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_timestamp_unit_probed_from_footer(spark, tmp_path, unit):
+    # The loader must read the SAME logical instants whatever physical
+    # unit the fixture generator chose — the round-3 regression was a
+    # hard-coded nanos assumption against a micros file.
+    from realtime0523_spark.core.catalog import nano_ts_cols
+
+    sf_dir = tmp_path / unit
+    sf_dir.mkdir()
+    _write_events_fixture(str(sf_dir / "events.parquet"), unit)
+    probed = nano_ts_cols(str(sf_dir / "events.parquet"), TABLES["events"])
+    assert probed == (["ts"] if unit == "ns" else [])
+    rows = (
+        Catalog(spark, str(sf_dir))
+        .table("events")
+        .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss') s")
+        .orderBy("s")
+        .collect()
+    )
+    assert [r.s for r in rows] == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:01:00",
+        "2024-01-01 00:02:00",
+    ]
+
+
+def test_epoch_collapsed_fixture_fails_loudly(spark, tmp_path):
+    # Tripwire: a fixture whose timestamps actually sit near 1970 (the
+    # symptom of a unit mix-up upstream) must refuse to load, not emit
+    # six opaque hash mismatches downstream.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array([1704067200_000, 1704067260_000]).cast(pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts,  # 1970-01-20 — micros that were divided as if nanos
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="1970 epoch"):
+        Catalog(spark, str(tmp_path)).table("events")
