@@ -165,12 +165,20 @@ def cosine_topk(
 LSH_BITS = 4
 LSH_TABLES = 8
 
+# LCG parameters for the deterministic hyperplanes — exported so the
+# DuckDB oracle twin is generated from the SAME constants and cannot
+# drift (glibc rand() multiplier/increment; SALT decorrelates bits).
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648
+LCG_SALT = 9973
+
 
 def _plane_component(bit: int, dim: int) -> float:
     """Deterministic hyperplane component in [-0.5, 0.5): an LCG on
     (bit, dim) — reproducible anywhere, including plain SQL."""
-    v = (1103515245 * (bit * 9973 + dim) + 12345) % 2147483648
-    return v / 2147483648.0 - 0.5
+    v = (LCG_A * (bit * LCG_SALT + dim) + LCG_C) % LCG_M
+    return v / LCG_M - 0.5
 
 
 def lsh_bucket(vec: Column, dims: int, bits: int = LSH_BITS, table: int = 0) -> Column:
@@ -236,6 +244,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
+    score_transform=None,
 ) -> DataFrame:
     """Multi-table sign-LSH approximate top-k.
 
@@ -244,7 +253,12 @@ def ann_topk_lsh(
     ≈ 1-(1-p^bits)^tables); exact cosine re-rank within candidates.
     More tables → higher recall, more candidates; more bits → smaller
     buckets. All candidate generation is one equi-join on
-    (table, bucket) — never a cross join."""
+    (table, bucket) — never a cross join.
+
+    `score_transform` (e.g. round-to-9dp) is applied BEFORE the final
+    rank so an SQL twin that rounds-then-ranks orders identically; the
+    full candidate set is ranked (no batch-local prune), so no margin
+    logic is needed here."""
     c = _lsh_table_entries(corpus, vec_col, dims, bits, tables)
     q = _lsh_table_entries(queries, query_vec_col, dims, bits, tables).select(
         F.col(query_id_col),
@@ -267,6 +281,8 @@ def ann_topk_lsh(
         F.col(id_col),
         cosine_pudf(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
     return topk_per_group(
         scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
     )
@@ -331,7 +347,9 @@ def _nearest_cells_udf(centroids: np.ndarray, nprobe: int):
         mat = _mat(v)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cent.T  # (n, n_cells)
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        # stable sort: exact-equal dots break ties by cell index, the
+        # same order the SQL twin's (dot DESC, cell ASC) rank uses
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(top))
 
     return nearest
@@ -349,6 +367,7 @@ def ann_topk_ivf(
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
     centroids: np.ndarray | None = None,
+    score_transform=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into their
     nearest k-means cell (one map-only pass, centroids in the UDF
@@ -391,9 +410,42 @@ def ann_topk_ivf(
         F.col(id_col),
         cosine_pudf(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
     return topk_per_group(
         scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Unit-norm centroid per label value, as an (n_labels, dims)
+    matrix in ascending-label order (row i = i-th smallest label).
+
+    Computed as the normalized per-dimension SUM (normalizing makes
+    sum ≡ mean), aggregated fully in Spark — only |labels|×dims
+    scalars ever reach the driver, so this is a legal collect at any
+    corpus size. The formula is plain SQL (per-dim sums + a window
+    normalize), which is what lets IVF-with-label-cells carry an exact
+    DuckDB oracle where the Lloyd-trained variant cannot (its training
+    sample ordering uses engine-local hashing)."""
+    rows = (
+        emb.select(label_col, F.posexplode(vec_col).alias("d", "v"))
+        .groupBy(label_col, "d")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"))
+        .collect()
+    )
+    labels = sorted({r[0] for r in rows})
+    dims = max(r[1] for r in rows) + 1
+    cent = np.zeros((len(labels), dims))
+    pos = {lb: i for i, lb in enumerate(labels)}
+    for r in rows:
+        cent[pos[r[0]], r[1]] = r[2]
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
 
 
 def embedding_dedup_pairs(

@@ -381,40 +381,221 @@ def q_emb_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_ann_lsh",
-    None,  # approximate by construction — driver records rows-only
-    "Sign-LSH approximate top-k: 12 deterministic hyperplanes bucket "
-    "the corpus; exact cosine within the query's bucket. Recall vs "
-    "the exact baseline is asserted in tests/test_llm.py.",
-)
-def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- ANN twins: approximate ≠ nondeterministic ------------------------
+# The LSH hyperplanes come from a portable integer LCG and the IVF
+# inventory variant seeds its cells from the label column, so BOTH
+# approximate indexes are exactly reproducible in plain SQL: the oracle
+# replays bucketing/assignment, candidate generation, and the rounded
+# cosine re-rank. (The Lloyd-trained IVF remains ann_topk_ivf's default
+# — its training-sample ordering uses engine-local hashing, so it is
+# exercised by recall assertions in tests/test_llm.py instead.)
+
+IVF_NPROBE = 4
+
+# (tbl, bucket) per vector for all hash tables — mirrors
+# llm.similarity._lsh_table_entries, constants imported from it
+_LSH_BUCKETS_CTE = f"""
+    lshplanes AS (
+      SELECT b, d,
+             (({S.LCG_A} * (b * {S.LCG_SALT} + d) + {S.LCG_C}) % {S.LCG_M})
+               / {S.LCG_M}.0 - 0.5 AS w
+      FROM range(0, {S.LSH_TABLES * S.LSH_BITS}) tb(b), range(0, {EMB_DIMS}) td(d)),
+    lshbuckets AS (
+      SELECT vec_id, tbl,
+             sum(CASE WHEN pr > 0 THEN (1 << bit) ELSE 0 END) AS bucket
+      FROM (SELECT e.vec_id,
+                   CAST(p.b // {S.LSH_BITS} AS INT) AS tbl,
+                   CAST(p.b % {S.LSH_BITS} AS INT) AS bit,
+                   sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS pr
+            FROM embeddings e CROSS JOIN lshplanes p
+            GROUP BY e.vec_id, CAST(p.b // {S.LSH_BITS} AS INT),
+                     CAST(p.b % {S.LSH_BITS} AS INT))
+      GROUP BY vec_id, tbl)
+"""
+
+# exact rounded cosine + rank over a (qid, vec_id) candidate set named
+# `{cand}`; emits {out}(qid, vec_id, score, rk)
+def _rerank_cte(cand: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rk
+      FROM (SELECT qid, vec_id, {_r9('dot / (n_a * n_b)')} AS score
+            FROM (SELECT pr.qid, pr.vec_id,
+                         sum(CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS dot,
+                         sqrt(sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))) AS n_a,
+                         sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS n_b
+                  FROM (SELECT c.qid, c.vec_id, e.embedding AS ev, q.embedding AS qv
+                        FROM {cand} c
+                        JOIN embeddings e ON e.vec_id = c.vec_id
+                        JOIN embeddings q ON q.vec_id = c.qid) pr,
+                       LATERAL (SELECT unnest(range(1, len(ev) + 1)) AS i)
+                  GROUP BY pr.qid, pr.vec_id)))
+    """
+
+
+_LSH_ANN_CTES = f"""
+    {_LSH_BUCKETS_CTE},
+    lshcand AS (
+      SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+      FROM lshbuckets cb
+      JOIN (SELECT * FROM lshbuckets WHERE vec_id < {TOPK_QUERIES}) qb
+        ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+       AND cb.vec_id <> qb.vec_id),
+    {_rerank_cte('lshcand', 'lshann')}
+"""
+
+# label-seeded IVF: centroid = normalized per-dim sum per label (sum ≡
+# mean after normalization); corpus rows live in their argmax-dot cell,
+# queries probe the top-IVF_NPROBE cells — mirrors
+# llm.similarity.label_centroids + ann_topk_ivf
+_IVF_ANN_CTES = f"""
+    ivfcent AS (
+      SELECT label, d, s / sqrt(sum(s * s) OVER (PARTITION BY label)) AS w
+      FROM (SELECT label, CAST(d AS INT) AS d,
+                   sum(CAST(embedding[d] AS DOUBLE)) AS s
+            FROM embeddings CROSS JOIN range(1, {EMB_DIMS + 1}) t(d)
+            GROUP BY label, CAST(d AS INT))),
+    ivfdot AS (
+      SELECT e.vec_id, c.label,
+             sum(CAST(e.embedding[c.d] AS DOUBLE) * c.w) AS dot
+      FROM embeddings e CROSS JOIN ivfcent c
+      GROUP BY e.vec_id, c.label),
+    ivfassign AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, label) AS rn
+        FROM ivfdot) WHERE rn = 1),
+    ivfprobe AS (
+      SELECT vec_id AS qid, label AS cell FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, label) AS rn
+        FROM ivfdot WHERE vec_id < {TOPK_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+    ivfcand AS (
+      SELECT DISTINCT p.qid, a.vec_id
+      FROM ivfassign a JOIN ivfprobe p
+        ON a.cell = p.cell AND a.vec_id <> p.qid),
+    {_rerank_cte('ivfcand', 'ivfann')}
+"""
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str):
     emb = Catalog(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return S.ann_topk_lsh(emb, queries, dims=EMB_DIMS, k=TOPK_K).select(
-        "qid", "vec_id", r9(F.col("score")).alias("score"), "rk"
-    )
+    return emb, queries
+
+
+@register(
+    "emb_ann_lsh",
+    f"""
+    WITH {_LSH_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM lshann WHERE rk <= {TOPK_K}
+    """,
+    "Sign-LSH approximate top-k: 8 hash tables × 4 deterministic "
+    "LCG hyperplanes bucket the corpus; exact cosine re-rank within "
+    "shared buckets. Deterministic planes make the approximate index "
+    "exactly reproducible — the oracle replays it in SQL.",
+)
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.ann_topk_lsh(
+        emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
 
 
 @register(
     "emb_ann_ivf",
-    None,  # approximate by construction — driver records rows-only
-    "IVF approximate top-k: spherical-k-means cells trained on a "
-    "bounded TakeOrdered sample, map-only cell assignment (broadcast "
-    "centroids), queries probe nprobe cells, exact cosine re-rank "
-    "within probed cells. Recall vs the exact baseline is asserted in "
-    "tests/test_llm.py.",
+    f"""
+    WITH {_IVF_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM ivfann WHERE rk <= {TOPK_K}
+    """,
+    "IVF approximate top-k with label-seeded cells (normalized "
+    "per-label mean centroids — the deterministic, SQL-replayable "
+    "seeding; Lloyd-trained spherical k-means is the ann_topk_ivf "
+    "default, recall-asserted in tests/test_llm.py): map-only "
+    "broadcast-centroid assignment, queries probe nprobe cells, "
+    "exact cosine re-rank within probed cells.",
 )
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Catalog(spark, sf_dir).table("embeddings")
-    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    emb, queries = _ann_queries(spark, sf_dir)
+    cent = S.label_centroids(emb)
+    return S.ann_topk_ivf(
+        emb,
+        queries,
+        nprobe=IVF_NPROBE,
+        k=TOPK_K,
+        centroids=cent,
+        score_transform=r9,
+    ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_ann_recall",
+    f"""
+    WITH {_DOT_CTE.format(nq=TOPK_QUERIES)},
+    exactk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('dot / (n_a * n_b)')} DESC, vec_id) AS rk
+        FROM pairdot) WHERE rk <= {TOPK_K}),
+    {_LSH_ANN_CTES},
+    {_IVF_ANN_CTES}
+    SELECT method, qid, recall FROM (
+      SELECT 'lsh' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM lshann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'ivf' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM ivfann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid)
+    """,
+    "Recall@k of each ANN index against the exact brute-force top-k — "
+    "the quality metric for the approximate paths, itself exact and "
+    "oracle-checked because both indexes are deterministic.",
+)
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id"
     )
-    return S.ann_topk_ivf(emb, queries, n_cells=16, nprobe=4, k=TOPK_K).select(
-        "qid", "vec_id", r9(F.col("score")).alias("score"), "rk"
-    )
+    lsh = S.ann_topk_lsh(
+        emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+    ivf = S.ann_topk_ivf(
+        emb,
+        queries,
+        nprobe=IVF_NPROBE,
+        k=TOPK_K,
+        centroids=S.label_centroids(emb),
+        score_transform=r9,
+    ).select("qid", "vec_id")
+
+    def _recall(ann: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
+        return (
+            exact.select("qid")
+            .distinct()
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "qid",
+                (F.coalesce(F.col("count"), F.lit(0)) / F.lit(TOPK_K))
+                .cast("double")
+                .alias("recall"),
+            )
+        )
+
+    return _recall(lsh, "lsh").unionAll(_recall(ivf, "ivf"))
 
 
 # ----------------------------------------------------------------------
