@@ -65,44 +65,51 @@ def _ensure_full_registry() -> None:
 
 
 # The driver's correctness gate checks the first 50 entries of
-# ``queries()``. Order the registry so every SURVEY §2 operator AND the
-# whole LLM dedup/similarity/multimodal family sit inside that window;
-# redundant variants of already-covered capabilities (extra TPC-H-style
-# rollups, batch twins of green streaming queries) come after. Names
-# absent from the registry are skipped, names not listed keep
-# registration order at the end.
+# ``queries()``. The window ROTATES each round so that the union of
+# committed CORRECTNESS_r{N} files covers every registered query:
+# never-driver-checked queries and queries whose code changed this
+# round come first; long-stable greens (unchanged code, driver-verified
+# in earlier rounds, still covered every round by the full-registry
+# repo gate tests/test_inventory_oracle.py) rotate out. Names absent
+# from the registry are skipped, names not listed keep registration
+# order at the end.
 _PRIORITY: list[str] = [
-    # §2 core: parse/route/derive/decode (date_derive displaced to make
-    # room for round-2 code: r1-green, unchanged, unit-covered)
-    "router_filter", "router_fanout", "acct_bucket",
-    "priority_decode",
-    # §2 core: windows/joins/aggs/dedup
+    # Round 4 group A — never driver-checked before this round
+    # (round-2/3 additions that landed past the window).
+    "scd2_history", "emb_label_centroids", "docs_corpus_prep",
+    "media_resize", "media_frames", "docs_bpe_tokens",
+    "stream_docs_ingest", "emb_ann_recall",
+    # Round 4 group B — the r3 timestamp-unit regression set: green in
+    # r2, red in r3, restored by the footer-probe fix; these rows prove
+    # the restoration.
+    "dau", "sessionize", "stream_dau", "stream_windowed_counts",
+    "stream_sliding_counts", "stream_session_counts",
+    # Round 4 group C — ANN queries re-registered with exact oracles
+    # this round (previously rows-only).
+    "emb_ann_lsh", "emb_ann_ivf",
+    # Round 4 group D — timestamp-affected queries displaced from the
+    # window since round 1 (r1-green; re-proving post-fix).
+    "date_derive", "event_cube", "windowed_event_counts",
+    "asof_last_click", "follow_on_clicks", "dau_approx",
+    # §2 core batch operators (high-value representatives).
     "first_order_flag", "running_total", "order_wide", "dim_enrich",
-    "customers_with_orders", "customers_never_ordered", "allocation",
-    "brand_amount", "hot_parts_topk", "dau", "dedup_first",
-    "ship_priority_topk", "sessionize",
-    # §2 streaming family
-    "stream_dau", "stream_dedup_pairs", "stream_order_wide",
-    "stream_first_seen", "stream_brand_amount", "stream_windowed_counts",
-    "stream_sliding_counts", "stream_session_counts", "stream_dwd_order",
-    "spend_full_outer",
-    # LLM text analysis
-    "docs_token_stats", "docs_lang_guess", "docs_quality", "top_tokens",
-    # LLM dedup / similarity / multimodal (r1 gap: were past the window)
+    "allocation", "brand_amount", "hot_parts_topk", "dedup_first",
+    "ship_priority_topk", "spend_full_outer",
+    # §2 streaming family (stateful paths — riskiest, always in-window).
+    "stream_dedup_pairs", "stream_order_wide", "stream_first_seen",
+    "stream_brand_amount", "stream_dwd_order",
+    # LLM dedup / similarity / multimodal.
     "docs_exact_dedup", "docs_ngram_jaccard", "docs_minhash_lsh",
-    "docs_simhash", "emb_cosine_topk", "emb_dedup_pairs", "emb_ann_lsh",
-    "emb_ann_ivf", "media_features",
-    # LLM training-pipeline ops (round 2)
-    "docs_train_split", "docs_stratified_sample", "docs_contamination",
-    "docs_pii_redact", "docs_pack_sequences", "docs_domain_mix",
-    # dedup clustering + repetition (round 2). Everything displaced
-    # from the 50-slot window across round 2 (asof_last_click,
-    # dau_approx, docs_fingerprint, date_derive, pricing_summary,
-    # qty_quantiles, grouping_sets_revenue, nation_year_pivot,
-    # salted_flag_agg, event_cube) was driver-verified green in
-    # round 1 and is unchanged since.
+    "docs_simhash", "emb_cosine_topk", "emb_dedup_pairs",
+    "media_features", "docs_fingerprint", "docs_pii_redact",
     "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
     "docs_repetition",
+    # Rotated out this round (driver-green r1-r3, code unchanged):
+    # router_filter, router_fanout, acct_bucket, priority_decode,
+    # customers_with_orders, customers_never_ordered, docs_token_stats,
+    # docs_lang_guess, docs_quality, top_tokens, docs_train_split,
+    # docs_stratified_sample, docs_contamination, docs_pack_sequences,
+    # docs_domain_mix + the r1-green TPC-H-style rollup family.
 ]
 
 
@@ -1538,19 +1545,38 @@ def q_nation_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dau_approx",
-    None,  # HLL sketch ≠ DuckDB's sketch — rows-only here; the error
-    # bound vs exact DAU is asserted in tests/test_operators.py
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(DISTINCT user_id) AS dau_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
     "A5 at scale: approx_count_distinct (HyperLogLog++) per day — the "
     "sketch that replaces exact distinct-count state when the key set "
     "no longer fits (mergeable across partitions, one pass, fixed "
-    "memory). Exact twin: the `dau` query.",
+    "memory). The sketch VALUE is engine-local (Spark's HLL++ ≠ "
+    "DuckDB's), so the checkable surface is the accuracy contract: "
+    "each day emits the exact count plus a flag that the sketch landed "
+    "within its error bound (5% or ±3) — a wrong sketch flips the flag "
+    "and fails the hash. Exact twin: the `dau` query; the bound is "
+    "also asserted in tests/test_operators.py.",
 )
 def q_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return (
         ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
         .groupBy("dt")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("dau_approx"))
+        .agg(approx.alias("dau_hll"), exact.alias("dau_exact"))
+        .select(
+            "dt",
+            "dau_exact",
+            (
+                F.abs(F.col("dau_hll") - F.col("dau_exact"))
+                <= F.greatest(F.lit(3.0), 0.05 * F.col("dau_exact"))
+            ).alias("approx_ok"),
+        )
     )
 
 

