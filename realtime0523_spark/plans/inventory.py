@@ -903,8 +903,10 @@ def q_stream_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     # inner join: output complete after the data batches — skip the
-    # trailing state-eviction batch (drain-and-stop pattern).
-    return run_to_memory(wide, no_data_batches=False)
+    # trailing state-eviction batch (drain-and-stop pattern). Any
+    # watermark-dropped row would mean a silently missing join pair,
+    # so the drain refuses instead (completeness contract).
+    return run_to_memory(wide, no_data_batches=False, forbid_watermark_drops=True)
 
 
 @register(

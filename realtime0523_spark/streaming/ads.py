@@ -45,6 +45,7 @@ def streaming_brand_amount(
     checkpoint_dir: str | None = None,
     detail_order_by: list[str] | None = None,
     no_data_batches: bool = True,
+    forbid_watermark_drops: bool = True,
 ) -> DataFrame:
     """Run the joined order-wide STREAM through allocation + brand
     partial sums with exactly-once commits, drain it, and return the
@@ -52,6 +53,11 @@ def streaming_brand_amount(
 
     `wide_stream` must carry lineitem detail columns plus
     `o_totalprice`; `part_dim` is the (small, broadcast) part table.
+
+    Completeness is a loud contract by default: the F1 allocation
+    assumes ALL of an order's details joined (the cdc_commit_time
+    co-arrival contract), so any numRowsDroppedByWatermark raises
+    rather than committing a silently short total.
     """
     order_by = detail_order_by or [
         "l_linenumber",
@@ -88,6 +94,7 @@ def streaming_brand_amount(
         checkpoint_dir=checkpoint_dir,
         output_mode="append",
         no_data_batches=no_data_batches,
+        forbid_watermark_drops=forbid_watermark_drops,
     )
 
     if not os.path.exists(out_dir):  # no batches arrived

@@ -41,12 +41,39 @@ def _stream_shuffle(spark: SparkSession, no_data_batches: bool = True):
         spark.conf.set(ndb_key, prev_ndb)
 
 
+def watermark_drops(q) -> int:
+    """Total `numRowsDroppedByWatermark` across a drained query's
+    retained progress updates (all state operators)."""
+    return sum(
+        int(op["numRowsDroppedByWatermark"] or 0)
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    )
+
+
+def _check_drops(q, forbid: bool) -> None:
+    if not forbid:
+        return
+    dropped = watermark_drops(q)
+    if dropped:
+        raise RuntimeError(
+            f"streaming query dropped {dropped} row(s) at the watermark — "
+            f"this pipeline's completeness contract (every pair joined, "
+            f"e.g. the cdc_commit_time single-drain requirement) is "
+            f"violated; a trigger/maxFilesPerTrigger change that splits "
+            f"the input across micro-batches lets the watermark advance "
+            f"past still-pending rows. Refusing to return a silently "
+            f"incomplete result."
+        )
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
     trigger_seconds: float | None = None,
     no_data_batches: bool = True,
+    forbid_watermark_drops: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to a memory sink, drain it, stop, and
     return the materialized result as a batch DataFrame.
@@ -57,7 +84,14 @@ def run_to_memory(
     state-eviction overhead (measured: a full scan + removal of every
     state row, ~40% of the sf0.1 stream-stream join runtime). Leave it
     ON for anything that emits on watermark: outer joins, append-mode
-    windowed aggregates, expiring state."""
+    windowed aggregates, expiring state.
+
+    `forbid_watermark_drops=True` turns completeness into a loud
+    contract: after the drain, any `numRowsDroppedByWatermark` raises
+    instead of returning a silently incomplete result. Use it on
+    pipelines that promise every row is on time (the cdc_commit_time
+    join family); leave it off for pipelines where dropping late data
+    is the SPEC (T5 late-data handling)."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
     with _stream_shuffle(spark, no_data_batches):
@@ -66,6 +100,7 @@ def run_to_memory(
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         q = writer.start()
         q.processAllAvailable()
+        _check_drops(q, forbid_watermark_drops)
         q.stop()
     return spark.table(name)
 
@@ -76,13 +111,16 @@ def run_foreach_batch(
     checkpoint_dir: str | None = None,
     output_mode: str = "update",
     no_data_batches: bool = True,
+    forbid_watermark_drops: bool = False,
 ) -> None:
     """Run a streaming DataFrame through `foreachBatch(fn)` to
-    completion (fn: (batch_df, batch_id) -> None)."""
+    completion (fn: (batch_df, batch_id) -> None). See run_to_memory
+    for `forbid_watermark_drops`."""
     with _stream_shuffle(df.sparkSession, no_data_batches):
         writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         q = writer.start()
         q.processAllAvailable()
+        _check_drops(q, forbid_watermark_drops)
         q.stop()

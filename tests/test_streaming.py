@@ -158,6 +158,81 @@ def test_windowed_join_keeps_within_tolerance_drops_beyond(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == [(1, 10), (1, 11), (2, 13)]
 
 
+def test_split_input_join_refuses_watermark_drops(spark, tmp_path):
+    """The cdc_commit_time join family promises completeness: every
+    header×detail pair joins because matching keys share an event time
+    AND partners co-arrive in one drain. Spark's symmetric join is
+    forgiving of a synchronized split (co-arriving halves join
+    within-batch regardless of watermark — verified while writing
+    this test), so the dangerous shape is a DESYNCHRONIZED split:
+    high-timestamp halves first, then the low-timestamp orders (batch
+    2, below the advanced watermark), then their lineitem partners one
+    batch later (an empty gap file forces the offset). The late
+    lineitems' join window is entirely below the watermark → dropped
+    on input → thousands of pairs silently missing. The drain must
+    REFUSE loudly instead of returning that result (VERDICT r2/r3)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime0523_spark.streaming.order_wide import cdc_commit_time
+    from realtime0523_spark.streaming.runner import run_to_memory as _rtm
+
+    cat = Catalog(spark, SF_SMOKE)
+    od = cat.table("orders").select("o_orderkey", "o_totalprice").toPandas()
+    ld = cat.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).toPandas()
+    cut = int((od["o_orderkey"] % 86400).median())
+    now = _time.time()
+    (tmp_path / "o").mkdir()
+    (tmp_path / "l").mkdir()
+
+    def write(df, path, mtime):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(path))
+        os.utime(path, (mtime, mtime))
+
+    o_hi = od[od.o_orderkey % 86400 >= cut]
+    o_lo = od[od.o_orderkey % 86400 < cut]
+    l_hi = ld[ld.l_orderkey % 86400 >= cut]
+    l_lo = ld[ld.l_orderkey % 86400 < cut]
+    assert len(o_lo) and len(l_lo), "split must be non-trivial"
+    # mtime = processing order (maxFilesPerTrigger=1, oldest first):
+    # batch 0 = both hi halves; batch 1 = lo orders + empty gap;
+    # batch 2 = lo lineitems, one batch after their partners.
+    write(o_hi, tmp_path / "o/a.parquet", now - 300)
+    write(o_lo, tmp_path / "o/b.parquet", now - 200)
+    write(l_hi, tmp_path / "l/a.parquet", now - 300)
+    write(ld.iloc[0:0], tmp_path / "l/b.parquet", now - 200)
+    write(l_lo, tmp_path / "l/c.parquet", now - 100)
+
+    o = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "o"))
+        .withColumn("o_commit_ts", cdc_commit_time("o_orderkey"))
+    )
+    d = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l"))
+        .withColumn("l_commit_ts", cdc_commit_time("l_orderkey"))
+    )
+    wide = streaming_order_wide(
+        o, d, order_ts="o_commit_ts", detail_ts="l_commit_ts", tolerance="50 seconds"
+    )
+    with pytest.raises(RuntimeError, match="dropped .* at the watermark"):
+        _rtm(
+            wide.select("o_orderkey", "l_linenumber"),
+            no_data_batches=False,
+            forbid_watermark_drops=True,
+        )
+
+
 def test_outer_streaming_join_emits_null_after_watermark(spark, tmp_path):
     """J3 semantics: the reference's commented fullOuterJoin+Redis-cache
     design (OrderWiderApp.scala:63-115) — an unmatched header is emitted
