@@ -157,21 +157,22 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Mask emails, phone numbers, and IPv4 addresses, keeping per-doc
     counts of each. Pure per-row regex map (Java regex, codegen'd);
     patterns are RE2-compatible so the SQL twin redacts identically.
-    Order matters: emails first (their domains may contain dotted
-    quads), then phones, then IPs."""
+
+    Masking is sequential — emails first (their domains may contain
+    dotted quads), then phones, then IPs — and each COUNT is computed
+    on the text as it stood when that pattern ran, so every count
+    equals the number of replacements actually performed: a dotted
+    quad inside an email domain is counted (and masked) as part of the
+    email, never double-counted as an IP."""
     c = F.col(text_col)
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
     return docs.withColumns(
         {
             "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
-            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
-            "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
-            text_col: F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-                ),
-                IPV4_RE,
-                "<IP>",
-            ),
+            "n_phones": F.regexp_count(after_email, F.lit(PHONE_RE)),
+            "n_ips": F.regexp_count(after_phone, F.lit(IPV4_RE)),
+            text_col: F.regexp_replace(after_phone, IPV4_RE, "<IP>"),
         }
     )
 

@@ -727,25 +727,29 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(t2, '{P.EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS INT) AS n_phones,
-           CAST(len(regexp_extract_all(t2, '{P.IPV4_RE}')) AS INT) AS n_ips,
-           regexp_replace(
-             regexp_replace(regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
-                            '{P.PHONE_RE}', '<PHONE>', 'g'),
-             '{P.IPV4_RE}', '<IP>', 'g') AS text
-    FROM (SELECT doc_id,
-                 text || ' contact user' || CAST(doc_id AS VARCHAR)
-                      || '@example.com or +1 555-'
-                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                      || '.' || CAST(doc_id % 100 AS VARCHAR) AS t2
-          FROM documents)
+           CAST(len(regexp_extract_all(after_email, '{P.PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(after_phone, '{P.IPV4_RE}')) AS INT) AS n_ips,
+           regexp_replace(after_phone, '{P.IPV4_RE}', '<IP>', 'g') AS text
+    FROM (SELECT doc_id, t2,
+                 regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g') AS after_email,
+                 regexp_replace(regexp_replace(t2, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{P.PHONE_RE}', '<PHONE>', 'g') AS after_phone
+          FROM (SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 100 AS VARCHAR) AS t2
+                FROM documents))
     """,
     "PII redaction (emails, phone numbers, IPv4 addresses masked, "
-    "per-doc counts) as a per-row JVM regex map. The corpus fixture "
-    "contains no PII, so the query plants one deterministic "
-    "email+phone+IP per doc (same expression in both engines) and the "
-    "hash compare verifies the full redacted text byte-for-byte.",
+    "per-doc counts) as a per-row JVM regex map. Counts run on the "
+    "progressively redacted text (matching the sequential masking, so "
+    "count == replacements performed — a dotted quad inside an email "
+    "is the email's, not an IP). The corpus fixture contains no PII, "
+    "so the query plants one deterministic email+phone+IP per doc "
+    "(same expression in both engines) and the hash compare verifies "
+    "the full redacted text byte-for-byte.",
 )
 def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")

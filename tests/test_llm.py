@@ -208,6 +208,23 @@ def test_pii_redact_masks_and_counts(spark):
     assert "192.168" not in got[3].text
 
 
+def test_pii_redact_counts_equal_replacements(spark):
+    # counts run on the progressively redacted text: a dotted quad
+    # inside an email domain is consumed by the email mask and must NOT
+    # also be counted as an IP — count == replacements performed
+    from realtime0523_spark.llm.pipeline import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "write bob@10.0.0.7.example.com, standalone host 10.0.0.9 too")],
+        "doc_id long, text string",
+    )
+    row = pii_redact(docs).collect()[0]
+    assert row.n_emails == 1
+    assert row.n_ips == 1, row  # only the standalone quad
+    assert row.text.count("<IP>") == row.n_ips
+    assert row.text.count("<EMAIL>") == row.n_emails
+
+
 def test_pack_sequences_invariants(spark):
     from realtime0523_spark.llm.pipeline import pack_sequences
 
