@@ -135,17 +135,45 @@ def fanout_sinks(*writers):
     return write
 
 
+def kafka_sink_options(
+    df_columns: list[str],
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    topic: str | None = None,
+) -> dict[str, str]:
+    """Validated option map for the Kafka sink — separated from
+    start() so the contract is unit-testable without the connector
+    jar. Enforces the connector's own requirements up front: a `value`
+    column is mandatory, and the topic comes from EITHER the option or
+    a `topic` column (per-record fan-out), never neither."""
+    if "value" not in df_columns:
+        raise ValueError("kafka sink requires a 'value' column")
+    if topic is None and "topic" not in df_columns:
+        raise ValueError(
+            "kafka sink needs a topic: pass `topic=` or include a "
+            "'topic' column for per-record fan-out"
+        )
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir must be non-empty")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "checkpointLocation": checkpoint_dir,
+    }
+    if topic is not None:
+        opts["topic"] = topic
+    return opts
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, checkpoint_dir: str, topic: str | None = None):
     """K1 production sink: built-in Kafka writer (idempotent producer
     semantics are the connector's defaults). If `topic` is None the
     stream must carry a `topic` column — native per-record fan-out
-    (the P10 router sink). Requires the Kafka package; unused in the
-    test container."""
-    writer = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if topic is not None:
-        writer = writer.option("topic", topic)
+    (the P10 router sink). Requires the Kafka package; only the
+    start() call itself is unexercised in the test container."""
+    opts = kafka_sink_options(df.columns, bootstrap_servers, checkpoint_dir, topic)
+    writer = df.writeStream.format("kafka")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
     return writer.start()

@@ -76,6 +76,58 @@ def cdc_json_stream(
     return reader.option("mode", "PERMISSIVE").json(input_dir)
 
 
+# The Kafka wire schema the connector's load() produces — used by the
+# decode projection and by tests that exercise the decode without a
+# broker/connector on the classpath.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Validated option map for the Kafka source — separated from the
+    load() so construction logic is unit-testable in environments
+    without the connector jar (this container). The connector accepts
+    'earliest'/'latest' or a per-partition offset JSON."""
+    if not topic:
+        raise ValueError("topic must be non-empty")
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if starting_offsets not in ("earliest", "latest") and not starting_offsets.startswith("{"):
+        raise ValueError(
+            f"startingOffsets must be 'earliest', 'latest', or an offset "
+            f"JSON object, got {starting_offsets!r}"
+        )
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def decode_kafka_records(df: DataFrame) -> DataFrame:
+    """The projection kafka_stream applies after load(): UTF-8 decode
+    of the binary key/value plus the broker timestamp. Pure column
+    logic — testable on any DataFrame with KAFKA_WIRE_SCHEMA."""
+    return df.selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "timestamp",
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -85,12 +137,9 @@ def kafka_stream(
     """Production Kafka source (S1): subscribe + engine-managed offsets
     (replacing Redis/MySQL offset hashes, S2/S3 — checkpointing covers
     restart-at-committed-offset). Requires the spark-sql-kafka package
-    on the classpath."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp")
-    )
+    on the classpath; everything EXCEPT the connector load() itself
+    (option assembly, record decode) is unit-tested without it."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(topic, bootstrap_servers, starting_offsets).items():
+        reader = reader.option(k, v)
+    return decode_kafka_records(reader.load())
