@@ -31,6 +31,15 @@ def _release_query_state(spark) -> None:
     for t in spark.catalog.listTables():
         if t.name.startswith("mem_"):
             spark.catalog.dropTempView(t.name)
+    # localCheckpoint blocks (e.g. the final labels snapshot a
+    # connected-components result hands back) outlive the query's
+    # result; between measurements they are dead weight in the block
+    # manager, so drop every persisted RDD outright.
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
+            rdd.unpersist(False)
+    except Exception:
+        pass  # internal API; timing hygiene only
     # Unload streaming state-store providers: each drained stream leaves
     # its providers loaded, and the shared maintenance task then scans
     # every provider ever created — measured 3-5× inflation on later

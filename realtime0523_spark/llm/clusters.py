@@ -50,15 +50,38 @@ def connected_components(
     this keeps the output proportional to the duplicate density, not
     the corpus.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        # Superseded localCheckpoints stay pinned in the block manager
+        # until the ContextCleaner happens to GC them — at 100 TB each
+        # is a full labels-table snapshot, so an N-round propagation
+        # would hold N snapshots of executor memory. Release eagerly;
+        # the next checkpoint is already materialized, so nothing can
+        # recompute through a released one.
+        live = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = live.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    def _ckpt(df):
+        before = _ids()
+        out = df.localCheckpoint()  # eager: materializes now
+        return out, _ids() - before
+
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    edges = edges.localCheckpoint()
+    edges, edge_ids = _ckpt(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
 
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:  # no edges at all
+        _release(edge_ids)
         return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
     def propagate(lbl):
@@ -74,16 +97,23 @@ def connected_components(
             ).alias("label"),
         )
 
+    label_ids: set = set()
     for _ in range(max_iter):
         # two hops per convergence check: the check (sum) is a whole
         # Spark job whose fixed latency — not the tiny shuffle —
         # dominates a round, so pay it every OTHER hop; each hop still
         # checkpoints so no join input is ever evaluated twice. At
         # worst one wasted hop after the fixpoint.
-        labels = propagate(labels).localCheckpoint()
-        labels = propagate(labels).localCheckpoint()
+        labels, ids1 = _ckpt(propagate(labels))
+        _release(label_ids)
+        labels, label_ids = _ckpt(propagate(labels))
+        _release(ids1)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
+            # edges are no longer needed; the final labels checkpoint
+            # backs the returned DataFrame and is the ONE block that
+            # must stay until the caller consumes it.
+            _release(edge_ids)
             return labels.select(
                 F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
             )
