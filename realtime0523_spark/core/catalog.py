@@ -145,20 +145,33 @@ def _footer_file(path: str) -> str:
 
 def nano_ts_cols(path: str, schema: T.StructType) -> list[str]:
     """Which of `schema`'s TimestampType columns are physically stored
-    as TIMESTAMP(NANOS) in the footer at `path`. Columns stored at
-    us/ms/s precision read natively and are NOT returned."""
+    as INT64 TIMESTAMP(NANOS) in the footer at `path`. Columns at
+    us/ms/s precision — and legacy INT96 timestamps, which pyarrow
+    also reports as timestamp[ns] but Spark reads natively — are NOT
+    returned (the nanosAsLong escape hatch applies to INT64 nanos
+    only)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     declared = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
     if not declared:
         return []
-    arrow_schema = pq.read_schema(_footer_file(path))
+    footer = _footer_file(path)
+    arrow_schema = pq.read_schema(footer)
+    md_schema = pq.ParquetFile(footer).metadata.schema
+    physical = {
+        md_schema.column(i).name: md_schema.column(i).physical_type
+        for i in range(len(arrow_schema.names))
+    }
     nanos = []
     for name in declared:
         if name in arrow_schema.names:
             typ = arrow_schema.field(name).type
-            if pa.types.is_timestamp(typ) and typ.unit == "ns":
+            if (
+                pa.types.is_timestamp(typ)
+                and typ.unit == "ns"
+                and physical.get(name) == "INT64"
+            ):
                 nanos.append(name)
     return nanos
 
@@ -180,7 +193,20 @@ def assert_ts_sanity(path: str, schema: T.StructType, table: str) -> None:
     declared = {f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)}
     if not declared:
         return
-    md = pq.ParquetFile(_footer_file(path)).metadata
+    import pyarrow as pa
+
+    footer = _footer_file(path)
+    arrow_schema = pq.read_schema(footer)
+    for name in declared:
+        if name in arrow_schema.names and pa.types.is_integer(arrow_schema.field(name).type):
+            raise ValueError(
+                f"{table}.{name} is declared TimestampType but stored as a "
+                f"raw integer without a timestamp logical type — the unit "
+                f"is unknowable from the footer. Regenerate the fixture "
+                f"with real parquet timestamps (any unit works; it is "
+                f"probed), or load the column as a long explicitly."
+            )
+    md = pq.ParquetFile(footer).metadata
     arrow_names = [md.schema.column(i).name for i in range(md.num_columns)]
     rg = md.row_group(0)
     for i, name in enumerate(arrow_names):

@@ -43,10 +43,15 @@ def test_unknown_table_raises(spark):
 
 
 def _write_events_fixture(path, unit):
-    """A 3-row events.parquet with `ts` stored at the given unit."""
+    """A 3-row events.parquet with `ts` stored at the given unit
+    ('int96' = legacy INT96 physical encoding, which pyarrow reports
+    as timestamp[ns] but Spark reads natively)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    int96 = unit == "int96"
+    if int96:
+        unit = "ns"
     ts = pa.array([1704067200_000_000, 1704067260_000_000, 1704067320_000_000]).cast(
         pa.timestamp("us")
     ).cast(pa.timestamp(unit))
@@ -60,10 +65,10 @@ def _write_events_fixture(path, unit):
             "props": pa.array(["{}", "{}", "{}"]),
         }
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, use_deprecated_int96_timestamps=int96)
 
 
-@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+@pytest.mark.parametrize("unit", ["ns", "us", "ms", "int96"])
 def test_timestamp_unit_probed_from_footer(spark, tmp_path, unit):
     # The loader must read the SAME logical instants whatever physical
     # unit the fixture generator chose — the round-3 regression was a

@@ -57,6 +57,9 @@ PROBES = [
     "emb_cosine_topk",     # Arrow matmul scan
     "emb_label_centroids", # posexplode partial agg
     "scd2_history",        # single window
+    "emb_ann_lsh",         # bucketed candidate join (r4: exact-oracle twin)
+    "emb_ann_ivf",         # broadcast-centroid cell probe (r4)
+    "docs_dedup_clusters", # iterative label propagation w/ checkpoint release (r4)
 ]
 
 
@@ -70,6 +73,9 @@ def gen(spark) -> None:
     if os.path.isdir(SCRATCH):
         shutil.rmtree(SCRATCH)  # regeneration must not trip over old layouts
     os.makedirs(SCRATCH, exist_ok=True)
+    # modern micros timestamps, not the legacy INT96 default — the
+    # replica should look like current fixture generations
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     cat = Catalog(spark, "/root/testdata/sf0.1")
     for table, id_cols in TABLES.items():
         src = cat.table(table)
@@ -82,10 +88,9 @@ def gen(spark) -> None:
             for c in id_cols:
                 df = df.withColumn(c, (F.col(c) + F.lit(r * STRIDE)).cast(src.schema[c].dataType))
             parts.append(df)
-        if table == "events":
-            # write ts back in the testdata's TIMESTAMP(NANOS)-as-long
-            # convention so Catalog's read path applies unchanged
-            parts = [p.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000)) for p in parts]
+        # ts columns are written as natural TimestampType (micros) —
+        # the Catalog probes the footer unit per table since r4, so the
+        # replica needs no unit convention of its own
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
