@@ -26,19 +26,38 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 
+# HDFS-backed (default) keeps every state row on the JVM heap — fine
+# while state is small; RocksDB moves state off-heap with incremental
+# checkpointing, the right provider once keyed state stops fitting in
+# executor memory (the 100 TB first-seen/dedup stores). Selected per
+# run via SPARK_GRAFT_STATE_STORE=rocksdb; correctness is
+# provider-independent (asserted in tests/test_streaming.py).
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, no_data_batches: bool = True):
     parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_ndb = spark.conf.get(ndb_key)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.conf.set(ndb_key, str(no_data_batches).lower())
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(ndb_key, prev_ndb)
+        if prev_provider is not None:
+            spark.conf.set(provider_key, prev_provider)
+        else:
+            spark.conf.unset(provider_key)
 
 
 def watermark_drops(q) -> int:

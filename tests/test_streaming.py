@@ -35,6 +35,34 @@ def test_stream_dau_equals_batch_dau(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_rocksdb_state_store_provider_matches_batch(spark, monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=rocksdb swaps keyed state off the JVM
+    heap (the provider for 100 TB-scale first-seen/dedup stores);
+    results must be byte-identical to the default HDFS-backed provider
+    — state storage is an executor concern, never a semantics one."""
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    got = run_to_memory(
+        streaming_first_seen(
+            stream_table(spark, SF_SMOKE, "orders"),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+        ),
+        output_mode="update",
+    )
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    want = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.unix_micros(F.col("m.o_orderdate")).alias("first_ts"),
+            F.col("m.o_orderkey").alias("first_id"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_order_wide_equals_batch_join(spark):
     orders = stream_table(spark, SF_SMOKE, "orders")
     details = stream_table(spark, SF_SMOKE, "lineitem")
