@@ -142,3 +142,58 @@ def test_kafka_stream_requires_connector_or_loads(spark):
         assert "kafka" in str(ex).lower()  # DATA_SOURCE_NOT_FOUND
         pytest.skip("spark-sql-kafka connector not on classpath (no broker env)")
     assert df.columns == ["key", "value", "timestamp"]
+
+
+# --- bucketed co-located joins ----------------------------------------
+
+
+def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides by the join key pays the shuffle once at
+    write time: the subsequent join must plan ZERO exchanges (and with
+    sorted buckets, zero per-task sorts of the bucketed side). A
+    bucket-count mismatch must refuse loudly, not silently shuffle."""
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.sources.bucketed import (
+        cobucketed_join,
+        exchange_count,
+        write_bucketed,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    cat = Catalog(spark, SF_SMOKE)
+    try:
+        write_bucketed(
+            cat.table("orders").select("o_orderkey", "o_totalprice"),
+            "t_orders_b8", "o_orderkey", 8,
+        )
+        write_bucketed(
+            cat.table("lineitem").select("l_orderkey", "l_extendedprice"),
+            "t_lineitem_b8", "l_orderkey", 8,
+        )
+        joined = cobucketed_join(
+            spark, "t_orders_b8", "t_lineitem_b8", "o_orderkey", "l_orderkey"
+        )
+        assert exchange_count(joined) == 0
+        # same answer as the plain (shuffled) join
+        plain = cat.table("orders").join(
+            cat.table("lineitem"),
+            cat.table("orders").o_orderkey == cat.table("lineitem").l_orderkey,
+        )
+        assert joined.count() == plain.count()
+        assert exchange_count(plain) > 0  # the shuffle bucketing removed
+
+        # mismatched bucket counts re-shuffle -> must refuse
+        write_bucketed(
+            cat.table("lineitem").select("l_orderkey", "l_extendedprice"),
+            "t_lineitem_b4", "l_orderkey", 4,
+        )
+        with pytest.raises(RuntimeError, match="not co-bucketed"):
+            cobucketed_join(
+                spark, "t_orders_b8", "t_lineitem_b4", "o_orderkey", "l_orderkey"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_orders_b8", "t_lineitem_b8", "t_lineitem_b4"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
