@@ -214,6 +214,54 @@ def pack_sequences(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    domain_col: str = "source",
+    salt: str = "budget-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token-budget sampling — the mixture-building
+    primitive: lay each domain's documents in deterministic hash order
+    and keep a document iff the domain's budget was not yet exhausted
+    when the document STARTED (cum_exclusive < budget). The
+    starts-within rule guarantees at least one document per domain
+    (a lone over-budget doc is kept, like pack_sequences' straddling
+    window) and makes membership a pure function of (corpus, budgets,
+    salt) — replay-, partitioning-, and engine-stable, no rand().
+
+    One window per domain partition, no global sort; the output is the
+    sampled corpus subset with each doc's running token position."""
+    if default_budget <= 0 or any(b <= 0 for b in budgets.values()):
+        raise ValueError("token budgets must be positive")
+    w = (
+        W.partitionBy(domain_col)
+        .orderBy(hash_bucket(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text_col))
+    budget = F.lit(default_budget)
+    for dom, b in sorted(budgets.items()):
+        budget = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(budget)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(domain_col),
+            n_tok.alias("n_tokens"),
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("cum_excl"),
+        )
+        .filter(F.col("cum_excl") < budget)
+        .select(
+            id_col,
+            domain_col,
+            "n_tokens",
+            (F.col("cum_excl") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
 def domain_mix(
     docs: DataFrame,
     domain_cols: tuple[str, ...] = ("source", "lang"),

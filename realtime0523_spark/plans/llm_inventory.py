@@ -796,6 +796,46 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_sequences(docs, budget=PACK_BUDGET, salt=PACK_SALT)
 
 
+TOKEN_BUDGETS = {"src0": 1000, "src1": 300}
+TOKEN_BUDGET_DEFAULT = 600
+BUDGET_SALT = "budget-v1"
+
+_BUDGET_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{d}' THEN {b}" for d, b in sorted(TOKEN_BUDGETS.items())
+    )
+    + f" ELSE {TOKEN_BUDGET_DEFAULT} END"
+)
+
+
+@register(
+    "docs_token_budget_sample",
+    f"""
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_excl + n_tokens AS BIGINT) AS cum_tokens
+    FROM (
+      SELECT doc_id, source, len(t) AS n_tokens,
+             coalesce(sum(len(t)) OVER (
+               PARTITION BY source
+               ORDER BY {_bucket_sql(BUDGET_SALT)}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents))
+    WHERE cum_excl < {_BUDGET_CASE_SQL}
+    """,
+    "Per-domain token-budget sampling (mixture building): docs in "
+    "deterministic hash order per domain, kept iff the domain budget "
+    "was not exhausted when the doc started — >=1 doc per domain "
+    "guaranteed, membership a pure function of (corpus, budgets, "
+    "salt). One window per domain, no global sort, no rand().",
+)
+def q_docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.token_budget_sample(
+        docs, TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT, salt=BUDGET_SALT
+    )
+
+
 @register(
     "docs_domain_mix",
     f"""

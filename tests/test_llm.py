@@ -409,3 +409,38 @@ def test_repetition_rowwise_equals_groupby_form(spark):
         "doc_id", F.col("passes_repetition_filter").alias("p1"))
     b = docs.select("doc_id", repetition_pass_rowwise("text").alias("p2"))
     assert a.join(b, "doc_id").filter(F.col("p1") != F.col("p2")).count() == 0
+
+
+def test_token_budget_sample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.llm.pipeline import token_budget_sample
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    budgets, default = {"src0": 1000, "src1": 300}, 600
+    out = token_budget_sample(docs, budgets, default).collect()
+    domains_in = {r.source for r in docs.select("source").distinct().collect()}
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    # >=1 doc per domain survives, even a lone over-budget one
+    assert set(by_dom) == domains_in
+    for dom, rows in by_dom.items():
+        budget = budgets.get(dom, default)
+        for r in rows:
+            # starts-within rule: budget not exhausted when doc began
+            assert r.cum_tokens - r.n_tokens < budget, (dom, r)
+        # cum_tokens is a consistent running sum in some order
+        rows = sorted(rows, key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run, (dom, r)
+    # deterministic: second run identical
+    again = token_budget_sample(docs, budgets, default).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a doc NOT kept implies its start position was past the budget:
+    # total kept tokens per domain >= budget requires the last kept doc
+    # to straddle; spot-check src1 (smallest budget) actually filtered
+    n_src1_all = docs.filter(F.col("source") == "src1").count()
+    assert len(by_dom.get("src1", [])) < n_src1_all
