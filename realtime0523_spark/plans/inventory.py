@@ -1160,6 +1160,42 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_topk",
+    f"""
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2))
+    WHERE rk <= 3
+    """,
+    "Streaming T2+O3: trending top-3 event types per hour window. The "
+    "stream maintains watermarked per-(window, key) counts (bounded "
+    "state); the rank is a batch post-pass over FINALIZED windows — "
+    "rank inside a streaming plan is ill-defined until the window "
+    "closes, so the split is the semantics, not a workaround.",
+)
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.windowed import (
+        streaming_windowed_counts,
+        topk_per_window,
+    )
+
+    counts = run_to_memory(
+        streaming_windowed_counts(stream_table(spark, sf_dir, "events")),
+        output_mode="complete",
+    )
+    return topk_per_window(counts, 3).select(
+        "window_start", "event_type", "n_events", "rk"
+    )
+
+
+@register(
     "stream_sliding_counts",
     f"""
     SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 900) * 900

@@ -57,3 +57,28 @@ def streaming_windowed_counts(
             "sum_value",
         )
     )
+
+
+def topk_per_window(counts: DataFrame, k: int) -> DataFrame:
+    """Trending top-k per finalized window (O3 on streams): rank the
+    drained windowed counts by (n_events desc, key asc) within each
+    window and keep k.
+
+    Rank functions cannot run INSIDE a streaming plan (a row's rank is
+    unstable until its window finalizes), so the correct streaming
+    formulation is exactly this split: the stream maintains the
+    watermarked per-(window, key) counts — bounded state, incremental —
+    and the rank is a batch post-pass over finalized windows. At 100 TB
+    the post-pass input is |windows| × |keys| aggregate rows, not
+    events; on a live pipeline it runs per trigger in foreachBatch over
+    the update stream's finalized windows."""
+    from realtime0523_spark.operators.windows import topk_per_group
+
+    key = [c for c in counts.columns if c not in ("window_start", "n_events", "sum_value")]
+    return topk_per_group(
+        counts,
+        "window_start",
+        [F.desc("n_events"), *[F.col(c) for c in key]],
+        k,
+        rank_col="rk",
+    )
