@@ -75,10 +75,12 @@ def _ensure_full_registry() -> None:
 # order at the end.
 _PRIORITY: list[str] = [
     # Round 4 group A — never driver-checked before this round
-    # (round-2/3 additions that landed past the window).
+    # (round-2/3 additions that landed past the window, plus the two
+    # operators ADDED in round 4).
     "scd2_history", "emb_label_centroids", "docs_corpus_prep",
     "media_resize", "media_frames", "docs_bpe_tokens",
     "stream_docs_ingest", "emb_ann_recall",
+    "docs_token_budget_sample", "stream_windowed_topk",
     # Round 4 group B — the r3 timestamp-unit regression set: green in
     # r2, red in r3, restored by the footer-probe fix; these rows prove
     # the restoration.
@@ -102,14 +104,15 @@ _PRIORITY: list[str] = [
     "docs_exact_dedup", "docs_ngram_jaccard", "docs_minhash_lsh",
     "docs_simhash", "emb_cosine_topk", "emb_dedup_pairs",
     "media_features", "docs_fingerprint", "docs_pii_redact",
-    "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
-    "docs_repetition",
-    # Rotated out this round (driver-green r1-r3, code unchanged):
-    # router_filter, router_fanout, acct_bucket, priority_decode,
+    "docs_dedup_clusters", "docs_dedup_keep_best",
+    # Rotated out this round (driver-green r1-r3, code unchanged, all
+    # still repo-gate-checked every round): router_filter,
+    # router_fanout, acct_bucket, priority_decode,
     # customers_with_orders, customers_never_ordered, docs_token_stats,
     # docs_lang_guess, docs_quality, top_tokens, docs_train_split,
     # docs_stratified_sample, docs_contamination, docs_pack_sequences,
-    # docs_domain_mix + the r1-green TPC-H-style rollup family.
+    # docs_domain_mix, docs_dedup_filter, docs_repetition + the
+    # r1-green TPC-H-style rollup family.
 ]
 
 
