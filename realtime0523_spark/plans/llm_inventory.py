@@ -796,6 +796,58 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_sequences(docs, budget=PACK_BUDGET, salt=PACK_SALT)
 
 
+_QUALITY_SCORE_SQL = f"""
+      SELECT doc_id, source,
+             greatest(0.0, least(1.0,
+               0.05 * CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t)
+               + CAST(len(regexp_extract_all(text, '{X.LANG_PATTERNS['en']}')) AS DOUBLE) / len(t)
+               - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)))
+               AS quality_score
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+"""
+
+
+@register(
+    "docs_quality_filter",
+    f"""
+    SELECT doc_id, source, {_r9('quality_score')} AS quality_score,
+           {_r9('source_median')} AS source_median
+    FROM (
+      SELECT doc_id, source, quality_score,
+             quantile_cont(quality_score, 0.5) OVER (PARTITION BY source)
+               AS source_median
+      FROM ({_QUALITY_SCORE_SQL}))
+    WHERE quality_score >= source_median
+    """,
+    "Quality pruning relative to the DOMAIN, not a global constant: "
+    "keep documents at or above their source's median quality score "
+    "(exact linear-interpolated percentile as a window — one shuffle "
+    "on the domain key; at 100 TB swap the exact window for "
+    "approx_percentile per domain, an aggregation-then-broadcast). "
+    "Filter compares RAW doubles (identical arithmetic both engines); "
+    "outputs are 9dp-rounded for the hash.",
+)
+def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    feats = X.quality_features("text")
+    scored = docs.select(
+        "doc_id", "source", feats["quality_score"].alias("quality_score")
+    )
+    med = F.expr("percentile(quality_score, 0.5)").over(W.partitionBy("source"))
+    return (
+        scored.withColumn("source_median", med)
+        .filter(F.col("quality_score") >= F.col("source_median"))
+        .select(
+            "doc_id",
+            "source",
+            r9(F.col("quality_score")).alias("quality_score"),
+            r9(F.col("source_median")).alias("source_median"),
+        )
+    )
+
+
 TOKEN_BUDGETS = {"src0": 1000, "src1": 300}
 TOKEN_BUDGET_DEFAULT = 600
 BUDGET_SALT = "budget-v1"

@@ -444,3 +444,21 @@ def test_token_budget_sample_invariants(spark):
     # to straddle; spot-check src1 (smallest budget) actually filtered
     n_src1_all = docs.filter(F.col("source") == "src1").count()
     assert len(by_dom.get("src1", [])) < n_src1_all
+
+
+def test_quality_filter_keeps_at_or_above_source_median(spark):
+    from realtime0523_spark.plans import REGISTRY
+
+    out = REGISTRY["docs_quality_filter"].fn(spark, SF_SMOKE).collect()
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    n_by_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept: dict = {}
+    for r in out:
+        kept.setdefault(r.source, []).append(r)
+        assert r.quality_score >= r.source_median, r
+    for src, rows in kept.items():
+        # median gate keeps at least half (>= is inclusive), never all
+        # unless scores tie across the whole source
+        assert len(rows) >= n_by_src[src] / 2, src
+        meds = {r.source_median for r in rows}
+        assert len(meds) == 1, (src, meds)  # one median per source
