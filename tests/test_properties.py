@@ -195,3 +195,52 @@ def test_connected_components_matches_union_find(spark, edges):
         r.doc_id: r.cluster_id for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@st.composite
+def doc_corpora(draw):
+    """Tiny corpora across 1-4 domains with 0-8 whitespace tokens per
+    doc (empty docs included — zero tokens must never consume budget)."""
+    rows = []
+    doc_id = 0
+    for dom in range(draw(st.integers(1, 4))):
+        for _ in range(draw(st.integers(1, 6))):
+            n_tok = draw(st.integers(0, 8))
+            rows.append((doc_id, f"d{dom}", " ".join(f"w{i}" for i in range(n_tok))))
+            doc_id += 1
+    return rows
+
+
+@given(doc_corpora(), st.integers(1, 12))
+@settings(**PROP_SETTINGS)
+def test_token_budget_sample_pure_python_oracle(spark, rows, budget):
+    """Membership must equal the brute-force Python replay: per domain,
+    docs in (md5-bucket, id) order, kept while consumed < budget —
+    for EVERY corpus shape, including empty docs and lone over-budget
+    docs."""
+    import hashlib
+
+    from realtime0523_spark.llm.pipeline import BUCKETS, token_budget_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(df, {}, budget, salt="prop").collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}:prop".encode()).hexdigest()
+        return int(h[:8], 16) % BUCKETS
+
+    want = {}
+    by_dom: dict[str, list] = {}
+    for doc_id, dom, text in rows:
+        by_dom.setdefault(dom, []).append((doc_id, len(text.split())))
+    for dom, docs in by_dom.items():
+        docs.sort(key=lambda d: (bucket(d[0]), d[0]))
+        consumed = 0
+        for doc_id, n_tok in docs:
+            if consumed < budget:
+                want[doc_id] = (n_tok, consumed + n_tok)
+            consumed += n_tok
+    assert got == want

@@ -71,6 +71,15 @@ AUDITED: dict[str, str] = {
         "UDF closure (a broadcast); assignment is map-only; candidates "
         "come from a broadcast equi-join on the probed cell"
     ),
+    "docs_token_budget_sample": (
+        "one running-sum window per domain partition — a single hash "
+        "exchange on the domain key, no global sort"
+    ),
+    "docs_quality_filter": (
+        "score is a per-row map; the median is one exact-percentile "
+        "window on the domain key (100 TB swap: approx_percentile "
+        "aggregate + broadcast)"
+    ),
 }
 
 
