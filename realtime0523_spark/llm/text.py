@@ -129,6 +129,50 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def chunk_tokens(
+    docs,
+    chunk_size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Token-window chunking with overlap — the pretraining/RAG
+    preprocessing step that turns long documents into fixed-size
+    training/index units. Chunk k covers tokens [k·stride,
+    k·stride + chunk_size); starts are every `stride` tokens while
+    they fall inside the document, so consecutive chunks overlap by
+    chunk_size - stride tokens and the final chunk may run short.
+    Zero-token documents emit nothing.
+
+    Per-row explode of ≤ ceil(n/stride) starts then a slice — a pure
+    map (no shuffle); output volume is the corpus × chunk_size/stride
+    overlap factor, the expected cost of overlap itself."""
+    if chunk_size <= 0 or stride <= 0 or stride > chunk_size:
+        raise ValueError(
+            f"need 0 < stride <= chunk_size, got chunk_size={chunk_size} stride={stride}"
+        )
+    t = F.col("__t")
+    n = F.size(t)
+    last_start = (n - 1) - F.pmod(n - 1, F.lit(stride))
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .filter(n > 0)
+        .select(
+            id_col,
+            "__t",
+            F.explode(F.sequence(F.lit(0), last_start, F.lit(stride))).alias("__s"),
+        )
+        .select(
+            id_col,
+            (F.col("__s") / stride).cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_size), n - F.col("__s")).alias("chunk_n_tokens"),
+            F.array_join(F.slice(t, F.col("__s") + 1, chunk_size), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
     """Word n-grams WITH multiplicity (repetition analysis needs the
     counts that `word_shingles` deliberately collapses). Same

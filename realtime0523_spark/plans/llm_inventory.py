@@ -848,6 +848,31 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "docs_chunk",
+    f"""
+    SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(least({CHUNK_SIZE}, n - s) AS INT) AS chunk_n_tokens,
+           array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM (SELECT doc_id, t, len(t) AS n
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+          WHERE len(t) > 0),
+         LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s)
+    """,
+    f"Token-window chunking ({CHUNK_SIZE} tokens, stride "
+    f"{CHUNK_STRIDE}, {CHUNK_SIZE - CHUNK_STRIDE}-token overlap) — "
+    "long documents into fixed-size training/index units; a pure "
+    "per-row explode+slice map, no shuffle.",
+)
+def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return X.chunk_tokens(docs, CHUNK_SIZE, CHUNK_STRIDE)
+
+
 TOKEN_BUDGETS = {"src0": 1000, "src1": 300}
 TOKEN_BUDGET_DEFAULT = 600
 BUDGET_SALT = "budget-v1"

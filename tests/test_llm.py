@@ -462,3 +462,34 @@ def test_quality_filter_keeps_at_or_above_source_median(spark):
         assert len(rows) >= n_by_src[src] / 2, src
         meds = {r.source_median for r in rows}
         assert len(meds) == 1, (src, meds)  # one median per source
+
+
+def test_chunk_tokens_reconstruction_and_edges(spark):
+    from realtime0523_spark.llm.text import chunk_tokens
+
+    C, S = 5, 3
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),   # 8 tokens -> starts 0,3,6
+         (2, "x y"),               # shorter than one chunk
+         (3, "")],                 # zero tokens -> nothing
+        "doc_id long, text string",
+    )
+    rows = chunk_tokens(docs, C, S).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [(r.chunk_id, r.chunk_text) for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [
+        (0, "a b c d e"), (1, "d e f g h"), (2, "g h")]
+    assert [(r.chunk_id, r.chunk_n_tokens, r.chunk_text) for r in by_doc[2]] == [(0, 2, "x y")]
+    # stitching chunk 0 plus each later chunk's non-overlap tail
+    # reproduces the exact token stream
+    for did, text in ((1, "a b c d e f g h"), (2, "x y")):
+        cs = sorted(by_doc[did], key=lambda r: r.chunk_id)
+        toks: list = []
+        for r in cs:
+            ct = r.chunk_text.split(" ")
+            toks.extend(ct if r.chunk_id == 0 else ct[C - S:])
+        assert toks == text.split()
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(docs, 4, 5)
