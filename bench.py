@@ -50,6 +50,17 @@ def _release_query_state(spark) -> None:
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:
         pass  # internal API; timing hygiene only — never fail the bench
+    # Collect the previous query's garbage OUTSIDE the next timed
+    # window: in one long-lived 64 GiB-heap JVM, G1 otherwise defers
+    # mixed collections until they land mid-measurement (observed: a
+    # 4 s streaming drain ballooning to 12 s with 3.4 s of GC inside
+    # it; with this, six repeats hold 3.6-4.9 s). Real deployments
+    # don't run 160 unrelated queries sequentially in one JVM — this
+    # makes each measurement hermetic, same as the cache/state drops.
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _host_contention() -> dict[str, float]:
