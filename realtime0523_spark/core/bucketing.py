@@ -40,3 +40,37 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the executed plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def cobucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    require_no_shuffle: bool = True,
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys. With
+    `require_no_shuffle` (default) the call REFUSES a plan that
+    re-shuffles either side — the loud version of the co-location
+    contract: a bucket-count or key mismatch fails fast instead of
+    silently re-paying the shuffle every run."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    joined = left.join(right, left[left_key] == right[right_key])
+    if require_no_shuffle:
+        n = exchange_count(joined)
+        if n:
+            raise RuntimeError(
+                f"join of {left_table} ⋈ {right_table} plans {n} shuffle "
+                f"exchange(s) — the tables are not co-bucketed on the join "
+                f"key (same bucket count, same key both sides). Rewrite "
+                f"the bucketed tables or drop require_no_shuffle."
+            )
+    return joined

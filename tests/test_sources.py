@@ -147,17 +147,18 @@ def test_kafka_stream_requires_connector_or_loads(spark):
 # --- bucketed co-located joins ----------------------------------------
 
 
-def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
-    """Bucketing both sides by the join key pays the shuffle once at
-    write time: the subsequent join must plan ZERO exchanges (and with
-    sorted buckets, zero per-task sorts of the bucketed side). A
-    bucket-count mismatch must refuse loudly, not silently shuffle."""
-    from realtime0523_spark.core.catalog import Catalog
-    from realtime0523_spark.sources.bucketed import (
+def test_cobucketed_join_real_tables_and_mismatch_guard(spark, tmp_path):
+    """Complements tests/test_scale_plans.py::test_bucketed_join_is_
+    shuffle_free (synthetic ids): on the REAL header x detail tables
+    the co-bucketed join must plan zero exchanges AND return the same
+    answer as the shuffled join; a bucket-count mismatch must refuse
+    loudly (cobucketed_join's contract), not silently shuffle."""
+    from realtime0523_spark.core.bucketing import (
         cobucketed_join,
         exchange_count,
         write_bucketed,
     )
+    from realtime0523_spark.core.catalog import Catalog
     from tests.conftest import SF_SMOKE
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -166,11 +167,11 @@ def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
     try:
         write_bucketed(
             cat.table("orders").select("o_orderkey", "o_totalprice"),
-            "t_orders_b8", "o_orderkey", 8,
+            "t_orders_b8", 8, "o_orderkey", sort_cols="o_orderkey",
         )
         write_bucketed(
             cat.table("lineitem").select("l_orderkey", "l_extendedprice"),
-            "t_lineitem_b8", "l_orderkey", 8,
+            "t_lineitem_b8", 8, "l_orderkey", sort_cols="l_orderkey",
         )
         joined = cobucketed_join(
             spark, "t_orders_b8", "t_lineitem_b8", "o_orderkey", "l_orderkey"
@@ -187,7 +188,7 @@ def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
         # mismatched bucket counts re-shuffle -> must refuse
         write_bucketed(
             cat.table("lineitem").select("l_orderkey", "l_extendedprice"),
-            "t_lineitem_b4", "l_orderkey", 4,
+            "t_lineitem_b4", 4, "l_orderkey", sort_cols="l_orderkey",
         )
         with pytest.raises(RuntimeError, match="not co-bucketed"):
             cobucketed_join(
