@@ -143,60 +143,25 @@ def _footer_file(path: str) -> str:
     return path
 
 
-def nano_ts_cols(path: str, schema: T.StructType) -> list[str]:
-    """Which of `schema`'s TimestampType columns are physically stored
-    as INT64 TIMESTAMP(NANOS) in the footer at `path`. Columns at
-    us/ms/s precision — and legacy INT96 timestamps, which pyarrow
-    also reports as timestamp[ns] but Spark reads natively — are NOT
-    returned (the nanosAsLong escape hatch applies to INT64 nanos
-    only)."""
+def probe_ts_cols(path: str, schema: T.StructType, table: str) -> list[str]:
+    """One footer open per table load: validates timestamp sanity
+    (raises on garbage) and returns the columns needing the
+    INT64-nanos read path. `nano_ts_cols` / `assert_ts_sanity` are
+    thin views of this — use probe_ts_cols on load paths so the footer
+    (a full round-trip on object stores) is opened once, not 3-4×."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     declared = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
     if not declared:
         return []
-    footer = _footer_file(path)
-    arrow_schema = pq.read_schema(footer)
-    md_schema = pq.ParquetFile(footer).metadata.schema
-    physical = {
-        md_schema.column(i).name: md_schema.column(i).physical_type
-        for i in range(len(arrow_schema.names))
-    }
-    nanos = []
-    for name in declared:
-        if name in arrow_schema.names:
-            typ = arrow_schema.field(name).type
-            if (
-                pa.types.is_timestamp(typ)
-                and typ.unit == "ns"
-                and physical.get(name) == "INT64"
-            ):
-                nanos.append(name)
-    return nanos
+    pf = pq.ParquetFile(_footer_file(path))
+    arrow_schema = pf.schema_arrow
+    md = pf.metadata
 
-
-def assert_ts_sanity(path: str, schema: T.StructType, table: str) -> None:
-    """Load-time tripwire: fail LOUDLY at registration if a registered
-    timestamp column's footer min-statistic lands near the 1970 epoch.
-
-    A wrong unit assumption (or a corrupted fixture regeneration) shows
-    up as every timestamp collapsing toward 1970 (micros divided as if
-    nanos land on 1970-01-20; nanos read as micros land inside 1970);
-    without this check it surfaces only as opaque hash mismatches six
-    queries downstream. The 1975 threshold is far above any unit
-    mix-up yet below legitimately historical data (TPC-H dates start in
-    1992). Footer statistics are metadata-only, so the check is free
-    even on a 100 TB table."""
-    import pyarrow.parquet as pq
-
-    declared = {f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)}
-    if not declared:
-        return
-    import pyarrow as pa
-
-    footer = _footer_file(path)
-    arrow_schema = pq.read_schema(footer)
+    # sanity 1: a TimestampType column stored as a raw integer with no
+    # timestamp logical type has an unknowable unit — refuse at load
+    # with a clear message, not a mid-query executor crash.
     for name in declared:
         if name in arrow_schema.names and pa.types.is_integer(arrow_schema.field(name).type):
             raise ValueError(
@@ -206,24 +171,58 @@ def assert_ts_sanity(path: str, schema: T.StructType, table: str) -> None:
                 f"with real parquet timestamps (any unit works; it is "
                 f"probed), or load the column as a long explicitly."
             )
-    md = pq.ParquetFile(footer).metadata
-    arrow_names = [md.schema.column(i).name for i in range(md.num_columns)]
-    rg = md.row_group(0)
-    for i, name in enumerate(arrow_names):
-        if name not in declared:
-            continue
-        stats = rg.column(i).statistics
-        if stats is None or not stats.has_min_max:
-            continue
-        lo = stats.min
-        year = getattr(lo, "year", None)
-        if year is not None and year < 1975:
-            raise ValueError(
-                f"{table}.{name}: parquet footer min statistic is {lo!r} "
-                f"(near the 1970 epoch). This usually means the fixture was "
-                f"written with a different timestamp unit than expected — "
-                f"refusing to load garbage timestamps."
-            )
+
+    # sanity 2: epoch-collapse tripwire. A wrong unit shows up as every
+    # timestamp near 1970 (micros divided as nanos → 1970-01-20; nanos
+    # read as micros → inside 1970); 1975 is far above any unit mix-up
+    # yet below legitimately historical data (TPC-H dates start 1992).
+    # Footer statistics are metadata-only — free at any table size.
+    if md.num_row_groups > 0:
+        rg = md.row_group(0)
+        arrow_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for i, name in enumerate(arrow_names):
+            if name not in declared:
+                continue
+            stats = rg.column(i).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            year = getattr(stats.min, "year", None)
+            if year is not None and year < 1975:
+                raise ValueError(
+                    f"{table}.{name}: parquet footer min statistic is "
+                    f"{stats.min!r} (near the 1970 epoch). This usually "
+                    f"means the fixture was written with a different "
+                    f"timestamp unit than expected — refusing to load "
+                    f"garbage timestamps."
+                )
+
+    # unit probe: only INT64 TIMESTAMP(NANOS) needs the nanosAsLong
+    # escape hatch. Legacy INT96 also surfaces as timestamp[ns] in
+    # pyarrow but Spark reads it natively.
+    physical = {
+        md.schema.column(i).name: md.schema.column(i).physical_type
+        for i in range(md.num_columns)
+    }
+    return [
+        name
+        for name in declared
+        if name in arrow_schema.names
+        and pa.types.is_timestamp(arrow_schema.field(name).type)
+        and arrow_schema.field(name).type.unit == "ns"
+        and physical.get(name) == "INT64"
+    ]
+
+
+def nano_ts_cols(path: str, schema: T.StructType) -> list[str]:
+    """Which of `schema`'s TimestampType columns need the INT64-nanos
+    read path (see probe_ts_cols)."""
+    return probe_ts_cols(path, schema, table="<unnamed>")
+
+
+def assert_ts_sanity(path: str, schema: T.StructType, table: str) -> None:
+    """Run only the sanity checks of probe_ts_cols (raises on garbage
+    timestamps; see there for the rules)."""
+    probe_ts_cols(path, schema, table)
 
 # Dimension tables small enough to broadcast at any scale factor
 # (mirrors the reference's hand-built broadcast of province/sku dims,
@@ -259,8 +258,7 @@ class Catalog:
         if name not in self._cache:
             schema = TABLES[name]
             path = f"{self.sf_dir}/{name}.parquet"
-            assert_ts_sanity(path, schema, name)
-            ts_cols = nano_ts_cols(path, schema)
+            ts_cols = probe_ts_cols(path, schema, name)
             if ts_cols:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 physical = T.StructType(

@@ -181,15 +181,25 @@ def _plane_component(bit: int, dim: int) -> float:
     return v / LCG_M - 0.5
 
 
+def _r9_np(x):
+    """Round-half-up at 9 dp (numpy) — the same quantization the SQL
+    twins apply, so cross-engine float-sum-order differences (pairwise
+    vs sequential, ≤1 ulp) can never flip a bucketing decision."""
+    import numpy as np
+
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
 def lsh_bucket(vec: Column, dims: int, bits: int = LSH_BITS, table: int = 0) -> Column:
     """Bucket id = sign bits of `bits` hyperplane projections; each
-    hash table uses a disjoint hyperplane family."""
+    hash table uses a disjoint hyperplane family. The sign decision is
+    taken on the 9dp-quantized projection (see _r9_np)."""
     total = F.lit(0).cast("bigint")
     for i in range(bits):
         plane = F.array(
             *[F.lit(_plane_component(table * bits + i, d)) for d in range(dims)]
         )
-        proj = _dot(vec, plane)
+        proj = F.floor(_dot(vec, plane) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
         total = total + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
     return total
 
@@ -204,9 +214,12 @@ def _lsh_table_entries(
     All `tables*bits` projections are one Arrow-batched numpy matmul
     (a Pandas UDF): higher-order array functions are interpreted
     per-element in Spark, and profiling showed the 32-plane fold
-    dominating the ANN path. Bucket ids are sign bits, so the
-    float-backend difference vs the JVM fold is immaterial (ANN output
-    is approximate by contract; recall is asserted in tests)."""
+    dominating the ANN path. Since round 4 the index carries an EXACT
+    SQL oracle, so bucket membership must be engine-independent: the
+    sign decision runs on the 9dp-quantized projection (numpy pairwise
+    sums vs a SQL sequential fold differ by ≤1 ulp on 64-dim dots,
+    which quantization absorbs — same discipline as the score
+    ranks)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
@@ -225,7 +238,7 @@ def _lsh_table_entries(
     @F.pandas_udf(ArrayType(LongType()))
     def bucket_ids(v):
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dims)
-        proj = mat @ planes.T  # (n, tables*bits)
+        proj = _r9_np(mat @ planes.T)  # (n, tables*bits), quantized
         bits_m = (proj > 0).reshape(len(v), tables, bits)
         ids = (bits_m * weights).sum(axis=2).astype(np.int64)  # (n, tables)
         return pd.Series(list(ids))
@@ -344,11 +357,13 @@ def _nearest_cells_udf(centroids: np.ndarray, nprobe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(v):
-        mat = _mat(v)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ cent.T  # (n, n_cells)
-        # stable sort: exact-equal dots break ties by cell index, the
-        # same order the SQL twin's (dot DESC, cell ASC) rank uses
+        # raw dots, not normalized-cosine: centroids are unit-norm so
+        # the rank is identical, and the SQL twin quantizes the SAME
+        # quantity — normalizing here would round a different value
+        # and let tie patterns diverge across engines
+        sims = _r9_np(_mat(v) @ cent.T)  # (n, n_cells), quantized
+        # stable sort: quantize-equal dots break ties by cell index,
+        # the same order the SQL twin's (dot DESC, cell ASC) rank uses
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(top))
 

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "media_resize", "media_frames", "docs_bpe_tokens",
     "stream_docs_ingest", "emb_ann_recall",
     "docs_token_budget_sample", "stream_windowed_topk",
+    "docs_quality_filter", "docs_chunk",
     # Round 4 group B — the r3 timestamp-unit regression set: green in
     # r2, red in r3, restored by the footer-probe fix; these rows prove
     # the restoration.
@@ -102,8 +103,8 @@ _PRIORITY: list[str] = [
     "stream_brand_amount", "stream_dwd_order",
     # LLM dedup / similarity / multimodal.
     "docs_exact_dedup", "docs_ngram_jaccard", "docs_minhash_lsh",
-    "docs_simhash", "emb_cosine_topk", "emb_dedup_pairs",
-    "media_features", "docs_fingerprint", "docs_pii_redact",
+    "emb_cosine_topk", "emb_dedup_pairs",
+    "media_features", "docs_pii_redact",
     "docs_dedup_clusters", "docs_dedup_keep_best",
     # Rotated out this round (driver-green r1-r3, code unchanged, all
     # still repo-gate-checked every round): router_filter,
@@ -111,8 +112,9 @@ _PRIORITY: list[str] = [
     # customers_with_orders, customers_never_ordered, docs_token_stats,
     # docs_lang_guess, docs_quality, top_tokens, docs_train_split,
     # docs_stratified_sample, docs_contamination, docs_pack_sequences,
-    # docs_domain_mix, docs_dedup_filter, docs_repetition + the
-    # r1-green TPC-H-style rollup family.
+    # docs_domain_mix, docs_dedup_filter, docs_repetition,
+    # docs_fingerprint, docs_simhash + the r1-green TPC-H-style
+    # rollup family.
 ]
 
 

@@ -402,7 +402,7 @@ _LSH_BUCKETS_CTE = f"""
       FROM range(0, {S.LSH_TABLES * S.LSH_BITS}) tb(b), range(0, {EMB_DIMS}) td(d)),
     lshbuckets AS (
       SELECT vec_id, tbl,
-             sum(CASE WHEN pr > 0 THEN (1 << bit) ELSE 0 END) AS bucket
+             sum(CASE WHEN {_r9('pr')} > 0 THEN (1 << bit) ELSE 0 END) AS bucket
       FROM (SELECT e.vec_id,
                    CAST(p.b // {S.LSH_BITS} AS INT) AS tbl,
                    CAST(p.b % {S.LSH_BITS} AS INT) AS bit,
@@ -466,13 +466,13 @@ _IVF_ANN_CTES = f"""
       SELECT vec_id, label AS cell FROM (
         SELECT vec_id, label,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dot DESC, label) AS rn
+                                  ORDER BY {_r9('dot')} DESC, label) AS rn
         FROM ivfdot) WHERE rn = 1),
     ivfprobe AS (
       SELECT vec_id AS qid, label AS cell FROM (
         SELECT vec_id, label,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dot DESC, label) AS rn
+                                  ORDER BY {_r9('dot')} DESC, label) AS rn
         FROM ivfdot WHERE vec_id < {TOPK_QUERIES}) WHERE rn <= {IVF_NPROBE}),
     ivfcand AS (
       SELECT DISTINCT p.qid, a.vec_id
@@ -796,10 +796,14 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_sequences(docs, budget=PACK_BUDGET, salt=PACK_SALT)
 
 
+# NB: 0.05 * (sum/len), never (0.05*sum)/len — the parenthesization
+# must match Spark's quality_features (avg first, then scale) because
+# the filter below compares RAW doubles; the two associations differ
+# by 1 ulp for ~1/3 of inputs.
 _QUALITY_SCORE_SQL = f"""
       SELECT doc_id, source,
              greatest(0.0, least(1.0,
-               0.05 * CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t)
+               0.05 * (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t))
                + CAST(len(regexp_extract_all(text, '{X.LANG_PATTERNS['en']}')) AS DOUBLE) / len(t)
                - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)))
                AS quality_score

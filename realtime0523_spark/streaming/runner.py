@@ -45,8 +45,14 @@ def _stream_shuffle(spark: SparkSession, no_data_batches: bool = True):
     prev_ndb = spark.conf.get(ndb_key)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
+    # the watermark-drop audit reads recentProgress after the drain;
+    # the default retention (100) would silently hide drops in longer
+    # drains (e.g. maxFilesPerTrigger=1 over many files)
+    recent_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_recent = spark.conf.get(recent_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.conf.set(ndb_key, str(no_data_batches).lower())
+    spark.conf.set(recent_key, "100000")
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
     try:
@@ -54,6 +60,10 @@ def _stream_shuffle(spark: SparkSession, no_data_batches: bool = True):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(ndb_key, prev_ndb)
+        if prev_recent is not None:
+            spark.conf.set(recent_key, prev_recent)
+        else:
+            spark.conf.unset(recent_key)
         if prev_provider is not None:
             spark.conf.set(provider_key, prev_provider)
         else:
@@ -118,9 +128,11 @@ def run_to_memory(
         if trigger_seconds is not None:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         q = writer.start()
-        q.processAllAvailable()
-        _check_drops(q, forbid_watermark_drops)
-        q.stop()
+        try:
+            q.processAllAvailable()
+            _check_drops(q, forbid_watermark_drops)
+        finally:
+            q.stop()  # also on the refusal path — never leak a live query
     return spark.table(name)
 
 
@@ -140,6 +152,8 @@ def run_foreach_batch(
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         q = writer.start()
-        q.processAllAvailable()
-        _check_drops(q, forbid_watermark_drops)
-        q.stop()
+        try:
+            q.processAllAvailable()
+            _check_drops(q, forbid_watermark_drops)
+        finally:
+            q.stop()  # also on the refusal path — never leak a live query

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realtime0523_spark.core.catalog import TABLES, assert_ts_sanity, nano_ts_cols
+from realtime0523_spark.core.catalog import TABLES, probe_ts_cols
 
 # Maxwell-style CDC envelope (reference scala/…/ods/KafkaToODS_M.scala:38-52):
 # `table`/`type` route the record, `data` is the row payload. `data` is
@@ -40,8 +40,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never assumed."""
     schema = TABLES[name]
     path = f"{sf_dir}/{name}.parquet"
-    assert_ts_sanity(path, schema, name)
-    ts_cols = nano_ts_cols(path, schema)
+    ts_cols = probe_ts_cols(path, schema, name)
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         physical = T.StructType(
