@@ -60,6 +60,9 @@ PROBES = [
     "emb_ann_lsh",         # bucketed candidate join (r4: exact-oracle twin)
     "emb_ann_ivf",         # broadcast-centroid cell probe (r4)
     "docs_dedup_clusters", # iterative label propagation w/ checkpoint release (r4)
+    "docs_chunk",          # per-row explode+slice map, no shuffle (r4)
+    "docs_token_budget_sample",  # one window per domain partition (r4)
+    "docs_quality_filter", # per-row score + one percentile window (r4)
 ]
 
 
