@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from realtime0523_spark.llm.dedup import md5_int32
-from realtime0523_spark.llm.text import token_count, word_shingles
+from realtime0523_spark.llm.text import token_count, tokens, word_shingles
 
 # hash-bucket resolution for split/sample fractions: 1/10000ths
 BUCKETS = 10_000
@@ -258,6 +258,66 @@ def token_budget_sample(
             domain_col,
             "n_tokens",
             (F.col("cum_excl") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
+def lm_bigram_logprob(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained add-k bigram LM score per document — the
+    perplexity-style quality filter (CCNet trains a LM and drops
+    high-perplexity docs; here the corpus is its own LM, no external
+    model). Per doc: the mean log P(w2|w1) over its adjacent token
+    pairs, P = (C(w1,w2)+k)/(C(w1)+k·V) with C counted over the WHOLE
+    corpus and V = distinct corpus tokens. Docs with <2 tokens emit
+    nothing (no bigram to score).
+
+    Shape at scale: one corpus-sized pair explode, two partial-agg'd
+    groupBys (|bigrams| and |vocab| results), then joins keyed on the
+    bigram/context — the count tables are vocabulary-sized, so at
+    100 TB they broadcast or bucket while the corpus streams through.
+    V is a single scalar (one countDistinct job at build), not a
+    collect of data."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    base = docs.select(F.col(id_col), t.alias("__t")).filter(n > 1)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+            )
+        ).alias("__bg"),
+    ).select(
+        id_col,
+        F.col("__bg").getField("0").alias("w1"),
+        F.col("__bg").getField("1").alias("w2"),
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = int(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+        or 0
+    )
+    logp = F.log(
+        (F.col("n2") + F.lit(k)) / (F.col("n1") + F.lit(k) * F.lit(float(vocab)))
+    )
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.avg(logp) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+                "avg_logp"
+            ),
         )
     )
 

@@ -852,6 +852,37 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_ADD_K = 0.5
+
+
+@register(
+    "docs_lm_score",
+    f"""
+    WITH lmtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    lmpairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM lmtoks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      WHERE len(t) > 1),
+    lmc2 AS (SELECT w1, w2, count(*) AS n2 FROM lmpairs GROUP BY w1, w2),
+    lmc1 AS (SELECT w1, count(*) AS n1 FROM lmpairs GROUP BY w1),
+    lmv AS (SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(t) AS tok FROM lmtoks))
+    SELECT doc_id, count(*) AS n_bigrams,
+           {_r9(f'avg(ln((n2 + {LM_ADD_K}) / (n1 + {LM_ADD_K} * v)))')} AS avg_logp
+    FROM lmpairs JOIN lmc2 USING (w1, w2) JOIN lmc1 USING (w1) CROSS JOIN lmv
+    GROUP BY doc_id
+    """,
+    "Corpus-trained add-k bigram LM score per doc (CCNet-style "
+    "perplexity quality filter, the corpus as its own LM): mean "
+    "log P(w2|w1) over each doc's adjacent pairs, counts over the "
+    "whole corpus. Two partial-agg'd count tables (vocabulary-sized) "
+    "joined back against the streaming pair explode; V is one scalar.",
+)
+def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.lm_bigram_logprob(docs, k=LM_ADD_K)
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 

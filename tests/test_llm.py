@@ -493,3 +493,25 @@ def test_chunk_tokens_reconstruction_and_edges(spark):
         assert toks == text.split()
     with pytest.raises(ValueError, match="stride"):
         chunk_tokens(docs, 4, 5)
+
+
+def test_lm_bigram_logprob_hand_computed(spark):
+    import math
+
+    from realtime0523_spark.llm.pipeline import lm_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_bigram_logprob(docs, k=0.5).collect()}
+    # corpus pairs: (a,b)x2, (b,a), (a,a); C1: a=3, b=1; V={a,b,x}=3
+    p_ba = (2 + 0.5) / (3 + 1.5)   # P(b|a)
+    p_ab = (1 + 0.5) / (1 + 1.5)   # P(a|b)
+    p_aa = (1 + 0.5) / (3 + 1.5)   # P(a|a)
+    assert 3 not in got  # a single token has no bigram to score
+    assert got[1].n_bigrams == 3
+    want1 = (2 * math.log(p_ba) + math.log(p_ab)) / 3
+    assert abs(got[1].avg_logp - want1) < 1e-8, (got[1].avg_logp, want1)
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].avg_logp - math.log(p_aa)) < 1e-8
