@@ -81,7 +81,7 @@ _PRIORITY: list[str] = [
     "media_resize", "media_frames", "docs_bpe_tokens",
     "stream_docs_ingest", "emb_ann_recall",
     "docs_token_budget_sample", "stream_windowed_topk",
-    "docs_quality_filter", "docs_chunk",
+    "docs_quality_filter", "docs_chunk", "docs_lm_score",
     # Round 4 group B — the r3 timestamp-unit regression set: green in
     # r2, red in r3, restored by the footer-probe fix; these rows prove
     # the restoration.
@@ -102,7 +102,7 @@ _PRIORITY: list[str] = [
     "stream_dedup_pairs", "stream_order_wide", "stream_first_seen",
     "stream_brand_amount", "stream_dwd_order",
     # LLM dedup / similarity / multimodal.
-    "docs_exact_dedup", "docs_ngram_jaccard", "docs_minhash_lsh",
+    "docs_exact_dedup", "docs_minhash_lsh",
     "emb_cosine_topk", "emb_dedup_pairs",
     "media_features", "docs_pii_redact",
     "docs_dedup_clusters", "docs_dedup_keep_best",
