@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from realtime0523_spark.llm.text import tokens
+
 # --- portable hashing constants (shared with the SQL oracle) ----------
 MINHASH_PRIME = 4294967291  # largest 32-bit prime
 MINHASH_PERMS = 16
@@ -36,6 +38,82 @@ def md5_int32(col: Column) -> Column:
     """First 8 md5 hex chars as an int in [0, 2^32) — the portable
     shingle/token hash (same expression exists in DuckDB)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window over the hash sequence, and keep each window's
+    minimum hash. Guarantee: any shared substring of ≥ k+w-1 tokens
+    between two documents yields at least one shared fingerprint —
+    SUBSTRING-level overlap detection, complementing MinHash's
+    set-level Jaccard (a reordered bag of the same words fools
+    winnowing but not MinHash, and vice versa for a long verbatim
+    quote inside otherwise-different docs).
+
+    Emits (doc, fingerprint) pairs, distinct per doc. Everything is
+    one per-row projection over token arrays — gram hashing, window
+    minima, distinct — so the corpus never shuffles here; density is
+    ~2/(w+1) of the gram count. Docs shorter than k+w-1 tokens emit
+    nothing (no full window)."""
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("__t")).filter(F.size(t) >= k + w - 1)
+    # per-row SQL-dialect expression: gram hashes then window minima —
+    # identical text to the DuckDB twin modulo function names
+    grams = (
+        f"transform(sequence(1, size(__t) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(array_join(slice(__t, i, {k}), ' ')), 1, 8), 16, 10) as bigint))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(__t) - {k + w - 2}), "
+        f"j -> array_min(slice({grams}, j, {w}))))"
+    )
+    return base.select(
+        id_col, F.explode(F.expr(sel)).alias("fingerprint")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    equi-join docs on the fingerprint value, count shared prints per
+    pair, keep pairs sharing ≥ `min_shared`.
+
+    Fingerprints present in more than `max_df` documents are dropped
+    BEFORE the join (boilerplate grams — the classic stop-print
+    filter): they pair everything with everything and carry no
+    near-dup signal, and the cap is what keeps the join's per-key
+    fan-out bounded at corpus scale (same role as LSH bucket width)."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    pruned = fp.join(rare, "fingerprint")
+    a = pruned.select(F.col("fingerprint"), F.col(id_col).alias("doc_a"))
+    b = pruned.select(F.col("fingerprint"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

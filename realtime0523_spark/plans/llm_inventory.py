@@ -852,6 +852,55 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 4       # tokens per gram
+WINNOW_W = 4       # grams per window
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 50
+
+
+@register(
+    "docs_winnow_pairs",
+    f"""
+    WITH wtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                   WHERE len({_TOKS}) >= {WINNOW_K + WINNOW_W - 1}),
+    wfp AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {WINNOW_K + WINNOW_W - 2} + 1),
+                 j -> list_aggregate(
+                        list_transform(range(j, j + {WINNOW_W}),
+                          i -> {_MD5_INT32_SQL.format(col=f"array_to_string(t[i:i+{WINNOW_K - 1}], ' ')")}),
+                        'min'))) AS fp
+        FROM wtoks)),
+    wrare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM wfp GROUP BY fp)
+              WHERE df <= {WINNOW_MAX_DF})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM (SELECT * FROM wfp WHERE fp IN (SELECT fp FROM wrare)) a
+    JOIN (SELECT * FROM wfp WHERE fp IN (SELECT fp FROM wrare)) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    "Winnowing near-dup pairs (MOSS, Schleimer et al. SIGMOD'03): "
+    f"min-hash of each {WINNOW_W}-gram window over {WINNOW_K}-token "
+    "gram hashes guarantees any shared substring of >= "
+    f"{WINNOW_K + WINNOW_W - 1} tokens yields a shared fingerprint — "
+    "SUBSTRING-level overlap, complementing MinHash's set-level "
+    "Jaccard. Fingerprints in more docs than the stop-print cap are "
+    "dropped before the equi-join (bounded per-key fan-out; the "
+    "LSH-bucket-width analog).",
+)
+def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return D.winnow_pairs(
+        docs,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+
+
 LM_ADD_K = 0.5
 
 

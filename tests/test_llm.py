@@ -515,3 +515,28 @@ def test_lm_bigram_logprob_hand_computed(spark):
     assert abs(got[1].avg_logp - want1) < 1e-8, (got[1].avg_logp, want1)
     assert got[2].n_bigrams == 1
     assert abs(got[2].avg_logp - math.log(p_aa)) < 1e-8
+
+
+def test_winnowing_guarantee_and_stop_prints(spark):
+    from realtime0523_spark.llm.dedup import winnow_fingerprints, winnow_pairs
+
+    k, w = 4, 4
+    shared = "the quick brown fox jumps over seven lazy dogs"  # 8 tokens >= k+w-1
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma delta"),
+         (2, f"unrelated prologue text here {shared} and a different ending"),
+         (3, "completely different content with no overlap at all whatsoever"),
+         (4, "tiny doc")],  # < k+w-1 tokens -> no fingerprints
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    assert fps.filter(F.col("doc_id") == 4).count() == 0
+    # the MOSS guarantee: a shared substring of >= k+w-1 tokens yields
+    # at least one shared fingerprint -> docs 1 and 2 must pair
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in winnow_pairs(docs, min_shared=1, max_df=50, k=k, w=w).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # stop-print cap: with max_df=1 every shared print is "too common"
+    # in a 2-doc overlap? no - df of shared prints is 2 > 1 -> dropped
+    assert winnow_pairs(docs, min_shared=1, max_df=1, k=k, w=w).count() == 0
