@@ -957,6 +957,34 @@ def q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_tokens(docs, CHUNK_SIZE, CHUNK_STRIDE)
 
 
+@register(
+    "stream_docs_chunk",
+    f"""
+    SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(least({CHUNK_SIZE}, n - s) AS INT) AS chunk_n_tokens,
+           array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM (SELECT doc_id, t, len(t) AS n
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+          WHERE len(t) > 0),
+         LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s)
+    """,
+    "Chunking on ingest: the same token-window chunker running on the "
+    "document STREAM — stateless per-row explode+slice, so it rides "
+    "any micro-batch trigger with no state store and no watermark; "
+    "drained output equals the batch chunker's (same oracle).",
+)
+def q_stream_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    return run_to_memory(
+        X.chunk_tokens(
+            stream_table(spark, sf_dir, "documents"), CHUNK_SIZE, CHUNK_STRIDE
+        ),
+        no_data_batches=False,  # stateless map: nothing to evict
+    )
+
+
 TOKEN_BUDGETS = {"src0": 1000, "src1": 300}
 TOKEN_BUDGET_DEFAULT = 600
 BUDGET_SALT = "budget-v1"
