@@ -42,10 +42,39 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _walk_physical(jplan):
+    """Yield every node of a physical plan tree. Descends through the
+    AQE wrappers that hide operators from ``children()``:
+    AdaptiveSparkPlanExec holds its CURRENT inner plan (initial before
+    execution, re-planned after) outside the child list, and a
+    materialized QueryStageExec wraps the exchange it replaced behind
+    ``plan()``."""
+    yield jplan
+    name = jplan.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(jplan.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk_physical(jplan.plan())
+        return
+    it = jplan.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next())
+
+
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the executed plan."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange hashpartitioning")
+    """Number of shuffle Exchange operators in the physical plan,
+    counted by walking the plan TREE and class-matching
+    ShuffleExchange* nodes — not by substring-matching the rendered
+    plan string, where a renderer format change across Spark versions
+    would silently return 0 and defeat the cobucketed_join guard
+    (and where the pre-AQE initial string can disagree with the final
+    plan)."""
+    return sum(
+        1
+        for node in _walk_physical(df._jdf.queryExecution().executedPlan())
+        if "ShuffleExchange" in node.getClass().getSimpleName()
+    )
 
 
 def cobucketed_join(
