@@ -36,7 +36,10 @@ def _release_query_state(spark) -> None:
     # result; between measurements they are dead weight in the block
     # manager, so drop every persisted RDD outright.
     try:
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
+        # py4j auto-converts the java Map to a dict view — iterate it
+        # directly (a .toArray() here raises and silently skipped the
+        # whole release until round 5)
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist(False)
     except Exception:
         pass  # internal API; timing hygiene only

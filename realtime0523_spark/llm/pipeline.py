@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from realtime0523_spark.llm.dedup import md5_int32
-from realtime0523_spark.llm.text import token_count, tokens, word_shingles
+from realtime0523_spark.llm.text import (
+    quality_features,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 # hash-bucket resolution for split/sample fractions: 1/10000ths
 BUCKETS = 10_000
@@ -262,6 +267,95 @@ def token_budget_sample(
     )
 
 
+def _r9(c: Column) -> Column:
+    """floor(x*1e9+0.5)/1e9 — the 9dp quantization every float output
+    in the inventory uses; membership decisions below compare these
+    quantized values so both engines decide identically."""
+    return F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
+def domain_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    approximate: bool = False,
+    accuracy: int = 10_000,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep documents scoring at or above their domain's median
+    quality — pruning relative to the DOMAIN, not a global constant
+    (a code-heavy domain's median is not an encyclopedia's).
+
+    Two physically different plans, one contract:
+
+    - exact (default; the DuckDB-oracle twin): linear-interpolated
+      ``percentile(0.5)`` as a window over the domain partition. One
+      shuffle on the domain key, but the window SORTS every document
+      within its domain — fine while a domain fits a task's sort
+      budget, the wrong shape at 100 TB.
+    - ``approximate=True`` (the 100 TB path): ``approx_percentile``
+      per domain — a bounded-size mergeable quantile sketch (rank
+      error <= n/accuracy) built with map-side partial aggregation —
+      then a **broadcast** join of the |domains|-sized median table
+      back onto the corpus. The corpus is never window-sorted; the
+      plan shape (zero Window/Sort nodes, broadcast join) is asserted
+      in tests/test_scale_plans.py, and the sketch's rank-error
+      contract is driver-checked by `docs_quality_approx_contract`.
+
+    Membership compares the 9dp-ROUNDED score and median (the same
+    quantization the outputs carry): comparing raw doubles made a
+    boundary doc's membership hinge on <=1-ulp differences in how each
+    engine associates the middle-value interpolation (ADVICE r4).
+
+    `score_col` names an already-materialized quality column (the
+    corpus-prep layout stores scores next to the text) — then neither
+    path touches the text. Without it, the approximate path PERSISTS
+    the narrow (id, domain, score) projection so the regex-heavy
+    scoring pass runs once, not once per consumer (sketch + filter):
+    ~26 B/row, memory-and-disk with lineage kept for fault recovery —
+    at 100 TB that is ~0.5 TB cluster-wide against two saved scans of
+    the full corpus.
+    """
+    if score_col is not None:
+        scored = docs.select(
+            F.col(id_col), F.col(domain_col),
+            F.col(score_col).alias("quality_score"),
+        )
+    else:
+        feats = quality_features(F.col(text_col))
+        scored = docs.select(
+            F.col(id_col), F.col(domain_col),
+            feats["quality_score"].alias("quality_score"),
+        )
+    if approximate:
+        if accuracy <= 0:
+            raise ValueError("accuracy must be positive")
+        if score_col is None:
+            from pyspark import StorageLevel
+
+            scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        med = scored.groupBy(domain_col).agg(
+            F.expr(
+                f"approx_percentile(quality_score, 0.5, {int(accuracy)})"
+            ).alias("source_median")
+        )
+        scored = scored.join(F.broadcast(med), domain_col)
+    else:
+        scored = scored.withColumn(
+            "source_median",
+            F.expr("percentile(quality_score, 0.5)").over(W.partitionBy(domain_col)),
+        )
+    return scored.filter(
+        _r9(F.col("quality_score")) >= _r9(F.col("source_median"))
+    ).select(
+        id_col,
+        domain_col,
+        _r9(F.col("quality_score")).alias("quality_score"),
+        _r9(F.col("source_median")).alias("source_median"),
+    )
+
+
 def lm_bigram_logprob(
     docs: DataFrame,
     k: float = 0.5,
@@ -281,7 +375,16 @@ def lm_bigram_logprob(
     bigram/context — the count tables are vocabulary-sized, so at
     100 TB they broadcast or bucket while the corpus streams through.
     V is a single scalar (one countDistinct job at build), not a
-    collect of data."""
+    collect of data.
+
+    Skew note: per-key join fan-out is exactly 1 (the count tables are
+    keyed-unique), but natural-language bigram frequency is Zipfian —
+    the shuffle partitions holding "of the"-class keys run hot at
+    100 TB. AQE's skew-join split handles this at current settings
+    (adaptive.enabled + skewJoin on in core.session); if AQE is off,
+    salt the pairs side on (w1, w2, salt) and replicate the broadcast-
+    sized count rows. Growth is measured in SCALING.md (docs_lm_score
+    probe) rather than assumed."""
     t = tokens(F.col(text_col))
     n = F.size(t)
     base = docs.select(F.col(id_col), t.alias("__t")).filter(n > 1)

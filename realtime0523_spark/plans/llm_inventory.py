@@ -821,34 +821,81 @@ _QUALITY_SCORE_SQL = f"""
              quantile_cont(quality_score, 0.5) OVER (PARTITION BY source)
                AS source_median
       FROM ({_QUALITY_SCORE_SQL}))
-    WHERE quality_score >= source_median
+    WHERE {_r9('quality_score')} >= {_r9('source_median')}
     """,
     "Quality pruning relative to the DOMAIN, not a global constant: "
     "keep documents at or above their source's median quality score "
-    "(exact linear-interpolated percentile as a window — one shuffle "
-    "on the domain key; at 100 TB swap the exact window for "
-    "approx_percentile per domain, an aggregation-then-broadcast). "
-    "Filter compares RAW doubles (identical arithmetic both engines); "
-    "outputs are 9dp-rounded for the hash.",
+    "(exact linear-interpolated percentile as a window — the oracle "
+    "twin of llm.pipeline.domain_quality_filter; its approximate=True "
+    "flag is the 100 TB plan, checked by docs_quality_approx_contract). "
+    "Membership compares the 9dp-ROUNDED score and median — the same "
+    "quantization the outputs carry — so a boundary doc cannot flip on "
+    "a 1-ulp interpolation-association difference between engines.",
 )
 def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from realtime0523_spark.llm import pipeline as P2
 
     docs = Catalog(spark, sf_dir).table("documents")
+    return P2.domain_quality_filter(docs)
+
+
+QUALITY_ACCURACY = 10_000
+
+
+@register(
+    "docs_quality_approx_contract",
+    f"""
+    WITH s AS (SELECT source, {_r9('quality_score')} AS q
+               FROM ({_QUALITY_SCORE_SQL})),
+    per AS (SELECT source, count(*) AS n_docs, list_sort(list(q)) AS qs
+            FROM s GROUP BY source)
+    SELECT source, n_docs,
+           qs[CAST(greatest(0.0,
+                floor((n_docs - 1) / 2.0)
+                - ceil(n_docs / {float(QUALITY_ACCURACY)})) AS INT) + 1]
+             AS median_lo,
+           qs[CAST(least(CAST(n_docs AS DOUBLE) - 1,
+                ceil((n_docs - 1) / 2.0)
+                + ceil(n_docs / {float(QUALITY_ACCURACY)})) AS INT) + 1]
+             AS median_hi,
+           true AS within_contract
+    FROM per
+    """,
+    "Accuracy contract for the 100 TB quality-filter plan "
+    "(domain_quality_filter(approximate=True)): approx_percentile's "
+    f"GK sketch guarantees rank error <= n/accuracy (= n/{QUALITY_ACCURACY}); "
+    "per domain, the sketch median must land between the exact order "
+    "statistics at the median rank widened by that slack. The oracle "
+    "computes the exact bounds and asserts `true` — a sketch landing "
+    "outside its guarantee flips within_contract and fails the hash "
+    "(same checked-contract pattern as dau_approx). The exact-order-"
+    "statistic side is |domains|-sized meta-work, like emb_ann_recall.",
+)
+def q_docs_quality_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
     feats = X.quality_features("text")
-    scored = docs.select(
-        "doc_id", "source", feats["quality_score"].alias("quality_score")
+    scored = docs.select("source", r9(feats["quality_score"]).alias("q"))
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"approx_percentile(q, 0.5, {QUALITY_ACCURACY})"
+        ).alias("approx_median"),
+        F.sort_array(F.collect_list("q")).alias("qs"),
     )
-    med = F.expr("percentile(quality_score, 0.5)").over(W.partitionBy("source"))
-    return (
-        scored.withColumn("source_median", med)
-        .filter(F.col("quality_score") >= F.col("source_median"))
-        .select(
-            "doc_id",
-            "source",
-            r9(F.col("quality_score")).alias("quality_score"),
-            r9(F.col("source_median")).alias("source_median"),
-        )
+    n = F.col("n_docs").cast("double")
+    slack = F.ceil(n / F.lit(float(QUALITY_ACCURACY)))
+    lo_i = F.greatest(F.lit(0.0), F.floor((n - 1) / 2) - slack).cast("int")
+    hi_i = F.least(n - 1, F.ceil((n - 1) / 2) + slack).cast("int")
+    lo = F.element_at(F.col("qs"), lo_i + F.lit(1))
+    hi = F.element_at(F.col("qs"), hi_i + F.lit(1))
+    return per.select(
+        "source",
+        "n_docs",
+        lo.alias("median_lo"),
+        hi.alias("median_hi"),
+        ((F.col("approx_median") >= lo) & (F.col("approx_median") <= hi)).alias(
+            "within_contract"
+        ),
     )
 
 

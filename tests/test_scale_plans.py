@@ -103,6 +103,44 @@ def test_contamination_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_quality_filter_approx_plan_never_window_sorts(spark):
+    """The 100 TB quality-filter path (approximate=True) must plan as
+    sketch-aggregate + broadcast join: ZERO Window/Sort operators (the
+    exact path's per-domain sort is precisely what it exists to avoid)
+    and the |domains|-sized median table broadcast onto the corpus."""
+    from realtime0523_spark.core.bucketing import _walk_physical
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.llm.pipeline import domain_quality_filter
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    out = domain_quality_filter(docs, approximate=True)
+    names = [
+        n.getClass().getSimpleName()
+        for n in _walk_physical(out._jdf.queryExecution().executedPlan())
+    ]
+    assert not any("Window" in n for n in names), names
+    assert not any(n.startswith("Sort") for n in names), names
+    assert any("BroadcastHashJoin" in n for n in names), names
+
+
+def test_quality_filter_approx_matches_exact_on_odd_domains(spark):
+    """With an exact-capacity sketch (n < accuracy) and odd per-domain
+    counts (the fixture ships 25/source), the approx median IS the
+    middle element — the interpolated exact median — so the flagged
+    variant must reproduce the exact filter row-for-row. (Even-sized
+    domains legitimately differ at the boundary doc; that freedom is
+    bounded by the driver-checked docs_quality_approx_contract.)"""
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.llm.pipeline import domain_quality_filter
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    counts = [r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()]
+    assert all(n % 2 == 1 for n in counts), counts  # precondition, see docstring
+    exact = domain_quality_filter(docs).collect()
+    approx = domain_quality_filter(docs, approximate=True).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+
+
 def test_repetition_uses_partial_aggregation(spark):
     """The n-gram counts must partial-agg before the shuffle so the
     exchange carries distinct (doc, gram) rows, not raw gram rows."""

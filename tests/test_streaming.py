@@ -21,7 +21,21 @@ from realtime0523_spark.streaming.sources import cdc_json_stream, stream_table
 from tests.conftest import SF_SMOKE
 
 
-def test_stream_dau_equals_batch_dau(spark):
+@pytest.fixture(params=["hdfs", "rocksdb"], ids=["hdfs-state", "rocksdb-state"])
+def state_provider(request, monkeypatch):
+    """Run the stateful-streaming correctness tests under BOTH state
+    store providers: the default HDFS-backed heap store and RocksDB
+    (the off-heap provider for 100 TB-scale keyed state). State
+    storage is an executor concern, never a semantics one — every
+    assertion must hold bit-identically under either provider."""
+    if request.param == "rocksdb":
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    return request.param
+
+
+def test_stream_dau_equals_batch_dau(spark, state_provider):
     got = run_to_memory(
         streaming_dau(stream_table(spark, SF_SMOKE, "events")), output_mode="complete"
     )
@@ -35,31 +49,14 @@ def test_stream_dau_equals_batch_dau(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_rocksdb_state_store_provider_matches_batch(spark, monkeypatch):
-    """SPARK_GRAFT_STATE_STORE=rocksdb swaps keyed state off the JVM
-    heap (the provider for 100 TB-scale first-seen/dedup stores);
-    results must be byte-identical to the default HDFS-backed provider
-    — state storage is an executor concern, never a semantics one."""
-    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
-    got = run_to_memory(
-        streaming_first_seen(
-            stream_table(spark, SF_SMOKE, "orders"),
-            "o_custkey",
-            "o_orderdate",
-            "o_orderkey",
-        ),
-        output_mode="update",
-    )
-    o = Catalog(spark, SF_SMOKE).table("orders")
-    want = (
-        o.groupBy("o_custkey")
-        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("m"))
-        .select(
-            F.col("o_custkey").alias("key"),
-            F.unix_micros(F.col("m.o_orderdate")).alias("first_ts"),
-            F.col("m.o_orderkey").alias("first_id"),
-        )
-    )
+def test_stream_windowed_counts_matches_batch(spark, state_provider):
+    """The streaming tumbling-window aggregate (complete mode, windowed
+    state) must reproduce the batch windowed counts under either state
+    provider."""
+    from realtime0523_spark.plans import REGISTRY
+
+    got = REGISTRY["stream_windowed_counts"].fn(spark, SF_SMOKE)
+    want = REGISTRY["windowed_event_counts"].fn(spark, SF_SMOKE)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
@@ -261,6 +258,81 @@ def test_split_input_join_refuses_watermark_drops(spark, tmp_path):
         )
 
 
+def test_split_input_join_synchronized_matches_batch(spark, tmp_path):
+    """The POSITIVE twin of the refusal test above (VERDICT r3/r4): an
+    event-time-ordered split across maxFilesPerTrigger=1 micro-batches
+    — the shape a real replay produces, each side's slice carrying the
+    same key range in the same order — must drain to EXACTLY the batch
+    join under the loud completeness contract: partners co-arrive in
+    one micro-batch (cdc_commit_time gives matching keys identical
+    event times), the watermark only ever advances behind fully-joined
+    slices, so zero rows drop and nothing refuses. Together the two
+    tests pin the contract: a drain either matches the oracle or
+    raises — it never silently loses pairs."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime0523_spark.streaming.order_wide import cdc_commit_time
+    from realtime0523_spark.streaming.runner import run_to_memory as _rtm
+
+    cat = Catalog(spark, SF_SMOKE)
+    od = cat.table("orders").select("o_orderkey", "o_totalprice").toPandas()
+    ld = cat.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).toPandas()
+    slot_o = od.o_orderkey % 86400
+    slot_l = ld.l_orderkey % 86400
+    cuts = [slot_o.quantile(q) for q in (0.25, 0.5, 0.75)]
+    bounds = [(-1, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], 86401)]
+    now = _time.time()
+    (tmp_path / "o").mkdir()
+    (tmp_path / "l").mkdir()
+
+    def write(df, path, mtime):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(path))
+        os.utime(path, (mtime, mtime))
+
+    # slices ordered by event time, mtimes aligned across the two
+    # sides → maxFilesPerTrigger=1 replays them as synchronized,
+    # time-ordered micro-batches
+    for i, (lo, hi) in enumerate(bounds):
+        o_part = od[(slot_o > lo) & (slot_o <= hi)]
+        l_part = ld[(slot_l > lo) & (slot_l <= hi)]
+        assert len(o_part), (lo, hi)
+        write(o_part, tmp_path / f"o/{i}.parquet", now - 400 + i * 100)
+        write(l_part, tmp_path / f"l/{i}.parquet", now - 400 + i * 100)
+
+    o = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "o"))
+        .withColumn("o_commit_ts", cdc_commit_time("o_orderkey"))
+    )
+    d = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber int, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "l"))
+        .withColumn("l_commit_ts", cdc_commit_time("l_orderkey"))
+    )
+    wide = streaming_order_wide(
+        o, d, order_ts="o_commit_ts", detail_ts="l_commit_ts", tolerance="50 seconds"
+    )
+    got = _rtm(
+        wide.select("o_orderkey", "l_linenumber"),
+        no_data_batches=False,
+        forbid_watermark_drops=True,  # completeness stays a loud contract
+    )
+    want = cat.table("orders").join(
+        cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderkey", "l_linenumber")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_outer_streaming_join_emits_null_after_watermark(spark, tmp_path):
     """J3 semantics: the reference's commented fullOuterJoin+Redis-cache
     design (OrderWiderApp.scala:63-115) — an unmatched header is emitted
@@ -308,7 +380,7 @@ def test_outer_streaming_join_without_watermark_rejected(spark):
         streaming_order_wide(orders, details, how="full_outer")
 
 
-def test_streaming_dedup_ttl_expiry_reemits(spark, tmp_path):
+def test_streaming_dedup_ttl_expiry_reemits(spark, tmp_path, state_provider):
     """D2/T4 semantics: duplicates within the TTL horizon are
     suppressed; once the watermark evicts a key's state, a fresh
     sighting re-emits — exactly the reference's expired Redis set
@@ -366,7 +438,7 @@ def test_sliding_window_event_in_size_over_slide_windows(spark):
     assert all((b - a).total_seconds() == 900 for a, b in zip(parsed, parsed[1:]))
 
 
-def test_first_seen_state_equals_batch_min(spark):
+def test_first_seen_state_equals_batch_min(spark, state_provider):
     orders = stream_table(spark, SF_SMOKE, "orders")
     got = run_to_memory(
         streaming_first_seen(orders, "o_custkey", "o_orderdate", "o_orderkey"),
@@ -518,7 +590,7 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     assert total == 3  # 1,2 from batch 0 + 3 from batch 1 — no re-reads
 
 
-def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path):
+def test_docs_ingest_cross_batch_fingerprint_dedup(spark, tmp_path, state_provider):
     """Same normalized content arriving in a LATER batch must fold into
     the existing fingerprint state: a higher doc_id never displaces the
     winner; a lower doc_id updates it."""

@@ -63,7 +63,23 @@ PROBES = [
     "docs_chunk",          # per-row explode+slice map, no shuffle (r4)
     "docs_token_budget_sample",  # one window per domain partition (r4)
     "docs_quality_filter", # per-row score + one percentile window (r4)
+    "docs_lm_score",       # Zipfian bigram-keyed shuffle, AQE skew-join (r5)
+    "docs_winnow_pairs",   # fingerprint equi-join, stop-print-capped fan-out (r5)
 ]
+
+# Library paths without their own registry entry, probed as callables:
+# the 100 TB quality filter (sketch agg + broadcast join; its registered
+# twin times the exact per-domain window for comparison).
+def _quality_filter_approx(spark, sf_dir):
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.llm.pipeline import domain_quality_filter
+
+    return domain_quality_filter(
+        Catalog(spark, sf_dir).table("documents"), approximate=True
+    )
+
+
+EXTRA_PROBES = [("docs_quality_filter_approx", _quality_filter_approx)]
 
 
 def gen(spark) -> None:
@@ -117,14 +133,14 @@ def main() -> int:
 
     sfs = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", "/root/testdata/sf0.1"), ("sf1*", SCRATCH)]
     rows = []
-    for name in PROBES:
-        spec = REGISTRY[name]
+    probes = [(n, REGISTRY[n].fn) for n in PROBES] + EXTRA_PROBES
+    for name, fn in probes:
         # warm-up at smallest sf (codegen + python workers)
-        spec.fn(spark, sfs[0][1]).count()
+        fn(spark, sfs[0][1]).count()
         times = []
         for _, sf_dir in sfs:
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             times.append(time.time() - t0)
             spark.catalog.clearCache()
         growth = times[2] / times[1] if times[1] > 0 else float("nan")
