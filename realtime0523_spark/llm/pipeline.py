@@ -219,6 +219,77 @@ def pack_sequences(
     )
 
 
+def pack_sequences_exact(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Budget-EXACT sequence packing with carry-over — the last step of
+    the corpus→training-batches chain. `pack_sequences` assigns each
+    doc the window its first token falls in; this operator finishes the
+    job: within each shard, docs are laid end-to-end in the SAME
+    deterministic hash order, the concatenated token stream is cut into
+    consecutive `budget`-token sequences, and a document straddling a
+    cut CARRIES OVER — it is split into one piece per overlapped
+    sequence.
+
+    Output: one row per (doc × overlapped sequence) piece:
+      shard, seq_id, doc_id,
+      tok_start, tok_end  — the doc-relative token slice [start, end)
+      seq_pos             — the piece's offset inside its sequence
+    Invariant (tested + oracle-checked): a sequence's pieces tile
+    [0, budget) exactly, so every sequence except each shard's last
+    holds exactly `budget` tokens, and a doc's pieces concatenate back
+    to the doc. The first piece's seq_id equals pack_sequences' bin_id
+    (same order, same salt) — the two operators compose.
+
+    Shape at scale: one window per shard plus a per-doc explode bounded
+    by ceil(n_tokens/budget)+1 pieces — no shuffle beyond the shard
+    window, no state, no Python; zero-token docs contribute nothing.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack budget must be positive, got {budget}")
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(hash_bucket(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        n_tok.alias("n_tokens"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("off"),
+    ).filter(F.col("n_tokens") > 0)
+    b = F.lit(budget)
+    first_seq = F.floor(F.col("off") / b)
+    last_seq = F.floor((F.col("off") + F.col("n_tokens") - 1) / b)
+    pieces = base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    return pieces.select(
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        F.greatest(F.lit(0), F.col("seq_id") * b - F.col("off"))
+        .cast("bigint")
+        .alias("tok_start"),
+        F.least(F.col("n_tokens").cast("bigint"), (F.col("seq_id") + 1) * b - F.col("off"))
+        .cast("bigint")
+        .alias("tok_end"),
+        F.greatest(F.lit(0), F.col("off") - F.col("seq_id") * b)
+        .cast("bigint")
+        .alias("seq_pos"),
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -432,6 +432,88 @@ def ann_topk_ivf(
     )
 
 
+# Knuth multiplicative-hash constant; dim weights in [1, 2) derived
+# from it are exported so the SQL oracle replays them exactly.
+RERANK_WEIGHT_MULT = 2654435761
+RERANK_WEIGHT_MOD = 1009
+
+
+def _rerank_weights(dims: int) -> np.ndarray:
+    idx = np.arange(dims, dtype=np.int64)
+    return 1.0 + ((idx * RERANK_WEIGHT_MULT) % RERANK_WEIGHT_MOD) / float(
+        RERANK_WEIGHT_MOD
+    )
+
+
+def interaction_score_pudf(a: Column, b: Column) -> Column:
+    """Deterministic stand-in for a cross-encoder pair scorer: a
+    dim-WEIGHTED cosine, w_d = 1 + hash(d)/m in [1, 2) from a Knuth
+    multiplicative hash. Re-weighting feature interactions is exactly
+    what a learned pair scorer does, and it is NOT monotone in plain
+    cosine — it genuinely re-orders a cosine-ranked short list (the
+    property a second stage must have; asserted in tests) while
+    staying exactly SQL-replayable. A real learned cross-encoder drops
+    into the same `scorer` slot of cross_rerank_topk as a pandas_udf
+    with this signature. Arrow-batched; one numpy pass per batch."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(va, vb):
+        ma, mb = _mat(va), _mat(vb)
+        w = _rerank_weights(ma.shape[1])
+        wdot = (ma * mb) @ w
+        na = np.sqrt((ma * ma) @ w)
+        nb = np.sqrt((mb * mb) @ w)
+        return pd.Series(wdot / (na * nb))
+
+    return _score(a, b)
+
+
+def cross_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    scorer=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """Second-stage re-rank — the cross-encoder slot of a two-stage
+    retrieval stack (retrieve cheaply with ANN, re-score the short
+    list with an expensive pairwise model, keep the top k).
+
+    `candidates` is the first stage's (query_id, id) pair list —
+    |queries| × k_retrieve rows, small BY CONTRACT. It broadcasts onto
+    the corpus to fetch candidate vectors (the corpus is filtered by a
+    broadcast hash join, never shuffled), the query vectors broadcast
+    on top, and every surviving pair is scored ONCE by `scorer` in
+    Arrow batches. `scorer(vec, query_vec) -> Column` defaults to the
+    deterministic interaction scorer above, keeping the whole stack
+    oracle-replayable end-to-end (emb_ann_rerank).
+
+    Scale shape: two broadcast joins + one map-only Arrow scoring pass
+    over |queries|·k_retrieve rows; the only shuffle is the final
+    per-query top-k, whose input is already candidate-sized."""
+    cand = candidates.select(query_id_col, id_col)
+    fetched = corpus.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    paired = fetched.join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+    score = (scorer or interaction_score_pudf)(
+        F.col(vec_col), F.col(query_vec_col)
+    )
+    scored = paired.select(
+        F.col(query_id_col), F.col(id_col), score.alias("score")
+    )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
+    return topk_per_group(
+        scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

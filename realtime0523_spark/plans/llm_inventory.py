@@ -534,6 +534,64 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "score", "rk")
 
 
+RERANK_RETRIEVE = 20  # stage-1 short-list size per query
+
+
+@register(
+    "emb_ann_rerank",
+    f"""
+    WITH {_LSH_ANN_CTES},
+    rrcand AS (SELECT qid, vec_id FROM lshann WHERE rk <= {RERANK_RETRIEVE}),
+    rrpair AS (
+      SELECT pr.qid, pr.vec_id,
+             sum((CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))
+                 * (1.0 + (((i - 1) * {S.RERANK_WEIGHT_MULT})
+                           % {S.RERANK_WEIGHT_MOD}) / {float(S.RERANK_WEIGHT_MOD)}))
+               AS wdot,
+             sqrt(sum((CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))
+                 * (1.0 + (((i - 1) * {S.RERANK_WEIGHT_MULT})
+                           % {S.RERANK_WEIGHT_MOD}) / {float(S.RERANK_WEIGHT_MOD)})))
+               AS wn_a,
+             sqrt(sum((CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))
+                 * (1.0 + (((i - 1) * {S.RERANK_WEIGHT_MULT})
+                           % {S.RERANK_WEIGHT_MOD}) / {float(S.RERANK_WEIGHT_MOD)})))
+               AS wn_b
+      FROM (SELECT c.qid, c.vec_id, e.embedding AS ev, q.embedding AS qv
+            FROM rrcand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings q ON q.vec_id = c.qid) pr,
+           LATERAL (SELECT unnest(range(1, len(ev) + 1)) AS i)
+      GROUP BY pr.qid, pr.vec_id)
+    SELECT qid, vec_id, score, rk FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rk
+      FROM (SELECT qid, vec_id,
+                   {_r9('wdot / (wn_a * wn_b)')} AS score
+            FROM rrpair))
+    WHERE rk <= {TOPK_K}
+    """,
+    "Two-stage retrieval: sign-LSH retrieves a "
+    f"{RERANK_RETRIEVE}-candidate short list per query, then the "
+    "cross-encoder slot (llm.similarity.cross_rerank_topk) re-scores "
+    "every surviving pair with the deterministic interaction scorer "
+    "(dim-weighted cosine, Knuth-hash weights — re-weights feature "
+    "interactions, NOT monotone in plain cosine) and keeps the top "
+    f"{TOPK_K}. The pair list broadcasts onto the corpus (broadcast "
+    "hash join, corpus never shuffles); scoring is one Arrow-batched "
+    "numpy pass. A learned cross-encoder drops into the same scorer "
+    "slot; this deterministic one keeps the stack oracle-replayable.",
+)
+def q_emb_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    cand = S.ann_topk_lsh(
+        emb, queries, dims=EMB_DIMS, k=RERANK_RETRIEVE, score_transform=r9
+    ).select("qid", "vec_id")
+    return S.cross_rerank_topk(
+        emb, queries, cand, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
+
+
 @register(
     "emb_ann_recall",
     f"""
@@ -794,6 +852,43 @@ def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return P.pack_sequences(docs, budget=PACK_BUDGET, salt=PACK_SALT)
+
+
+@register(
+    "docs_pack_exact",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source AS shard, len(t) AS n_tokens,
+             coalesce(sum(len(t)) OVER (
+               PARTITION BY source
+               ORDER BY {_bucket_sql(PACK_SALT)}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)
+      QUALIFY n_tokens > 0),
+    pieces AS (
+      SELECT *, unnest(range(
+               CAST(floor(off / ({PACK_BUDGET} * 1.0)) AS BIGINT),
+               CAST(floor((off + n_tokens - 1) / ({PACK_BUDGET} * 1.0)) AS BIGINT) + 1))
+             AS seq_id
+      FROM base)
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(0, seq_id * {PACK_BUDGET} - off) AS BIGINT) AS tok_start,
+           CAST(least(n_tokens, (seq_id + 1) * {PACK_BUDGET} - off) AS BIGINT) AS tok_end,
+           CAST(greatest(0, off - seq_id * {PACK_BUDGET}) AS BIGINT) AS seq_pos
+    FROM pieces
+    """,
+    "Budget-EXACT sequence packing with carry-over (llm.pipeline."
+    "pack_sequences_exact): the shard's concatenated token stream cut "
+    f"into {PACK_BUDGET}-token sequences; a straddling doc is split "
+    "into one piece per overlapped sequence (doc-relative slice + "
+    "position inside the sequence). Pieces tile [0, budget) exactly — "
+    "the step that turns pack_sequences' bin assignment into "
+    "training-ready fixed-length batches. One window per shard + a "
+    "bounded explode; no global sort, no Python.",
+)
+def q_docs_pack_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.pack_sequences_exact(docs, budget=PACK_BUDGET, salt=PACK_SALT)
 
 
 # NB: 0.05 * (sum/len), never (0.05*sum)/len — the parenthesization

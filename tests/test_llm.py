@@ -85,6 +85,25 @@ def test_ann_lsh_recall_against_brute_force(spark):
     assert recall >= 0.3, recall
 
 
+def test_cross_rerank_reorders_and_stays_broadcast(spark):
+    """The second retrieval stage must (a) actually change the ranking
+    — a scorer monotone in the stage-1 metric is a no-op stage — and
+    (b) plan as broadcast joins over the candidate short list: the
+    corpus must never sort-merge or cartesian."""
+    from realtime0523_spark.plans import REGISTRY
+
+    lsh = {(r.qid, r.rk): r.vec_id
+           for r in REGISTRY["emb_ann_lsh"].fn(spark, SF_SMOKE).collect()}
+    rr_df = REGISTRY["emb_ann_rerank"].fn(spark, SF_SMOKE)
+    rr = {(r.qid, r.rk): r.vec_id for r in rr_df.collect()}
+    assert len(rr) == len(lsh)
+    assert any(lsh.get(k) != v for k, v in rr.items()), "rerank was a no-op"
+    plan = rr_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_ann_ivf_recall_against_brute_force(spark):
     emb = Catalog(spark, SF_SMOKE).table("embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
@@ -249,6 +268,66 @@ def test_pack_sequences_invariants(spark):
         assert min(ids) == 0, (shard, sorted(ids))
         if max_tok <= budget:
             assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
+
+
+def test_pack_sequences_exact_tiles_and_carries_over(spark):
+    """Budget-exact packing: per (shard, seq), pieces tile [0, budget)
+    exactly — full sequences hold exactly `budget` tokens, only each
+    shard's LAST sequence may be short; a straddling doc is split
+    across consecutive sequences and its pieces concatenate back to
+    the whole doc; the first piece lands in pack_sequences' bin."""
+    from collections import defaultdict
+
+    from realtime0523_spark.llm.pipeline import pack_sequences, pack_sequences_exact
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    budget = 256
+    out = pack_sequences_exact(docs, budget=budget).collect()
+
+    seqs = defaultdict(list)
+    for r in out:
+        assert 0 <= r.tok_start < r.tok_end, r
+        assert 0 <= r.seq_pos < budget, r
+        seqs[(r.shard, r.seq_id)].append(r)
+    last_seq = {}
+    for (shard, sid), _ in seqs.items():
+        last_seq[shard] = max(last_seq.get(shard, -1), sid)
+    for (shard, sid), pieces in seqs.items():
+        pieces.sort(key=lambda r: r.seq_pos)
+        pos = 0
+        for p in pieces:
+            assert p.seq_pos == pos, (shard, sid, p)  # gap-free tiling
+            pos += p.tok_end - p.tok_start
+        if sid < last_seq[shard]:
+            assert pos == budget, (shard, sid, pos)  # budget-exact
+        else:
+            assert 0 < pos <= budget, (shard, sid, pos)
+    # sequences are contiguous from 0 per shard (carry-over leaves no
+    # holes, unlike the assignment-only operator)
+    per_shard = defaultdict(set)
+    for shard, sid in seqs:
+        per_shard[shard].add(sid)
+    for shard, ids in per_shard.items():
+        assert ids == set(range(max(ids) + 1)), (shard, sorted(ids))
+
+    # a doc's pieces reassemble the doc: slices are consecutive,
+    # starting at 0; straddling docs span >= 2 consecutive sequences
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r.doc_id].append(r)
+    n_multi = 0
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r.seq_id)
+        assert pieces[0].tok_start == 0, pieces
+        for a, b in zip(pieces, pieces[1:]):
+            assert b.seq_id == a.seq_id + 1 and b.tok_start == a.tok_end, (a, b)
+        n_multi += len(pieces) > 1
+    assert n_multi > 0  # the fixture does produce straddlers at 256
+
+    # composes with the assignment operator: first piece's seq == bin
+    bins = {r.doc_id: r.bin_id for r in pack_sequences(docs, budget=budget).collect()}
+    for doc_id, pieces in by_doc.items():
+        assert min(p.seq_id for p in pieces) == bins[doc_id], doc_id
 
 
 def test_domain_mix_shares_sum_to_one(spark):
