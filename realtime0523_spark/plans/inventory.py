@@ -74,47 +74,40 @@ def _ensure_full_registry() -> None:
 # from the registry are skipped, names not listed keep registration
 # order at the end.
 _PRIORITY: list[str] = [
-    # Round 4 group A — never driver-checked before this round
-    # (round-2/3 additions that landed past the window, plus the two
-    # operators ADDED in round 4).
-    "scd2_history", "emb_label_centroids", "docs_corpus_prep",
-    "media_resize", "media_frames", "docs_bpe_tokens",
-    "stream_docs_ingest", "emb_ann_recall",
-    "docs_token_budget_sample", "stream_windowed_topk",
-    "docs_quality_filter", "docs_chunk", "docs_lm_score",
-    # Round 4 group B — the r3 timestamp-unit regression set: green in
-    # r2, red in r3, restored by the footer-probe fix; these rows prove
-    # the restoration.
-    "dau", "sessionize", "stream_dau", "stream_windowed_counts",
-    "stream_sliding_counts", "stream_session_counts",
-    # Round 4 group C — ANN queries re-registered with exact oracles
-    # this round (previously rows-only).
-    "emb_ann_lsh", "emb_ann_ivf",
-    # Round 4 group D — timestamp-affected queries displaced from the
-    # window since round 1 (r1-green; re-proving post-fix).
-    "date_derive", "event_cube", "windowed_event_counts",
-    "asof_last_click", "follow_on_clicks", "dau_approx",
-    # §2 core batch operators (high-value representatives).
-    "first_order_flag", "running_total", "order_wide", "dim_enrich",
-    "allocation", "brand_amount", "hot_parts_topk", "dedup_first",
-    "ship_priority_topk", "spend_full_outer",
+    # Round 5 group A — never driver-checked (the two round-4 queries
+    # that landed past the window + the three operators ADDED in
+    # round 5), plus docs_quality_filter whose membership predicate
+    # CHANGED this round (9dp-rounded compare, ADVICE r4).
+    "docs_winnow_pairs", "stream_docs_chunk",
+    "emb_ann_rerank", "docs_pack_exact", "docs_quality_approx_contract",
+    "docs_quality_filter",
+    # Round 5 group B — every query rotated out of the r4 window
+    # (driver-green r1-r3, unchanged; re-recording refreshes their
+    # committed rows so the r1-r5 union stays all-ever-green).
+    "router_filter", "router_fanout", "acct_bucket", "priority_decode",
+    "customers_with_orders", "customers_never_ordered",
+    "pricing_summary", "revenue_rollup", "top_customers_per_nation",
+    "regional_revenue", "late_ship_priority_counts", "repeat_buyers",
+    "churned_buyers", "active_buyers_union", "grouping_sets_revenue",
+    "qty_quantiles", "salted_flag_agg", "small_qty_revenue",
+    "qty_moving_stats", "nation_year_pivot",
+    "docs_token_stats", "docs_lang_guess", "docs_quality", "top_tokens",
+    "docs_fingerprint", "docs_ngram_jaccard", "docs_simhash",
+    "docs_train_split", "docs_stratified_sample", "docs_contamination",
+    "docs_pack_sequences", "docs_domain_mix", "docs_dedup_filter",
+    "docs_repetition",
     # §2 streaming family (stateful paths — riskiest, always in-window).
     "stream_dedup_pairs", "stream_order_wide", "stream_first_seen",
-    "stream_brand_amount", "stream_dwd_order",
-    # LLM dedup / similarity / multimodal.
-    "docs_exact_dedup", "docs_minhash_lsh",
-    "emb_cosine_topk", "emb_dedup_pairs",
-    "media_features", "docs_pii_redact",
-    "docs_dedup_clusters", "docs_dedup_keep_best",
-    # Rotated out this round (driver-green r1-r3, code unchanged, all
-    # still repo-gate-checked every round): router_filter,
-    # router_fanout, acct_bucket, priority_decode,
-    # customers_with_orders, customers_never_ordered, docs_token_stats,
-    # docs_lang_guess, docs_quality, top_tokens, docs_train_split,
-    # docs_stratified_sample, docs_contamination, docs_pack_sequences,
-    # docs_domain_mix, docs_dedup_filter, docs_repetition,
-    # docs_fingerprint, docs_simhash + the r1-green TPC-H-style
-    # rollup family.
+    "stream_brand_amount", "stream_dwd_order", "stream_docs_ingest",
+    "stream_dau", "stream_windowed_counts", "stream_windowed_topk",
+    "stream_sliding_counts",
+    # Rotated out this round (driver-green in r4, code unchanged, all
+    # still repo-gate-checked every round): the r4 restoration groups —
+    # scd2_history, emb_label_centroids, docs_corpus_prep, media_*,
+    # docs_bpe_tokens, emb_ann_recall/lsh/ivf, docs_token_budget_sample,
+    # docs_chunk, docs_lm_score, dau/sessionize/date_derive/event_cube
+    # families, the core batch operators, and the LLM dedup/similarity
+    # set — every one has a green CORRECTNESS_r04 row.
 ]
 
 
