@@ -604,3 +604,180 @@ def embedding_dedup_pairs(
     # semantics exactly at the boundary; cos_sim stays raw in the output
     rounded = F.floor(F.col("cos_sim") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     return scored.filter(rounded >= threshold)
+
+
+# --- Product quantization (PQ-ADC shortlist + exact re-rank) ----------
+#
+# The third ANN rung after sign-LSH and IVF: compress each vector to
+# M small codes (one codeword index per subspace), score candidates
+# against a per-query lookup table of subspace dot products
+# (asymmetric distance computation, ADC), then re-rank the short list
+# exactly. Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 — public method, original code.
+#
+# Scale story: the coded corpus is M int8-sized codes per vector
+# (64 float32 dims → 8 codes = 32× smaller), so the ADC scan reads a
+# fraction of the bytes of a flat scan and the codes fit in memory at
+# corpus sizes where raw vectors cannot. The scan itself is map-only
+# (LUTs live in the UDF closure = broadcast); nothing big shuffles.
+
+PQ_SUBSPACES = 8
+PQ_RETRIEVE = 20
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Label-seeded PQ codebooks: the per-label MEAN vector, one row
+    per label in ascending-label order, as an (n_labels, dims) matrix;
+    subspace m's codebook is the column slice [m·subdim, (m+1)·subdim).
+
+    Like the IVF inventory twin's label-seeded cells, seeding the
+    codewords from a data column (instead of per-subspace Lloyd) keeps
+    the index exactly SQL-replayable: a per-(label, dim) AVG is plain
+    SQL in any engine. Only |labels|×dims scalars reach the driver —
+    a legal collect at any corpus size. A Lloyd-per-subspace trainer
+    can produce the same matrix shape and drop into `ann_topk_pq`'s
+    `codebooks` argument unchanged."""
+    rows = (
+        emb.select(label_col, F.posexplode(vec_col).alias("d", "v"))
+        .groupBy(label_col, "d")
+        .agg(F.avg(F.col("v").cast("double")).alias("w"))
+        .collect()
+    )
+    labels = sorted({r[0] for r in rows})
+    dims = max(r[1] for r in rows) + 1
+    cent = np.zeros((len(labels), dims))
+    pos = {lb: i for i, lb in enumerate(labels)}
+    for r in rows:
+        cent[pos[r[0]], r[1]] = r[2]
+    return cent
+
+
+def pq_encode_udf(codebooks: np.ndarray, m: int = PQ_SUBSPACES):
+    """Arrow-batched encoder: per subspace, the ascending-label index
+    of the L2-nearest codeword (9-dp-quantized distances, ties to the
+    smallest index — the same total order the SQL twin's
+    `ORDER BY round(d2) ASC, label` rank uses)."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v):
+        X = _mat(v)
+        n, dims = X.shape
+        sd = dims // m
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            Xm = X[:, j * sd : (j + 1) * sd]
+            Cm = cb[:, j * sd : (j + 1) * sd]
+            # direct (x-c)² sum — the same quantity the SQL twin sums,
+            # NOT the |x|²-2xc+|c|² expansion (different rounding)
+            d2 = ((Xm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=-1)
+            codes[:, j] = np.argmin(_r9_np(d2), axis=1)  # first min = smallest label
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code array<int>) — the compressed index; one map-only
+    pass, no shuffle."""
+    enc = pq_encode_udf(codebooks, m)
+    return corpus.select(id_col, enc(F.col(vec_col)).alias("pq_code"))
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray | None = None,
+    m: int = PQ_SUBSPACES,
+    retrieve: int = PQ_RETRIEVE,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: encode the corpus to M codes per
+    vector, scan the codes once scoring every vector against each
+    query's (m × n_codewords) dot-product lookup table, keep the
+    per-query top-`retrieve` by quantized ADC score, then re-rank the
+    short list with exact cosine and keep the top k.
+
+    Scale shape: the LUTs are tiny and closure-broadcast; the ADC scan
+    is map-only over the coded (32× smaller) corpus with exact
+    batch-local pruning (scores are quantized BEFORE the prune, so the
+    batch-local order equals the final rank's total order and the top
+    `retrieve` is preserved exactly); the re-rank fetches `retrieve`
+    vectors per query via a broadcast join. The corpus never shuffles
+    and is read in full precision only for |queries|·retrieve rows."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, vec_col=vec_col)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    n_codes, dims = cb.shape
+    sd = dims // m
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # LUT[q, j, c] = <query_q's subvector j, codeword c's subvector j>
+    lut = np.einsum(
+        "qjd,cjd->qjc", qmat.reshape(len(qids), m, sd), cb.reshape(n_codes, m, sd)
+    )
+
+    coded = pq_encode(corpus, cb, m, id_col=id_col, vec_col=vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("__adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            codes = np.vstack(pdf["pq_code"].to_numpy())  # (n, m)
+            for j, qid in enumerate(qids):
+                adc = _r9_np(lut[j, cols, codes].sum(axis=1))
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                top = cand[np.lexsort((ids[cand], -adc[cand]))][:retrieve]
+                yield pd.DataFrame(
+                    {query_id_col: qid, id_col: ids[top], "__adc": adc[top]}
+                )
+
+    shortlist = topk_per_group(
+        coded.mapInPandas(adc_scan, out_schema),
+        query_id_col,
+        [F.desc("__adc"), F.col(id_col)],
+        retrieve,
+        rank_col="__rn",
+    ).select(query_id_col, id_col)
+
+    fetched = corpus.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
+    paired = fetched.join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+    scored = paired.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_pudf(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
+    return topk_per_group(
+        scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
+    )

@@ -81,6 +81,9 @@ _PRIORITY: list[str] = [
     "docs_winnow_pairs", "stream_docs_chunk",
     "emb_ann_rerank", "docs_pack_exact", "docs_quality_approx_contract",
     "docs_quality_filter",
+    # Round 5 group A2 — operators ADDED mid-round-5 (never
+    # driver-checked).
+    "emb_ann_pq",
     # Round 5 group B — every query rotated out of the r4 window
     # (driver-green r1-r3, unchanged; re-recording refreshes their
     # committed rows so the r1-r5 union stays all-ever-green).

@@ -656,6 +656,76 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall(lsh, "lsh").unionAll(_recall(ivf, "ivf"))
 
 
+# label-seeded PQ: codebook per subspace = per-label mean subvectors
+# (ascending-label codeword order); codes = argmin 9dp-quantized L2;
+# ADC = per-query LUT of subspace dots, summed by code — mirrors
+# llm.similarity.pq_codebooks / pq_encode_udf / ann_topk_pq
+PQ_SUBDIM = EMB_DIMS // S.PQ_SUBSPACES
+
+_PQ_ANN_CTES = f"""
+    pqcent AS (
+      SELECT label, CAST(d AS INT) AS d,
+             CAST((d - 1) // {PQ_SUBDIM} AS INT) AS m,
+             avg(CAST(embedding[d] AS DOUBLE)) AS w
+      FROM embeddings CROSS JOIN range(1, {EMB_DIMS + 1}) t(d)
+      GROUP BY label, d),
+    pqdist AS (
+      SELECT e.vec_id, c.m, c.label,
+             sum((CAST(e.embedding[c.d] AS DOUBLE) - c.w)
+                 * (CAST(e.embedding[c.d] AS DOUBLE) - c.w)) AS d2
+      FROM embeddings e CROSS JOIN pqcent c
+      GROUP BY e.vec_id, c.m, c.label),
+    pqcode AS (
+      SELECT vec_id, m, label AS code FROM (
+        SELECT vec_id, m, label,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY {_r9('d2')} ASC, label) AS rn
+        FROM pqdist) WHERE rn = 1),
+    pqlut AS (
+      SELECT q.vec_id AS qid, c.m, c.label,
+             sum(CAST(q.embedding[c.d] AS DOUBLE) * c.w) AS pd
+      FROM embeddings q CROSS JOIN pqcent c
+      WHERE q.vec_id < {TOPK_QUERIES}
+      GROUP BY q.vec_id, c.m, c.label),
+    pqadc AS (
+      SELECT l.qid, c.vec_id, sum(l.pd) AS adc
+      FROM pqcode c JOIN pqlut l ON l.m = c.m AND l.label = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id),
+    pqcand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('adc')} DESC, vec_id) AS rn
+        FROM pqadc) WHERE rn <= {S.PQ_RETRIEVE}),
+    {_rerank_cte('pqcand', 'pqann')}
+"""
+
+
+@register(
+    "emb_ann_pq",
+    f"""
+    WITH {_PQ_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM pqann WHERE rk <= {TOPK_K}
+    """,
+    "Product-quantization ANN (Jégou et al. 2011): each vector is "
+    f"compressed to {S.PQ_SUBSPACES} codeword indexes (label-seeded "
+    "codebooks — the deterministic, SQL-replayable seeding; the "
+    "`codebooks` argument takes a Lloyd-per-subspace matrix "
+    "unchanged); the ADC scan scores the 32×-smaller coded corpus "
+    "against per-query subspace-dot LUTs with exact batch-local "
+    f"pruning, and the top-{S.PQ_RETRIEVE} shortlist is re-ranked by "
+    "exact cosine via a broadcast fetch. The corpus never shuffles "
+    "and is touched at full precision only for the shortlist.",
+)
+def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    cb = S.pq_codebooks(emb)
+    return S.ann_topk_pq(
+        emb, queries, codebooks=cb, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
+
+
 # ----------------------------------------------------------------------
 # Multimodal plumbing
 # ----------------------------------------------------------------------

@@ -619,3 +619,63 @@ def test_winnowing_guarantee_and_stop_prints(spark):
     # stop-print cap: with max_df=1 every shared print is "too common"
     # in a 2-doc overlap? no - df of shared prints is 2 > 1 -> dropped
     assert winnow_pairs(docs, min_shared=1, max_df=1, k=k, w=w).count() == 0
+
+
+def test_pq_codes_shape_and_range(spark):
+    from realtime0523_spark.llm.similarity import (
+        PQ_SUBSPACES,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    cb = pq_codebooks(emb)
+    assert cb.shape == (10, 64)  # fixture: 10 labels × 64 dims
+    coded = pq_encode(emb, cb).collect()
+    assert len(coded) == emb.count()
+    for r in coded:
+        assert len(r.pq_code) == PQ_SUBSPACES
+        assert all(0 <= c < cb.shape[0] for c in r.pq_code)
+
+
+def test_ann_pq_recall_grows_with_shortlist(spark):
+    """PQ-ADC recall must (a) clear a floor at the default shortlist
+    and (b) grow toward exact as the shortlist widens — the defining
+    recall/cost trade of a PQ index (Jégou et al. 2011, Fig. 8)."""
+    from realtime0523_spark.llm.similarity import ann_topk_pq
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(retrieve):
+        approx = {
+            (r.qid, r.vec_id)
+            for r in ann_topk_pq(emb, queries, retrieve=retrieve, k=3).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    # 10 label-seeded codewords/subspace is a coarse quantizer: the
+    # default shortlist catches a meaningful fraction; widening the
+    # shortlist recovers most of the exact set (measured 0.28 / 0.75
+    # on the fixture — floors leave slack for numeric wiggle).
+    r20, r100 = recall(20), recall(100)
+    assert r20 >= 0.2, r20
+    assert r100 >= 0.6, r100
+    assert r100 >= r20
+
+
+def test_ann_pq_plan_never_shuffles_corpus(spark):
+    """The ADC scan is map-only and the re-rank fetch broadcasts the
+    shortlist: no sort-merge join, no cartesian anywhere."""
+    from realtime0523_spark.plans import REGISTRY
+
+    df = REGISTRY["emb_ann_pq"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
