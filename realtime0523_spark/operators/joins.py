@@ -93,3 +93,48 @@ def asof_join(
     return matched.filter(F.col("__is_probe") == 1).select(
         *probe.columns, *[F.col(f"__m.{c}").alias(c) for c in ref_cols]
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 300,
+) -> DataFrame:
+    """Event-in-interval join (start-inclusive, end-exclusive) without
+    an equi-key — the range-join shape Spark's planner can only
+    execute as a nested-loop/cartesian.
+
+    Binned formulation: each event maps to ONE fixed time bin; each
+    interval explodes to the (few) bins it overlaps; the join is an
+    equi-join on the bin id with the exact range predicate as a
+    residual filter. Each (event, interval) pair meets in exactly one
+    bin — the event's — so no post-join dedup is needed.
+
+    Scale shape: the O(n·m) nested loop becomes one shuffle on the bin
+    key with per-bin fan-out bounded by bin width × interval density;
+    pick ``bin_seconds`` ≈ the typical interval length so intervals
+    explode to ~2 bins. This is the standard bucketed range-join
+    rewrite (e.g. Flink's interval join and Databricks' range-join
+    hint do the same binning internally). Plan is asserted
+    nested-loop-free in tests.
+    """
+    b = F.lit(float(bin_seconds))
+    ev = events.withColumn(
+        "__bin", F.floor(F.col(ts_col).cast("double") / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / b).cast("long"),
+                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+            )
+        ),
+    )
+    joined = ev.join(iv, "__bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -35,7 +35,12 @@ from realtime0523_spark.operators.dedup import (
     never_seen_members,
 )
 from realtime0523_spark.operators.aggregates import exact_quantiles, salted_agg
-from realtime0523_spark.operators.joins import asof_join, enrich_dims, order_wide_join
+from realtime0523_spark.operators.joins import (
+    asof_join,
+    enrich_dims,
+    interval_join,
+    order_wide_join,
+)
 from realtime0523_spark.operators.windows import first_flag, running_sum, topk_per_group
 
 
@@ -83,7 +88,7 @@ _PRIORITY: list[str] = [
     "docs_quality_filter",
     # Round 5 group A2 — operators ADDED mid-round-5 (never
     # driver-checked).
-    "emb_ann_pq",
+    "emb_ann_pq", "event_incident_join",
     # Round 5 group B — every query rotated out of the r4 window
     # (driver-green r1-r3, unchanged; re-recording refreshes their
     # committed rows so the r1-r5 union stays all-ever-green).
@@ -1444,6 +1449,51 @@ def q_follow_on_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return j.groupBy("event_id").agg(F.count("c_id").alias("n_follow"))
+
+
+@register(
+    "event_incident_join",
+    f"""
+    SELECT i.event_id AS incident_id,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           {_r2('sum(e.value)')} AS sum_value
+    FROM events e
+    JOIN (SELECT event_id, ts FROM events
+          WHERE event_type = 'error' AND value >= 18) i
+      ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 5 MINUTE
+    GROUP BY i.event_id
+    """,
+    "KEYLESS interval join — every event against every overlapping "
+    "incident window (severe errors + 5 min), no shared equi-key, the "
+    "shape Spark's planner can only nested-loop. Executed as the "
+    "binned rewrite (operators.interval_join): events map to one time "
+    "bin, windows explode to their ~2 covered bins, equi-join on the "
+    "bin + exact residual range filter — one bounded-fan-out shuffle "
+    "instead of |events|×|windows|. Plan asserted nested-loop-free.",
+)
+def q_event_incident_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 18)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    joined = interval_join(
+        ev.select("ts", "user_id", "value"),
+        incidents,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_seconds=300,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        round2(F.sum("value")).alias("sum_value"),
+    )
 
 
 @register(

@@ -186,3 +186,39 @@ def test_scd2_history_validity_ranges(spark):
     # exactly one current row per key
     cur = [r for r in rows.values() if r.is_current]
     assert sorted(r.k for r in cur) == [1, 2]
+
+
+def test_interval_join_boundaries_and_cross_bin(spark):
+    """Start-inclusive / end-exclusive semantics, intervals spanning
+    multiple bins, and exactly-once pair emission (no dedup needed)."""
+    import datetime as dt
+
+    from realtime0523_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    events = _rows_to_df(
+        spark,
+        ["eid", "ts"],
+        [(1, t(0)), (2, t(59)), (3, t(60)), (4, t(500)), (5, t(1000))],
+    )
+    # interval A [0, 60) spans one bin at bin=60s; B [30, 700) spans
+    # many bins; C [1000, 1001) starts exactly at event 5
+    intervals = _rows_to_df(
+        spark,
+        ["iid", "s", "e"],
+        [("A", t(0), t(60)), ("B", t(30), t(700)), ("C", t(1000), t(1001))],
+    )
+    out = interval_join(events, intervals, "ts", "s", "e", bin_seconds=60)
+    pairs = sorted((r.eid, r.iid) for r in out.collect())
+    # A: events 1,2 (t=60 excluded — end-exclusive)
+    # B: events 3 (t=60 ≥ 30), 4; not 2? t=59 ≥ 30 → yes 2
+    # C: event 5 (start-inclusive)
+    assert pairs == [
+        (1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "B"), (5, "C"),
+    ], pairs
+    # exactly-once: no (event, interval) pair appears twice
+    assert len(pairs) == len(set(pairs))

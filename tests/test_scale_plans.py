@@ -147,3 +147,11 @@ def test_repetition_uses_partial_aggregation(spark):
     plan = formatted_plan(REGISTRY["docs_repetition"].fn(spark, SF_SMOKE))
     # two gram families (2-gram, 3-gram) x (partial, final) = >= 4
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_interval_join_is_not_nested_loop(spark):
+    """The keyless range join must plan as the binned equi-join —
+    a nested-loop/cartesian here is O(|events|·|windows|) at scale."""
+    plan = formatted_plan(REGISTRY["event_incident_join"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
