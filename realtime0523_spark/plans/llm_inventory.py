@@ -22,6 +22,7 @@ from realtime0523_spark.llm import dedup as D
 from realtime0523_spark.llm import multimodal as M
 from realtime0523_spark.llm import similarity as S
 from realtime0523_spark.llm import text as X
+from realtime0523_spark.operators import sketches as SK
 from realtime0523_spark.plans.inventory import register
 
 JACCARD_THRESHOLD = 0.8
@@ -173,6 +174,52 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+# CMS twin fragments — generated from operators.sketches constants so
+# the oracle replays the exact same grid
+_CMS_BUCKET_SQL = (
+    _MD5_INT32_SQL.format(col="CAST({d} AS VARCHAR) || ':' || {key}")
+    + f" % {SK.CMS_WIDTH}"
+)
+
+
+@register(
+    "top_tokens_cms",
+    f"""
+    WITH cmstoks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    cmsgrid AS (
+      SELECT d, {_CMS_BUCKET_SQL.format(d='d', key='tok')} AS bucket,
+             count(*) AS cnt
+      FROM cmstoks CROSS JOIN range(0, {SK.CMS_DEPTH}) t(d)
+      GROUP BY d, bucket),
+    cmsest AS (
+      SELECT k.tok, min(coalesce(g.cnt, 0)) AS est
+      FROM (SELECT DISTINCT tok FROM cmstoks) k
+      CROSS JOIN range(0, {SK.CMS_DEPTH}) t(d)
+      LEFT JOIN cmsgrid g
+        ON g.d = t.d
+       AND g.bucket = {_CMS_BUCKET_SQL.format(d='t.d', key='k.tok')}
+      GROUP BY k.tok)
+    SELECT tok, est, rk FROM (
+      SELECT tok, est,
+             row_number() OVER (ORDER BY est DESC, tok) AS rk
+      FROM cmsest)
+    WHERE rk <= 20
+    """,
+    "Heavy hitters via a count-min sketch (Cormode & Muthukrishnan "
+    f"2005): a fixed {SK.CMS_DEPTH}×{SK.CMS_WIDTH} grid replaces the "
+    "|vocab|-sized exact count table — the bounded-memory frequency "
+    "path for token/n-gram streams whose vocabulary outgrows a "
+    "shuffle at 100 TB. Deterministic md5-row hashes make the sketch "
+    "exactly SQL-replayable (exact oracle, unlike HLL's contract "
+    "check); estimate ≥ truth always, overshoot bound asserted in "
+    "tests. top_tokens is the exact twin to compare against.",
+)
+def q_top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    return SK.cms_topk(toks, "tok", 20)
 
 
 @register(

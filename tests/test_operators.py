@@ -222,3 +222,65 @@ def test_interval_join_boundaries_and_cross_bin(spark):
     ], pairs
     # exactly-once: no (event, interval) pair appears twice
     assert len(pairs) == len(set(pairs))
+
+
+def test_cms_guarantees_and_mergeability(spark):
+    """The three defining CMS properties, on the real token stream:
+    (a) never undercounts, (b) overshoot ≤ εN for the vast majority of
+    keys (the 1-δ probabilistic bound), (c) sketches over disjoint
+    splits merge by cell-wise addition into the whole-stream sketch."""
+    import math
+
+    from realtime0523_spark.llm.text import tokens
+    from realtime0523_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = cms_build(toks, "tok")
+    keys = toks.select("tok").distinct()
+    est = {r.tok: r.est for r in cms_estimate(keys, sketch, "tok").collect()}
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    assert all(est[t] >= exact[t] for t in exact), "CMS undercounted"
+    eps_n = math.e / CMS_WIDTH * n_total
+    within = sum(1 for t in exact if est[t] - exact[t] <= eps_n)
+    assert within / len(exact) >= 0.95, (within, len(exact))
+
+    # mergeability: split the stream, sum the grids, expect the
+    # whole-stream grid exactly
+    a = toks.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = toks.filter(F.crc32(F.col("tok")) % 2 == 1)
+    merged = (
+        cms_build(a, "tok")
+        .unionByName(cms_build(b, "tok"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
+    msk = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert msk == full
+
+
+def test_cms_topk_overlaps_exact_topk(spark):
+    from realtime0523_spark.llm.text import tokens
+    from realtime0523_spark.operators.sketches import cms_topk
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    cms_top = {r.tok for r in cms_topk(toks, "tok", 20).collect()}
+    exact_top = {
+        r.tok
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+        .collect()
+    }
+    assert len(cms_top & exact_top) >= 15, cms_top ^ exact_top
