@@ -119,6 +119,82 @@ def winnow_pairs(
     )
 
 
+SPAN_K = 8
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span EXCISION: remove every k-token gram that occurs
+    more than once in the corpus, keeping only its first occurrence
+    (min (doc, position)) — the distributed, gram-exact form of
+    ExactSubstr dedup (Lee, Ippolito et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022, which removes
+    duplicate ≥50-token substrings with a suffix array; a single
+    corpus-wide suffix array does not distribute, duplicated fixed-k
+    grams do and catch every duplicated substring of length ≥ k).
+
+    Unlike winnow_pairs (which DETECTS overlapping docs), this edits
+    the text: a token survives unless covered by a removed gram
+    occurrence. Returns every input doc as
+    (doc, clean_text, n_tokens, n_removed).
+
+    Scale shape: one |tokens|-sized shuffle groups gram hashes (with
+    map-side partial ordering work bounded per gram), the removed
+    POSITIONS — typically a small fraction — shuffle back per doc as
+    one compact set per doc, and the excision itself is a per-row
+    array filter. The full token stream never shuffles twice; no
+    driver-side state."""
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("__t"))
+    grams_expr = (
+        f"transform(sequence(1, size(__t) - {k - 1}), "
+        f"i -> struct(i AS pos, md5(array_join(slice(__t, i, {k}), ' ')) AS g))"
+    )
+    g = (
+        base.filter(F.size("__t") >= k)
+        .select(id_col, F.explode(F.expr(grams_expr)).alias("e"))
+        .select(id_col, F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    )
+    stats = g.groupBy("g").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    removed_occ = g.join(stats.filter(F.col("occ") >= 2), "g").filter(
+        ~((F.col(id_col) == F.col("first.d")) & (F.col("pos") == F.col("first.p")))
+    )
+    rem = (
+        removed_occ.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "tp"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tp").alias("__rm"))
+    )
+    merged = base.join(rem, id_col, "left").withColumn(
+        "__rm", F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    )
+    keep_expr = (
+        "filter(transform(__t, (x, i) -> struct(x AS tok, i + 1 AS tp)), "
+        "p -> NOT array_contains(__rm, p.tp))"
+    )
+    return merged.select(
+        F.col(id_col),
+        F.array_join(F.expr(f"transform({keep_expr}, p -> p.tok)"), " ").alias(
+            "clean_text"
+        ),
+        F.size("__t").alias("n_tokens"),
+        (F.size("__t") - F.size(F.expr(keep_expr))).alias("n_removed"),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct content hash: the kept (minimum) id and
     the copy count. Hash-groupBy — the canonical exact dedup."""

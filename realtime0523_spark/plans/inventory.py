@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     # Round 5 group A2 — operators ADDED mid-round-5 (never
     # driver-checked).
     "emb_ann_pq", "event_incident_join", "top_tokens_cms",
+    "docs_span_dedup",
     # Round 5 group B — every query rotated out of the r4 window
     # (driver-green r1-r3, unchanged; re-recording refreshes their
     # committed rows so the r1-r5 union stays all-ever-green).

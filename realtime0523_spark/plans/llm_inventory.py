@@ -1160,6 +1160,55 @@ def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_span_dedup",
+    f"""
+    WITH sdtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sdgrams AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(t[i : i + {D.SPAN_K} - 1], ' ')) AS g
+      FROM (SELECT doc_id, t, len(t) AS n FROM sdtoks WHERE len(t) >= {D.SPAN_K}),
+           LATERAL (SELECT unnest(range(1, n - {D.SPAN_K} + 2)) AS i)),
+    sdocc AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY g) AS occ
+      FROM sdgrams),
+    sdrem AS (
+      SELECT DISTINCT doc_id, pos + CAST(d AS INT) AS tp
+      FROM (SELECT doc_id, pos FROM sdocc WHERE occ >= 2 AND rn > 1),
+           LATERAL (SELECT unnest(range(0, {D.SPAN_K})) AS d)),
+    sdtokrows AS (
+      SELECT doc_id, CAST(i AS INT) AS tp, t[i] AS tok
+      FROM (SELECT doc_id, t, len(t) AS n FROM sdtoks),
+           LATERAL (SELECT unnest(range(1, n + 1)) AS i)),
+    sdclean AS (
+      SELECT tr.doc_id, CAST(count(*) AS INT) AS n_kept,
+             array_to_string(list(tr.tok ORDER BY tr.tp), ' ') AS clean_text
+      FROM sdtokrows tr
+      ANTI JOIN sdrem r ON r.doc_id = tr.doc_id AND r.tp = tr.tp
+      GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           coalesce(c.clean_text, '') AS clean_text,
+           CAST(len(d.t) AS INT) AS n_tokens,
+           CAST(len(d.t) AS INT) - coalesce(c.n_kept, 0) AS n_removed
+    FROM sdtoks d LEFT JOIN sdclean c USING (doc_id)
+    """,
+    f"Duplicated-span excision: every {D.SPAN_K}-token gram occurring "
+    "more than once in the corpus is removed except its first "
+    "occurrence — the distributed, gram-exact form of ExactSubstr "
+    "dedup (Lee, Ippolito et al., ACL 2022; a corpus-wide suffix "
+    "array does not distribute, fixed-k gram hashing does and catches "
+    f"every duplicated substring of length ≥ {D.SPAN_K}). EDITS the "
+    "text, complementing winnow_pairs which only detects overlap: "
+    "one token-sized shuffle to find duplicate grams, a compact "
+    "removed-position set back per doc, per-row array excision.",
+)
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return D.span_dedup(docs)
+
+
 LM_ADD_K = 0.5
 
 

@@ -679,3 +679,48 @@ def test_ann_pq_plan_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_span_dedup_keep_first_and_short_docs(spark):
+    """First occurrence (min doc, pos) survives; later verbatim copies
+    of any ≥k-token span are excised; sub-k docs pass untouched."""
+    from realtime0523_spark.llm.dedup import span_dedup
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly k=8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro1 outro2"),
+            (2, f"other words here then {span} trailing bit"),  # copy → excised
+            (3, f"{span} {span}"),  # intra-doc repeat → 2nd copy excised
+            (4, "tiny doc below k tokens"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, k=8).collect()}
+    assert out[1].n_removed == 0 and f" {span} " in f" {out[1].clean_text} "
+    assert out[2].n_removed == 8 and span not in out[2].clean_text
+    assert out[2].clean_text == "other words here then trailing bit"
+    # doc 3: grams of the doubled text — every copy after the global
+    # first (doc 1's, which sorts first) is removed; overlapping grams
+    # spanning the seam are unique so middle tokens can survive only
+    # if uncovered — here the whole doubled text is covered
+    assert out[3].n_removed >= 8
+    assert out[4].n_removed == 0 and out[4].clean_text == "tiny doc below k tokens"
+    assert out[5].n_removed == 0 and out[5].clean_text == ""
+
+
+def test_span_dedup_covers_long_shared_substrings(spark):
+    """Any shared substring of length ≥ k is fully removed from the
+    non-first doc (the ExactSubstr guarantee at gram granularity)."""
+    from realtime0523_spark.llm.dedup import span_dedup
+
+    long_span = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"unique lead-in {long_span}"), (2, f"{long_span} unique tail words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, k=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 20  # every token of the copy is covered
+    assert out[2].clean_text == "unique tail words"
