@@ -80,6 +80,29 @@ AUDITED: dict[str, str] = {
         "window on the domain key (100 TB swap: approx_percentile "
         "aggregate + broadcast)"
     ),
+    "emb_ann_pq": (
+        "codebooks aggregate to |labels| x dims scalars and ride the "
+        "UDF closures; the ADC scan is map-only over the coded corpus "
+        "with exact batch-local pruning; the re-rank fetches the "
+        "shortlist via broadcast joins — the corpus never shuffles"
+    ),
+    "event_incident_join": (
+        "keyless range join executed as the binned rewrite: one "
+        "equi-join on the time bin with residual range filter — no "
+        "BroadcastNestedLoopJoin/Cartesian, fan-out bounded by bin "
+        "width x interval density"
+    ),
+    "top_tokens_cms": (
+        "sketch cells partial-agg to a fixed depth x width grid before "
+        "the exchange; the probe is a broadcast join + per-key min — "
+        "state is grid-sized regardless of vocabulary"
+    ),
+    "docs_span_dedup": (
+        "one token-sized shuffle groups gram hashes; removed POSITIONS "
+        "(a small fraction) come back as one compact set per doc; the "
+        "excision is a per-row array filter — the token stream never "
+        "shuffles twice"
+    ),
 }
 
 

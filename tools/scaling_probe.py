@@ -65,6 +65,10 @@ PROBES = [
     "docs_quality_filter", # per-row score + one percentile window (r4)
     "docs_lm_score",       # Zipfian bigram-keyed shuffle, AQE skew-join (r5)
     "docs_winnow_pairs",   # fingerprint equi-join, stop-print-capped fan-out (r5)
+    "emb_ann_pq",          # coded-corpus ADC scan + broadcast re-rank fetch (r5)
+    "event_incident_join", # keyless range join as binned equi-join (r5)
+    "top_tokens_cms",      # fixed-grid sketch build + broadcast probe (r5)
+    "docs_span_dedup",     # gram-hash shuffle + compact removed-set join (r5)
 ]
 
 # Library paths without their own registry entry, probed as callables:
@@ -139,10 +143,17 @@ def main() -> int:
         fn(spark, sfs[0][1]).count()
         times = []
         for _, sf_dir in sfs:
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            times.append(time.time() - t0)
-            spark.catalog.clearCache()
+            # min of 2 timed runs: the growth RATIO is the signal and a
+            # single co-scheduled background burst on the shared host
+            # can inflate one cell 3-5x; the min is the standard
+            # noise-robust estimator for this
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            times.append(best)
         growth = times[2] / times[1] if times[1] > 0 else float("nan")
         rows.append((name, *times, growth))
         print(f"  {name}: " + " ".join(f"{t:.2f}s" for t in times) + f"  x{growth:.1f}")
