@@ -100,6 +100,7 @@ def cms_topk(
     k: int,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters by CMS estimate: build the sketch from the stream,
     probe it for the distinct keys, rank by (est DESC, key).
@@ -109,8 +110,14 @@ def cms_topk(
     deployment the candidate set is whatever key sample is at hand and
     the sketch still answers in O(depth) per key from its fixed grid.
     Estimates are deterministic (md5 hashing), so the ranking carries
-    an exact SQL oracle."""
-    sketch = cms_build(df, key_col, depth, width)
+    an exact SQL oracle.
+
+    Pass `sketch` to probe a grid built elsewhere — e.g. maintained
+    incrementally by a streaming aggregation, or merged from several
+    partial grids (build-anywhere / probe-anywhere is the point of a
+    mergeable sketch)."""
+    if sketch is None:
+        sketch = cms_build(df, key_col, depth, width)
     keys = df.select(key_col).distinct()
     est = cms_estimate(keys, sketch, key_col, depth, width)
     # TakeOrdered prunes |vocab| → k distributed; the rank window then

@@ -89,7 +89,7 @@ _PRIORITY: list[str] = [
     # Round 5 group A2 — operators ADDED mid-round-5 (never
     # driver-checked).
     "emb_ann_pq", "event_incident_join", "top_tokens_cms",
-    "docs_span_dedup",
+    "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
     # Round 5 group B — every query rotated out of the r4 window
     # (driver-green r1-r3, unchanged; re-recording refreshes their
     # committed rows so the r1-r5 union stays all-ever-green).
@@ -1548,6 +1548,46 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return j.agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+@register(
+    "dormant_rich_customers",
+    f"""
+    SELECT c_mktsegment, count(*) AS n_dormant,
+           {_r2('sum(c_acctbal)')} AS sum_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-06-01')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H-Q22-shaped: a GLOBAL scalar subquery (corpus-wide average "
+    "balance) gating the rows, a NOT EXISTS decorrelated to a "
+    "left-anti join against the recent-orders keys, then a grouped "
+    "rollup — the scalar rides a 1-row broadcast, the anti join "
+    "hashes on the customer key; no correlated per-row probing "
+    "anywhere.",
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust, orders = cat.table("customer"), cat.table("orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-06-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    dormant = rich.join(recent, "c_custkey", "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_dormant"),
+        round2(F.sum("c_acctbal")).alias("sum_acctbal"),
+    )
 
 
 _MOVING_ORDER = [

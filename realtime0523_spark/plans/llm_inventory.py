@@ -223,6 +223,54 @@ def q_top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_top_tokens_cms",
+    # identical oracle to top_tokens_cms: the streamed grid drained in
+    # complete mode equals the batch-built grid cell-for-cell
+    f"""
+    WITH cmstoks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    cmsgrid AS (
+      SELECT d, {_CMS_BUCKET_SQL.format(d='d', key='tok')} AS bucket,
+             count(*) AS cnt
+      FROM cmstoks CROSS JOIN range(0, {SK.CMS_DEPTH}) t(d)
+      GROUP BY d, bucket),
+    cmsest AS (
+      SELECT k.tok, min(coalesce(g.cnt, 0)) AS est
+      FROM (SELECT DISTINCT tok FROM cmstoks) k
+      CROSS JOIN range(0, {SK.CMS_DEPTH}) t(d)
+      JOIN cmsgrid g
+        ON g.d = t.d
+       AND g.bucket = {_CMS_BUCKET_SQL.format(d='t.d', key='k.tok')}
+      GROUP BY k.tok)
+    SELECT tok, est, rk FROM (
+      SELECT tok, est,
+             row_number() OVER (ORDER BY est DESC, tok) AS rk
+      FROM cmsest)
+    WHERE rk <= 20
+    """,
+    "The CMS grid maintained ON THE STREAM: the sketch cells are a "
+    f"streaming aggregation whose entire state is the fixed "
+    f"{SK.CMS_DEPTH}×{SK.CMS_WIDTH} grid — frequency-over-unbounded-"
+    "stream with memory that never grows with the vocabulary, the "
+    "textbook streaming-sketch deployment. The drained grid is probed "
+    "by the same batch top-k pass (build-anywhere / probe-anywhere "
+    "mergeability); complete-mode drain ≡ the batch grid, so the "
+    "oracle is top_tokens_cms's. (Inner-join probe: a streamed grid "
+    "drops nothing, every candidate's cells exist.)",
+)
+def q_stream_top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    stoks = stream_table(spark, sf_dir, "documents").select(
+        F.explode(X.tokens("text")).alias("tok")
+    )
+    grid = run_to_memory(SK.cms_build(stoks, "tok"), output_mode="complete")
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    return SK.cms_topk(toks, "tok", 20, sketch=grid)
+
+
+@register(
     "docs_fingerprint",
     f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
     "Document fingerprinting: md5 of the normalized text (lowercase, "
