@@ -1556,8 +1556,9 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, count(*) AS n_dormant,
            {_r2('sum(c_acctbal)')} AS sum_acctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 1000000000 + 0.5)
+                              / 1000000000
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= DATE '2000-06-01')
@@ -1566,20 +1567,26 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H-Q22-shaped: a GLOBAL scalar subquery (corpus-wide average "
     "balance) gating the rows, a NOT EXISTS decorrelated to a "
     "left-anti join against the recent-orders keys, then a grouped "
-    "rollup — the scalar rides a 1-row broadcast, the anti join "
-    "hashes on the customer key; no correlated per-row probing "
-    "anywhere.",
+    "rollup. The scalar executes as Catalyst executes every "
+    "uncorrelated scalar subquery — the 1-value aggregate runs first "
+    "and its result is inlined as a literal (a 1-scalar collect, not "
+    "a 1-row nested-loop join); the threshold is 9dp-quantized in "
+    "both engines so a ulp-level avg() difference can never flip a "
+    "boundary row. The anti join hashes on the customer key; no "
+    "correlated per-row probing anywhere.",
 )
 def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     cat = Catalog(spark, sf_dir)
     cust, orders = cat.table("customer"), cat.table("orders")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("__avg"))
+        .agg(F.avg("c_acctbal"))
+        .first()[0]
     )
-    rich = cust.join(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("__avg")
-    )
+    thr = math.floor(avg_bal * 1e9 + 0.5) / 1e9
+    rich = cust.filter(F.col("c_acctbal") > F.lit(thr))
     recent = orders.filter(F.col("o_orderdate") >= "2000-06-01").select(
         F.col("o_custkey").alias("c_custkey")
     )
