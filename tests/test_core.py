@@ -115,3 +115,86 @@ def test_epoch_collapsed_fixture_fails_loudly(spark, tmp_path):
     pq.write_table(table, str(tmp_path / "events.parquet"))
     with pytest.raises(ValueError, match="1970 epoch"):
         Catalog(spark, str(tmp_path)).table("events")
+
+
+# ---------------------------------------------------------------------------
+# partitioned layout (core.layout)
+# ---------------------------------------------------------------------------
+
+
+def test_write_partitioned_one_file_per_partition_and_sorted(spark, tmp_path):
+    """File count = |partitions| regardless of writer parallelism (the
+    small-files trap), and rows inside each file are sorted by the
+    sort column (row-group min/max locality)."""
+    import glob
+
+    from realtime0523_spark.core.layout import write_partitioned
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    dest = str(tmp_path / "ev_by_type")
+    write_partitioned(ev, dest, "event_type", sort_cols="ts")
+
+    n_types = ev.select("event_type").distinct().count()
+    files = glob.glob(f"{dest}/event_type=*/*.parquet")
+    dirs = glob.glob(f"{dest}/event_type=*")
+    assert len(dirs) == n_types
+    assert len(files) == n_types  # exactly one file per partition dir
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files[0], columns=["ts"]).to_pandas()
+    assert t["ts"].is_monotonic_increasing
+
+
+def test_scan_pruned_prunes_and_refuses(spark, tmp_path):
+    """A partition-column predicate must reach the scan as a
+    PartitionFilter (tree-walked, not string-matched); a predicate on
+    a non-partition column must be refused loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.core.layout import (
+        partition_filter_count,
+        scan_pruned,
+        write_partitioned,
+    )
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    dest = str(tmp_path / "ev_by_type")
+    write_partitioned(ev, dest, "event_type", sort_cols="ts")
+
+    clicks = scan_pruned(spark, dest, F.col("event_type") == "click")
+    assert partition_filter_count(clicks) >= 1
+    assert clicks.count() == ev.filter(F.col("event_type") == "click").count()
+
+    with _pytest.raises(RuntimeError, match="ZERO partition filters"):
+        scan_pruned(spark, dest, F.col("value") > 5.0)
+
+    # the escape hatch still reads correctly, it just pays the full scan
+    full = scan_pruned(spark, dest, F.col("value") > 5.0, require_pruning=False)
+    assert full.count() == ev.filter(F.col("value") > 5.0).count()
+
+
+def test_write_partitioned_files_per_partition_salt(spark, tmp_path):
+    """The salt spreads each partition over several files. AQE's
+    partition coalescing rightly merges this toy-sized shuffle into
+    one task (at 100 TB, partitions above the advisory size stay
+    separate and the salt takes effect) — disable coalescing here to
+    observe the at-scale layout."""
+    import glob
+
+    from realtime0523_spark.core.layout import write_partitioned
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    dest = str(tmp_path / "ev_salted")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        write_partitioned(ev, dest, "event_type", files_per_partition=3)
+    finally:
+        spark.conf.set(key, prev)
+    n_types = ev.select("event_type").distinct().count()
+    files = glob.glob(f"{dest}/event_type=*/*.parquet")
+    # ≤ files×|partitions|, > |partitions| (salt actually spreads)
+    assert n_types < len(files) <= 3 * n_types
