@@ -138,3 +138,33 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (big, skewed) left side by a
+    content hash into `buckets` sub-keys and replicate the right side
+    once per bucket, so a hot key's rows spread over `buckets` tasks
+    instead of melting one. Identical results to a plain join (the
+    equivalence salted_flag_agg's aggregation twin asserts for aggs
+    is test-asserted here for joins).
+
+    This is the rewrite AQE's skew-join performs at runtime when it
+    detects the skew; the explicit operator is for when AQE cannot
+    see it — a streaming micro-batch join, a key whose skew only
+    manifests downstream, or a deliberately pinned plan. Cost model:
+    right side inflates ×buckets (use for dim-vs-fact skew, keep
+    `buckets` ≪ the hot key's row count); left side is one map-side
+    column, no extra shuffle beyond the join's own.
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return l.join(r, [on, "__salt"], how).drop("__salt")

@@ -40,6 +40,7 @@ from realtime0523_spark.operators.joins import (
     enrich_dims,
     interval_join,
     order_wide_join,
+    salted_join,
 )
 from realtime0523_spark.operators.windows import first_flag, running_sum, topk_per_group
 
@@ -90,6 +91,7 @@ _PRIORITY: list[str] = [
     # driver-checked).
     "emb_ann_pq", "event_incident_join", "top_tokens_cms",
     "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
+    "salted_priority_revenue", "emb_semantic_dedup",
     # Round 5 group B — every query rotated out of the r4 window
     # (driver-green r1-r3, unchanged; re-recording refreshes their
     # committed rows so the r1-r5 union stays all-ever-green).
@@ -1548,6 +1550,40 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return j.agg(round2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+@register(
+    "salted_priority_revenue",
+    f"""
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           {_r2('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "Skew-safe SALTED equi-join (the join-side analog of "
+    "salted_flag_agg): the fact side salts into 16 sub-keys by a "
+    "content hash, the other side replicates once per sub-key, so a "
+    "hot order key spreads over 16 tasks instead of melting one — "
+    "the rewrite AQE's skew-join applies at runtime, as an explicit "
+    "operator for plans AQE cannot see (streaming micro-batches, "
+    "pinned plans). The oracle is the PLAIN join: identical answers "
+    "by construction is the checked contract.",
+)
+def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = cat.table("orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, on="o_orderkey", buckets=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        round2(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+    )
 
 
 @register(

@@ -1876,3 +1876,58 @@ def q_stream_docs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"), F.min_by("split", "doc_id").alias("split")
     ).select("fingerprint", "doc_id", "split")
+
+
+_SEM_PAIRS_SQL = f"""
+    SELECT id_a AS doc_a, id_b AS doc_b FROM (
+      SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (
+        SELECT id_a, id_b,
+               sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dot,
+               sqrt(sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))) AS n_a,
+               sqrt(sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) AS n_b
+        FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.embedding AS va, b.embedding AS vb
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id),
+             LATERAL (SELECT unnest(range(1, len(va) + 1)) AS i)
+        GROUP BY id_a, id_b))
+    WHERE cos_sim >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+@register(
+    "emb_semantic_dedup",
+    "WITH RECURSIVE "
+    + _COMPONENTS_CTE.format(pairs_sql=_SEM_PAIRS_SQL)
+    + """
+    SELECT e.vec_id, e.label,
+           (c.doc_id IS NULL OR c.cluster_id = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN comp c ON c.doc_id = e.vec_id
+    """,
+    "SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune documents "
+    "whose EMBEDDINGS are near-duplicates — composition of the "
+    "blocked cosine pair generator (equi-join on the cluster/label "
+    "block, Σ block² never n²), connected components over the "
+    "similarity graph, and keep-the-minimum-id representative per "
+    "component; singletons survive by definition. Emits every vector "
+    "with its kept/pruned verdict. Per the paper, semantic dedup "
+    "catches paraphrases that token-level MinHash/winnowing miss.",
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm import clusters as C
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pairs = S.embedding_dedup_pairs(emb, EMB_DEDUP_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = C.connected_components(pairs)
+    out = emb.select("vec_id", "label").join(
+        comp, F.col("vec_id") == F.col("doc_id"), "left"
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        (F.col("doc_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias(
+            "kept"
+        ),
+    )

@@ -284,3 +284,29 @@ def test_cms_topk_overlaps_exact_topk(spark):
         .collect()
     }
     assert len(cms_top & exact_top) >= 15, cms_top ^ exact_top
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Result equivalence on a deliberately skewed key (one key holds
+    half the rows) for inner and left joins — the contract that makes
+    the salted rewrite safe to drop into any plan."""
+    from realtime0523_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i % 2 == 0 else i % 50, f"p{i}") for i in range(2000)],
+        "k long, payload string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(40)], "k long, dim string"
+    )
+
+    for how in ("inner", "left"):
+        plain = {
+            (r.k, r.payload, r.dim)
+            for r in left.join(right, "k", how).collect()
+        }
+        salted = {
+            (r.k, r.payload, r.dim)
+            for r in salted_join(left, right, "k", buckets=8, how=how).collect()
+        }
+        assert salted == plain, how
