@@ -92,26 +92,30 @@ _PRIORITY: list[str] = [
     "emb_ann_pq", "event_incident_join", "top_tokens_cms",
     "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
     "salted_priority_revenue", "emb_semantic_dedup",
-    # Round 5 group B — every query rotated out of the r4 window
-    # (driver-green r1-r3, unchanged; re-recording refreshes their
-    # committed rows so the r1-r5 union stays all-ever-green).
-    "router_filter", "router_fanout", "acct_bucket", "priority_decode",
-    "customers_with_orders", "customers_never_ordered",
-    "pricing_summary", "revenue_rollup", "top_customers_per_nation",
-    "regional_revenue", "late_ship_priority_counts", "repeat_buyers",
-    "churned_buyers", "active_buyers_union", "grouping_sets_revenue",
-    "qty_quantiles", "salted_flag_agg", "small_qty_revenue",
-    "qty_moving_stats", "nation_year_pivot",
-    "docs_token_stats", "docs_lang_guess", "docs_quality", "top_tokens",
-    "docs_fingerprint", "docs_ngram_jaccard", "docs_simhash",
-    "docs_train_split", "docs_stratified_sample", "docs_contamination",
-    "docs_pack_sequences", "docs_domain_mix", "docs_dedup_filter",
-    "docs_repetition",
-    # §2 streaming family (stateful paths — riskiest, always in-window).
+    # §2 streaming family (stateful paths — riskiest, always in-window;
+    # listed before the rotation group so added queries can never push
+    # them off the 50-slot tail).
     "stream_dedup_pairs", "stream_order_wide", "stream_first_seen",
     "stream_brand_amount", "stream_dwd_order", "stream_docs_ingest",
     "stream_dau", "stream_windowed_counts", "stream_windowed_topk",
     "stream_sliding_counts",
+    # Round 5 group B — queries rotated out of the r4 window
+    # (driver-green r1-r3, unchanged; re-recording refreshes their
+    # committed rows so the r1-r5 union stays all-ever-green). The 8
+    # round-5 additions displace the 8 most trivial stable greens
+    # (acct_bucket, priority_decode, router_filter, router_fanout,
+    # customers_with/never, qty_moving_stats, docs_token_stats — all
+    # r1-r3-committed and repo-gate-checked every round).
+    "pricing_summary", "revenue_rollup", "top_customers_per_nation",
+    "regional_revenue", "late_ship_priority_counts", "repeat_buyers",
+    "churned_buyers", "active_buyers_union", "grouping_sets_revenue",
+    "qty_quantiles", "salted_flag_agg", "small_qty_revenue",
+    "nation_year_pivot",
+    "docs_lang_guess", "docs_quality", "top_tokens",
+    "docs_fingerprint", "docs_ngram_jaccard", "docs_simhash",
+    "docs_train_split", "docs_stratified_sample", "docs_contamination",
+    "docs_pack_sequences", "docs_domain_mix", "docs_dedup_filter",
+    "docs_repetition",
     # Rotated out this round (driver-green in r4, code unchanged, all
     # still repo-gate-checked every round): the r4 restoration groups —
     # scd2_history, emb_label_centroids, docs_corpus_prep, media_*,
