@@ -366,3 +366,50 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         )
 
     return F.transform(F.array(tokens(text)), build)[0]
+
+
+# --- feature-hash embeddings (the "hashing trick") --------------------
+
+FEATURE_HASH_DIM = 64
+
+
+def hashed_features(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    dims: int = FEATURE_HASH_DIM,
+) -> DataFrame:
+    """Sparse L2-normalized bag-of-tokens vector per row via feature
+    hashing (Weinberger et al., "Feature Hashing for Large Scale
+    Multitask Learning", ICML 2009): token → md5 bucket in [0, dims),
+    per-bucket counts, L2 normalize — emitted SPARSE as one
+    (ids…, bucket, weight) row per nonzero bucket.
+
+    This is the embedding-model slot of the chunk→embed→index chain
+    (like the cross-encoder slot of cross_rerank_topk): a learned
+    encoder produces the same (id, vector) shape; the hashing trick is
+    the deterministic stand-in that keeps the whole chain
+    SQL-replayable, and is itself the real thing for lexical retrieval
+    at scale (vocabulary-independent fixed width, no dictionary to
+    broadcast). One explode + one partial-agg'd groupBy + one window
+    per row-group — no corpus-wide state."""
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.llm.dedup import md5_int32
+
+    toks = df.select(*id_cols, F.explode(tokens(F.col(text_col))).alias("__tok"))
+    cnt = (
+        toks.withColumn("__b", F.pmod(md5_int32(F.col("__tok")), F.lit(dims)))
+        .groupBy(*id_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    norm = F.sqrt(
+        F.sum((F.col("__cnt") * F.col("__cnt")).cast("double")).over(
+            W.partitionBy(*id_cols)
+        )
+    )
+    return cnt.select(
+        *id_cols,
+        F.col("__b").alias("bucket"),
+        (F.col("__cnt") / norm).alias("weight"),
+    )

@@ -1878,6 +1878,93 @@ def q_stream_docs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("fingerprint", "doc_id", "split")
 
 
+@register(
+    "docs_chunk_embed",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+             array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+      FROM (SELECT doc_id, t, len(t) AS n
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+            WHERE len(t) > 0),
+           LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s)),
+    fhtok AS (
+      SELECT doc_id, chunk_id,
+             unnest(list_filter(regexp_split_to_array(chunk_text, '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM ch),
+    fhcnt AS (
+      SELECT doc_id, chunk_id,
+             {_MD5_INT32_SQL.format(col='tok')} % {X.FEATURE_HASH_DIM} AS bucket,
+             count(*) AS cnt
+      FROM fhtok GROUP BY doc_id, chunk_id, bucket)
+    SELECT doc_id, chunk_id, bucket,
+           {_r9('cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id, chunk_id))')}
+             AS weight
+    FROM fhcnt
+    """,
+    "The embed link of the chunk→embed→index chain: token-window "
+    "chunks encoded to sparse L2-normalized feature-hash vectors "
+    f"({X.FEATURE_HASH_DIM} md5 buckets — the hashing trick, "
+    "Weinberger et al. ICML 2009; vocabulary-independent width, no "
+    "dictionary to broadcast). A learned encoder drops into the same "
+    "(id, vector) slot; this deterministic one keeps the chain "
+    "SQL-replayable and is the real thing for lexical retrieval. "
+    "Explode + partial-agg'd groupBy + per-chunk window — no "
+    "corpus-wide state.",
+)
+def q_docs_chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    chunks = X.chunk_tokens(docs, CHUNK_SIZE, CHUNK_STRIDE).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    feats = X.hashed_features(chunks, ["doc_id", "chunk_id"], text_col="chunk_text")
+    return feats.select(
+        "doc_id", "chunk_id", "bucket", r9(F.col("weight")).alias("weight")
+    )
+
+
+@register(
+    "stream_ann_lookup",
+    # the query STREAM drains through per-batch retrieval against the
+    # static index; result ≡ the batch ANN (same oracle as emb_ann_lsh)
+    f"""
+    WITH {_LSH_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM lshann WHERE rk <= {TOPK_K}
+    """,
+    "Online retrieval serving (the RAG query path): queries arrive as "
+    "a STREAM and each micro-batch runs sign-LSH candidate lookup + "
+    "exact re-rank against the static corpus index inside "
+    "foreachBatch — stream-vs-static retrieval with per-batch "
+    "broadcast of the (small) query batch, the corpus never "
+    "shuffling. Drained results equal the batch ANN, so the oracle "
+    "is emb_ann_lsh's.",
+)
+def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sources import stream_table
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    qstream = stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < TOPK_QUERIES
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+
+    results: list = []
+
+    def serve(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        res = S.ann_topk_lsh(
+            emb, batch_df, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+        ).select("qid", "vec_id", "score", "rk")
+        results.extend(res.collect())
+
+    run_foreach_batch(qstream, serve, output_mode="append")
+    return spark.createDataFrame(
+        results, "qid long, vec_id long, score double, rk int"
+    )
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (

@@ -724,3 +724,28 @@ def test_span_dedup_covers_long_shared_substrings(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 20  # every token of the copy is covered
     assert out[2].clean_text == "unique tail words"
+
+
+def test_hashed_features_unit_norm_and_determinism(spark):
+    """Each row's sparse vector is L2-normalized (Σ w² = 1), buckets
+    stay in range, and the encoding is replay-deterministic."""
+    import math
+
+    from realtime0523_spark.llm.text import FEATURE_HASH_DIM, hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a a"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = hashed_features(docs, ["doc_id"]).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r.bucket < FEATURE_HASH_DIM
+        by_doc.setdefault(r.doc_id, []).append(r.weight)
+    assert 3 not in by_doc  # empty doc emits nothing
+    for d, ws in by_doc.items():
+        assert math.isclose(sum(w * w for w in ws), 1.0, rel_tol=1e-9), d
+    # doc 2 has one token → single bucket with weight exactly 1
+    assert by_doc[2] == [1.0]
+    again = {(r.doc_id, r.bucket, r.weight) for r in hashed_features(docs, ["doc_id"]).collect()}
+    assert again == {(r.doc_id, r.bucket, r.weight) for r in out}
