@@ -781,3 +781,49 @@ def ann_topk_pq(
     return topk_per_group(
         scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
     )
+
+
+# --- sparse retrieval over hashed features (inverted-index search) ----
+
+
+def sparse_search_topk(
+    corpus_feats: DataFrame,
+    query_feats: DataFrame,
+    k: int = 3,
+    corpus_id_cols: list[str] | None = None,
+    query_id_col: str = "qid",
+    score_transform=None,
+) -> DataFrame:
+    """Lexical top-k search: sparse dot product between L2-normalized
+    feature-hash vectors (llm.text.hashed_features), computed as an
+    inverted-index EQUI-JOIN on the bucket id — the classic sparse
+    retrieval shape (posting-list intersection), complementing the
+    dense ANN paths. With both sides unit-norm the dot IS the cosine.
+
+    `corpus_feats`: (ids…, bucket, weight); `query_feats`:
+    (qid, bucket, weight). The query side is small by contract and
+    broadcasts; scoring is one partial-agg'd groupBy over the joined
+    postings — per-bucket fan-out bounded by the query set, the
+    corpus postings never self-join. A row whose corpus ids equal the
+    query id is excluded (self-match)."""
+    cid = corpus_id_cols or ["doc_id", "chunk_id"]
+    q = query_feats.select(
+        F.col(query_id_col),
+        F.col("bucket"),
+        F.col("weight").alias("__qw"),
+    )
+    j = corpus_feats.join(F.broadcast(q), "bucket").filter(
+        F.col(cid[0]) != F.col(query_id_col)
+    )
+    scored = j.groupBy(query_id_col, *cid).agg(
+        F.sum(F.col("weight") * F.col("__qw")).alias("score")
+    )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
+    return topk_per_group(
+        scored,
+        query_id_col,
+        [F.desc("score")] + [F.col(c) for c in cid],
+        k,
+        rank_col="rk",
+    )

@@ -92,7 +92,7 @@ _PRIORITY: list[str] = [
     "emb_ann_pq", "event_incident_join", "top_tokens_cms",
     "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
     "salted_priority_revenue", "emb_semantic_dedup",
-    "docs_chunk_embed", "stream_ann_lookup",
+    "docs_chunk_embed", "stream_ann_lookup", "docs_sparse_search",
     # §2 streaming family (stateful paths — riskiest, always in-window;
     # listed before the rotation group so added queries can never push
     # them off the 50-slot tail).

@@ -1965,6 +1965,81 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPARSE_QUERIES = 5
+SPARSE_K = 3
+
+_FH_CHUNK_FEATS_SQL = f"""
+    ch AS (
+      SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+             array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+      FROM (SELECT doc_id, t, len(t) AS n
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+            WHERE len(t) > 0),
+           LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s)),
+    cf AS (
+      SELECT doc_id, chunk_id, bucket,
+             cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id, chunk_id))
+               AS weight
+      FROM (SELECT doc_id, chunk_id,
+                   {_MD5_INT32_SQL.format(col='tok')} % {X.FEATURE_HASH_DIM}
+                     AS bucket,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, chunk_id,
+                         unnest(list_filter(
+                           regexp_split_to_array(chunk_text, '\\s+'),
+                           t -> t <> '')) AS tok
+                  FROM ch)
+            GROUP BY doc_id, chunk_id, bucket)),
+    qf AS (
+      SELECT doc_id AS qid, bucket,
+             cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)) AS weight
+      FROM (SELECT doc_id,
+                   {_MD5_INT32_SQL.format(col='tok')} % {X.FEATURE_HASH_DIM}
+                     AS bucket,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+                  WHERE doc_id < {SPARSE_QUERIES})
+            GROUP BY doc_id, bucket))
+"""
+
+
+@register(
+    "docs_sparse_search",
+    f"""
+    WITH {_FH_CHUNK_FEATS_SQL}
+    SELECT qid, doc_id, chunk_id, score, rk FROM (
+      SELECT qid, doc_id, chunk_id, {_r9('s')} AS score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {_r9('s')} DESC, doc_id, chunk_id)
+               AS rk
+      FROM (SELECT q.qid, c.doc_id, c.chunk_id,
+                   sum(q.weight * c.weight) AS s
+            FROM qf q JOIN cf c
+              ON q.bucket = c.bucket AND c.doc_id <> q.qid
+            GROUP BY q.qid, c.doc_id, c.chunk_id))
+    WHERE rk <= {SPARSE_K}
+    """,
+    "Sparse lexical top-k search — the retrieval link of the "
+    "chunk→embed→index chain and the lexical complement of the dense "
+    "ANN paths: whole-document queries scored against the chunk "
+    "feature-hash index by a posting-list EQUI-JOIN on the bucket id "
+    "(query side broadcast), sparse dot ≡ cosine since both sides are "
+    "unit-norm. Per-bucket fan-out is bounded by the query set; the "
+    "corpus postings never self-join.",
+)
+def q_docs_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    chunks = X.chunk_tokens(docs, CHUNK_SIZE, CHUNK_STRIDE).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    cf = X.hashed_features(chunks, ["doc_id", "chunk_id"], text_col="chunk_text")
+    qf = X.hashed_features(
+        docs.filter(F.col("doc_id") < SPARSE_QUERIES), ["doc_id"]
+    ).withColumnRenamed("doc_id", "qid")
+    out = S.sparse_search_topk(cf, qf, k=SPARSE_K, score_transform=r9)
+    return out.select("qid", "doc_id", "chunk_id", "score", "rk")
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (
