@@ -103,6 +103,27 @@ AUDITED: dict[str, str] = {
         "excision is a per-row array filter — the token stream never "
         "shuffles twice"
     ),
+    "salted_priority_revenue": (
+        "the fact side salts into 16 sub-keys (map-side column), the "
+        "other side replicates x16 — a hot key spreads over 16 tasks; "
+        "no extra shuffle beyond the join's own"
+    ),
+    "emb_semantic_dedup": (
+        "pairs from the label-blocked equi-join (Σ block², never n²); "
+        "components by per-round join + partial-agg min with released "
+        "checkpoints; verdict is one left join back onto the corpus"
+    ),
+    "docs_chunk_embed": (
+        "chunking is a per-row explode+slice map; hashing is explode + "
+        "partial-agg'd groupBy; the normalize window partitions by "
+        "chunk — no corpus-wide state, no dictionary broadcast"
+    ),
+    "docs_sparse_search": (
+        "query postings broadcast onto the chunk postings via a bucket "
+        "equi-join; per-bucket fan-out bounded by the query set; "
+        "scoring is one partial-agg'd groupBy — corpus postings never "
+        "self-join"
+    ),
 }
 
 

@@ -69,6 +69,10 @@ PROBES = [
     "event_incident_join", # keyless range join as binned equi-join (r5)
     "top_tokens_cms",      # fixed-grid sketch build + broadcast probe (r5)
     "docs_span_dedup",     # gram-hash shuffle + compact removed-set join (r5)
+    "salted_priority_revenue",  # x16-replicated salted join (r5)
+    "emb_semantic_dedup",  # blocked pairs + connected components (r5)
+    "docs_chunk_embed",    # explode + partial-agg + per-chunk window (r5)
+    "docs_sparse_search",  # broadcast posting join, bounded fan-out (r5)
 ]
 
 # Library paths without their own registry entry, probed as callables:
