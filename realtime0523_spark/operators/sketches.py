@@ -11,10 +11,11 @@ and it merges by cell-wise addition — the shape that survives any
 corpus size, and the same reason Spark itself ships
 `count_min_sketch` for runtime filters.
 
-Determinism: the d-th hash row uses the portable md5-prefix hash of
-``"d:" || key`` (llm.dedup.md5_int32) — identical arithmetic exists in
-DuckDB, so unlike HLL (whose accuracy contract is the checked surface,
-dau_approx) the CMS twins carry EXACT oracles.
+Determinism: the d-th hash row is the d-th 8-hex-char slice of ONE
+md5 digest per key (one hash call for all rows; slices are
+independent 32-bit hashes by md5 avalanche) — identical arithmetic
+exists in DuckDB, so unlike HLL (whose accuracy contract is the
+checked surface, dau_approx) the CMS twins carry EXACT oracles.
 
 Guarantee: estimate ≥ true count always (only hash collisions inflate,
 never deflate); estimate ≤ true + εN with probability 1-δ for
@@ -26,24 +27,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from realtime0523_spark.llm.dedup import md5_int32
-
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 
 
 def cms_bucket(key: Column, d: int, width: int = CMS_WIDTH) -> Column:
-    """Row-d bucket of a key: md5_int32("d:" || key) mod width."""
-    return F.pmod(md5_int32(F.concat(F.lit(f"{d}:"), key)), F.lit(width))
+    """Row-d bucket of a key: the d-th 8-hex-char slice of ONE md5
+    digest, mod width. All depth rows share a single md5 call per key
+    (digest slices are independent 32-bit hashes by md5 avalanche —
+    the standard fewer-hashes construction, cf. Kirsch & Mitzenmacher
+    2006), which quarters the per-token hash cost of the build scan."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1 + 8 * d, 8), 16, 10).cast("bigint"),
+        F.lit(width),
+    )
 
 
 def _bucket_entries(key: Column, depth: int, width: int) -> Column:
     """array<struct<d,bucket>> — all depth rows for one key, so the
-    sketch builds in ONE scan (no per-depth re-read of the input)."""
+    sketch builds in ONE scan (no per-depth re-read of the input) and
+    ONE digest (see cms_bucket). md5's 32 hex chars bound depth at 4."""
+    if depth > 4:
+        raise ValueError(f"depth {depth} > 4: one md5 digest yields 4 slices")
+    digest = F.md5(key)
     return F.array(
         *[
             F.struct(
-                F.lit(d).alias("d"), cms_bucket(key, d, width).alias("bucket")
+                F.lit(d).alias("d"),
+                F.pmod(
+                    F.conv(F.substring(digest, 1 + 8 * d, 8), 16, 10).cast(
+                        "bigint"
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
             )
             for d in range(depth)
         ]

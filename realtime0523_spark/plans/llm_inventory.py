@@ -177,9 +177,10 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # CMS twin fragments — generated from operators.sketches constants so
-# the oracle replays the exact same grid
+# the oracle replays the exact same grid: row d's hash is the d-th
+# 8-hex-char slice of one md5 digest (see sketches.cms_bucket)
 _CMS_BUCKET_SQL = (
-    _MD5_INT32_SQL.format(col="CAST({d} AS VARCHAR) || ':' || {key}")
+    "CAST(('0x' || substr(md5({key}), 1 + 8 * {d}, 8)) AS BIGINT)"
     + f" % {SK.CMS_WIDTH}"
 )
 
