@@ -93,6 +93,10 @@ _PRIORITY: list[str] = [
     "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
     "salted_priority_revenue", "emb_semantic_dedup",
     "docs_chunk_embed", "stream_ann_lookup", "docs_sparse_search",
+    # emb_ann_recall CHANGED this round (now reports the PQ index too)
+    # and top_tokens_cms/stream_top_tokens_cms changed hashing — all
+    # already listed above or here for a fresh driver row.
+    "emb_ann_recall",
     # §2 streaming family (stateful paths — riskiest, always in-window;
     # listed before the rotation group so added queries can never push
     # them off the 50-slot tail).

@@ -688,70 +688,6 @@ def q_emb_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "score", "rk")
 
 
-@register(
-    "emb_ann_recall",
-    f"""
-    WITH {_DOT_CTE.format(nq=TOPK_QUERIES)},
-    exactk AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY {_r9('dot / (n_a * n_b)')} DESC, vec_id) AS rk
-        FROM pairdot) WHERE rk <= {TOPK_K}),
-    {_LSH_ANN_CTES},
-    {_IVF_ANN_CTES}
-    SELECT method, qid, recall FROM (
-      SELECT 'lsh' AS method, e.qid,
-             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
-      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM lshann WHERE rk <= {TOPK_K}) a
-        ON a.qid = e.qid AND a.vec_id = e.vec_id
-      GROUP BY e.qid
-      UNION ALL
-      SELECT 'ivf' AS method, e.qid,
-             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
-      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM ivfann WHERE rk <= {TOPK_K}) a
-        ON a.qid = e.qid AND a.vec_id = e.vec_id
-      GROUP BY e.qid)
-    """,
-    "Recall@k of each ANN index against the exact brute-force top-k — "
-    "the quality metric for the approximate paths, itself exact and "
-    "oracle-checked because both indexes are deterministic.",
-)
-def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb, queries = _ann_queries(spark, sf_dir)
-    exact = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
-        "qid", "vec_id"
-    )
-    lsh = S.ann_topk_lsh(
-        emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
-    ).select("qid", "vec_id")
-    ivf = S.ann_topk_ivf(
-        emb,
-        queries,
-        nprobe=IVF_NPROBE,
-        k=TOPK_K,
-        centroids=S.label_centroids(emb),
-        score_transform=r9,
-    ).select("qid", "vec_id")
-
-    def _recall(ann: DataFrame, method: str) -> DataFrame:
-        hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
-        return (
-            exact.select("qid")
-            .distinct()
-            .join(hits, "qid", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "qid",
-                (F.coalesce(F.col("count"), F.lit(0)) / F.lit(TOPK_K))
-                .cast("double")
-                .alias("recall"),
-            )
-        )
-
-    return _recall(lsh, "lsh").unionAll(_recall(ivf, "ivf"))
-
-
 # label-seeded PQ: codebook per subspace = per-label mean subvectors
 # (ascending-label codeword order); codes = argmin 9dp-quantized L2;
 # ADC = per-query LUT of subspace dots, summed by code — mirrors
@@ -796,6 +732,85 @@ _PQ_ANN_CTES = f"""
         FROM pqadc) WHERE rn <= {S.PQ_RETRIEVE}),
     {_rerank_cte('pqcand', 'pqann')}
 """
+
+
+@register(
+    "emb_ann_recall",
+    f"""
+    WITH {_DOT_CTE.format(nq=TOPK_QUERIES)},
+    exactk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('dot / (n_a * n_b)')} DESC, vec_id) AS rk
+        FROM pairdot) WHERE rk <= {TOPK_K}),
+    {_LSH_ANN_CTES},
+    {_IVF_ANN_CTES},
+    {_PQ_ANN_CTES}
+    SELECT method, qid, recall FROM (
+      SELECT 'lsh' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM lshann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'ivf' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM ivfann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'pq' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM pqann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid)
+    """,
+    "Recall@k of each ANN index (sign-LSH, IVF, and PQ-ADC) against "
+    "the exact brute-force top-k — the quality metric for the "
+    "approximate paths, itself exact and oracle-checked because all "
+    "three indexes are deterministic.",
+)
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id"
+    )
+    lsh = S.ann_topk_lsh(
+        emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+    ivf = S.ann_topk_ivf(
+        emb,
+        queries,
+        nprobe=IVF_NPROBE,
+        k=TOPK_K,
+        centroids=S.label_centroids(emb),
+        score_transform=r9,
+    ).select("qid", "vec_id")
+    pq = S.ann_topk_pq(
+        emb, queries, codebooks=S.pq_codebooks(emb), k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+
+    def _recall(ann: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
+        return (
+            exact.select("qid")
+            .distinct()
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "qid",
+                (F.coalesce(F.col("count"), F.lit(0)) / F.lit(TOPK_K))
+                .cast("double")
+                .alias("recall"),
+            )
+        )
+
+    return (
+        _recall(lsh, "lsh")
+        .unionAll(_recall(ivf, "ivf"))
+        .unionAll(_recall(pq, "pq"))
+    )
 
 
 @register(
