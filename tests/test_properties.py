@@ -244,3 +244,47 @@ def test_token_budget_sample_pure_python_oracle(spark, rows, budget):
                 want[doc_id] = (n_tok, consumed + n_tok)
             consumed += n_tok
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=20),   # event seconds
+    st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 400)),  # (start, length)
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([60, 300, 1000]),                          # bin width
+)
+@settings(**PROP_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, ev_secs, ivs, bin_seconds):
+    """The binned rewrite must equal the brute-force range filter for
+    every event/interval layout — including empty intervals
+    (start == end), bin-straddling spans, and boundary timestamps —
+    at any bin width, with every pair emitted exactly once."""
+    import datetime as dt
+
+    from realtime0523_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    events = spark.createDataFrame(
+        [(i, t(s)) for i, s in enumerate(ev_secs)], "eid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(j, t(s), t(s + ln)) for j, (s, ln) in enumerate(ivs)],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.eid, r.iid)
+        for r in interval_join(events, intervals, "ts", "s", "e", bin_seconds).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, es in enumerate(ev_secs)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= es < s + ln
+    )
+    assert got == want
