@@ -1,0 +1,131 @@
+"""BPE tokenizer training — byte-pair-encoding merge learning
+(Sennrich, Haddow, Birch, "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016; the algorithm behind GPT/Llama
+tokenizers).
+
+Distributed shape (the classic trainer optimization, done Spark-
+sized): ONE corpus-sized shuffle builds the (word, freq) vocabulary
+table, and every merge round then runs on |vocab| rows only — pair
+counts are a partial-agg'd groupBy over per-word adjacent symbol
+pairs weighted by word frequency, the winning pair is a 1-row argmax
+collect (the same driver-side step every BPE trainer performs, on a
+|distinct-pairs|-sized aggregate), and applying the merge is a
+per-row string replace. At 100 TB the corpus is touched exactly
+once; training cost scales with vocabulary, not corpus size.
+
+Representation & merge semantics (shared bit-for-bit with the SQL
+oracle, plans/llm_inventory.docs_bpe_merges):
+- a word's symbol sequence is the string " s1 s2 … sn " — every
+  symbol delimited by single spaces, with leading/trailing sentinels,
+  so the pattern " a b " matches pair (a, b) ONLY at true symbol
+  boundaries (no symbol contains a space);
+- merging (a, b) → ab is `replace(" a b " → " ab ")` applied TWICE:
+  a leftmost-nonoverlapping scan misses an occurrence exactly when it
+  shares its boundary space with the previous match, such misses are
+  always isolated (two adjacent misses would imply the earlier one
+  had a free boundary and would have matched), so a second pass
+  resolves every one — two passes ≡ BPE's greedy left-to-right merge.
+
+Determinism: count ties break lexicographically on (left, right) — a
+fixed total order both engines share (HF's insertion-order tiebreak
+is deliberately replaced; documented deviation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime0523_spark.llm.text import tokens
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary table — the one corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _spaced(col):
+    """'low' → ' l o w ': one symbol per character, space-delimited
+    with boundary sentinels."""
+    return F.concat(F.lit(" "), F.trim(F.regexp_replace(col, "(.)", "$1 ")), F.lit(" "))
+
+
+def _apply_merge(syms, left: str, right: str):
+    pat = F.lit(f" {left} {right} ")
+    rep = F.lit(f" {left}{right} ")
+    return F.replace(F.replace(syms, pat, rep), pat, rep)
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(l, r, n): adjacent-pair counts over the vocab table, weighted
+    by word frequency; overlapping occurrences count (BPE counting)."""
+    return (
+        # guard BEFORE the sequence: Spark's sequence(1, 0) counts DOWN
+        # ([1, 0]), so a single-symbol word would emit a bogus
+        # (null, sym) pair instead of nothing
+        vocab.filter(F.expr("size(split(trim(syms), ' ')) >= 2"))
+        .select(
+            F.col("freq"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(syms), ' ')) - 1), "
+                    "i -> struct(split(trim(syms), ' ')[i - 1] AS l, "
+                    "split(trim(syms), ' ')[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges; returns [(left, right), …] in
+    learned order. Stops early if no pair remains."""
+    vocab = word_counts(docs, text_col).select(
+        _spaced(F.col("w")).alias("syms"), "freq"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"), "freq"
+        )
+        # truncate lineage each round: 30 rounds of nested projections
+        # otherwise stack an ever-deeper plan over the same tiny table
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge list to one word (driver-side utility for
+    tests/tools — production segmentation would be a mapInPandas over
+    the same logic)."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

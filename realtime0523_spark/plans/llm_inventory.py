@@ -2056,6 +2056,73 @@ def q_docs_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "doc_id", "chunk_id", "score", "rk")
 
 
+BPE_MERGES = 8
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    """Generated n-round BPE oracle: each round re-derives pair counts
+    from the previous vocab state, takes the deterministic argmax, and
+    applies the two-pass boundary-anchored replace — the same
+    semantics as llm.bpe.train_bpe, CTE-materialized per round so the
+    vocab chain evaluates once per state, not once per reference."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+      SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS syms,
+             freq
+      FROM (SELECT w, count(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w))"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT ps[i] AS l, ps[i + 1] AS r, sum(freq) AS n
+      FROM (SELECT string_split(trim(syms), ' ') AS ps, freq FROM v{r}
+            WHERE len(string_split(trim(syms), ' ')) >= 2),
+           LATERAL (SELECT unnest(range(1, len(ps))) AS i)
+      GROUP BY ps[i], ps[i + 1])"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT l, r FROM p{r} ORDER BY n DESC, l, r LIMIT 1)"""
+        )
+        pat = f"' ' || (SELECT l FROM m{r}) || ' ' || (SELECT r FROM m{r}) || ' '"
+        rep = f"' ' || (SELECT l FROM m{r}) || (SELECT r FROM m{r}) || ' '"
+        parts.append(
+            f"""v{r + 1} AS MATERIALIZED (
+      SELECT replace(replace(syms, {pat}, {rep}), {pat}, {rep}) AS syms, freq
+      FROM v{r})"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS left, r AS right FROM m{r}"
+        for r in range(n_rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+@register(
+    "docs_bpe_merges",
+    _bpe_merges_sql(BPE_MERGES),
+    f"BPE tokenizer TRAINING (Sennrich et al. ACL 2016) — the first "
+    f"{BPE_MERGES} merges learned from the corpus. One corpus-sized "
+    "shuffle builds the (word, freq) table; every round then runs on "
+    "|vocab| rows (partial-agg'd weighted pair counts, a 1-row argmax "
+    "collect — the driver step every BPE trainer performs — and a "
+    "per-row two-pass boundary-anchored replace ≡ greedy "
+    "left-to-right merging). Count ties break lexicographically in "
+    "both engines (documented deviation from HF's insertion order). "
+    "The oracle replays all rounds as generated CTEs.",
+)
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.bpe import train_bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = train_bpe(docs, BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (

@@ -749,3 +749,43 @@ def test_hashed_features_unit_norm_and_determinism(spark):
     assert by_doc[2] == [1.0]
     again = {(r.doc_id, r.bucket, r.weight) for r in hashed_features(docs, ["doc_id"]).collect()}
     assert again == {(r.doc_id, r.bucket, r.weight) for r in out}
+
+
+def test_bpe_trainer_learns_canonical_merges(spark):
+    """The Sennrich et al. walk-through corpus: low×5 lower×2
+    newest×6 widest×3 — es(9), est(9), lo(7), low(7) are the
+    textbook first merges (ties beyond that break lexicographically,
+    our documented deviation from HF insertion order)."""
+    from realtime0523_spark.llm.bpe import segment_word, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    m = train_bpe(docs, 6)
+    assert m[:4] == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")], m
+    assert segment_word("lowest", m) == ["low", "est"]
+
+
+def test_bpe_merge_application_handles_adjacent_repeats(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — the two-pass
+    boundary-anchored replace equals greedy left-to-right merging
+    even when occurrences share a delimiter."""
+    from realtime0523_spark.llm.bpe import segment_word, train_bpe, word_counts
+    from realtime0523_spark.llm.bpe import _apply_merge, _spaced
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    m = train_bpe(docs, 2)
+    # round 1: (a,a) count 9 (overlapping pairs count, 3 per word);
+    # round 2: symbols [aa, aa] → (aa, aa)
+    assert m == [("a", "a"), ("aa", "aa")], m
+    assert segment_word("aaaaa", m) == ["aaaa", "a"]
+    # direct check of the string-level merge on a 6-pair chain
+    row = (
+        spark.createDataFrame([("ababababababab",)], "w string")
+        .select(_apply_merge(_spaced(F.col("w")), "a", "b").alias("s"))
+        .first()
+    )
+    assert row.s == " " + "ab " * 7, repr(row.s)
