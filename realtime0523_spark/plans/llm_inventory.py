@@ -2123,6 +2123,62 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_VOCAB_TOP = 20
+
+
+@register(
+    "docs_bpe_vocab",
+    _bpe_merges_sql(BPE_MERGES).rsplit("SELECT 0 AS rank", 1)[0].rstrip().rstrip(
+        "UNION ALL"
+    ).rstrip()
+    + f"""
+    SELECT unit, n, rk FROM (
+      SELECT unit, n, row_number() OVER (ORDER BY n DESC, unit) AS rk
+      FROM (SELECT u AS unit, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(trim(syms), ' ')) AS u, freq
+                  FROM v{BPE_MERGES})
+            GROUP BY u))
+    WHERE rk <= {BPE_VOCAB_TOP}
+    """,
+    f"The subword vocabulary AFTER the {BPE_MERGES} learned merges: "
+    f"segment every word with the merge table and count unit "
+    f"frequencies (top {BPE_VOCAB_TOP}, deterministic tiebreak) — "
+    "the tokenizer-artifact half of BPE training (merges + vocab), "
+    "and the corpus-level view of what the merges absorbed. Same "
+    "|vocab|-row round states; the oracle reuses the generated "
+    "round CTEs and reads the final state.",
+)
+def q_docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.llm.bpe import (
+        _apply_merge,
+        _spaced,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = train_bpe(docs, BPE_MERGES)
+    vocab = word_counts(docs).select(_spaced(F.col("w")).alias("syms"), "freq")
+    for a, b in merges:
+        vocab = vocab.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq")
+    units = (
+        vocab.select(
+            F.explode(F.split(F.trim(F.col("syms")), " ")).alias("unit"), "freq"
+        )
+        .groupBy("unit")
+        .agg(F.sum("freq").alias("n"))
+    )
+    return (
+        units.orderBy(F.desc("n"), "unit")
+        .limit(BPE_VOCAB_TOP)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("n"), F.col("unit")))
+        )
+    )
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (
