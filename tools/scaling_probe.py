@@ -73,6 +73,7 @@ PROBES = [
     "emb_semantic_dedup",  # blocked pairs + connected components (r5)
     "docs_chunk_embed",    # explode + partial-agg + per-chunk window (r5)
     "docs_sparse_search",  # broadcast posting join, bounded fan-out (r5)
+    "docs_bpe_merges",     # vocab-sized rounds: cost ~flat vs corpus growth (r5)
 ]
 
 # Library paths without their own registry entry, probed as callables:
