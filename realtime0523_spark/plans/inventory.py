@@ -105,13 +105,13 @@ _PRIORITY: list[str] = [
     "stream_brand_amount", "stream_dwd_order", "stream_docs_ingest",
     "stream_dau", "stream_windowed_counts", "stream_windowed_topk",
     "stream_sliding_counts",
-    # Round 5 group B — queries rotated out of the r4 window
-    # (driver-green r1-r3, unchanged; re-recording refreshes their
-    # committed rows so the r1-r5 union stays all-ever-green). The 8
-    # round-5 additions displace the 8 most trivial stable greens
-    # (acct_bucket, priority_decode, router_filter, router_fanout,
-    # customers_with/never, qty_moving_stats, docs_token_stats — all
-    # r1-r3-committed and repo-gate-checked every round).
+    # Round 5 group B — long-stable greens (driver-green r1-r3,
+    # unchanged) listed oldest-committed-row-first; however many fit
+    # after the never-checked + streaming groups get their committed
+    # rows refreshed, and the rest rotate out — every rotated-out
+    # query has an r1-r3 CORRECTNESS row and stays covered by the
+    # full-registry repo gate each round, so the r1-r5 union remains
+    # all-ever-green regardless of how many round-5 additions land.
     "pricing_summary", "revenue_rollup", "top_customers_per_nation",
     "regional_revenue", "late_ship_priority_counts", "repeat_buyers",
     "churned_buyers", "active_buyers_union", "grouping_sets_revenue",
