@@ -148,12 +148,12 @@ def main() -> int:
         fn(spark, sfs[0][1]).count()
         times = []
         for _, sf_dir in sfs:
-            # min of 2 timed runs: the growth RATIO is the signal and a
+            # min of 3 timed runs: the growth RATIO is the signal and a
             # single co-scheduled background burst on the shared host
-            # can inflate one cell 3-5x; the min is the standard
-            # noise-robust estimator for this
+            # can inflate one cell 3-6x (observed even with min-of-2);
+            # the min is the standard noise-robust estimator for this
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 best = min(best, time.time() - t0)
