@@ -513,3 +513,45 @@ def domain_mix(
     return agg.withColumn(
         "token_share", F.col("n_tokens").cast("double") / total.cast("double")
     )
+
+
+def training_order(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified training order: a hash-pseudo-shuffle
+    WITHIN each domain, quantile-interleaved ACROSS domains — so every
+    contiguous slice of the resulting stream sees approximately the
+    corpus's domain mix (the data-order property pretraining wants:
+    no domain-clumped phases), yet the order is a pure function of the
+    data (replay-identical across runs, engines, and restarts — no
+    rand()).
+
+    Key construction: within a domain, docs rank by md5(id) (the
+    pseudo-shuffle); a doc at rank r of n maps to quantile
+    (r - 0.5) / n; the global order is (quantile, domain, id) — i.e.
+    the classic stratified round-robin by normalized position.
+
+    Scale shape: one window per domain partition for the rank (a
+    single hash exchange on the domain key, no global sort of
+    anything wider than the rank key), then the global position is a
+    rank over (quantile, domain) — at cluster scale the final total
+    order would stay an ORDER BY on write (range partitioner), not a
+    single-task sort; the inventory query emits the position column,
+    which is what a sharded writer consumes."""
+    n = F.count(F.lit(1)).over(W.partitionBy(domain_col))
+    r = F.row_number().over(
+        W.partitionBy(domain_col).orderBy(
+            md5_int32(F.col(id_col).cast("string")), id_col
+        )
+    )
+    keyed = docs.select(
+        id_col,
+        F.col(domain_col).alias("domain"),
+        ((r.cast("double") - 0.5) / n.cast("double")).alias("q"),
+    )
+    return keyed.withColumn(
+        "global_pos",
+        F.row_number().over(W.orderBy("q", "domain", id_col)),
+    ).select(id_col, "domain", "global_pos")

@@ -97,7 +97,7 @@ _PRIORITY: list[str] = [
     # and top_tokens_cms/stream_top_tokens_cms changed hashing — all
     # already listed above or here for a fresh driver row.
     "emb_ann_recall", "event_value_stats", "docs_bpe_merges",
-    "docs_bpe_vocab",
+    "docs_bpe_vocab", "docs_training_order",
     # §2 streaming family (stateful paths — riskiest, always in-window;
     # listed before the rotation group so added queries can never push
     # them off the 50-slot tail).

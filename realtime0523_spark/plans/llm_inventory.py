@@ -2056,6 +2056,36 @@ def q_docs_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "doc_id", "chunk_id", "score", "rk")
 
 
+@register(
+    "docs_training_order",
+    f"""
+    WITH tko AS (
+      SELECT doc_id, source AS domain,
+             (row_number() OVER (PARTITION BY source
+                ORDER BY {_MD5_INT32_SQL.format(col='CAST(doc_id AS VARCHAR)')},
+                         doc_id) - 0.5)
+               / count(*) OVER (PARTITION BY source) AS q
+      FROM documents)
+    SELECT doc_id, domain,
+           row_number() OVER (ORDER BY q, domain, doc_id) AS global_pos
+    FROM tko
+    """,
+    "Deterministic stratified training order: hash-pseudo-shuffle "
+    "within each domain, quantile-interleave across domains — every "
+    "contiguous slice of the stream sees ~the corpus's domain mix "
+    "(no domain-clumped training phases), and the order is a pure "
+    "function of the data (replay-identical, no rand()). One window "
+    "per domain partition; the global position is what a sharded "
+    "writer consumes (range partitioner at cluster scale, never a "
+    "single-task sort).",
+)
+def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.pipeline import training_order
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return training_order(docs)
+
+
 BPE_MERGES = 8
 
 

@@ -789,3 +789,22 @@ def test_bpe_merge_application_handles_adjacent_repeats(spark):
         .first()
     )
     assert row.s == " " + "ab " * 7, repr(row.s)
+
+
+def test_training_order_stratified_and_deterministic(spark):
+    """Every contiguous slice of the ordered stream must contain every
+    domain (the no-domain-clumping property), positions must be a
+    1..n permutation, and the order replay-identical."""
+    from realtime0523_spark.llm.pipeline import training_order
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    out = training_order(docs).toPandas().sort_values("global_pos")
+    n = len(out)
+    assert list(out.global_pos) == list(range(1, n + 1))
+    domains = set(out.domain)
+    k = 5
+    for i in range(k):
+        sl = out.iloc[i * n // k : (i + 1) * n // k]
+        assert set(sl.domain) == domains, i
+    again = training_order(docs).toPandas().sort_values("global_pos")
+    assert list(again.doc_id) == list(out.doc_id)
