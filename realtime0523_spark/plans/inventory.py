@@ -97,7 +97,8 @@ _PRIORITY: list[str] = [
     # and top_tokens_cms/stream_top_tokens_cms changed hashing — all
     # already listed above or here for a fresh driver row.
     "emb_ann_recall", "event_value_stats", "docs_bpe_merges",
-    "docs_bpe_vocab", "docs_training_order",
+    "docs_bpe_vocab", "docs_training_order", "emb_pq_codes",
+    "stream_event_value_stats",
     # §2 streaming family (stateful paths — riskiest, always in-window;
     # listed before the rotation group so added queries can never push
     # them off the 50-slot tail).
@@ -1595,6 +1596,41 @@ def q_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r9c(F.covar_samp(F.col("value"), k)).alias("covar_vk"),
         r9c(F.corr(F.col("value"), k)).alias("corr_vk"),
     )
+
+
+@register(
+    "stream_event_value_stats",
+    f"""
+    SELECT event_type, count(*) AS n,
+           {_R9.format(x='stddev_samp(value)')} AS sd_value,
+           {_R9.format(x="covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE))")}
+             AS covar_vk,
+           {_R9.format(x="corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE))")}
+             AS corr_vk
+    FROM events GROUP BY event_type
+    """,
+    "The co-moment aggregates maintained ON THE STREAM: stddev / "
+    "covariance / correlation are declarative aggregates with "
+    "mergeable partial states (Chan et al. update formulas), so the "
+    "streaming engine folds each micro-batch into |keys| constant-"
+    "size states — the moment analog of the CMS grid. Complete-mode "
+    "drain ≡ the batch aggregation, so the oracle is "
+    "event_value_stats's.",
+)
+def q_stream_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    r9c = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r9c(F.stddev_samp("value")).alias("sd_value"),
+        r9c(F.covar_samp(F.col("value"), k)).alias("covar_vk"),
+        r9c(F.corr(F.col("value"), k)).alias("corr_vk"),
+    )
+    return run_to_memory(agg, output_mode="complete")
 
 
 @register(

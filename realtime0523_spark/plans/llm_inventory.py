@@ -694,7 +694,7 @@ def q_emb_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llm.similarity.pq_codebooks / pq_encode_udf / ann_topk_pq
 PQ_SUBDIM = EMB_DIMS // S.PQ_SUBSPACES
 
-_PQ_ANN_CTES = f"""
+_PQ_CODE_CTES = f"""
     pqcent AS (
       SELECT label, CAST(d AS INT) AS d,
              CAST((d - 1) // {PQ_SUBDIM} AS INT) AS m,
@@ -712,7 +712,10 @@ _PQ_ANN_CTES = f"""
         SELECT vec_id, m, label,
                row_number() OVER (PARTITION BY vec_id, m
                                   ORDER BY {_r9('d2')} ASC, label) AS rn
-        FROM pqdist) WHERE rn = 1),
+        FROM pqdist) WHERE rn = 1)"""
+
+_PQ_ANN_CTES = f"""
+    {_PQ_CODE_CTES},
     pqlut AS (
       SELECT q.vec_id AS qid, c.m, c.label,
              sum(CAST(q.embedding[c.d] AS DOUBLE) * c.w) AS pd
@@ -835,6 +838,27 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_pq(
         emb, queries, codebooks=cb, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+    WITH {_PQ_CODE_CTES}
+    SELECT vec_id, m, code FROM pqcode
+    """,
+    "The PQ index ARTIFACT itself: every vector's codeword index per "
+    f"subspace — {S.PQ_SUBSPACES} small ints replacing {EMB_DIMS} "
+    "floats (32× compression), the table an ANN serving tier ships "
+    "to memory. Encoding is one map-only Arrow pass with the "
+    "codebooks closure-broadcast; emitted exploded (vec, subspace, "
+    "code) for the set-compare.",
+)
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    coded = S.pq_encode(emb, S.pq_codebooks(emb))
+    return coded.select(
+        "vec_id", F.posexplode("pq_code").alias("m", "code")
+    )
 
 
 # ----------------------------------------------------------------------
