@@ -124,6 +124,17 @@ AUDITED: dict[str, str] = {
         "scoring is one partial-agg'd groupBy — corpus postings never "
         "self-join"
     ),
+    "docs_training_order": (
+        "per-domain rank = one hash exchange on the domain key; the "
+        "global position window is the single-task sort a sharded "
+        "writer replaces with a range partitioner at cluster scale "
+        "(documented in the docstring)"
+    ),
+    "emb_pq_codes": (
+        "codebooks aggregate to |labels| x dims scalars; encoding is "
+        "one map-only Arrow pass — the 32x-compressed index emits "
+        "without any shuffle of vectors"
+    ),
 }
 
 

@@ -74,6 +74,8 @@ PROBES = [
     "docs_chunk_embed",    # explode + partial-agg + per-chunk window (r5)
     "docs_sparse_search",  # broadcast posting join, bounded fan-out (r5)
     "docs_bpe_merges",     # vocab-sized rounds: cost ~flat vs corpus growth (r5)
+    "docs_training_order", # per-domain rank window + position rank (r5)
+    "emb_pq_codes",        # map-only Arrow encode of the coded index (r5)
 ]
 
 # Library paths without their own registry entry, probed as callables:
