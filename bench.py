@@ -131,7 +131,7 @@ def main() -> None:
         total += dt
         _release_query_state(spark)
 
-    line = json.dumps(
+    full = json.dumps(
         {
             "metric": "inventory_total_runtime",
             "value": round(total, 3),
@@ -142,12 +142,53 @@ def main() -> None:
             "host_after": _host_contention(),
         }
     )
+    sidecar = _local_artifact_path()
     try:
-        with open(_local_artifact_path(), "w") as fh:
-            fh.write(line + "\n")
+        with open(sidecar, "w") as fh:
+            fh.write(full + "\n")
     except OSError:
         pass  # the stdout line is still the contract; the sidecar is best-effort
-    print(line)
+    print(_stdout_line(total, timings, sf, os.path.basename(sidecar)))
+
+
+# The driver records only the last STDOUT_BUDGET chars of stdout and
+# json-parses that tail; 106 full query names alone exceed it, so the
+# printed line is a budgeted view: total + as many per-query timings as
+# fit, most-expensive first (the rows that matter for the ≤2×-baseline
+# gate), with an explicit omitted-count and a pointer to the committed
+# sidecar that always carries every query at full precision. Rounds 3-5
+# instead printed the full line and the driver artifact silently lost
+# ~36 rows and never parsed.
+STDOUT_BUDGET = 1985
+
+
+def _stdout_line(
+    total: float, timings: dict[str, float], sf: str, sidecar: str
+) -> str:
+    def render(q: dict[str, float], omitted: int) -> str:
+        return json.dumps(
+            {
+                "metric": "inventory_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": q,
+                "omitted": omitted,
+                "all_queries_in": sidecar,
+            },
+            separators=(",", ":"),
+        )
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict[str, float] = {}
+    line = render(kept, len(ordered))
+    for name, secs in ordered:
+        trial = dict(kept, **{name: round(secs, 2)})
+        cand = render(trial, len(ordered) - len(trial))
+        if len(cand) > STDOUT_BUDGET:
+            break
+        kept, line = trial, cand
+    return line
 
 
 if __name__ == "__main__":

@@ -16,15 +16,19 @@ once; training cost scales with vocabulary, not corpus size.
 Representation & merge semantics (shared bit-for-bit with the SQL
 oracle, plans/llm_inventory.docs_bpe_merges):
 - a word's symbol sequence is the string " s1 s2 … sn " — every
-  symbol delimited by single spaces, with leading/trailing sentinels,
-  so the pattern " a b " matches pair (a, b) ONLY at true symbol
-  boundaries (no symbol contains a space);
-- merging (a, b) → ab is `replace(" a b " → " ab ")` applied TWICE:
-  a leftmost-nonoverlapping scan misses an occurrence exactly when it
-  shares its boundary space with the previous match, such misses are
-  always isolated (two adjacent misses would imply the earlier one
-  had a free boundary and would have matched), so a second pass
-  resolves every one — two passes ≡ BPE's greedy left-to-right merge.
+  symbol delimited by single spaces, with leading/trailing sentinels
+  (no symbol contains a space: symbols are whitespace-split tokens'
+  characters and their concatenations);
+- merging (a, b) → ab is BPE's GREEDY LEFT-TO-RIGHT scan: walk the
+  symbol list once, merge at every adjacent (a, b) and skip past the
+  merged pair. Implemented as a higher-order-function fold over the
+  symbol array (state = (emitted symbols, pending symbol)) — NOT a
+  string replace: for odd-length runs of a self-pair, replace-based
+  merging yields [aa, a, aa] for 'aaaaa' where greedy BPE (and
+  segment_word) yields [aa, aa, a], and the trainer's later-round
+  pair counts diverge from true BPE. The DuckDB oracle replays the
+  identical fold with list_reduce (accumulator encoded as
+  out || chr(1) || pending — tokens never contain control chars).
 
 Determinism: count ties break lexicographically on (left, right) — a
 fixed total order both engines share (HF's insertion-order tiebreak
@@ -55,9 +59,47 @@ def _spaced(col):
 
 
 def _apply_merge(syms, left: str, right: str):
-    pat = F.lit(f" {left} {right} ")
-    rep = F.lit(f" {left}{right} ")
-    return F.replace(F.replace(syms, pat, rep), pat, rep)
+    """Greedy left-to-right merge of adjacent (left, right) pairs over
+    the spaced symbol string — one fold pass per word, the exact scan
+    segment_word performs (odd self-pair runs included: 'a a a a a' →
+    'aa aa a', never 'aa a aa')."""
+    merged = F.lit(left + right)
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["prev"] == "",
+                F.struct(acc["out"].alias("out"), x.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.array_append(acc["out"], merged).alias("out"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["prev"]).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["prev"] == "", acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["prev"])
+        )
+
+    arr = F.aggregate(
+        F.split(F.trim(syms), " "),
+        F.struct(
+            F.array().cast("array<string>").alias("out"), F.lit("").alias("prev")
+        ),
+        step,
+        fin,
+    )
+    return F.concat(F.lit(" "), F.array_join(arr, " "), F.lit(" "))
 
 
 def pair_counts(vocab: DataFrame) -> DataFrame:

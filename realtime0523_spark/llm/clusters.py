@@ -7,28 +7,35 @@ training-data dedup must then group transitively-connected docs into
 clusters and keep one representative per cluster; this module is that
 step, as pure DataFrame iterations.
 
-Algorithm: iterative min-label propagation. label(v) starts as v; each
-round every node takes the min of its own label and its neighbors'
-labels; fixpoint = every node holds the min doc_id of its component.
-Rounds needed = graph diameter, and near-dup graphs are unions of
-near-cliques (diameter 2-3 in practice), so 3-5 rounds close them.
+Two algorithms behind one API:
+
+1. Min-label propagation (default first try). label(v) starts as v;
+   each round every node takes the min of its own label and its
+   neighbors' labels; fixpoint = every node holds the min doc_id of
+   its component. Rounds needed = graph diameter, and near-dup graphs
+   are unions of near-cliques (diameter 2-3 in practice), so 3-5
+   rounds close them.
+2. Alternating large-star/small-star contraction (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond", SoCC'14) — the
+   adversarial-diameter path: converges in O(log n) rounds on ANY
+   graph (a diameter-n chain included) using the same join+min
+   building blocks. `algorithm="auto"` (default) runs propagation and
+   switches to star contraction if the diameter exceeds `max_iter`
+   instead of raising; `algorithm="star"` goes straight there.
 
 Scale notes (100 TB):
-- Each round is one equi-join (edges ⋈ labels on the neighbor id) plus
-  one partial-agg'd groupBy min — both shuffle on doc_id, and AQE
-  coalesces as components collapse.
+- Each round of either algorithm is equi-joins + partial-agg'd groupBy
+  mins — shuffles on doc_id, AQE-coalesced as components collapse.
+  Star contraction never inflates the edge set beyond the neighbor
+  list it already materializes (each node emits ≤ deg(u) edges).
 - Lineage is truncated every round with localCheckpoint(): iterative
   plans otherwise grow exponentially and re-execute prior rounds.
-- Convergence is detected by sum(label): labels only ever decrease, so
-  an unchanged sum IS the fixpoint — one scalar aggregate per round,
-  no driver-side diffing of label tables.
-- For adversarial long-chain graphs (diameter ~ n), the documented
-  upgrade is alternating large-star/small-star contraction
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14), which converges in O(log n) rounds with the same
-  join+min building blocks. Near-dup dedup does not need it; the
-  `max_iter` guard raises rather than silently emitting a
-  not-yet-converged labeling.
+- Superseded snapshots are released eagerly — an N-round run holds
+  ONE labels/edges table in executor memory, not N.
+- Propagation convergence is detected by sum(label): labels only ever
+  decrease, so an unchanged sum IS the fixpoint. Star convergence is
+  an unchanged (count, hash-sum) edge-set fingerprint — one scalar
+  aggregate per round either way, no driver-side table diffing.
 """
 
 from __future__ import annotations
@@ -37,54 +44,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    pairs: DataFrame,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 25,
-) -> DataFrame:
-    """(doc_id, cluster_id) for every doc that appears in `pairs`,
-    where cluster_id is the minimum doc_id of the doc's connected
-    component. Docs with no near-dup edge are singletons by definition
-    and are NOT emitted (callers treat absence as "own cluster") —
-    this keeps the output proportional to the duplicate density, not
-    the corpus.
-    """
-    sc = pairs.sparkSession.sparkContext
+def _ckpt_tools(df: DataFrame):
+    """(ckpt, release): localCheckpoint with eager release of
+    superseded snapshots. Superseded checkpoints stay pinned in the
+    block manager until the ContextCleaner happens to GC them — at
+    100 TB each is a full table snapshot, so an N-round iteration
+    would hold N snapshots of executor memory. Release eagerly; the
+    next checkpoint is already materialized, so nothing can recompute
+    through a released one."""
+    sc = df.sparkSession.sparkContext
 
     def _ids() -> set:
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
-    def _release(ids: set) -> None:
-        # Superseded localCheckpoints stay pinned in the block manager
-        # until the ContextCleaner happens to GC them — at 100 TB each
-        # is a full labels-table snapshot, so an N-round propagation
-        # would hold N snapshots of executor memory. Release eagerly;
-        # the next checkpoint is already materialized, so nothing can
-        # recompute through a released one.
+    def ckpt(frame):
+        before = _ids()
+        out = frame.localCheckpoint()  # eager: materializes now
+        return out, _ids() - before
+
+    def release(ids: set) -> None:
         live = sc._jsc.getPersistentRDDs()
         for i in ids:
             rdd = live.get(i)
             if rdd is not None:
                 rdd.unpersist(False)
 
-    def _ckpt(df):
-        before = _ids()
-        out = df.localCheckpoint()  # eager: materializes now
-        return out, _ids() - before
+    return ckpt, release
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges, edge_ids = _ckpt(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    )
 
+def _propagate(edges: DataFrame, max_iter: int, ckpt, release):
+    """Min-label propagation over a both-directions edge table.
+    Returns the converged labels DataFrame (u, label), or None if the
+    fixpoint was not reached within max_iter rounds."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    if prev_sum is None:  # no edges at all
-        _release(edge_ids)
-        return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
-    def propagate(lbl):
+    def step(lbl):
         nbr_min = (
             edges.join(lbl.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -104,25 +99,146 @@ def connected_components(
         # dominates a round, so pay it every OTHER hop; each hop still
         # checkpoints so no join input is ever evaluated twice. At
         # worst one wasted hop after the fixpoint.
-        labels, ids1 = _ckpt(propagate(labels))
-        _release(label_ids)
-        labels, label_ids = _ckpt(propagate(labels))
-        _release(ids1)
+        labels, ids1 = ckpt(step(labels))
+        release(label_ids)
+        labels, label_ids = ckpt(step(labels))
+        release(ids1)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
-            # edges are no longer needed; the final labels checkpoint
-            # backs the returned DataFrame and is the ONE block that
-            # must stay until the caller consumes it.
-            _release(edge_ids)
-            return labels.select(
-                F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-            )
+            return labels
         prev_sum = cur_sum
+    release(label_ids)
+    return None
+
+
+def _star_contract(edges: DataFrame, max_iter: int, ckpt, release):
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    SoCC'14 Algorithm 2) over a both-directions edge table; O(log n)
+    rounds on any graph. Returns converged labels (u, label).
+
+    One alternation, per node u with m = min(Γ(u) ∪ {u}):
+    - large-star rewires every LARGER neighbor v > u to m (edge
+      (v, m)); strictly-smaller neighbors are kept by the emitting
+      side of their own star. Preserves connectivity, halves the
+      height of tall components.
+    - small-star rewires every smaller-or-equal neighbor (and u
+      itself) to m: edges (v, m) for v < u plus (u, m). Collapses the
+      shallow trees large-star leaves into stars.
+    Fixpoint: the edge set is a union of stars rooted at component
+    minima — detected by an unchanged (count, xxhash-sum) fingerprint,
+    one scalar aggregate per alternation."""
+    e, e_ids = ckpt(edges.filter(F.col("u") < F.col("v")).distinct())
+
+    def nbrs(ed):
+        return ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def with_min(ed):
+        # m(u) = min over Γ⁺(u); one partial-agg'd groupBy, joined back
+        n = nbrs(ed)
+        mins = n.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return n.join(mins, "u")
+
+    def canonical(emitted):
+        # each emitted edge has m ≤ both endpoints' neighborhoods'
+        # minima, so (m, x) is already (smaller, larger); drop loops
+        return emitted.filter(F.col("a") != F.col("b")).distinct()
+
+    def fingerprint(ed):
+        # decimal sum: exact and overflow-free under ANSI mode at any
+        # edge count (a long sum of 2^63-range hashes overflows)
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        g = with_min(e)
+        large = canonical(
+            g.filter(F.col("v") > F.col("u")).select(
+                F.col("m").alias("a"), F.col("v").alias("b")
+            )
+        )
+        e1, ids1 = ckpt(large.select(F.col("a").alias("u"), F.col("b").alias("v")))
+        g2 = with_min(e1)
+        small = canonical(
+            g2.filter(F.col("v") < F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                g2.select(F.col("m").alias("a"), F.col("u").alias("b")).distinct()
+            )
+        )
+        e2, ids2 = ckpt(small.select(F.col("a").alias("u"), F.col("b").alias("v")))
+        release(e_ids)
+        release(ids1)
+        e, e_ids = e2, ids2
+        cur = fingerprint(e)
+        if cur == prev:
+            # stars: every node's min-neighbor (or itself) is its root
+            return nbrs(e).groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("label")
+            )
+        prev = cur
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        f"the pair graph has diameter > {max_iter} (pathological chain) — "
-        f"raise max_iter or switch to large-star/small-star contraction."
+        f"star contraction did not converge in {max_iter} alternations — "
+        f"this bounds components of ~2^{max_iter} nodes and should be "
+        f"unreachable; raise max_iter."
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    algorithm: str = "auto",
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc that appears in `pairs`,
+    where cluster_id is the minimum doc_id of the doc's connected
+    component. Docs with no near-dup edge are singletons by definition
+    and are NOT emitted (callers treat absence as "own cluster") —
+    this keeps the output proportional to the duplicate density, not
+    the corpus.
+
+    `algorithm`: "auto" (min-label propagation, switching to
+    large-star/small-star contraction if the diameter exceeds
+    `max_iter` rounds), "propagation" (raise instead of switching —
+    the loud variant for pipelines that treat a pathological pair
+    graph as a data bug), or "star" (straight to the O(log n)
+    contraction, for graphs known to be long-chained).
+    """
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    ckpt, release = _ckpt_tools(pairs)
+
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges, edge_ids = ckpt(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    if edges.limit(1).count() == 0:  # no edges at all
+        release(edge_ids)
+        return edges.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+
+    labels = None
+    if algorithm in ("auto", "propagation"):
+        labels = _propagate(edges, max_iter, ckpt, release)
+        if labels is None and algorithm == "propagation":
+            release(edge_ids)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                f"the pair graph has diameter > {max_iter} (pathological "
+                f"chain) — raise max_iter, or use algorithm='auto'/'star' "
+                f"for the O(log n) large-star/small-star contraction."
+            )
+    if labels is None:  # algorithm == "star", or auto fallback
+        labels = _star_contract(edges, max(max_iter, 40), ckpt, release)
+    release(edge_ids)
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def keep_best(

@@ -662,11 +662,21 @@ def pq_encode_udf(codebooks: np.ndarray, m: int = PQ_SUBSPACES):
     smallest index — the same total order the SQL twin's
     `ORDER BY round(d2) ASC, label` rank uses)."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    if cb.shape[1] % m:
+        raise ValueError(
+            f"PQ: codebook width {cb.shape[1]} is not divisible by "
+            f"m={m} subspaces — the trailing {cb.shape[1] % m} dims "
+            f"would be silently ignored in codes and LUTs."
+        )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(v):
         X = _mat(v)
         n, dims = X.shape
+        if dims != cb.shape[1]:
+            raise ValueError(
+                f"PQ: vector dims {dims} != codebook dims {cb.shape[1]}"
+            )
         sd = dims // m
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -724,6 +734,12 @@ def ann_topk_pq(
         codebooks = pq_codebooks(corpus, vec_col=vec_col)
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     n_codes, dims = cb.shape
+    if dims % m:
+        raise ValueError(
+            f"PQ: codebook width {dims} is not divisible by m={m} "
+            f"subspaces — the trailing {dims % m} dims would be "
+            f"silently ignored in codes and ADC LUTs."
+        )
     sd = dims // m
 
     qrows = queries.select(query_id_col, query_vec_col).collect()

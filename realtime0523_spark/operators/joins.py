@@ -161,7 +161,22 @@ def salted_join(
     right side inflates ×buckets (use for dim-vs-fact skew, keep
     `buckets` ≪ the hot key's row count); left side is one map-side
     column, no extra shuffle beyond the join's own.
+
+    `how` is restricted to joins whose semantics survive the right-side
+    replication: inner/left/left_semi/left_anti (each unmatched LEFT
+    row appears exactly once regardless of salt). right/full would
+    emit every unmatched RIGHT row `buckets` times — refused loudly
+    rather than returning silently wrong results.
     """
+    safe = {"inner", "left", "leftouter", "left_outer",
+            "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}): right-side replication breaks "
+            f"right/full outer semantics (each unmatched right row would "
+            f"emit {buckets} times); use a plain join or AQE skew "
+            f"handling for those."
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn(

@@ -1977,11 +1977,17 @@ def q_docs_chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact re-rank against the static corpus index inside "
     "foreachBatch — stream-vs-static retrieval with per-batch "
     "broadcast of the (small) query batch, the corpus never "
-    "shuffling. Drained results equal the batch ANN, so the oracle "
-    "is emb_ann_lsh's.",
+    "shuffling. Served results land in the idempotent-by-batchId "
+    "parquet sink (the K5 contract — at real query volume nothing "
+    "may accumulate on the driver) and are read back for the check. "
+    "Drained results equal the batch ANN, so the oracle is "
+    "emb_ann_lsh's.",
 )
 def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import idempotent_batch_writer
     from realtime0523_spark.streaming.sources import stream_table
 
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -1989,20 +1995,19 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < TOPK_QUERIES
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
 
-    results: list = []
+    out_dir = tempfile.mkdtemp(prefix="stream_ann_lookup_")
+    sink = idempotent_batch_writer(out_dir)
 
-    def serve(batch_df, _batch_id):
+    def serve(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         res = S.ann_topk_lsh(
             emb, batch_df, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
         ).select("qid", "vec_id", "score", "rk")
-        results.extend(res.collect())
+        sink(res, batch_id)
 
     run_foreach_batch(qstream, serve, output_mode="append")
-    return spark.createDataFrame(
-        results, "qid long, vec_id long, score double, rk int"
-    )
+    return spark.read.parquet(out_dir).select("qid", "vec_id", "score", "rk")
 
 
 SPARSE_QUERIES = 5
@@ -2116,9 +2121,13 @@ BPE_MERGES = 8
 def _bpe_merges_sql(n_rounds: int) -> str:
     """Generated n-round BPE oracle: each round re-derives pair counts
     from the previous vocab state, takes the deterministic argmax, and
-    applies the two-pass boundary-anchored replace — the same
-    semantics as llm.bpe.train_bpe, CTE-materialized per round so the
-    vocab chain evaluates once per state, not once per reference."""
+    applies the merge with the same GREEDY left-to-right fold as
+    llm.bpe._apply_merge — a list_reduce whose accumulator encodes
+    (emitted symbols, pending symbol) as out || chr(1) || pending
+    (replace-based merging diverges from greedy BPE on odd self-pair
+    runs: 'aaaaa' must segment [aa, aa, a], not [aa, a, aa]).
+    CTE-materialized per round so the vocab chain evaluates once per
+    state, not once per reference."""
     parts = [
         f"""v0 AS MATERIALIZED (
       SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS syms,
@@ -2139,12 +2148,24 @@ def _bpe_merges_sql(n_rounds: int) -> str:
             f"""m{r} AS MATERIALIZED (
       SELECT l, r FROM p{r} ORDER BY n DESC, l, r LIMIT 1)"""
         )
-        pat = f"' ' || (SELECT l FROM m{r}) || ' ' || (SELECT r FROM m{r}) || ' '"
-        rep = f"' ' || (SELECT l FROM m{r}) || (SELECT r FROM m{r}) || ' '"
+        out = "split_part(acc, chr(1), 1)"
+        prev = "split_part(acc, chr(1), 2)"
+        emit = f"CASE WHEN {out} = '' THEN '' ELSE {out} || ' ' END"
         parts.append(
             f"""v{r + 1} AS MATERIALIZED (
-      SELECT replace(replace(syms, {pat}, {rep}), {pat}, {rep}) AS syms, freq
-      FROM v{r})"""
+      SELECT ' ' || CASE WHEN {prev} = '' THEN {out}
+                         WHEN {out} = '' THEN {prev}
+                         ELSE {out} || ' ' || {prev} END || ' ' AS syms,
+             freq
+      FROM (SELECT list_reduce(
+                     list_prepend(chr(1), string_split(trim(syms), ' ')),
+                     (acc, x) -> CASE
+                       WHEN {prev} = '' THEN {out} || chr(1) || x
+                       WHEN {prev} = m{r}.l AND x = m{r}.r
+                         THEN {emit} || m{r}.l || m{r}.r || chr(1)
+                       ELSE {emit} || {prev} || chr(1) || x
+                     END) AS acc, freq
+            FROM v{r}, m{r}))"""
         )
     union = "\n      UNION ALL ".join(
         f"SELECT {r} AS rank, l AS left, r AS right FROM m{r}"
@@ -2161,10 +2182,11 @@ def _bpe_merges_sql(n_rounds: int) -> str:
     "shuffle builds the (word, freq) table; every round then runs on "
     "|vocab| rows (partial-agg'd weighted pair counts, a 1-row argmax "
     "collect — the driver step every BPE trainer performs — and a "
-    "per-row two-pass boundary-anchored replace ≡ greedy "
-    "left-to-right merging). Count ties break lexicographically in "
-    "both engines (documented deviation from HF's insertion order). "
-    "The oracle replays all rounds as generated CTEs.",
+    "per-row greedy left-to-right merge fold, exactly BPE's scan "
+    "semantics including odd self-pair runs). Count ties break "
+    "lexicographically in both engines (documented deviation from "
+    "HF's insertion order). The oracle replays all rounds as "
+    "generated CTEs with the identical list_reduce fold.",
 )
 def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime0523_spark.llm.bpe import train_bpe

@@ -1,6 +1,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from realtime0523_spark.core.catalog import Catalog
@@ -360,11 +362,83 @@ def test_connected_components_empty_and_nonconvergence(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
 
-    # a 6-chain needs ~3 rounds; max_iter=1 must raise, not emit wrong labels
+    # a 6-chain needs ~3 rounds; strict propagation with max_iter=1
+    # must raise, not emit wrong labels
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, algorithm="propagation")
+    # …while the default auto mode switches to large-star/small-star
+    # contraction and still returns the exact labels (the round-5
+    # verdict item: the raise becomes a pass)
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(chain, max_iter=1).collect()}
+    assert got == {i: 1 for i in range(1, 8)}
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(chain, algorithm="bogus")
+
+
+def test_connected_components_star_contraction_exact(spark):
+    """algorithm='star' on a mixed graph: long chain + clique +
+    separate pair + both-ways duplicate edges — labels must equal the
+    component minimum everywhere, same contract as propagation."""
+    from realtime0523_spark.llm.clusters import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(1, 30)]            # 30-chain
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(200, 201), (201, 200)]
+        + [(301, 300)]                                 # src > dst order
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs, algorithm="star").collect()}
+    want = {i: 1 for i in range(1, 31)}
+    want.update({100 + i: 100 for i in range(5)})
+    want.update({200: 200, 201: 200, 300: 300, 301: 300})
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_star_matches_union_find(spark, edges):
+    """Hypothesis: on random graphs (long chains reachable), star
+    contraction's labels equal a driver-side union-find's component
+    minima — and agree with propagation run with a generous cap."""
+    from realtime0523_spark.llm.clusters import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs, algorithm="star").collect()}
+    assert star == want
+    prop = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs, max_iter=80,
+                                          algorithm="propagation").collect()}
+    assert prop == want
 
 
 def test_keep_best_quality_then_id_tiebreak(spark):
@@ -638,6 +712,22 @@ def test_pq_codes_shape_and_range(spark):
         assert all(0 <= c < cb.shape[0] for c in r.pq_code)
 
 
+def test_pq_refuses_indivisible_subspaces(spark):
+    """ADVICE r5: dims % m != 0 silently ignored the trailing dims of
+    every vector in both codes and ADC LUTs — must refuse at entry."""
+    import numpy as np
+    import pytest
+
+    from realtime0523_spark.llm.similarity import ann_topk_pq, pq_encode_udf
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode_udf(np.zeros((4, 10)), m=3)
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    q = emb.limit(1).selectExpr("vec_id AS qid", "embedding AS qv")
+    with pytest.raises(ValueError, match="divisible"):
+        ann_topk_pq(emb, q, m=7)  # fixture dims=64, 64 % 7 != 0
+
+
 def test_ann_pq_recall_grows_with_shortlist(spark):
     """PQ-ADC recall must (a) clear a floor at the default shortlist
     and (b) grow toward exact as the shortlist widens — the defining
@@ -768,9 +858,9 @@ def test_bpe_trainer_learns_canonical_merges(spark):
 
 
 def test_bpe_merge_application_handles_adjacent_repeats(spark):
-    """'aaaa' under merge (a,a) must become [aa, aa] — the two-pass
-    boundary-anchored replace equals greedy left-to-right merging
-    even when occurrences share a delimiter."""
+    """'aaaa' under merge (a,a) must become [aa, aa] — the greedy
+    left-to-right fold merges every non-overlapping occurrence even
+    when occurrences share a delimiter."""
     from realtime0523_spark.llm.bpe import segment_word, train_bpe, word_counts
     from realtime0523_spark.llm.bpe import _apply_merge, _spaced
 
@@ -789,6 +879,55 @@ def test_bpe_merge_application_handles_adjacent_repeats(spark):
         .first()
     )
     assert row.s == " " + "ab " * 7, repr(row.s)
+
+
+def test_bpe_merge_odd_self_pair_run_is_greedy(spark):
+    """ADVICE r5: an ODD run (≥5) of a self-pair is where replace-based
+    merging diverges from greedy BPE — ' a a a a a ' must become
+    ' aa aa a ' (greedy packs left), never ' aa a aa '. The trainer's
+    vocab state, segment_word, and the DuckDB oracle fold must all
+    agree on this."""
+    import duckdb
+
+    from realtime0523_spark.llm.bpe import _apply_merge, _spaced, segment_word
+
+    row = (
+        spark.createDataFrame([("aaaaa",), ("aaaa",), ("aaaaaaa",), ("a",)], "w string")
+        .select(F.col("w"), _apply_merge(_spaced(F.col("w")), "a", "a").alias("s"))
+        .collect()
+    )
+    got = {r.w: r.s for r in row}
+    assert got["aaaaa"] == " aa aa a ", repr(got["aaaaa"])
+    assert got["aaaa"] == " aa aa ", repr(got["aaaa"])
+    assert got["aaaaaaa"] == " aa aa aa a ", repr(got["aaaaaaa"])
+    assert got["a"] == " a ", repr(got["a"])
+    # segment_word (the greedy reference scan) agrees symbol-for-symbol
+    for w, s in got.items():
+        assert s == " " + " ".join(segment_word(w, [("a", "a")])) + " ", w
+    # the downstream effect the two-pass replace got wrong: after
+    # merging (a,a), 'aaaaa' contributes pairs (aa,aa) and (aa,a) —
+    # not (aa,a)+(a,aa)
+    from realtime0523_spark.llm.bpe import pair_counts
+
+    vocab = spark.createDataFrame([(" aa aa a ", 1)], "syms string, freq long")
+    pairs = {(r.l, r.r): r.n for r in pair_counts(vocab).collect()}
+    assert pairs == {("aa", "aa"): 1, ("aa", "a"): 1}, pairs
+    # and the generated oracle's fold produces the identical vocab state
+    from realtime0523_spark.plans.llm_inventory import _bpe_merges_sql
+
+    sql = _bpe_merges_sql(1).replace("FROM documents", "FROM mini")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mini AS SELECT 'aaaaa aaaaa aaa' AS text, 0 AS doc_id")
+    con.execute("CREATE TABLE documents AS SELECT * FROM mini")
+    merges = con.execute(sql).fetchall()
+    assert [(r[1], r[2]) for r in merges] == [("a", "a")]
+    vocab_sql = (
+        "WITH "
+        + _bpe_merges_sql(1).split("WITH ", 1)[1].rsplit("SELECT 0 AS rank", 1)[0].rstrip().rstrip("UNION ALL").rstrip()
+        + " SELECT syms FROM v1 ORDER BY syms"
+    )
+    states = sorted(r[0] for r in con.execute(vocab_sql).fetchall())
+    assert states == [" aa a ", " aa aa a "], states
 
 
 def test_training_order_stratified_and_deterministic(spark):

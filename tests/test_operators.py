@@ -310,3 +310,21 @@ def test_salted_join_equals_plain_join(spark):
             for r in salted_join(left, right, "k", buckets=8, how=how).collect()
         }
         assert salted == plain, how
+
+
+def test_salted_join_refuses_right_and_full_outer(spark):
+    """ADVICE r5: right/full outer would emit each unmatched right row
+    `buckets` times under the replication rewrite — the operator must
+    refuse, not silently multiply rows."""
+    import pytest
+
+    from realtime0523_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, payload string")
+    right = spark.createDataFrame([(2, "d")], "k long, dim string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="replication"):
+            salted_join(left, right, "k", buckets=4, how=how)
+    # the safe set still passes validation
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(left, right, "k", buckets=4, how=how)
