@@ -122,32 +122,16 @@ def winnow_pairs(
 SPAN_K = 8
 
 
-def span_dedup(
-    docs: DataFrame,
-    k: int = SPAN_K,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Duplicated-span EXCISION: remove every k-token gram that occurs
-    more than once in the corpus, keeping only its first occurrence
-    (min (doc, position)) — the distributed, gram-exact form of
-    ExactSubstr dedup (Lee, Ippolito et al., "Deduplicating Training
-    Data Makes Language Models Better", ACL 2022, which removes
-    duplicate ≥50-token substrings with a suffix array; a single
-    corpus-wide suffix array does not distribute, duplicated fixed-k
-    grams do and catch every duplicated substring of length ≥ k).
-
-    Unlike winnow_pairs (which DETECTS overlapping docs), this edits
-    the text: a token survives unless covered by a removed gram
-    occurrence. Returns every input doc as
-    (doc, clean_text, n_tokens, n_removed).
-
-    Scale shape: one |tokens|-sized shuffle groups gram hashes (with
-    map-side partial ordering work bounded per gram), the removed
-    POSITIONS — typically a small fraction — shuffle back per doc as
-    one compact set per doc, and the excision itself is a per-row
-    array filter. The full token stream never shuffles twice; no
-    driver-side state."""
+def _span_removed_positions(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, rem) for the ExactSubstr-style excision: `base` is
+    (id, __t token array) for every doc; `rem` is the compact per-doc
+    set of removed token positions (1-based) — every position covered
+    by a k-gram occurrence whose gram appears more than once in the
+    corpus, except the gram's first (min (doc, pos)) occurrence.
+    One |tokens|-sized shuffle of gram hashes; removed positions
+    shuffle back per doc as one set."""
     t = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), t.alias("__t"))
     grams_expr = (
@@ -178,6 +162,40 @@ def span_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("tp").alias("__rm"))
     )
+    return base, rem
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span EXCISION: remove every k-token gram that occurs
+    more than once in the corpus, keeping only its first occurrence
+    (min (doc, position)) — the distributed, gram-exact form of
+    ExactSubstr dedup (Lee, Ippolito et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022, which removes
+    duplicate ≥50-token substrings with a suffix array; a single
+    corpus-wide suffix array does not distribute, duplicated fixed-k
+    grams do and catch every duplicated substring of length ≥ k).
+    `k` maps to the paper's span threshold — their reported setting is
+    50 tokens (`k=50`); the default 8 suits short-document corpora
+    like the test fixtures. `span_stats` is the paper's companion
+    merged-span report at the same k.
+
+    Unlike winnow_pairs (which DETECTS overlapping docs), this edits
+    the text: a token survives unless covered by a removed gram
+    occurrence. Returns every input doc as
+    (doc, clean_text, n_tokens, n_removed).
+
+    Scale shape: one |tokens|-sized shuffle groups gram hashes (with
+    map-side partial ordering work bounded per gram), the removed
+    POSITIONS — typically a small fraction — shuffle back per doc as
+    one compact set per doc, and the excision itself is a per-row
+    array filter. The full token stream never shuffles twice; no
+    driver-side state."""
+    base, rem = _span_removed_positions(docs, k, id_col, text_col)
     merged = base.join(rem, id_col, "left").withColumn(
         "__rm", F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
     )
@@ -192,6 +210,45 @@ def span_dedup(
         ),
         F.size("__t").alias("n_tokens"),
         (F.size("__t") - F.size(F.expr(keep_expr))).alias("n_removed"),
+    )
+
+
+def span_stats(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merged-span accounting for span_dedup — the report ExactSubstr
+    (Lee et al. ACL 2022 §4) publishes alongside the edit: adjacent
+    removed token positions merge into MAXIMAL spans (their duplicated
+    substrings), and the output is the corpus span-length histogram
+    (span_len, n_spans). Overlapping duplicate grams thus count as ONE
+    long span, not k-sized fragments — the number the paper uses to
+    characterize how duplication clusters.
+
+    Same one-shuffle gram pass as span_dedup; the merge itself is a
+    per-row fold over each doc's sorted removed-position set (no extra
+    shuffle — the histogram's |distinct-lengths| groupBy is the only
+    one added)."""
+    _, rem = _span_removed_positions(docs, k, id_col, text_col)
+    # run-length fold: state (lens, prev, cur); consecutive positions
+    # extend the current span, a gap closes it
+    lens_expr = (
+        "aggregate(array_sort(__rm), "
+        "struct(cast(array() as array<int>) AS lens, -2 AS prev, 0 AS cur), "
+        "(acc, p) -> CASE "
+        "  WHEN acc.cur = 0 THEN struct(acc.lens AS lens, p AS prev, 1 AS cur) "
+        "  WHEN p = acc.prev + 1 THEN "
+        "    struct(acc.lens AS lens, p AS prev, acc.cur + 1 AS cur) "
+        "  ELSE struct(array_append(acc.lens, acc.cur) AS lens, "
+        "              p AS prev, 1 AS cur) END, "
+        "acc -> IF(acc.cur > 0, array_append(acc.lens, acc.cur), acc.lens))"
+    )
+    return (
+        rem.select(F.explode(F.expr(lens_expr)).alias("span_len"))
+        .groupBy("span_len")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
     )
 
 

@@ -158,6 +158,109 @@ def contamination_check(
     )
 
 
+BLOOM_BITS = 16384
+BLOOM_HASHES = 4
+
+
+def bloom_bits(
+    eval_docs: DataFrame,
+    n: int = 3,
+    bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Bloom filter over the eval set's distinct word-n-gram
+    shingles, as a (bit,) table of set positions: shingle s sets
+    positions md5('bloom<i>:' || s) % bits for i in [0, n_hashes)
+    (the k-independent-hash construction via salted digests — Kirsch &
+    Mitzenmacher-style portability, exactly replayable in SQL).
+
+    ≤ `bits` rows regardless of eval-set size — THE point: the plain
+    contamination_check broadcasts the full eval shingle set, which
+    stops fitting when the eval suite is itself corpus-sized; the
+    bitset is fixed-size (16384 bits here; size to kn/ln2 for a target
+    false-positive rate ε ≈ (1 − e^(−kn/m))^k at scale)."""
+    sh = eval_docs.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    probes = sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"bloom{i}:"), F.col("sh"))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("key")
+    )
+    return probes.select(
+        (md5_int32(F.col("key")) % F.lit(bits)).alias("bit")
+    ).distinct()
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-memory decontamination screen: contamination_check with
+    the eval shingle set replaced by its Bloom filter. A training
+    shingle is FLAGGED iff all `n_hashes` of its bit probes are set —
+    no false negatives (every truly contaminated shingle flags; the
+    screen's guarantee), occasional false positives by design (the
+    price of a fixed-size filter; flagged docs go to the exact checker
+    or are dropped conservatively).
+
+    Returns (doc_id, n_shingles, n_flagged, flag_ratio) for flagged
+    docs. Scale shape: the bit table (≤ `bits` rows) broadcasts; the
+    corpus makes one explode → per-probe broadcast join → two
+    partial-agg'd groupBys. Nothing eval-sized is ever shipped."""
+    bset = bloom_bits(eval_docs, n, bits, n_hashes, text_col).withColumn(
+        "__set", F.lit(1)
+    )
+    t = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    probes = t.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"bloom{i}:"), F.col("sh"))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("key"),
+    ).withColumn("bit", md5_int32(F.col("key")) % F.lit(bits))
+    per_shingle = (
+        probes.join(F.broadcast(bset), "bit", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == n_hashes)
+            .cast("int")
+            .alias("__flag")
+        )
+    )
+    per_doc = per_shingle.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("__flag").alias("n_flagged"),
+    )
+    return per_doc.filter(F.col("n_flagged") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_flagged",
+        (
+            F.col("n_flagged").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("flag_ratio"),
+    )
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Mask emails, phone numbers, and IPv4 addresses, keeping per-doc
     counts of each. Pure per-row regex map (Java regex, codegen'd);

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realtime0523_spark.llm.text import tokens
 from realtime0523_spark.operators.windows import topk_per_group
 
 
@@ -656,6 +657,80 @@ def pq_codebooks(
     return cent
 
 
+PQ_TRAIN_CODES = 16
+PQ_TRAIN_ITERS = 4
+PQ_TRAIN_SAMPLE = 1024
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_codes: int = PQ_TRAIN_CODES,
+    m: int = PQ_SUBSPACES,
+    sample: int = PQ_TRAIN_SAMPLE,
+    iters: int = PQ_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd-trained PQ codebooks (Jégou et al. TPAMI 2011 §III —
+    the real trainer behind the label-seeded pq_codebooks twin):
+    k-means with `n_codes` centroids run INDEPENDENTLY in each of the
+    `m` subspaces, on a bounded deterministic corpus sample. Returns
+    the same (n_codes, dims) matrix shape, dropping into
+    `ann_topk_pq(codebooks=…)` unchanged.
+
+    Deterministic AND SQL-replayable by construction (the
+    emb_ann_pq_trained oracle replays every round as generated CTEs,
+    the same pattern as the BPE trainer's):
+    - sample = the `sample` rows with the smallest
+      (md5(vec_id), vec_id) — a portable hash order (TakeOrdered at
+      scale, stable under repartitioning, no rand());
+    - init = the first `n_codes` sampled vectors' subvectors;
+    - assignment = argmin of the 9-dp-quantized subspace L2, ties to
+      the smallest code index;
+    - update = per-(code, dim) mean, itself 9-dp-quantized — rounding
+      the centroids each round pins both engines to identical values,
+      so summation-order drift cannot compound across rounds;
+    - empty codes keep their previous centroid.
+    Only sample×dims scalars reach the driver; full-corpus assignment
+    stays the map-only pq_encode pass."""
+    from realtime0523_spark.llm.dedup import md5_int32
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(md5_int32(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"PQ training sample has {len(rows)} vectors < n_codes="
+            f"{n_codes}; lower n_codes or raise `sample`."
+        )
+    X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(
+            f"PQ: dims {dims} not divisible by m={m} subspaces"
+        )
+    sd = dims // m
+    cb = X[:n_codes].copy()
+    for _ in range(iters):
+        new = cb.copy()
+        for j in range(m):
+            Xm = X[:, j * sd : (j + 1) * sd]
+            Cm = cb[:, j * sd : (j + 1) * sd]
+            # direct (x-c)² sum, quantized before the argmin — the
+            # exact total order the SQL twin's (round(d2), code) uses
+            d2 = ((Xm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=-1)
+            assign = np.argmin(_r9_np(d2), axis=1)
+            for c in range(n_codes):
+                members = Xm[assign == c]
+                if len(members):
+                    new[c, j * sd : (j + 1) * sd] = _r9_np(members.mean(axis=0))
+        cb = new
+    return cb
+
+
 def pq_encode_udf(codebooks: np.ndarray, m: int = PQ_SUBSPACES):
     """Arrow-batched encoder: per subspace, the ascending-label index
     of the L2-nearest codeword (9-dp-quantized distances, ties to the
@@ -796,6 +871,119 @@ def ann_topk_pq(
         scored = scored.withColumn("score", score_transform(F.col("score")))
     return topk_per_group(
         scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
+    )
+
+
+# --- BM25 lexical retrieval (Okapi BM25 over an inverted index) -------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+    text_col: str = "text",
+    query_text_col: str = "qtext",
+    score_transform=None,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009) —
+    the canonical lexical ranking the feature-hash sparse search
+    approximates, with real term statistics:
+
+        score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) /
+                      (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   [Lucene's form]
+
+    Query terms are the query doc's DISTINCT tokens. Self-matches
+    (corpus id == query id) are excluded.
+
+    Determinism/oracle contract: idf is 9-dp-quantized before use (ln
+    is the one non-rational op — both engines' libm agree far below
+    1e-9), every other per-row scalar is the same fixed expression
+    tree in both engines, and only the per-(q,d) SUM is
+    order-dependent — handled by the caller's score_transform rounding
+    like every other retrieval path.
+
+    Scale shape: postings/doc-lengths/df are each ONE partial-agg'd
+    groupBy over the exploded corpus; N+avgdl aggregate to a single
+    broadcast row; candidate generation is an equi-join of the
+    postings against the BROADCAST query-term set (per-term fan-out =
+    that term's df, the classic posting-list cost); scoring is one
+    partial-agg'd groupBy on (query, doc). The corpus never
+    self-joins, no vocabulary-sized structure reaches the driver."""
+    toks = tokens(F.col(text_col))
+    postings = (
+        corpus.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_len = corpus.select(
+        F.col(id_col), F.size(toks).cast("double").alias("dl")
+    )
+    # N and avgdl: one 1-row scalar collect — the same legality class
+    # as the IVF/PQ training collects, and EXACT across engines: doc
+    # lengths are integer-valued doubles, so their sum (< 2^53) is
+    # order-independent and avgdl = exact_sum / N bit-matches the
+    # oracle's avg. (A lazy crossJoin of the 1-row frame would plan a
+    # BroadcastNestedLoopJoin, which the plan gate forbids.)
+    srow = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    # idf only for queried terms: restrict the vocab-sized df table by
+    # the (small) query-term set before it goes anywhere
+    idf_q = df_t.join(F.broadcast(qterms.select("term").distinct()), "term").select(
+        "term",
+        (
+            F.floor(
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("idf"),
+    )
+    cand = (
+        postings.join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .join(F.broadcast(idf_q), "term")
+        .join(doc_len, id_col)
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = cand.groupBy(query_id_col, id_col).agg(F.sum(contrib).alias("score"))
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
+    return topk_per_group(
+        scored,
+        query_id_col,
+        [F.desc("score"), F.col(id_col)],
+        k,
+        rank_col="rk",
     )
 
 

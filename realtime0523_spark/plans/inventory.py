@@ -72,64 +72,63 @@ def _ensure_full_registry() -> None:
 
 # The driver's correctness gate checks the first 50 entries of
 # ``queries()``. The window ROTATES each round so that the union of
-# committed CORRECTNESS_r{N} files covers every registered query:
-# never-driver-checked queries and queries whose code changed this
-# round come first; long-stable greens (unchanged code, driver-verified
-# in earlier rounds, still covered every round by the full-registry
-# repo gate tests/test_inventory_oracle.py) rotate out. Names absent
-# from the registry are skipped, names not listed keep registration
-# order at the end.
+# committed CORRECTNESS_r{N} files covers every registered query.
+#
+# WINDOW POLICY (round-5 verdict item, written down): slots are filled
+# in this order —
+#   1. queries ADDED or whose code/oracle CHANGED this round (a driver
+#      row must exist for the round that shipped the change);
+#   2. queries adjacent to changed operator code even when their
+#      registered plan is unchanged (defense in depth);
+#   3. everything else STALEST-GREEN FIRST: ascending by the round of
+#      each query's newest committed CORRECTNESS row (r1 rows before
+#      r3 rows before r4 rows …), so no query's driver verification
+#      ages indefinitely — previously the window preferred
+#      newest-interesting and let qty_moving_stats/docs_fingerprint
+#      sit at r1 for four rounds.
+# Rotated-out queries remain covered every pytest run by the
+# full-registry repo gate (tests/test_inventory_oracle.py). Names
+# absent from the registry are skipped; names not listed keep
+# registration order at the end.
 _PRIORITY: list[str] = [
-    # Round 5 group A — never driver-checked (the two round-4 queries
-    # that landed past the window + the three operators ADDED in
-    # round 5), plus docs_quality_filter whose membership predicate
-    # CHANGED this round (9dp-rounded compare, ADVICE r4).
-    "docs_winnow_pairs", "stream_docs_chunk",
-    "emb_ann_rerank", "docs_pack_exact", "docs_quality_approx_contract",
-    "docs_quality_filter",
-    # Round 5 group A2 — operators ADDED mid-round-5 (never
-    # driver-checked).
-    "emb_ann_pq", "event_incident_join", "top_tokens_cms",
-    "docs_span_dedup", "stream_top_tokens_cms", "dormant_rich_customers",
-    "salted_priority_revenue", "emb_semantic_dedup",
-    "docs_chunk_embed", "stream_ann_lookup", "docs_sparse_search",
-    # emb_ann_recall CHANGED this round (now reports the PQ index too)
-    # and top_tokens_cms/stream_top_tokens_cms changed hashing — all
-    # already listed above or here for a fresh driver row.
-    "emb_ann_recall", "event_value_stats", "docs_bpe_merges",
-    "docs_bpe_vocab", "docs_training_order", "emb_pq_codes",
-    "stream_event_value_stats",
-    # §2 streaming family (stateful paths — riskiest, always in-window;
-    # listed before the rotation group so added queries can never push
-    # them off the 50-slot tail).
-    "stream_dedup_pairs", "stream_order_wide", "stream_first_seen",
-    "stream_brand_amount", "stream_dwd_order", "stream_docs_ingest",
-    "stream_dau", "stream_windowed_counts", "stream_windowed_topk",
-    "stream_sliding_counts",
-    # Round 5 group B — long-stable greens (driver-green r1-r3,
-    # unchanged) listed oldest-committed-row-first; however many fit
-    # after the never-checked + streaming groups get their committed
-    # rows refreshed, and the rest rotate out — every rotated-out
-    # query has an r1-r3 CORRECTNESS row and stays covered by the
-    # full-registry repo gate each round, so the r1-r5 union remains
-    # all-ever-green regardless of how many round-5 additions land.
-    "pricing_summary", "revenue_rollup", "top_customers_per_nation",
-    "regional_revenue", "late_ship_priority_counts", "repeat_buyers",
-    "churned_buyers", "active_buyers_union", "grouping_sets_revenue",
-    "qty_quantiles", "salted_flag_agg", "small_qty_revenue",
-    "nation_year_pivot",
-    "docs_lang_guess", "docs_quality", "top_tokens",
-    "docs_fingerprint", "docs_ngram_jaccard", "docs_simhash",
-    "docs_train_split", "docs_stratified_sample", "docs_contamination",
-    "docs_pack_sequences", "docs_domain_mix", "docs_dedup_filter",
-    "docs_repetition",
-    # Rotated out this round (driver-green in r4, code unchanged, all
-    # still repo-gate-checked every round): the r4 restoration groups —
-    # scd2_history, emb_label_centroids, docs_corpus_prep, media_*,
-    # docs_bpe_tokens, emb_ann_recall/lsh/ivf, docs_token_budget_sample,
-    # docs_chunk, docs_lm_score, dau/sessionize/date_derive/event_cube
-    # families, the core batch operators, and the LLM dedup/similarity
-    # set — every one has a green CORRECTNESS_r04 row.
+    # Round 6 group 1 — ADDED (emb_ann_pq_trained, docs_span_stats,
+    # docs_bm25_search, docs_bloom_contamination) or CHANGED this
+    # round (greedy BPE merge fold in engine+oracle; the recall report
+    # now includes trained PQ; stream_ann_lookup serves through the
+    # parquet sink; span CTEs refactored/shared).
+    "emb_ann_pq_trained", "docs_span_stats",
+    "docs_bm25_search", "docs_bloom_contamination",
+    "docs_bpe_merges", "docs_bpe_vocab", "emb_ann_recall",
+    "stream_ann_lookup", "docs_span_dedup",
+    # Round 6 group 2 — clusters.py gained the star-contraction
+    # backend; these ride the connected_components API (their
+    # propagation path is unchanged — defense in depth).
+    "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
+    # Round 6 group 3 — stalest-green ascending.
+    # r1 rows (4 rounds stale):
+    "qty_moving_stats", "docs_fingerprint",
+    # r3 rows:
+    "acct_bucket", "customers_never_ordered", "customers_with_orders",
+    "docs_contamination", "docs_domain_mix", "docs_ngram_jaccard",
+    "docs_pack_sequences", "docs_repetition", "docs_simhash",
+    "docs_stratified_sample", "docs_token_stats", "docs_train_split",
+    "priority_decode", "router_fanout", "router_filter",
+    # r4 rows (alphabetical; the first 21 fill the window, the rest
+    # lead the next rotation):
+    "allocation", "asof_last_click", "brand_amount", "date_derive",
+    "dau", "dau_approx", "dedup_first", "dim_enrich",
+    "docs_bpe_tokens", "docs_chunk", "docs_corpus_prep",
+    "docs_exact_dedup", "docs_lm_score", "docs_minhash_lsh",
+    "docs_pii_redact", "docs_token_budget_sample", "emb_ann_ivf",
+    "emb_ann_lsh", "emb_cosine_topk", "emb_dedup_pairs",
+    "emb_label_centroids",
+    # --- 50-slot window boundary (assuming all above registered) ---
+    "event_cube", "first_order_flag",
+    "follow_on_clicks", "hot_parts_topk", "media_features",
+    "media_frames", "media_resize", "order_wide", "running_total",
+    "scd2_history", "sessionize", "ship_priority_topk",
+    "spend_full_outer", "stream_session_counts", "windowed_event_counts",
+    # r5 rows (newest — rotate last) keep registration order at the end.
 ]
 
 

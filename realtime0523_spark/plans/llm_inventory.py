@@ -736,6 +736,96 @@ _PQ_ANN_CTES = f"""
     {_rerank_cte('pqcand', 'pqann')}
 """
 
+# Lloyd-TRAINED PQ codebooks, oracle-replayed round by round (the BPE
+# trainer's generated-CTE pattern): deterministic md5-ordered sample,
+# init from the first n_codes sampled vectors, per-round assignment by
+# 9dp-quantized subspace L2 (ties to the smallest code), per-round
+# centroid update as a 9dp-quantized mean (empty codes keep their
+# centroid). Rounding the centroids each round pins both engines to
+# identical values, so summation-order drift cannot compound — mirrors
+# llm.similarity.pq_train_codebooks exactly.
+
+
+def _pq_trained_cent_ctes(iters: int = S.PQ_TRAIN_ITERS) -> str:
+    h = _MD5_INT32_SQL.format(col="CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""tsamp AS MATERIALIZED (
+      SELECT rk, vec_id, embedding FROM (
+        SELECT row_number() OVER (ORDER BY {h}, vec_id) AS rk,
+               vec_id, embedding
+        FROM embeddings) WHERE rk <= {S.PQ_TRAIN_SAMPLE})""",
+        f"""tsx AS MATERIALIZED (
+      SELECT rk, CAST(d AS INT) AS d,
+             CAST((d - 1) // {PQ_SUBDIM} AS INT) AS m,
+             CAST(embedding[d] AS DOUBLE) AS x
+      FROM tsamp CROSS JOIN range(1, {EMB_DIMS + 1}) t(d))""",
+        f"""tc0 AS MATERIALIZED (
+      SELECT CAST(rk - 1 AS INT) AS code, d, m, x AS w
+      FROM tsx WHERE rk <= {S.PQ_TRAIN_CODES})""",
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""ta{r} AS MATERIALIZED (
+      SELECT rk, m, code FROM (
+        SELECT rk, m, code,
+               row_number() OVER (PARTITION BY rk, m
+                                  ORDER BY {_r9('d2')} ASC, code) AS rn
+        FROM (SELECT s.rk, c.m, c.code,
+                     sum((s.x - c.w) * (s.x - c.w)) AS d2
+              FROM tsx s JOIN tc{r} c ON c.d = s.d AND c.m = s.m
+              GROUP BY s.rk, c.m, c.code)) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""tc{r + 1} AS MATERIALIZED (
+      SELECT c.code, c.d, c.m, COALESCE(u.w, c.w) AS w
+      FROM tc{r} c LEFT JOIN (
+        SELECT a.code, s.d, s.m, {_r9('avg(s.x)')} AS w
+        FROM ta{r} a JOIN tsx s ON s.rk = a.rk AND s.m = a.m
+        GROUP BY a.code, s.d, s.m) u
+        ON u.code = c.code AND u.d = c.d AND u.m = c.m)"""
+        )
+    parts.append(f"tcent AS (SELECT code, d, m, w FROM tc{iters})")
+    return ",\n    ".join(parts)
+
+
+def _pq_adc_chain(cent: str, p: str) -> str:
+    """Generic PQ encode→LUT→ADC→shortlist→exact-rerank chain over a
+    centroid CTE `{cent}`(code, d, m, w); emits {p}ann."""
+    return f"""
+    {p}dist AS (
+      SELECT e.vec_id, c.m, c.code,
+             sum((CAST(e.embedding[c.d] AS DOUBLE) - c.w)
+                 * (CAST(e.embedding[c.d] AS DOUBLE) - c.w)) AS d2
+      FROM embeddings e CROSS JOIN {cent} c
+      GROUP BY e.vec_id, c.m, c.code),
+    {p}code AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY {_r9('d2')} ASC, code) AS rn
+        FROM {p}dist) WHERE rn = 1),
+    {p}lut AS (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             sum(CAST(q.embedding[c.d] AS DOUBLE) * c.w) AS pd
+      FROM embeddings q CROSS JOIN {cent} c
+      WHERE q.vec_id < {TOPK_QUERIES}
+      GROUP BY q.vec_id, c.m, c.code),
+    {p}adc AS (
+      SELECT l.qid, c.vec_id, sum(l.pd) AS adc
+      FROM {p}code c JOIN {p}lut l ON l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id),
+    {p}cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('adc')} DESC, vec_id) AS rn
+        FROM {p}adc) WHERE rn <= {S.PQ_RETRIEVE}),
+    {_rerank_cte(f'{p}cand', f'{p}ann')}"""
+
+
+_PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "tpq")
+
 
 @register(
     "emb_ann_recall",
@@ -749,7 +839,8 @@ _PQ_ANN_CTES = f"""
         FROM pairdot) WHERE rk <= {TOPK_K}),
     {_LSH_ANN_CTES},
     {_IVF_ANN_CTES},
-    {_PQ_ANN_CTES}
+    {_PQ_ANN_CTES},
+    {_PQ_TRAINED_ANN_CTES}
     SELECT method, qid, recall FROM (
       SELECT 'lsh' AS method, e.qid,
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
@@ -767,12 +858,19 @@ _PQ_ANN_CTES = f"""
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
       FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM pqann WHERE rk <= {TOPK_K}) a
         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'pq_trained' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM tpqann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
       GROUP BY e.qid)
     """,
-    "Recall@k of each ANN index (sign-LSH, IVF, and PQ-ADC) against "
-    "the exact brute-force top-k — the quality metric for the "
-    "approximate paths, itself exact and oracle-checked because all "
-    "three indexes are deterministic.",
+    "Recall@k of each ANN index (sign-LSH, IVF, label-seeded PQ-ADC, "
+    "and Lloyd-trained PQ-ADC) against the exact brute-force top-k — "
+    "the quality metric for the approximate paths, itself exact and "
+    "oracle-checked because every index (the trained one included) is "
+    "deterministic.",
 )
 def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = _ann_queries(spark, sf_dir)
@@ -792,6 +890,13 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id")
     pq = S.ann_topk_pq(
         emb, queries, codebooks=S.pq_codebooks(emb), k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+    pq_trained = S.ann_topk_pq(
+        emb,
+        queries,
+        codebooks=S.pq_train_codebooks(emb),
+        k=TOPK_K,
+        score_transform=r9,
     ).select("qid", "vec_id")
 
     def _recall(ann: DataFrame, method: str) -> DataFrame:
@@ -813,6 +918,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _recall(lsh, "lsh")
         .unionAll(_recall(ivf, "ivf"))
         .unionAll(_recall(pq, "pq"))
+        .unionAll(_recall(pq_trained, "pq_trained"))
     )
 
 
@@ -859,6 +965,29 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select(
         "vec_id", F.posexplode("pq_code").alias("m", "code")
     )
+
+
+@register(
+    "emb_ann_pq_trained",
+    f"""
+    WITH {_PQ_TRAINED_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM tpqann WHERE rk <= {TOPK_K}
+    """,
+    f"PQ-ADC ANN with LLOYD-TRAINED codebooks — the real k-means "
+    f"trainer ({S.PQ_TRAIN_CODES} codes × {S.PQ_SUBSPACES} subspaces, "
+    f"{S.PQ_TRAIN_ITERS} rounds on a bounded md5-ordered sample) "
+    "behind the label-seeded emb_ann_pq twin. Training is exactly "
+    "SQL-replayable: the oracle re-runs every Lloyd round as "
+    "generated CTEs with 9dp-quantized assignments AND centroid "
+    "means, so cross-engine float drift cannot compound. Serving is "
+    "the identical map-only ADC scan + broadcast exact re-rank.",
+)
+def q_emb_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    cb = S.pq_train_codebooks(emb)
+    return S.ann_topk_pq(
+        emb, queries, codebooks=cb, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
 
 
 # ----------------------------------------------------------------------
@@ -982,6 +1111,62 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_contaminated",
         r9(F.col("contamination_ratio")).alias("contamination_ratio"),
+    )
+
+
+@register(
+    "docs_bloom_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks)),
+    evbits AS (
+      SELECT DISTINCT
+             {_MD5_INT32_SQL.format(col="'bloom' || CAST(i AS VARCHAR) || ':' || sh")}
+               % {P.BLOOM_BITS} AS bit
+      FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+           range(0, {P.BLOOM_HASHES}) r(i)),
+    tprobe AS (
+      SELECT s.doc_id, s.sh,
+             {_MD5_INT32_SQL.format(col="'bloom' || CAST(i AS VARCHAR) || ':' || s.sh")}
+               % {P.BLOOM_BITS} AS bit
+      FROM sh s, range(0, {P.BLOOM_HASHES}) r(i)
+      WHERE s.doc_id % {EVAL_MOD} <> 0),
+    pershingle AS (
+      SELECT doc_id, sh,
+             CAST(count(*) FILTER (b.bit IS NOT NULL) = {P.BLOOM_HASHES} AS INT)
+               AS flag
+      FROM tprobe t LEFT JOIN evbits b ON t.bit = b.bit
+      GROUP BY doc_id, sh)
+    SELECT doc_id, n_shingles, n_flagged,
+           {_r9('CAST(n_flagged AS DOUBLE) / CAST(n_shingles AS DOUBLE)')}
+             AS flag_ratio
+    FROM (SELECT doc_id, count(*) AS n_shingles,
+                 CAST(sum(flag) AS BIGINT) AS n_flagged
+          FROM pershingle GROUP BY doc_id)
+    WHERE n_flagged > 0
+    """,
+    "Fixed-memory decontamination screen: docs_contamination with the "
+    f"eval shingle set replaced by its {P.BLOOM_BITS}-bit Bloom filter "
+    f"({P.BLOOM_HASHES} salted-md5 hashes — exactly SQL-replayable). "
+    "No false negatives (every truly contaminated shingle flags), "
+    "false positives by design and deterministic. THE 100 TB point: "
+    "the plain check broadcasts the whole eval shingle set; the bit "
+    "table is ≤ bits rows no matter how large the eval suite grows.",
+)
+def q_docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    out = P.bloom_contamination(train, ev)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_flagged",
+        r9(F.col("flag_ratio")).alias("flag_ratio"),
     )
 
 
@@ -1248,10 +1433,10 @@ def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_span_dedup",
-    f"""
-    WITH sdtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# shared removed-position CTEs for the ExactSubstr family
+# (docs_span_dedup edits the text; docs_span_stats reports the
+# merged-span histogram over the same positions)
+_SPAN_REM_CTES = f"""sdtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sdgrams AS (
       SELECT doc_id, CAST(i AS INT) AS pos,
              md5(array_to_string(t[i : i + {D.SPAN_K} - 1], ' ')) AS g
@@ -1265,7 +1450,13 @@ def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdrem AS (
       SELECT DISTINCT doc_id, pos + CAST(d AS INT) AS tp
       FROM (SELECT doc_id, pos FROM sdocc WHERE occ >= 2 AND rn > 1),
-           LATERAL (SELECT unnest(range(0, {D.SPAN_K})) AS d)),
+           LATERAL (SELECT unnest(range(0, {D.SPAN_K})) AS d))"""
+
+
+@register(
+    "docs_span_dedup",
+    f"""
+    WITH {_SPAN_REM_CTES},
     sdtokrows AS (
       SELECT doc_id, CAST(i AS INT) AS tp, t[i] AS tok
       FROM (SELECT doc_id, t, len(t) AS n FROM sdtoks),
@@ -1295,6 +1486,33 @@ def q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return D.span_dedup(docs)
+
+
+@register(
+    "docs_span_stats",
+    f"""
+    WITH {_SPAN_REM_CTES},
+    sspans AS (
+      SELECT doc_id, grp, CAST(count(*) AS INT) AS span_len
+      FROM (SELECT doc_id, tp,
+                   tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp)
+                     AS grp
+            FROM sdrem)
+      GROUP BY doc_id, grp)
+    SELECT span_len, count(*) AS n_spans FROM sspans GROUP BY span_len
+    """,
+    "Merged-span accounting for the ExactSubstr excision (the report "
+    "Lee et al. ACL 2022 publish alongside the edit): adjacent "
+    "removed token positions merge into MAXIMAL spans — overlapping "
+    "duplicate grams count as one long span, not k-sized fragments — "
+    "and the output is the corpus span-length histogram. Spark merges "
+    "with a per-row fold over each doc's sorted removed-position set "
+    "(zero extra shuffle); the oracle uses the pos − row_number() "
+    "run-grouping identity.",
+)
+def q_docs_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return D.span_stats(docs)
 
 
 LM_ADD_K = 0.5
@@ -2083,6 +2301,66 @@ def q_docs_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id", "qid")
     out = S.sparse_search_topk(cf, qf, k=SPARSE_K, score_transform=r9)
     return out.select("qid", "doc_id", "chunk_id", "score", "rk")
+
+
+BM25_QUERIES = 5
+BM25_TOPK = 3
+
+
+@register(
+    "docs_bm25_search",
+    f"""
+    WITH btoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bpost AS (SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM btoks)
+              GROUP BY doc_id, term),
+    blen AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM btoks),
+    bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+               FROM blen),
+    bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bpost
+            GROUP BY term),
+    bq AS (SELECT DISTINCT doc_id AS qid, unnest(list_distinct(t)) AS term
+           FROM btoks WHERE doc_id < {BM25_QUERIES}),
+    bidf AS (SELECT d.term,
+                    floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                          * 1000000000 + 0.5) / 1000000000 AS idf
+             FROM bdf d
+             JOIN (SELECT DISTINCT term FROM bq) qt ON qt.term = d.term,
+                  bstats s),
+    bscore AS (
+      SELECT q.qid, p.doc_id,
+             sum(i.idf * (CAST(p.tf AS DOUBLE) * {S.BM25_K1 + 1.0}) /
+                 (CAST(p.tf AS DOUBLE)
+                  + {S.BM25_K1} * ({1.0 - S.BM25_B}
+                                   + {S.BM25_B} * l.dl / s.avgdl))) AS score
+      FROM bpost p
+      JOIN bq q ON q.term = p.term AND p.doc_id <> q.qid
+      JOIN bidf i ON i.term = p.term
+      JOIN blen l ON l.doc_id = p.doc_id, bstats s
+      GROUP BY q.qid, p.doc_id)
+    SELECT qid, doc_id, score, rk FROM (
+      SELECT qid, doc_id, {_r9('score')} AS score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {_r9('score')} DESC, doc_id) AS rk
+      FROM bscore) WHERE rk <= {BM25_TOPK}
+    """,
+    "Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009, Lucene's "
+    "idf form) — the canonical lexical ranker with REAL term "
+    "statistics, completing the retrieval family next to the "
+    "feature-hash sparse search and the dense ANN paths. idf is "
+    "9dp-quantized before use so the one transcendental (ln) cannot "
+    "drift across engines. Postings/lengths/df are each one "
+    "partial-agg'd groupBy; N+avgdl broadcast as a single row; "
+    "candidates come from the posting-list equi-join against the "
+    "broadcast query-term set — the corpus never self-joins.",
+)
+def q_docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    queries = docs.filter(F.col("doc_id") < BM25_QUERIES).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    out = S.bm25_search_topk(docs, queries, k=BM25_TOPK, score_transform=r9)
+    return out.select("qid", "doc_id", "score", "rk")
 
 
 @register(

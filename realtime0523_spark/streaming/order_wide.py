@@ -58,6 +58,7 @@ def streaming_order_wide(
     detail_ts: str | None = None,
     tolerance: str = "50 seconds",
     how: str = "inner",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Stream-stream equi-join of order headers × details.
 
@@ -72,7 +73,40 @@ def streaming_order_wide(
     watermark/time-range form: the engine emits an unmatched row with
     nulls only once the watermark proves no partner can arrive —
     exactly the TTL-expiry behavior the reference hand-rolled.
+
+    `salt_buckets` applies the operators.joins.salted_join rewrite to
+    the micro-batch shuffle — AQE's skew-join never sees streaming
+    batches (operators/joins.py note), so a hot order key (one order
+    with a million detail rows) melts a single join task with no
+    runtime rescue. Salted: each DETAIL row (the skewed fact side)
+    carries a content-hash salt in [0, buckets); each ORDER row (one
+    per key by contract) is replicated once per bucket; the join key
+    becomes (order key, salt), spreading the hot key over `buckets`
+    tasks and `buckets` state-store partitions. Inner-join only —
+    outer emission semantics do not survive replication (an unmatched
+    order would emit `buckets` null rows; the same restriction
+    salted_join enforces). Results are identical to the unsalted
+    stream (test-asserted), order-side state inflates ×buckets.
     """
+    if salt_buckets is not None:
+        if how != "inner":
+            raise ValueError(
+                f"salted streaming join supports how='inner' only: an "
+                f"unmatched side would emit {salt_buckets} replicated "
+                f"rows under outer semantics (see operators.joins."
+                f"salted_join)."
+            )
+        details = details.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in details.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        orders = orders.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        ).withColumn("__salt", F.col("__salt").cast("bigint"))
     if order_ts and detail_ts:
         o = orders.withWatermark(order_ts, tolerance)
         d = details.withWatermark(detail_ts, tolerance)
@@ -81,7 +115,14 @@ def streaming_order_wide(
             & (d[detail_ts] >= o[order_ts] - F.expr(f"INTERVAL {tolerance}"))
             & (d[detail_ts] <= o[order_ts] + F.expr(f"INTERVAL {tolerance}"))
         )
-        return o.join(d, cond, how)
+        if salt_buckets is not None:
+            cond = cond & (o["__salt"] == d["__salt"])
+        out = o.join(d, cond, how)
+        return out.drop("__salt") if salt_buckets is not None else out
     if how != "inner":
         raise ValueError("outer stream-stream joins need order_ts/detail_ts watermarks")
-    return orders.join(details, orders[order_key] == details[detail_key], "inner")
+    cond = orders[order_key] == details[detail_key]
+    if salt_buckets is not None:
+        cond = cond & (orders["__salt"] == details["__salt"])
+    out = orders.join(details, cond, "inner")
+    return out.drop("__salt") if salt_buckets is not None else out

@@ -712,6 +712,42 @@ def test_pq_codes_shape_and_range(spark):
         assert all(0 <= c < cb.shape[0] for c in r.pq_code)
 
 
+def test_pq_trained_codebooks_beat_label_seeded(spark):
+    """The round-5 verdict item: a real Lloyd-per-subspace trainer on
+    the bounded sample must produce recall@5 ≥ the label-seeded
+    codebooks on the fixture — and be deterministic (replay-identical
+    training, the property the SQL oracle replays)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import (
+        ann_topk_pq,
+        cosine_topk,
+        pq_codebooks,
+        pq_train_codebooks,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(cb) -> float:
+        got = {
+            (r.qid, r.vec_id)
+            for r in ann_topk_pq(emb, queries, codebooks=cb, k=5).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    trained = pq_train_codebooks(emb)
+    assert trained.shape == (16, 64)
+    assert recall(trained) >= recall(pq_codebooks(emb))
+    again = pq_train_codebooks(emb)
+    assert np.array_equal(trained, again)
+
+
 def test_pq_refuses_indivisible_subspaces(spark):
     """ADVICE r5: dims % m != 0 silently ignored the trailing dims of
     every vector in both codes and ADC LUTs — must refuse at entry."""
@@ -814,6 +850,32 @@ def test_span_dedup_covers_long_shared_substrings(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 20  # every token of the copy is covered
     assert out[2].clean_text == "unique tail words"
+
+
+def test_span_stats_merges_overlapping_grams_into_maximal_spans(spark):
+    """The ExactSubstr companion report (Lee et al. ACL 2022): a
+    duplicated 6-token substring under k=4 covers three OVERLAPPING
+    gram occurrences — the histogram must count it as ONE span of
+    length 6, never 4-sized fragments; an isolated 4-token dup stays a
+    4-span. Also exercises configurable k on both operators."""
+    from realtime0523_spark.llm.dedup import span_dedup, span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x a b c d e f y"),          # 6-token copy → one 6-span
+            (2, "z1 z2 a b c d z3 z4"),      # isolated 4-token dup → 4-span
+        ],
+        "doc_id long, text string",
+    )
+    hist = {r.span_len: r.n_spans for r in span_stats(docs, k=4).collect()}
+    assert hist == {6: 1, 4: 1}, hist
+    # consistency with the edit at the same k
+    removed = {r.doc_id: r.n_removed for r in span_dedup(docs, k=4).collect()}
+    assert removed == {0: 0, 1: 6, 2: 4}, removed
+    # no duplication at all → empty histogram
+    solo = spark.createDataFrame([(0, "p q r s t")], "doc_id long, text string")
+    assert span_stats(solo, k=4).count() == 0
 
 
 def test_hashed_features_unit_norm_and_determinism(spark):
@@ -947,3 +1009,57 @@ def test_training_order_stratified_and_deterministic(spark):
         assert set(sl.domain) == domains, i
     again = training_order(docs).toPandas().sort_values("global_pos")
     assert list(again.doc_id) == list(out.doc_id)
+
+
+def test_bloom_contamination_never_misses_and_bounds_fps(spark):
+    """The Bloom screen's guarantee: every doc the exact checker flags
+    is flagged (no false negatives), per-doc flag counts dominate the
+    exact counts, and the doc sets stay close (FPs are the bounded
+    price of the fixed-size filter)."""
+    from realtime0523_spark.llm.pipeline import bloom_contamination, contamination_check
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = {r.doc_id: r.n_contaminated for r in contamination_check(train, ev).collect()}
+    bloom = {r.doc_id: r.n_flagged for r in bloom_contamination(train, ev).collect()}
+    assert set(exact) <= set(bloom)                       # no false negatives
+    for d, n in exact.items():
+        assert bloom[d] >= n, d                           # per-shingle domination
+    # FPs bounded: flagged-only-by-bloom docs are a small minority
+    assert len(set(bloom) - set(exact)) <= max(5, len(exact) // 10)
+
+
+def test_bloom_bits_fixed_size_and_deterministic(spark):
+    from realtime0523_spark.llm.pipeline import BLOOM_BITS, bloom_bits
+
+    ev = Catalog(spark, SF_SMOKE).table("documents").filter(F.col("doc_id") % 20 == 0)
+    bits = sorted(r.bit for r in bloom_bits(ev).collect())
+    assert len(bits) <= BLOOM_BITS and all(0 <= b < BLOOM_BITS for b in bits)
+    assert bits == sorted(r.bit for r in bloom_bits(ev).collect())
+
+
+def test_bm25_ranks_term_rarity_and_length(spark):
+    """BM25's two defining behaviors on a hand-checkable corpus: a
+    query term's accumulation in a doc wins (tf saturation still ranks
+    d1 first for 'cat fish'), and between equal-tf docs the SHORTER
+    one wins (length normalization: 'bird' ranks d3 over d2)."""
+    from realtime0523_spark.llm.similarity import bm25_search_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "cat dog"),
+            (11, "cat cat cat fish"),
+            (12, "dog dog bird extra words here"),
+            (13, "fish bird"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "cat fish"), (1, "bird")], "qid long, qtext string"
+    )
+    out = bm25_search_topk(corpus, queries, k=2).collect()
+    top = {(r.qid, r.rk): r.doc_id for r in out}
+    assert top[(0, 1)] == 11   # cat×3 + fish beats single-term docs
+    assert top[(1, 1)] == 13   # equal tf=1 for 'bird': shorter doc wins
+    assert top[(1, 2)] == 12

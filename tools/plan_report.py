@@ -135,6 +135,18 @@ AUDITED: dict[str, str] = {
         "one map-only Arrow pass — the 32x-compressed index emits "
         "without any shuffle of vectors"
     ),
+    "emb_ann_pq_trained": (
+        "training collects only the bounded md5-ordered sample "
+        "(TakeOrdered); the trained codebooks ride the UDF closures; "
+        "serving is the identical map-only ADC scan + broadcast "
+        "re-rank as the label-seeded twin"
+    ),
+    "docs_span_stats": (
+        "same one token-sized gram-hash shuffle as the excision; the "
+        "span merge is a per-row fold over each doc's sorted removed "
+        "set — the only added exchange is the |distinct-lengths| "
+        "histogram groupBy"
+    ),
 }
 
 

@@ -76,6 +76,10 @@ PROBES = [
     "docs_bpe_merges",     # vocab-sized rounds: cost ~flat vs corpus growth (r5)
     "docs_training_order", # per-domain rank window + position rank (r5)
     "emb_pq_codes",        # map-only Arrow encode of the coded index (r5)
+    "emb_ann_pq_trained",  # Lloyd-trained codebooks: bounded-sample train + ADC scan (r6)
+    "docs_span_stats",     # gram-hash shuffle + per-row run-length fold (r6)
+    "docs_bm25_search",    # posting-list equi-join vs broadcast query terms (r6)
+    "docs_bloom_contamination",  # fixed-size bit table broadcast, eval-size-free (r6)
 ]
 
 # Library paths without their own registry entry, probed as callables:
@@ -90,7 +94,25 @@ def _quality_filter_approx(spark, sf_dir):
     )
 
 
-EXTRA_PROBES = [("docs_quality_filter_approx", _quality_filter_approx)]
+# Star-contraction CC over the same LSH pair graph the registered
+# docs_dedup_clusters propagates over: O(log n)-round worst-case path;
+# near-clique dedup graphs should show the same ~linear growth with a
+# higher fixed round cost (more jobs per alternation).
+def _dedup_clusters_star(spark, sf_dir):
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.llm import clusters as C
+    from realtime0523_spark.llm import dedup as D
+    from realtime0523_spark.plans.llm_inventory import MINHASH_EST_THRESHOLD
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    return C.connected_components(pairs, algorithm="star")
+
+
+EXTRA_PROBES = [
+    ("docs_quality_filter_approx", _quality_filter_approx),
+    ("docs_dedup_clusters_star", _dedup_clusters_star),
+]
 
 
 def gen(spark) -> None:
