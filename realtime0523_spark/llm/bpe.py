@@ -163,6 +163,58 @@ def train_bpe(
     return merges
 
 
+def segmented_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, units) — every distinct corpus word segmented with the
+    learned merge list, by replaying the same greedy fold per merge
+    over the |vocab|-row table. This is the production segmentation
+    path: the expensive scan is vocabulary-sized, never corpus-sized
+    (segment_word is the driver-side single-word twin)."""
+    vocab = word_counts(docs, text_col).select(
+        "w", _spaced(F.col("w")).alias("syms")
+    )
+    for a, b in merges:
+        vocab = vocab.select("w", _apply_merge(F.col("syms"), a, b).alias("syms"))
+    return vocab.select("w", F.split(F.trim(F.col("syms")), " ").alias("units"))
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE-encode the corpus with a learned merge list and report the
+    per-document budget: (doc, n_tokens, n_units) — n_units is what a
+    token-budget planner actually needs from the tokenizer (the third
+    tokenizer artifact after merges and vocabulary).
+
+    Scale shape: segmentation happens ONCE per distinct word
+    (segmented_vocab, |vocab| rows); the corpus then makes one
+    explode → equi-join on the word (vocab side is the small side —
+    broadcast it when it fits, which a 100 TB corpus's word vocabulary
+    typically does after frequency truncation) → one partial-agg'd
+    groupBy per doc. The token stream itself is never re-segmented
+    row by row."""
+    wmap = segmented_vocab(docs, merges, text_col).select(
+        "w", F.size("units").alias("__nu")
+    )
+    t = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        t.join(wmap, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nu").alias("n_units"),
+        )
+    )
+
+
 def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply a learned merge list to one word (driver-side utility for
     tests/tools — production segmentation would be a mapInPandas over

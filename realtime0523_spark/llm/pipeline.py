@@ -206,6 +206,7 @@ def bloom_contamination(
     n_hashes: int = BLOOM_HASHES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bits_df: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-memory decontamination screen: contamination_check with
     the eval shingle set replaced by its Bloom filter. A training
@@ -218,10 +219,17 @@ def bloom_contamination(
     Returns (doc_id, n_shingles, n_flagged, flag_ratio) for flagged
     docs. Scale shape: the bit table (≤ `bits` rows) broadcasts; the
     corpus makes one explode → per-probe broadcast join → two
-    partial-agg'd groupBys. Nothing eval-sized is ever shipped."""
-    bset = bloom_bits(eval_docs, n, bits, n_hashes, text_col).withColumn(
-        "__set", F.lit(1)
-    )
+    partial-agg'd groupBys. Nothing eval-sized is ever shipped.
+
+    Pass `bits_df` (a prebuilt — ideally persisted — bloom_bits
+    frame) to reuse one filter across many calls: the streaming screen
+    builds it once and probes it every micro-batch instead of
+    re-deriving the eval shingles per batch."""
+    bset = (
+        bits_df
+        if bits_df is not None
+        else bloom_bits(eval_docs, n, bits, n_hashes, text_col)
+    ).withColumn("__set", F.lit(1))
     t = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),

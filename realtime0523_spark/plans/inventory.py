@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     # parquet sink; span CTEs refactored/shared).
     "emb_ann_pq_trained", "docs_span_stats",
     "docs_bm25_search", "docs_bloom_contamination",
+    "docs_bpe_encode", "stream_bloom_contamination",
     "docs_bpe_merges", "docs_bpe_vocab", "emb_ann_recall",
     "stream_ann_lookup", "docs_span_dedup",
     # Round 6 group 2 — clusters.py gained the star-contraction
@@ -113,16 +114,16 @@ _PRIORITY: list[str] = [
     "docs_pack_sequences", "docs_repetition", "docs_simhash",
     "docs_stratified_sample", "docs_token_stats", "docs_train_split",
     "priority_decode", "router_fanout", "router_filter",
-    # r4 rows (alphabetical; the first 21 fill the window, the rest
+    # r4 rows (alphabetical; the first 19 fill the window, the rest
     # lead the next rotation):
     "allocation", "asof_last_click", "brand_amount", "date_derive",
     "dau", "dau_approx", "dedup_first", "dim_enrich",
     "docs_bpe_tokens", "docs_chunk", "docs_corpus_prep",
     "docs_exact_dedup", "docs_lm_score", "docs_minhash_lsh",
     "docs_pii_redact", "docs_token_budget_sample", "emb_ann_ivf",
-    "emb_ann_lsh", "emb_cosine_topk", "emb_dedup_pairs",
-    "emb_label_centroids",
+    "emb_ann_lsh", "emb_cosine_topk",
     # --- 50-slot window boundary (assuming all above registered) ---
+    "emb_dedup_pairs", "emb_label_centroids",
     "event_cube", "first_order_flag",
     "follow_on_clicks", "hot_parts_topk", "media_features",
     "media_frames", "media_resize", "order_wide", "running_total",

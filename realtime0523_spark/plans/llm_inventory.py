@@ -23,7 +23,7 @@ from realtime0523_spark.llm import multimodal as M
 from realtime0523_spark.llm import similarity as S
 from realtime0523_spark.llm import text as X
 from realtime0523_spark.operators import sketches as SK
-from realtime0523_spark.plans.inventory import register
+from realtime0523_spark.plans.inventory import REGISTRY, register
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_EST_THRESHOLD = 0.5
@@ -1167,6 +1167,58 @@ def q_docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_flagged",
         r9(F.col("flag_ratio")).alias("flag_ratio"),
+    )
+
+
+@register(
+    "stream_bloom_contamination",
+    # same result as the batch screen: per-doc independent, each doc
+    # arrives exactly once → union over micro-batches = batch output
+    REGISTRY["docs_bloom_contamination"].oracle,
+    "Decontamination AT INGEST: the document stream is screened "
+    "against the static eval-set Bloom filter inside foreachBatch — "
+    "the bit table is built once and reused every micro-batch "
+    "(broadcast-sized regardless of eval-suite size), flagged batches "
+    "land in the idempotent-by-batchId parquet sink, and the drained "
+    "union equals the batch screen (same oracle). The real front-door "
+    "shape: leaking documents are caught before they enter the "
+    "corpus, with no stream-side state.",
+)
+def q_stream_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+    from realtime0523_spark.streaming.sources import stream_table
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    # the filter is built ONCE and persisted; every micro-batch probes
+    # the cached ≤bits-row table instead of re-deriving eval shingles
+    bset = P.bloom_bits(ev).persist()
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % EVAL_MOD != 0
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_bloom_")
+    sink = idempotent_batch_writer(out_dir)
+
+    def screen(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        res = P.bloom_contamination(batch_df, ev, bits_df=bset).select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            r9(F.col("flag_ratio")).alias("flag_ratio"),
+        )
+        sink(res, batch_id)
+
+    try:
+        run_foreach_batch(stream, screen, output_mode="append")
+    finally:
+        bset.unpersist()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_shingles", "n_flagged", "flag_ratio"
     )
 
 
@@ -2408,7 +2460,8 @@ def _bpe_merges_sql(n_rounds: int) -> str:
     state, not once per reference."""
     parts = [
         f"""v0 AS MATERIALIZED (
-      SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS syms,
+      SELECT w,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS syms,
              freq
       FROM (SELECT w, count(*) AS freq
             FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w))"""
@@ -2431,11 +2484,12 @@ def _bpe_merges_sql(n_rounds: int) -> str:
         emit = f"CASE WHEN {out} = '' THEN '' ELSE {out} || ' ' END"
         parts.append(
             f"""v{r + 1} AS MATERIALIZED (
-      SELECT ' ' || CASE WHEN {prev} = '' THEN {out}
+      SELECT w,
+             ' ' || CASE WHEN {prev} = '' THEN {out}
                          WHEN {out} = '' THEN {prev}
                          ELSE {out} || ' ' || {prev} END || ' ' AS syms,
              freq
-      FROM (SELECT list_reduce(
+      FROM (SELECT w, list_reduce(
                      list_prepend(chr(1), string_split(trim(syms), ' ')),
                      (acc, x) -> CASE
                        WHEN {prev} = '' THEN {out} || chr(1) || x
@@ -2531,6 +2585,38 @@ def q_docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", F.row_number().over(W.orderBy(F.desc("n"), F.col("unit")))
         )
     )
+
+
+@register(
+    "docs_bpe_encode",
+    _bpe_merges_sql(BPE_MERGES).rsplit("SELECT 0 AS rank", 1)[0].rstrip().rstrip(
+        "UNION ALL"
+    ).rstrip()
+    + f"""
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(m.n_units) AS BIGINT) AS n_units
+    FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) d
+    JOIN (SELECT w, len(string_split(trim(syms), ' ')) AS n_units
+          FROM v{BPE_MERGES}) m
+      ON m.w = d.w
+    GROUP BY doc_id
+    """,
+    f"BPE-ENCODE the corpus with the {BPE_MERGES} learned merges — the "
+    "third tokenizer artifact (after merges and vocabulary) and the "
+    "number a token-budget planner actually needs: per-doc subword "
+    "unit counts. Segmentation replays the greedy fold ONCE per "
+    "distinct word (|vocab| rows); the corpus then makes one explode "
+    "→ word equi-join → partial-agg'd per-doc groupBy — the token "
+    "stream is never re-segmented row by row. The oracle reuses the "
+    "word-keyed round CTEs and joins the final state back to the "
+    "documents.",
+)
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.bpe import bpe_encode_counts, train_bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = train_bpe(docs, BPE_MERGES)
+    return bpe_encode_counts(docs, merges)
 
 
 _SEM_PAIRS_SQL = f"""

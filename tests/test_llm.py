@@ -1063,3 +1063,38 @@ def test_bm25_ranks_term_rarity_and_length(spark):
     assert top[(0, 1)] == 11   # cat×3 + fish beats single-term docs
     assert top[(1, 1)] == 13   # equal tf=1 for 'bird': shorter doc wins
     assert top[(1, 2)] == 12
+
+
+def test_bpe_encode_counts_match_driver_segmentation(spark):
+    """The distributed corpus encoder (segment once per distinct word,
+    join back) must agree with segment_word run per token on the
+    driver — unit counts per doc, including multi-occurrence words and
+    the odd self-pair runs the greedy fold handles."""
+    from realtime0523_spark.llm.bpe import (
+        bpe_encode_counts,
+        segment_word,
+        segmented_vocab,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low low low low low lower lower newest newest"),
+            (1, "newest newest newest newest widest widest widest aaaaa"),
+            (2, "lowest newest low aaaaa aaaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, 5)
+    got = {r.doc_id: (r.n_tokens, r.n_units)
+           for r in bpe_encode_counts(docs, merges).collect()}
+    want = {}
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        toks = text.split()
+        want[doc_id] = (len(toks),
+                        sum(len(segment_word(w, merges)) for w in toks))
+    assert got == want, (got, want)
+    # the word->units mapping itself agrees with the driver scan
+    vmap = {r.w: list(r.units) for r in segmented_vocab(docs, merges).collect()}
+    for w, units in vmap.items():
+        assert units == segment_word(w, merges), w

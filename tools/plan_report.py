@@ -147,6 +147,19 @@ AUDITED: dict[str, str] = {
         "set — the only added exchange is the |distinct-lengths| "
         "histogram groupBy"
     ),
+    "docs_bm25_search": (
+        "postings/lengths/df are each one partial-agg'd groupBy; "
+        "N+avgdl are a 1-row scalar collect (a lazy 1-row crossJoin "
+        "would plan BroadcastNestedLoopJoin); candidates come from "
+        "the posting-list equi-join against the broadcast query-term "
+        "set — the corpus never self-joins"
+    ),
+    "docs_bloom_contamination": (
+        "the eval side collapses to a <= bits-row bit table that "
+        "broadcasts regardless of eval-set size; the corpus makes one "
+        "explode -> per-probe broadcast join -> two partial-agg'd "
+        "groupBys — nothing eval-sized ships"
+    ),
 }
 
 
