@@ -176,8 +176,14 @@ def segmented_vocab(
     vocab = word_counts(docs, text_col).select(
         "w", _spaced(F.col("w")).alias("syms")
     )
-    for a, b in merges:
+    for i, (a, b) in enumerate(merges):
         vocab = vocab.select("w", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        # truncate lineage periodically, mirroring train_bpe: a
+        # production merge list is thousands of entries, and one nested
+        # projection per merge otherwise stacks an unboundedly deep plan
+        # over the same |vocab|-row table
+        if (i + 1) % 25 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return vocab.select("w", F.split(F.trim(F.col("syms")), " ").alias("units"))
 
 

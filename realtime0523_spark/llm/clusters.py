@@ -209,12 +209,19 @@ def connected_components(
     the loud variant for pipelines that treat a pathological pair
     graph as a data bug), or "star" (straight to the O(log n)
     contraction, for graphs known to be long-chained).
+
+    Self-pairs (src == dst) are ignored — filtered here, at the entry,
+    so every algorithm sees the identical loop-free edge set (a
+    self-loop is not a near-dup edge; a doc whose only "pair" is
+    itself is a singleton and, per the contract above, not emitted).
     """
     if algorithm not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     ckpt, release = _ckpt_tools(pairs)
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
     edges, edge_ids = ckpt(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )

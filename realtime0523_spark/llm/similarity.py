@@ -937,7 +937,19 @@ def bm25_search_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     ).first()
-    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+    n_docs = float(srow["n_docs"])
+    # Empty corpus (avgdl is NULL) or all-empty docs (avgdl == 0) would
+    # make the length normalization divide by zero — there is nothing to
+    # retrieve, so return an empty result with the contract schema.
+    if n_docs == 0.0 or srow["avgdl"] is None or float(srow["avgdl"]) == 0.0:
+        id_type = dict(corpus.dtypes)[id_col]
+        qid_type = dict(queries.dtypes)[query_id_col]
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+            "score double, rk int",
+        )
+    avgdl = float(srow["avgdl"])
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     qterms = queries.select(
         F.col(query_id_col),

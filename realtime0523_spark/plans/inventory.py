@@ -1009,13 +1009,18 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="50 seconds",
     ).drop("o_commit_ts", "l_commit_ts")
     work = tempfile.mkdtemp(prefix="stream_brand_amount_")
-    return streaming_brand_amount(
-        spark,
-        wide,
-        Catalog(spark, sf_dir).table("part"),
-        out_dir=f"{work}/partials",
-        checkpoint_dir=f"{work}/ckpt",
-        no_data_batches=False,  # inner join, drain-and-stop
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+
+    return detach_and_cleanup(
+        streaming_brand_amount(
+            spark,
+            wide,
+            Catalog(spark, sf_dir).table("part"),
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            no_data_batches=False,  # inner join, drain-and-stop
+        ),
+        work,
     )
 
 
@@ -1053,24 +1058,30 @@ def q_stream_dwd_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = stream_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
+    work = tempfile.mkdtemp(prefix="stream_dwd_order_")
     out = streaming_dwd_order(
         spark,
         orders,
         cat.table("customer"),
         cat.table("nation"),
-        work_dir=tempfile.mkdtemp(prefix="stream_dwd_order_"),
+        work_dir=work,
         # the whole 7-year table drains in one batch (historical
         # replay) — monthly index dirs, not 2400 daily ones
         index_granularity="month",
         no_data_batches=False,
     )
-    return out.select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("order_dt").cast("string").alias("order_dt"),
-        "if_first_order",
-        "c_name",
-        "nation_name",
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+
+    return detach_and_cleanup(
+        out.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("order_dt").cast("string").alias("order_dt"),
+            "if_first_order",
+            "c_name",
+            "nation_name",
+        ),
+        work,
     )
 
 

@@ -1217,8 +1217,13 @@ def q_stream_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_foreach_batch(stream, screen, output_mode="append")
     finally:
         bset.unpersist()
-    return spark.read.parquet(out_dir).select(
-        "doc_id", "n_shingles", "n_flagged", "flag_ratio"
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+
+    return detach_and_cleanup(
+        spark.read.parquet(out_dir).select(
+            "doc_id", "n_shingles", "n_flagged", "flag_ratio"
+        ),
+        out_dir,
     )
 
 
@@ -2277,7 +2282,12 @@ def q_stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(res, batch_id)
 
     run_foreach_batch(qstream, serve, output_mode="append")
-    return spark.read.parquet(out_dir).select("qid", "vec_id", "score", "rk")
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+
+    return detach_and_cleanup(
+        spark.read.parquet(out_dir).select("qid", "vec_id", "score", "rk"),
+        out_dir,
+    )
 
 
 SPARSE_QUERIES = 5
@@ -2448,8 +2458,9 @@ def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_merges_sql(n_rounds: int) -> str:
-    """Generated n-round BPE oracle: each round re-derives pair counts
+def _bpe_ctes(n_rounds: int) -> str:
+    """Generated n-round BPE oracle CTE block (no final SELECT): each
+    round re-derives pair counts
     from the previous vocab state, takes the deterministic argmax, and
     applies the merge with the same GREEDY left-to-right fold as
     llm.bpe._apply_merge — a list_reduce whose accumulator encodes
@@ -2499,11 +2510,18 @@ def _bpe_merges_sql(n_rounds: int) -> str:
                      END) AS acc, freq
             FROM v{r}, m{r}))"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    """The full merge-table oracle: the round CTEs plus a union reading
+    each round's winning pair. Queries that only need the final vocab
+    state build on _bpe_ctes directly instead of string-splicing this."""
     union = "\n      UNION ALL ".join(
         f"SELECT {r} AS rank, l AS left, r AS right FROM m{r}"
         for r in range(n_rounds)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+    return _bpe_ctes(n_rounds) + f"\n    {union}"
 
 
 @register(
@@ -2536,9 +2554,7 @@ BPE_VOCAB_TOP = 20
 
 @register(
     "docs_bpe_vocab",
-    _bpe_merges_sql(BPE_MERGES).rsplit("SELECT 0 AS rank", 1)[0].rstrip().rstrip(
-        "UNION ALL"
-    ).rstrip()
+    _bpe_ctes(BPE_MERGES)
     + f"""
     SELECT unit, n, rk FROM (
       SELECT unit, n, row_number() OVER (ORDER BY n DESC, unit) AS rk
@@ -2589,9 +2605,7 @@ def q_docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_bpe_encode",
-    _bpe_merges_sql(BPE_MERGES).rsplit("SELECT 0 AS rank", 1)[0].rstrip().rstrip(
-        "UNION ALL"
-    ).rstrip()
+    _bpe_ctes(BPE_MERGES)
     + f"""
     SELECT doc_id, count(*) AS n_tokens,
            CAST(sum(m.n_units) AS BIGINT) AS n_units

@@ -39,6 +39,20 @@ def idempotent_batch_writer(out_dir: str):
     return write
 
 
+def detach_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:
+    """Materialize `df` off its backing files (localCheckpoint pins the
+    partitions in the block manager, so later reads never touch the
+    source paths) and delete the given scratch directories. For
+    drain-a-stream-then-return-the-result queries whose sink dir is a
+    run-scoped temp: without this, every bench/correctness run accretes
+    another parquet directory. Only for BOUNDED results — the
+    checkpoint holds the whole frame in executor memory."""
+    out = df.localCheckpoint(eager=True)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def upsert_parquet_dim(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -378,6 +378,28 @@ def test_connected_components_empty_and_nonconvergence(spark):
         connected_components(chain, algorithm="bogus")
 
 
+def test_connected_components_self_loops_ignored_uniformly(spark):
+    """doc_a == doc_b rows are filtered at the entry, so every
+    algorithm returns the identical node set on degenerate input (the
+    round-6 advice item: 'star' used to drop a self-loop-only node
+    while 'propagation' emitted it as its own cluster)."""
+    from realtime0523_spark.llm.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 7), (1, 2), (2, 2)], "doc_a long, doc_b long"
+    )
+    want = {1: 1, 2: 1}  # 5 and 7 are singletons -> not emitted
+    for algo in ("propagation", "star", "auto"):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == want, algo
+    # all-self-loop input == empty edge set
+    only_loops = spark.createDataFrame([(3, 3)], "doc_a long, doc_b long")
+    assert connected_components(only_loops).count() == 0
+
+
 def test_connected_components_star_contraction_exact(spark):
     """algorithm='star' on a mixed graph: long chain + clique +
     separate pair + both-ways duplicate edges — labels must equal the
@@ -1065,6 +1087,22 @@ def test_bm25_ranks_term_rarity_and_length(spark):
     assert top[(1, 2)] == 12
 
 
+def test_bm25_empty_and_all_empty_corpus(spark):
+    """Empty corpus (avgdl NULL) and all-empty-doc corpus (avgdl 0)
+    return an empty result with the contract schema instead of raising
+    (round-6 advice item: float(None) / divide-by-zero)."""
+    from realtime0523_spark.llm.similarity import bm25_search_topk
+
+    queries = spark.createDataFrame([(0, "cat")], "qid long, qtext string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_search_topk(empty, queries, k=2)
+    assert out.count() == 0
+    assert out.columns == ["qid", "doc_id", "score", "rk"]
+
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    assert bm25_search_topk(blank, queries, k=2).count() == 0
+
+
 def test_bpe_encode_counts_match_driver_segmentation(spark):
     """The distributed corpus encoder (segment once per distinct word,
     join back) must agree with segment_word run per token on the
@@ -1098,3 +1136,11 @@ def test_bpe_encode_counts_match_driver_segmentation(spark):
     vmap = {r.w: list(r.units) for r in segmented_vocab(docs, merges).collect()}
     for w, units in vmap.items():
         assert units == segment_word(w, merges), w
+    # a production-sized merge list crosses the periodic lineage
+    # truncation (every 25 merges) — result must be unchanged
+    long_merges = merges + [(f"zz{i}", f"qq{i}") for i in range(60)]
+    vmap_long = {
+        r.w: list(r.units)
+        for r in segmented_vocab(docs, long_merges).collect()
+    }
+    assert vmap_long == vmap
