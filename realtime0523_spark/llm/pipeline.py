@@ -626,6 +626,105 @@ def domain_mix(
     )
 
 
+def domain_mix_temperature(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual-LM
+    sampling recipe (Conneau & Lample, "Cross-lingual Language Model
+    Pretraining", NeurIPS 2019 §3.1; the same α-sampling mBERT/XLM-R/
+    mT5 use): given each domain's natural token share p_i, sample
+    domain i with probability
+
+        q_i = p_i^α / Σ_j p_j^α          (α ∈ (0, 1])
+
+    α = 1 keeps the natural mix; α → 0 flattens toward uniform,
+    up-sampling low-resource domains. Emits per domain: counts, the
+    natural share p, the mixture weight q, and the up/down-sampling
+    factor q/p (the number a sampler or epoch planner consumes —
+    how many effective epochs of the domain one corpus pass yields).
+
+    Exact-oracle contract: pow is the one transcendental — p_i^α is
+    quantized to 9 dp before the normalization (same expression in
+    SQL), q and q/p quantized on output. Everything runs on the
+    |domains|-row aggregate; the corpus pays one partial-agg'd
+    groupBy."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"temperature alpha must be in (0, 1], got {alpha}")
+    agg = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    p = F.col("n_tokens").cast("double") / total.cast("double")
+    shared = agg.withColumn("p", p).withColumn(
+        "p_alpha", _r9(F.pow(F.col("p"), F.lit(alpha)))
+    )
+    z = F.sum("p_alpha").over(W.partitionBy())
+    q = F.col("p_alpha") / z
+    return shared.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        _r9(F.col("p")).alias("token_share"),
+        _r9(q).alias("mix_weight"),
+        _r9(q / F.col("p")).alias("sample_factor"),
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "leak-split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across
+    splits: the split is decided by the doc's near-dup CLUSTER, not
+    the doc — every member of a connected component lands in the same
+    split. This is the eval-integrity rule behind train/test dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 §6: near-dups of eval data inflate scores), and
+    a plain per-doc hash split violates it whenever a cluster
+    straddles the boundary.
+
+    split_key = the cluster's canonical id (its minimum member id,
+    from llm.clusters.connected_components), falling back to the doc's
+    own id for singletons — then the same cumulative-fraction bucket
+    hash as train_split, on the KEY. Docs of one cluster share the
+    key, hence the split.
+
+    Scale shape: `components` is duplicate-density-sized (only docs
+    with a near-dup edge appear) and BROADCAST; the corpus pays a
+    broadcast left join plus a per-row hash — no shuffle."""
+    if not fractions:
+        raise ValueError("split fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    keyed = docs.join(F.broadcast(components), id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    b = hash_bucket(F.col("split_key"), salt)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        bound = int(round(cum * BUCKETS))
+        expr = (
+            F.when(b < bound, F.lit(name))
+            if expr is None
+            else expr.when(b < bound, F.lit(name))
+        )
+    expr = F.lit(items[-1][0]) if expr is None else expr.otherwise(F.lit(items[-1][0]))
+    return keyed.select(
+        *[F.col(c) for c in docs.columns], F.col("split_key"), expr.alias("split")
+    )
+
+
 def training_order(
     docs: DataFrame,
     domain_col: str = "source",

@@ -82,9 +82,15 @@ def cosine_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
     score_transform=None,
+    label_col: str | None = None,
+    query_label_col: str | None = None,
 ) -> DataFrame:
     """Brute-force exact top-k neighbors per query vector (self-match
     excluded when ids collide).
+
+    With `label_col`/`query_label_col` set, corpus rows sharing the
+    query's label are ALSO excluded — the hard-negative-mining mask
+    (see hard_negative_topk).
 
     The query set is collected and closure-broadcast (it is small by
     contract); the corpus streams through one mapInPandas pass that
@@ -101,11 +107,18 @@ def cosine_topk(
     1e-9 of the k-th score (adaptive margin), so a transform-induced
     tie at the cutoff cannot drop a row the final rounded rank would
     keep — regardless of how many raw-distinct scores round together."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if (label_col is None) != (query_label_col is None):
+        raise ValueError("label_col and query_label_col must be set together")
+    qcols = [query_id_col, query_vec_col] + (
+        [query_label_col] if query_label_col else []
+    )
+    qrows = queries.select(*qcols).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
+    qlabels = np.array([r[2] for r in qrows]) if query_label_col else None
 
+    scan_cols = [id_col, vec_col] + ([label_col] if label_col else [])
     out_schema = T.StructType(
         [
             T.StructField(query_id_col, queries.schema[query_id_col].dataType),
@@ -117,6 +130,7 @@ def cosine_topk(
     def score_batches(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy() if label_col else None
             mat = _mat(pdf[vec_col])
             scores = (mat @ qmat.T) / (
                 np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :]
@@ -125,6 +139,8 @@ def cosine_topk(
             for j, qid in enumerate(qids):
                 s = scores[:, j]
                 mask = ids != qid  # exclude self-match
+                if labels is not None:
+                    mask &= labels != qlabels[j]  # hard-negative mask
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
@@ -153,11 +169,49 @@ def cosine_topk(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+    scored = corpus.select(*scan_cols).mapInPandas(score_batches, out_schema)
     if score_transform is not None:
         scored = scored.withColumn("score", score_transform(F.col("score")))
     return topk_per_group(
         scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    query_label_col: str = "qlabel",
+    score_transform=None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-
+    negatives upgrade of DPR, Karpukhin et al. EMNLP 2020 §3.2, and
+    every bi-encoder recipe since): for each query, the k most-similar
+    corpus vectors with a DIFFERENT label — maximally confusable
+    non-matches, the pairs a contrastive loss learns the most from.
+    Easy negatives (random different-label) are cosine-distant and
+    contribute ~zero gradient; these are the near-boundary ones.
+
+    Same exact one-pass scan as cosine_topk (the label mask is applied
+    inside the batch-local prune, so pruning stays exact); at mining
+    scale the same mask drops into the ANN shortlists instead —
+    retrieve k + expected-same-label extra and filter."""
+    return cosine_topk(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=score_transform,
+        label_col=label_col,
+        query_label_col=query_label_col,
     )
 
 
@@ -852,6 +906,124 @@ def ann_topk_pq(
 
     shortlist = topk_per_group(
         coded.mapInPandas(adc_scan, out_schema),
+        query_id_col,
+        [F.desc("__adc"), F.col(id_col)],
+        retrieve,
+        rank_col="__rn",
+    ).select(query_id_col, id_col)
+
+    fetched = corpus.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
+    paired = fetched.join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+    scored = paired.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_pudf(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    if score_transform is not None:
+        scored = scored.withColumn("score", score_transform(F.col("score")))
+    return topk_per_group(
+        scored, query_id_col, [F.desc("score"), F.col(id_col)], k, rank_col="rk"
+    )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray = None,
+    codebooks: np.ndarray = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_SUBSPACES,
+    retrieve: int = PQ_RETRIEVE,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """IVFADC — the combined coarse-quantizer + product-quantizer index
+    (Jégou et al. TPAMI 2011 §V, the architecture behind FAISS
+    IndexIVFPQ and every billion-vector deployment): IVF restricts the
+    search to the query's `nprobe` cells, PQ-ADC scores only those
+    candidates from the 32×-compressed codes, and the short list is
+    re-ranked with exact cosine.
+
+    Why the combination is THE scale shape: IVF-Flat still reads full
+    vectors for every probed cell (memory-bound); PQ alone still scans
+    every code (compute grows with the corpus). IVFPQ touches ~
+    nprobe/n_cells of the corpus, as codes — both axes cut at once.
+
+    Execution: the index is two map-only Arrow passes over the corpus
+    (cell assignment + PQ encoding, centroids and codebooks
+    closure-broadcast); candidate generation is an equi-join on the
+    cell id against the BROADCAST exploded query-probe set; ADC scores
+    candidates with per-query LUTs (quantized before the cut, so the
+    shortlist is the exact ADC-order prefix); the exact re-rank
+    fetches `retrieve` full vectors per query via broadcast joins. The
+    corpus never shuffles and is read at full precision only for the
+    shortlist."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, m=m, id_col=id_col, vec_col=vec_col)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    n_codes, dims = cb.shape
+    if dims % m:
+        raise ValueError(
+            f"PQ: codebook width {dims} is not divisible by m={m} subspaces"
+        )
+    sd = dims // m
+
+    assign1 = _nearest_cells_udf(centroids, 1)
+    enc = pq_encode_udf(cb, m)
+    indexed = corpus.select(
+        id_col,
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
+        enc(F.col(vec_col)).alias("__code"),
+    )
+    probe = _nearest_cells_udf(centroids, nprobe)
+    qprobe = queries.select(
+        query_id_col, F.explode(probe(F.col(query_vec_col))).alias("__qcell")
+    )
+    cand = indexed.join(
+        F.broadcast(qprobe),
+        (F.col("__cell") == F.col("__qcell"))
+        & (F.col(id_col) != F.col(query_id_col)),
+    ).dropDuplicates([query_id_col, id_col])
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    lut = {
+        int(r[0]): np.einsum(
+            "jd,cjd->jc",
+            np.asarray(r[1], dtype=np.float64).reshape(m, sd),
+            cb.reshape(n_codes, m, sd),
+        )
+        for r in qrows
+    }
+    cols = np.arange(m)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qid: pd.Series, code: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="float64")
+        codes = np.vstack(code.to_numpy())  # (n, m)
+        qv = qid.to_numpy()
+        out = np.empty(len(qv))
+        for u in np.unique(qv):
+            sel = qv == u
+            out[sel] = lut[int(u)][cols, codes[sel]].sum(axis=1)
+        return pd.Series(_r9_np(out))
+
+    scored_adc = cand.select(
+        query_id_col, id_col, adc(F.col(query_id_col), F.col("__code")).alias("__adc")
+    )
+    shortlist = topk_per_group(
+        scored_adc,
         query_id_col,
         [F.desc("__adc"), F.col(id_col)],
         retrieve,

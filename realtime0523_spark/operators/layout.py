@@ -1,0 +1,94 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering — the
+multi-dimensional sibling of core/layout.py's directory partitioning
+and within-file ordering (which prune on ONE column each).
+
+The problem at 100 TB: min/max zone-map pruning (parquet row-group
+stats, Delta/Iceberg file stats) only skips files for the ONE column
+the data is sorted by. Queries that filter on a second dimension scan
+everything. Interleaving the bits of two (or more) key columns into a
+Morton code and range-partitioning + sorting by that code gives every
+file a tight bounding RECTANGLE in (x, y) space, so zone maps prune on
+BOTH dimensions — the technique behind Delta Lake's OPTIMIZE ZORDER
+and Databricks' liquid clustering (Morton 1966; the classic multi-dim
+indexing recipe).
+
+Spark-first execution:
+- the Morton code is a pure per-row JVM expression (shifts + masks,
+  whole-stage-codegen'd — no UDF);
+- the layout itself is `repartitionByRange(zval)` +
+  `sortWithinPartitions(zval)` — a RANGE exchange (sampled split
+  points, no global sort, no single-task bottleneck) followed by a
+  partition-local sort, exactly what a sorted parquet/Delta write
+  wants;
+- effectiveness is MEASURABLE as the per-z-range bounding boxes:
+  after z-clustering, each of the 2^prefix_bits code ranges covers a
+  narrow x-span AND a narrow y-span (the inventory query
+  `events_zorder` emits these boxes and the oracle checks them
+  exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16
+
+
+def morton_interleave(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Bit-interleaved Morton code of two non-negative ints truncated
+    to `bits` bits each: bit i of x lands at position 2i, bit i of y
+    at 2i+1. Pure integer shifts/masks — identical arithmetic exists
+    in any SQL engine, and the expression stays inside codegen."""
+    xs = x.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    ys = y.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + (
+            F.shiftright(xs, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        ) + (
+            F.shiftright(ys, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_repartition(
+    df: DataFrame, zcol: str = "zval", n_partitions: int = 32
+) -> DataFrame:
+    """The write-side clustering: range-partition on the Morton code
+    (sampled range exchange — NOT a global sort) and sort within each
+    partition, so every output file is a contiguous z-range with tight
+    per-file min/max on BOTH interleaved dimensions. Follow with
+    .write.parquet(...) on a real pipeline."""
+    return df.repartitionByRange(n_partitions, F.col(zcol)).sortWithinPartitions(zcol)
+
+
+def zorder_boxes(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = ZORDER_BITS,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """The pruning-effectiveness report: group rows by the top
+    `prefix_bits` of their Morton code (= the z-range a clustered file
+    would hold) and emit each range's row count and (x, y) bounding
+    box. Tight boxes == zone maps prune on both dimensions. One
+    partial-agg'd groupBy into 2^prefix_bits rows."""
+    z = morton_interleave(x, y, bits)
+    zbucket = F.shiftright(z, 2 * bits - prefix_bits)
+    return (
+        df.select(
+            zbucket.alias("zbucket"),
+            x.cast("bigint").alias("__x"),
+            y.cast("bigint").alias("__y"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+    )

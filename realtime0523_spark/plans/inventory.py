@@ -91,45 +91,45 @@ def _ensure_full_registry() -> None:
 # absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # Round 6 group 1 — ADDED (emb_ann_pq_trained, docs_span_stats,
-    # docs_bm25_search, docs_bloom_contamination) or CHANGED this
-    # round (greedy BPE merge fold in engine+oracle; the recall report
-    # now includes trained PQ; stream_ann_lookup serves through the
-    # parquet sink; span CTEs refactored/shared).
-    "emb_ann_pq_trained", "docs_span_stats",
-    "docs_bm25_search", "docs_bloom_contamination",
-    "docs_bpe_encode", "stream_bloom_contamination",
-    "docs_bpe_merges", "docs_bpe_vocab", "emb_ann_recall",
-    "stream_ann_lookup", "docs_span_dedup",
-    # Round 6 group 2 — clusters.py gained the star-contraction
-    # backend; these ride the connected_components API (their
-    # propagation path is unchanged — defense in depth).
+    # Round 7 group 1 — ADDED this round (DSIR weights + Gumbel-top-k
+    # sample, temperature mixing, leakage-safe split, IVFADC,
+    # hard-negative mining, Z-order layout) or CHANGED (recall report
+    # gained ivfpq; cosine_topk scan grew the hard-negative label
+    # mask; BPE oracles rebuilt on the explicit CTE-block helper;
+    # BM25 empty-corpus guard; the four streaming drain queries now
+    # detach-and-clean their scratch sinks; connected_components
+    # filters self-pairs — its four riders re-verify).
+    "docs_dsir_weights", "docs_dsir_sample", "docs_domain_mix_temp",
+    "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
+    "events_zorder", "emb_ann_recall", "emb_cosine_topk",
+    "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
+    "docs_bm25_search", "stream_bloom_contamination",
+    "stream_ann_lookup", "stream_brand_amount", "stream_dwd_order",
     "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
-    # Round 6 group 3 — stalest-green ascending.
-    # r1 rows (4 rounds stale):
-    "qty_moving_stats", "docs_fingerprint",
-    # r3 rows:
-    "acct_bucket", "customers_never_ordered", "customers_with_orders",
-    "docs_contamination", "docs_domain_mix", "docs_ngram_jaccard",
-    "docs_pack_sequences", "docs_repetition", "docs_simhash",
-    "docs_stratified_sample", "docs_token_stats", "docs_train_split",
-    "priority_decode", "router_fanout", "router_filter",
-    # r4 rows (alphabetical; the first 19 fill the window, the rest
+    "emb_semantic_dedup",
+    # Round 7 group 3 — stalest-green ascending (r4 rows first; their
+    # last driver rows are two rounds old):
+    "emb_dedup_pairs", "emb_label_centroids", "event_cube",
+    "first_order_flag", "follow_on_clicks", "hot_parts_topk",
+    "media_features", "media_frames", "media_resize", "order_wide",
+    "running_total", "scd2_history", "sessionize",
+    "ship_priority_topk", "spend_full_outer", "stream_session_counts",
+    "windowed_event_counts",
+    # r5 rows (alphabetical; the first ~12 fill the window, the rest
     # lead the next rotation):
-    "allocation", "asof_last_click", "brand_amount", "date_derive",
-    "dau", "dau_approx", "dedup_first", "dim_enrich",
-    "docs_bpe_tokens", "docs_chunk", "docs_corpus_prep",
-    "docs_exact_dedup", "docs_lm_score", "docs_minhash_lsh",
-    "docs_pii_redact", "docs_token_budget_sample", "emb_ann_ivf",
-    "emb_ann_lsh", "emb_cosine_topk",
+    "active_buyers_union", "churned_buyers", "docs_chunk_embed",
+    "docs_lang_guess", "docs_pack_exact", "docs_quality",
+    "docs_quality_approx_contract", "docs_quality_filter",
+    "docs_sparse_search", "docs_training_order", "docs_winnow_pairs",
+    "dormant_rich_customers",
     # --- 50-slot window boundary (assuming all above registered) ---
-    "emb_dedup_pairs", "emb_label_centroids",
-    "event_cube", "first_order_flag",
-    "follow_on_clicks", "hot_parts_topk", "media_features",
-    "media_frames", "media_resize", "order_wide", "running_total",
-    "scd2_history", "sessionize", "ship_priority_topk",
-    "spend_full_outer", "stream_session_counts", "windowed_event_counts",
-    # r5 rows (newest — rotate last) keep registration order at the end.
+    "emb_ann_pq", "emb_ann_rerank", "emb_pq_codes",
+    "event_incident_join", "event_value_stats",
+    "grouping_sets_revenue", "late_ship_priority_counts",
+    "nation_year_pivot", "pricing_summary", "qty_quantiles",
+    "regional_revenue", "repeat_buyers", "revenue_rollup",
+    "salted_flag_agg", "salted_priority_revenue", "small_qty_revenue",
+    # r6 rows (newest — rotate last) keep registration order at the end.
 ]
 
 
@@ -1913,3 +1913,62 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["event_type", "value"],
         tiebreak_cols=["event_id"],
     )
+
+
+# ----------------------------------------------------------------------
+# Data layout: Z-order (Morton) clustering for multi-dim pruning
+# ----------------------------------------------------------------------
+
+ZORDER_PREFIX_BITS = 8
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """Bit-interleave SQL twin of operators.layout.morton_interleave:
+    Σ_i ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZX_SQL = "(user_id & 65535)"
+_ZY_SQL = "(CAST(floor(value * 100 + 0.5) AS BIGINT) & 65535)"
+
+
+@register(
+    "events_zorder",
+    f"""
+    SELECT zbucket, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM (SELECT ({_morton_sql(_ZX_SQL, _ZY_SQL, 16)}) >> {32 - ZORDER_PREFIX_BITS}
+             AS zbucket,
+           {_ZX_SQL} AS x, {_ZY_SQL} AS y
+          FROM events)
+    GROUP BY zbucket
+    """,
+    "Z-order (Morton) clustering for multi-dimensional zone-map "
+    "pruning — the technique behind Delta Lake's OPTIMIZE ZORDER "
+    "(Morton 1966): interleave the bits of (user_id, value) into one "
+    "code; range-partitioning + sorting by it gives every file a "
+    "tight bounding RECTANGLE in both dimensions, so parquet min/max "
+    "stats prune on either filter column, not just the sort key. The "
+    "code is a pure codegen'd shift/mask expression (no UDF); the "
+    "layout is repartitionByRange (sampled range exchange, never a "
+    "global sort) + partition-local sort "
+    "(operators/layout.zorder_repartition, plan-asserted in "
+    "tests/test_scale_plans.py). This query emits the per-z-range "
+    "bounding boxes — the measurable pruning-effectiveness report.",
+)
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.layout import zorder_boxes
+
+    events = Catalog(spark, sf_dir).table("events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = (
+        F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+    )
+    return zorder_boxes(events, x, y, bits=16, prefix_bits=ZORDER_PREFIX_BITS)

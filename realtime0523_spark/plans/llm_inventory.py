@@ -840,7 +840,20 @@ _PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "t
     {_LSH_ANN_CTES},
     {_IVF_ANN_CTES},
     {_PQ_ANN_CTES},
-    {_PQ_TRAINED_ANN_CTES}
+    {_PQ_TRAINED_ANN_CTES},
+    rxadc AS (
+      SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
+      FROM ivfcand ic
+      JOIN pqcode c ON c.vec_id = ic.vec_id
+      JOIN pqlut l ON l.qid = ic.qid AND l.m = c.m AND l.label = c.code
+      GROUP BY ic.qid, ic.vec_id),
+    rxshort AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('adc')} DESC, vec_id) AS rn
+        FROM rxadc) WHERE rn <= {S.PQ_RETRIEVE}),
+    {_rerank_cte('rxshort', 'rxann')}
     SELECT method, qid, recall FROM (
       SELECT 'lsh' AS method, e.qid,
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
@@ -864,10 +877,17 @@ _PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "t
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
       FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM tpqann WHERE rk <= {TOPK_K}) a
         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'ivfpq' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM rxann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
       GROUP BY e.qid)
     """,
     "Recall@k of each ANN index (sign-LSH, IVF, label-seeded PQ-ADC, "
-    "and Lloyd-trained PQ-ADC) against the exact brute-force top-k — "
+    "Lloyd-trained PQ-ADC, and combined IVFPQ) against the exact "
+    "brute-force top-k — "
     "the quality metric for the approximate paths, itself exact and "
     "oracle-checked because every index (the trained one included) is "
     "deterministic.",
@@ -898,6 +918,15 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK_K,
         score_transform=r9,
     ).select("qid", "vec_id")
+    ivfpq = S.ann_topk_ivfpq(
+        emb,
+        queries,
+        centroids=S.label_centroids(emb),
+        codebooks=S.pq_codebooks(emb),
+        nprobe=IVF_NPROBE,
+        k=TOPK_K,
+        score_transform=r9,
+    ).select("qid", "vec_id")
 
     def _recall(ann: DataFrame, method: str) -> DataFrame:
         hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
@@ -919,6 +948,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall(ivf, "ivf"))
         .unionAll(_recall(pq, "pq"))
         .unionAll(_recall(pq_trained, "pq_trained"))
+        .unionAll(_recall(ivfpq, "ivfpq"))
     )
 
 
@@ -2685,4 +2715,284 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias(
             "kept"
         ),
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 7: DSIR importance resampling, temperature mixing,
+# leakage-safe splits, IVFPQ, hard-negative mining
+# ----------------------------------------------------------------------
+
+from realtime0523_spark.llm import dsir as DS  # noqa: E402
+
+DSIR_SAMPLE_K = 50
+
+# unigram+bigram term stream (mirrors llm.dsir._ngram_terms; DuckDB
+# range(1, n) is [1, n) so no empty-sequence guard is needed)
+_DSIR_TERMS_CTE = f"""
+    dterm AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             )) AS term
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+"""
+
+_DSIR_TGT_FILTER = "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+
+
+def _dsir_ctes() -> str:
+    B = DS.DSIR_BUCKETS
+    md5b = _MD5_INT32_SQL.format(col="term") + f" % {B}"
+    logp = (
+        "{p}p AS (\n"
+        f"      SELECT t.bucket,\n"
+        f"             {{lnq}} AS logp\n"
+        f"      FROM range(0, {B}) t(bucket)\n"
+        "      LEFT JOIN (SELECT bucket, sum(cnt) AS n FROM {f} GROUP BY bucket) g\n"
+        "        ON g.bucket = t.bucket)"
+    )
+    ln_t = _r9(
+        f"ln(CAST(coalesce(g.n, 0) + 1 AS DOUBLE)"
+        f" / CAST((SELECT sum(cnt) FROM tgtf) + {B} AS DOUBLE))"
+    )
+    ln_r = _r9(
+        f"ln(CAST(coalesce(g.n, 0) + 1 AS DOUBLE)"
+        f" / CAST((SELECT sum(cnt) FROM rawf) + {B} AS DOUBLE))"
+    )
+    return f"""
+    {_DSIR_TERMS_CTE},
+    rawf AS (SELECT doc_id, {md5b} AS bucket, count(*) AS cnt
+             FROM dterm GROUP BY doc_id, bucket),
+    tgtf AS (SELECT doc_id, bucket, cnt FROM rawf WHERE {_DSIR_TGT_FILTER}),
+    {logp.format(p='tgt', f='tgtf', lnq=ln_t)},
+    {logp.format(p='raw', f='rawf', lnq=ln_r)},
+    lam AS (SELECT t.bucket, t.logp - r.logp AS lam
+            FROM tgtp t JOIN rawp r ON r.bucket = t.bucket),
+    dscore AS (
+      SELECT f.doc_id, sum(f.cnt) AS n_feats, sum(f.cnt * l.lam) AS logw
+      FROM rawf f JOIN lam l ON l.bucket = f.bucket
+      GROUP BY f.doc_id),
+    dw AS (
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+             coalesce(s.logw, 0.0) AS logw
+      FROM documents d LEFT JOIN dscore s ON s.doc_id = d.doc_id)
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH {_dsir_ctes()}
+    SELECT doc_id, n_feats, {_r9('logw')} AS logw FROM dw
+    """,
+    "DSIR importance weights (Xie et al., 'Data Selection for "
+    "Language Models via Importance Resampling', NeurIPS 2023): "
+    "hashed unigram+bigram bag features (md5 buckets), add-1-smoothed "
+    "target (lang='en') and raw multinomials, per-doc "
+    "log w = Σ c_b·(log p_t[b] − log p_r[b]). ln is 9-dp-quantized "
+    "per bucket so the λ table is bit-identical across engines. One "
+    "corpus shuffle for features; the λ table is ≤n_buckets rows and "
+    "broadcast; scoring is one partial-agg'd groupBy.",
+)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = DS.dsir_logweights(docs, target)
+    return out.select("doc_id", "n_feats", r9(F.col("logw")).alias("logw"))
+
+
+_DSIR_GUMBEL_SQL = _r9(
+    "-ln(-ln(("
+    + _MD5_INT32_SQL.format(col=f"CAST(doc_id AS VARCHAR) || ':{DS.DSIR_SALT}'")
+    + " + 0.5) / 4294967296.0))"
+)
+
+
+@register(
+    "docs_dsir_sample",
+    f"""
+    WITH {_dsir_ctes()},
+    keyed AS (
+      SELECT doc_id, {_r9('logw')} AS logw,
+             {_r9(f"{_r9('logw')} + {_DSIR_GUMBEL_SQL}")} AS sel_key
+      FROM dw)
+    SELECT doc_id, logw, sel_key, rk FROM (
+      SELECT doc_id, logw, sel_key,
+             row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rk
+      FROM keyed)
+    WHERE rk <= {DSIR_SAMPLE_K}
+    """,
+    f"DSIR selection: resample {DSIR_SAMPLE_K} docs WITHOUT "
+    "replacement with probability ∝ the importance weight, via the "
+    "Gumbel top-k trick (Vieira 2014) — keep the k docs maximizing "
+    "log w(d) + Gumbel(d), with the Gumbel draw derandomized through "
+    "the corpus-standard md5 uniform (portable, replay-stable, "
+    "SQL-replayable). Selection is orderBy+limit → "
+    "TakeOrderedAndProject: per-partition top-k, never a global sort.",
+)
+def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    target = docs.filter(F.col("lang") == "en")
+    return DS.dsir_sample(docs, target, DSIR_SAMPLE_K)
+
+
+MIX_ALPHA = 0.3
+
+
+@register(
+    "docs_domain_mix_temp",
+    f"""
+    SELECT source, n_docs, n_tokens,
+           {_r9('p')} AS token_share,
+           {_r9('pa / sum(pa) OVER ()')} AS mix_weight,
+           {_r9('pa / sum(pa) OVER () / p')} AS sample_factor
+    FROM (SELECT source, n_docs, n_tokens, p, {_r9(f'pow(p, {MIX_ALPHA})')} AS pa
+          FROM (SELECT source, count(*) AS n_docs,
+                       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                       CAST(sum(len({_TOKS})) AS DOUBLE)
+                         / CAST(sum(sum(len({_TOKS}))) OVER () AS DOUBLE) AS p
+                FROM documents GROUP BY source))
+    """,
+    f"Temperature-scaled domain mixture (α = {MIX_ALPHA}; the "
+    "multilingual-LM sampling recipe of Conneau & Lample, NeurIPS "
+    "2019 — mBERT/XLM-R/mT5's α-sampling): q_i = p_i^α / Σ p_j^α "
+    "flattens the natural token shares toward uniform, up-sampling "
+    "low-resource domains; emits the mixture weight and the "
+    "up/down-sampling factor q/p an epoch planner consumes. pow is "
+    "9-dp-quantized before normalization. Runs entirely on the "
+    "|domains|-row aggregate.",
+)
+def q_docs_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.domain_mix_temperature(docs, alpha=MIX_ALPHA)
+
+
+LEAK_SPLIT_SALT = "leak-split-v1"
+_LEAK_BUCKET_SQL = (
+    _MD5_INT32_SQL.format(col=f"CAST(split_key AS VARCHAR) || ':{LEAK_SPLIT_SALT}'")
+    + f" % {P.BUCKETS}"
+)
+
+
+@register(
+    "docs_leakage_split",
+    _components_sql(
+        f"""
+    SELECT doc_id, split_key,
+           CASE WHEN {_LEAK_BUCKET_SQL} < 9000 THEN 'train'
+                WHEN {_LEAK_BUCKET_SQL} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    """
+    ),
+    "Leakage-safe train/val/test split: the split is decided by the "
+    "near-dup CLUSTER (MinHash-LSH pairs → connected components → "
+    "canonical minimum id), not the document — every member of a "
+    "cluster lands in the same split, so near-duplicates of eval "
+    "data cannot leak into train (the eval-integrity rule of Lee et "
+    "al. ACL 2022 §6; a plain per-doc hash split violates it whenever "
+    "a cluster straddles the boundary). Components are duplicate-"
+    "density-sized and broadcast; the corpus pays one broadcast left "
+    "join + a per-row hash.",
+)
+def q_docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD)
+    comp = C.connected_components(pairs)
+    out = P.leakage_safe_split(
+        docs,
+        comp,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        salt=LEAK_SPLIT_SALT,
+    )
+    return out.select("doc_id", "split_key", "split")
+
+
+@register(
+    "emb_ann_ivfpq",
+    f"""
+    WITH {_IVF_ANN_CTES},
+    {_PQ_ANN_CTES},
+    xadc AS (
+      SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
+      FROM ivfcand ic
+      JOIN pqcode c ON c.vec_id = ic.vec_id
+      JOIN pqlut l ON l.qid = ic.qid AND l.m = c.m AND l.label = c.code
+      GROUP BY ic.qid, ic.vec_id),
+    xshort AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('adc')} DESC, vec_id) AS rn
+        FROM xadc) WHERE rn <= {S.PQ_RETRIEVE}),
+    {_rerank_cte('xshort', 'xann')}
+    SELECT qid, vec_id, score, rk FROM xann WHERE rk <= {TOPK_K}
+    """,
+    "IVFADC — the combined IVF + PQ index (Jégou et al. TPAMI 2011 "
+    "§V; FAISS IndexIVFPQ, the billion-vector architecture): IVF "
+    "restricts search to the query's probed cells, PQ-ADC scores only "
+    "those candidates from the 32×-compressed codes, exact cosine "
+    "re-ranks the shortlist. IVF-Flat reads full vectors per probed "
+    "cell; PQ alone scans every code; IVFPQ cuts both axes — "
+    f"~{IVF_NPROBE}/16 of the corpus touched, as codes. Two map-only "
+    "index passes, broadcast probe join, broadcast shortlist fetch; "
+    "the corpus never shuffles. Label-seeded cells and codebooks keep "
+    "the oracle exact; Lloyd-trained ones are the drop-in default.",
+)
+def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.ann_topk_ivfpq(
+        emb,
+        queries,
+        centroids=S.label_centroids(emb),
+        codebooks=S.pq_codebooks(emb),
+        nprobe=IVF_NPROBE,
+        k=TOPK_K,
+        score_transform=r9,
+    ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH hn AS (
+      SELECT qid, vec_id,
+             sum(CAST(ev[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))) AS n_a,
+             sqrt(sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS n_b
+      FROM (SELECT q.qid, e.vec_id, e.embedding AS ev, q.qv
+            FROM embeddings e,
+                 (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                  FROM embeddings WHERE vec_id < {TOPK_QUERIES}) q
+            WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
+           LATERAL (SELECT unnest(range(1, len(ev) + 1)) AS i)
+      GROUP BY qid, vec_id),
+    ranked AS (
+      SELECT qid, vec_id, {_r9('dot / (n_a * n_b)')} AS score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {_r9('dot / (n_a * n_b)')} DESC, vec_id) AS rk
+      FROM hn)
+    SELECT qid, vec_id, score, rk FROM ranked WHERE rk <= {TOPK_K}
+    """,
+    "Hard-negative mining for contrastive training (DPR, Karpukhin "
+    "et al. EMNLP 2020 §3.2): per query, the top-k most-similar "
+    "vectors with a DIFFERENT label — the near-boundary non-matches "
+    "a contrastive loss learns the most from (random negatives are "
+    "cosine-distant and contribute ~zero gradient). Same exact "
+    "one-pass scan as emb_cosine_topk with the label mask applied "
+    "inside the batch-local prune; at mining scale the mask drops "
+    "into the ANN shortlist instead.",
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    return S.hard_negative_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id", "score", "rk"
     )

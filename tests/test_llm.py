@@ -1144,3 +1144,227 @@ def test_bpe_encode_counts_match_driver_segmentation(spark):
         for r in segmented_vocab(docs, long_merges).collect()
     }
     assert vmap_long == vmap
+
+
+# --- DSIR importance resampling (llm/dsir.py) -------------------------
+
+
+def _dsir_corpus(spark):
+    # docs 0-2 look like the target (lang en); 3-5 are off-distribution
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps", "en"),
+            (1, "the lazy brown dog sleeps", "en"),
+            (2, "quick brown dogs jump high", "en"),
+            (3, "zzz qqq www eee rrr", "xx"),
+            (4, "qqq www zzz ttt yyy", "xx"),
+            (5, "the quick brown fox runs", "xx"),  # target-LIKE text
+            (6, "", "xx"),                          # zero tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """The defining DSIR property: raw docs whose hashed-ngram bag
+    looks like the target distribution score higher than
+    off-distribution docs — including doc 5, which is target-LIKE text
+    outside the target subset (the selection signal DSIR exists for).
+    Zero-token docs score 0 with 0 features."""
+    from realtime0523_spark.llm.dsir import dsir_logweights
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = {r.doc_id: (r.n_feats, r.logw)
+         for r in dsir_logweights(docs, target).collect()}
+    assert len(w) == 7
+    assert w[6] == (0, 0.0)
+    # every target-like doc outscores every off-distribution doc
+    like = [w[i][1] for i in (0, 1, 2, 5)]
+    unlike = [w[i][1] for i in (3, 4)]
+    assert min(like) > max(unlike), w
+    # unigrams + bigrams: n tokens -> 2n-1 features
+    assert w[0][0] == 9
+
+
+def test_dsir_sample_gumbel_topk_contract(spark):
+    """Gumbel top-k selection: deterministic across runs, exactly k
+    rows ranked 1..k in descending key order, and keys equal
+    r9(r9(logw) + gumbel(doc_id)) recomputed on the driver."""
+    import math
+
+    from realtime0523_spark.llm.dsir import (
+        DSIR_SALT,
+        dsir_logweights,
+        dsir_sample,
+    )
+    from realtime0523_spark.llm.dedup import md5_int32  # noqa: F401
+    import hashlib
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_sample(docs, target, 4).collect()
+    assert [r.rk for r in out] == [1, 2, 3, 4]
+    keys = [r.sel_key for r in out]
+    assert keys == sorted(keys, reverse=True)
+    # replay the key derivation on the driver
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    lw = {r.doc_id: r.logw for r in dsir_logweights(docs, target).collect()}
+    def key(doc_id):
+        h = int(hashlib.md5(f"{doc_id}:{DSIR_SALT}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return r9(r9(lw[doc_id]) + r9(-math.log(-math.log(u))))
+
+    want = sorted(((key(d), -d) for d in lw), reverse=True)[:4]
+    assert [(r.sel_key, -r.doc_id) for r in out] == want
+    # determinism across invocations
+    again = dsir_sample(docs, target, 4).collect()
+    assert [(r.doc_id, r.sel_key) for r in again] == [
+        (r.doc_id, r.sel_key) for r in out
+    ]
+
+
+# --- temperature mixing & leakage-safe splits (llm/pipeline.py) -------
+
+
+def test_domain_mix_temperature_flattens(spark):
+    from realtime0523_spark.llm.pipeline import domain_mix_temperature
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (200 if i < 8 else 10), "big" if i < 8 else "small")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    full = {r.source: r for r in domain_mix_temperature(docs, alpha=1.0).collect()}
+    # alpha=1 keeps the natural mix
+    for s, r in full.items():
+        assert abs(r.mix_weight - r.token_share) < 1e-8, (s, r)
+        assert abs(r.sample_factor - 1.0) < 1e-8
+    cold = {r.source: r for r in domain_mix_temperature(docs, alpha=0.3).collect()}
+    # weights still sum to 1; low alpha up-samples the small domain
+    assert abs(sum(r.mix_weight for r in cold.values()) - 1.0) < 1e-6
+    assert cold["small"].mix_weight > full["small"].mix_weight
+    assert cold["small"].sample_factor > 1.0 > cold["big"].sample_factor
+    with pytest.raises(ValueError, match="alpha"):
+        domain_mix_temperature(docs, alpha=0.0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must land in the SAME split,
+    whatever the per-doc hash would have said; singletons split by
+    their own id exactly like train_split."""
+    from realtime0523_spark.llm.pipeline import (
+        hash_bucket,
+        leakage_safe_split,
+        train_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (7, 1), (23, 1), (4, 4), (31, 4)],
+        "doc_id long, cluster_id long",
+    )
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r.doc_id: (r.split_key, r.split)
+           for r in leakage_safe_split(docs, comp, fr).collect()}
+    assert len(out) == 40
+    assert out[1] == out[7] == out[23]
+    assert out[4] == out[31]
+    assert out[1][0] == 1 and out[4][0] == 4
+    # singletons agree with the plain per-doc split on the same salt
+    plain = {r.doc_id: r.split
+             for r in train_split(docs, fr, salt="leak-split-v1").collect()}
+    clustered = {1, 7, 23, 4, 31}
+    for d, (key, split) in out.items():
+        if d not in clustered:
+            assert key == d and split == plain[d]
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, comp, {"train": 0.5})
+
+
+# --- IVFPQ & hard negatives (llm/similarity.py) -----------------------
+
+
+def test_ann_topk_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe == n_cells the IVF stage admits every vector, so
+    IVFADC must return exactly ann_topk_pq's answer (same codebooks,
+    same shortlist size) — the composition is pure candidate
+    restriction."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import (
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(16).round(3).tolist()) for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = ivf_train_centroids(emb, n_cells=4, sample=64)
+    cb = pq_train_codebooks(emb, n_codes=8, m=4, sample=64)
+    got = sorted(
+        (r.qid, r.rk, r.vec_id)
+        for r in ann_topk_ivfpq(
+            emb, queries, centroids=cents, codebooks=cb,
+            n_cells=4, nprobe=4, m=4, retrieve=10, k=3,
+        ).collect()
+    )
+    want = sorted(
+        (r.qid, r.rk, r.vec_id)
+        for r in ann_topk_pq(
+            emb, queries, codebooks=cb, m=4, retrieve=10, k=3
+        ).collect()
+    )
+    assert got == want
+    # restricted probing returns a subset drawn from fewer candidates,
+    # still k rows ranked 1..k per query
+    narrow = ann_topk_ivfpq(
+        emb, queries, centroids=cents, codebooks=cb,
+        n_cells=4, nprobe=1, m=4, retrieve=10, k=3,
+    ).collect()
+    per_q = {}
+    for r in narrow:
+        per_q.setdefault(r.qid, []).append(r.rk)
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_hard_negative_topk_masks_query_label(spark):
+    """Hard negatives: every returned row has a label different from
+    the query's, and the ranking equals the brute-force different-
+    label cosine order computed on the driver."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import hard_negative_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).round(3).tolist(), i % 3) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    out = hard_negative_topk(emb, queries, k=4).collect()
+    labels = {i: lab for i, _, lab in rows}
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    for r in out:
+        assert labels[r.vec_id] != labels[r.qid]
+    for q in (0, 1):
+        cand = [
+            (float(vecs[q] @ vecs[i] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[i]))), -i)
+            for i in vecs
+            if i != q and labels[i] != labels[q]
+        ]
+        want = [-i for _, i in sorted(cand, reverse=True)[:4]]
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rk) if r.qid == q]
+        assert got == want, (q, got, want)

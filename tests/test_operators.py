@@ -328,3 +328,45 @@ def test_salted_join_refuses_right_and_full_outer(spark):
     # the safe set still passes validation
     for how in ("inner", "left", "left_semi", "left_anti"):
         salted_join(left, right, "k", buckets=4, how=how)
+
+
+# --- Z-order layout (operators/layout.py) -----------------------------
+
+
+def test_morton_interleave_matches_reference_bits(spark):
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.operators.layout import morton_interleave
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, "x long, y long").withColumn(
+        "z", morton_interleave(F.col("x"), F.col("y"))
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_zorder_boxes_are_tight_rectangles(spark):
+    """The point of z-clustering: each top-prefix z-range covers a
+    bounded rectangle — for prefix_bits=4 on 8-bit keys, each of the
+    16 buckets spans at most a 64×64 box of the 256×256 key space
+    (vs. the full x- or y-range a single-column sort would leave)."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.operators.layout import zorder_boxes
+
+    rows = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 11)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    boxes = zorder_boxes(df, F.col("x"), F.col("y"), bits=8, prefix_bits=4).collect()
+    assert sum(r.n_rows for r in boxes) == len(rows)
+    for r in boxes:
+        assert r.x_max - r.x_min <= 63, r
+        assert r.y_max - r.y_min <= 63, r

@@ -155,3 +155,45 @@ def test_interval_join_is_not_nested_loop(spark):
     plan = formatted_plan(REGISTRY["event_incident_join"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_zorder_repartition_is_range_exchange_not_global_sort(spark):
+    """The z-order write path must be a SAMPLED RANGE exchange plus a
+    partition-local sort — never a single-partition global sort (the
+    100 TB difference between a clustered write and a straggler)."""
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.operators.layout import (
+        morton_interleave,
+        zorder_repartition,
+    )
+
+    events = Catalog(spark, SF_SMOKE).table("events")
+    z = events.withColumn(
+        "zval",
+        morton_interleave(
+            F.col("user_id").bitwiseAND(F.lit(65535)),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .bitwiseAND(F.lit(65535)),
+        ),
+    )
+    plan = formatted_plan(zorder_repartition(z, "zval", 8))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the sort is partition-local (global=false in the Sort arguments)
+    assert re.search(r"\[zval#\d+L? ASC NULLS FIRST\], false", plan), plan
+
+
+def test_dsir_sample_plans_take_ordered(spark):
+    """DSIR's Gumbel-top-k selection must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge), not a
+    global sort of the scored corpus."""
+    plan = formatted_plan(REGISTRY["docs_dsir_sample"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_leakage_split_broadcasts_components(spark):
+    """The corpus side of the leakage-safe split must not shuffle: the
+    duplicate-density-sized components table broadcasts."""
+    plan = formatted_plan(REGISTRY["docs_leakage_split"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan

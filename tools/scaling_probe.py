@@ -80,6 +80,12 @@ PROBES = [
     "docs_span_stats",     # gram-hash shuffle + per-row run-length fold (r6)
     "docs_bm25_search",    # posting-list equi-join vs broadcast query terms (r6)
     "docs_bloom_contamination",  # fixed-size bit table broadcast, eval-size-free (r6)
+    "docs_dsir_weights",   # hashed-ngram shuffle + broadcast λ-table scoring (r7)
+    "docs_dsir_sample",    # + Gumbel key and TakeOrdered top-k (r7)
+    "docs_leakage_split",  # CC + broadcast membership + per-row hash (r7)
+    "emb_ann_ivfpq",       # IVF cell probe × PQ-ADC candidate scoring (r7)
+    "emb_hard_negatives",  # label-masked exact scan (r7)
+    "events_zorder",       # codegen'd morton map + 2^prefix-row agg (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
