@@ -262,6 +262,85 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-granular corpus dedup, CCNet-style (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC 2020 §3.1): documents are cut into fixed units,
+    each unit's normalized hash is counted corpus-wide, and every
+    occurrence EXCEPT the first is dropped — so boilerplate repeated
+    across pages (headers, navigation, license blurbs) disappears
+    while one canonical copy survives. CCNet's unit is the newline-
+    delimited paragraph; the test corpus is single-line, so the unit
+    here is the non-overlapping `seg_tokens`-token window (the same
+    fixed-unit semantics — swap `chunk_tokens(.., seg_tokens,
+    seg_tokens)` for a newline split on a corpus that has paragraph
+    structure). "First" is the global (doc_id, seg_idx) minimum —
+    deterministic, order-independent.
+
+    Differs from span_dedup (ExactSubstr): spans excise EVERY
+    duplicated occurrence at gram granularity and operate on
+    arbitrary-offset overlaps; segments are aligned units and keep
+    one copy — CCNet's cheaper boilerplate-removal pass that runs
+    BEFORE near-dup MinHash in a production pipeline.
+
+    Scale shape: the unit explode is |tokens|/seg_tokens rows; the
+    only data-sized shuffle is the hash-partitioned first-occurrence
+    window (rows grouped by segment hash — duplicate-density bounded
+    per group), then one doc-keyed groupBy reassembles. No UDFs, no
+    driver state; both shuffles are rows ≤ |corpus tokens|/W.
+
+    Returns every input doc (even fully-deduped or token-less ones)
+    as (doc, clean_text, n_segs, n_removed).
+    """
+    from pyspark.sql import Window
+
+    if seg_tokens <= 0:
+        raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
+    from realtime0523_spark.llm.text import chunk_tokens
+
+    segs = chunk_tokens(docs, seg_tokens, seg_tokens, id_col, text_col)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_id")
+    flagged = segs.withColumn("__keep", F.row_number().over(w) == 1)
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum((~F.col("__keep")).cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(
+                                F.col("chunk_id").alias("i"),
+                                F.col("chunk_text").alias("s"),
+                            ),
+                        )
+                    )
+                ),
+                lambda p: p["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # token-less docs emit no chunks; restore them with empty stats so
+    # the operator is total over its input
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc_id, shingle) rows, one per DISTINCT word n-gram per doc.
 
@@ -425,6 +504,122 @@ def minhash_signatures(
     )
 
 
+def band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) rows from a signature frame: band hash =
+    md5 of the band's comma-joined signature rows. One posexplode per
+    signature row — a single scan, not a BANDS-way union of scans."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def minhash_index(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTENT near-dup index for a corpus: returns
+    (buckets, sigs) where buckets = (doc_id, band, bh) and sigs =
+    (doc_id, sig_0..sig_{PERMS-1}).
+
+    This is the artifact an incremental crawl pipeline keeps between
+    batches: appending a new batch is just unioning ITS bucket/sig
+    rows (signatures are per-doc and order-independent), so the index
+    never rebuilds. At rest, write buckets partitioned/bucketed by
+    `bh` and sigs by `doc_id` so the novelty join and the verification
+    join are both co-located, shuffle-free reads."""
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    return band_buckets(sig), sig
+
+
+def minhash_novelty(
+    incoming: DataFrame,
+    index_buckets: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: match an INCOMING batch against a prebuilt
+    corpus index (`minhash_index`) without touching corpus text — the
+    don't-re-ingest-what-the-crawl-already-has gate every continuously
+    fed training pipeline runs (same bucketed-candidates semantics as
+    minhash_lsh_pairs, restricted to new×indexed pairs).
+
+    Per incoming doc the BEST match wins: max est_sim, ties to the
+    smallest indexed doc_id. Docs below the shingle length (no
+    signature) are trivially novel. Returns every incoming doc as
+    (doc, match_doc_id nullable, est_sim nullable, is_novel).
+
+    Scale shape: the incoming batch is small relative to the index;
+    its band hashes equi-join the bucket table (touching only matching
+    buckets — with the index bucketed by `bh`, no index-side shuffle),
+    candidates then fetch exactly the candidate corpus signatures by
+    doc_id. Nothing corpus-sized ever scans or shuffles."""
+    sig_new = minhash_signatures(incoming, n, id_col, text_col)
+    cand = (
+        band_buckets(sig_new)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            index_buckets.withColumnRenamed("doc_id", "old_id"), ["band", "bh"]
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = index_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_PERMS)],
+    )
+    sb = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    from pyspark.sql import Window
+
+    best = (
+        cand.join(sa, "old_id")
+        .join(sb, "new_id")
+        .withColumn("est_sim", agree.cast("double") / F.lit(float(MINHASH_PERMS)))
+        .filter(F.col("est_sim") >= threshold)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(
+                    F.col("est_sim").desc(), F.col("old_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("new_id", F.col("old_id").alias("match_doc_id"), "est_sim")
+    )
+    return (
+        incoming.select(F.col(id_col))
+        .join(best.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "match_doc_id",
+            "est_sim",
+            F.col("match_doc_id").isNull().alias("is_novel"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -441,27 +636,7 @@ def minhash_lsh_pairs(
     kept when est_sim >= threshold.
     """
     sig = minhash_signatures(docs, n, id_col, text_col).cache()
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-
-    # one (doc, band, band_hash) row per band via posexplode — a single
-    # scan of the signature frame, not a BANDS-way union of scans
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig_{band * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bh")
-    )
+    buckets = band_buckets(sig)
 
     a = buckets.alias("a")
     b = buckets.alias("b")

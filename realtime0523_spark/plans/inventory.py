@@ -101,7 +101,8 @@ _PRIORITY: list[str] = [
     # filters self-pairs — its four riders re-verify).
     "docs_dsir_weights", "docs_dsir_sample", "docs_domain_mix_temp",
     "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
-    "events_zorder", "emb_ann_recall", "emb_cosine_topk",
+    "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
+    "emb_ann_recall", "emb_cosine_topk",
     "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
     "docs_bm25_search", "stream_bloom_contamination",
     "stream_ann_lookup", "stream_brand_amount", "stream_dwd_order",

@@ -325,7 +325,16 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-def _minhash_sql() -> str:
+def _minhash_agree_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(D.MINHASH_PERMS)
+    )
+
+
+def _minhash_ctes() -> str:
+    """The shared sh→x→sig→bands CTE block (signatures + band-bucket
+    rows over `documents`) that every MinHash oracle builds on."""
     sig_exprs = []
     for i in range(D.MINHASH_PERMS):
         a, b = D.perm_coeffs(i)
@@ -338,20 +347,20 @@ def _minhash_sql() -> str:
         band_selects.append(
             f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {concat})) AS bh FROM sig"
         )
-    agree = " + ".join(
-        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
-        for i in range(D.MINHASH_PERMS)
-    )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     x AS (SELECT doc_id, {_MD5_INT32_SQL.format(col='sh')} AS x FROM sh),
     sig AS (SELECT doc_id, {', '.join(sig_exprs)} FROM x GROUP BY doc_id),
-    bands AS ({' UNION ALL '.join(band_selects)}),
+    bands AS ({' UNION ALL '.join(band_selects)})"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, est_sim FROM (
-      SELECT doc_a, doc_b, ({agree}) / {float(D.MINHASH_PERMS)} AS est_sim
+      SELECT doc_a, doc_b, ({_minhash_agree_sql()}) / {float(D.MINHASH_PERMS)} AS est_sim
       FROM cand
       JOIN sig sa ON cand.doc_a = sa.doc_id
       JOIN sig sb ON cand.doc_b = sb.doc_id)
@@ -2995,4 +3004,92 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.hard_negative_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
         "qid", "vec_id", "score", "rk"
+    )
+
+
+SEGMENT_W = 4
+
+
+@register(
+    "docs_segment_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    segd AS (
+      SELECT doc_id, CAST(s / {SEGMENT_W} AS INT) AS seg_idx,
+             array_to_string(t[s + 1 : s + {SEGMENT_W}], ' ') AS seg
+      FROM toks, LATERAL unnest(range(0, len(t), {SEGMENT_W})) AS u(s)
+      WHERE len(t) > 0),
+    flag AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) = 1 AS keep
+      FROM segd),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                                 ORDER BY seg_idx), '') AS clean_text
+      FROM flag GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_segs, 0) AS n_segs,
+           coalesce(a.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    f"CCNet-style paragraph dedup (Wenzek et al. LREC 2020 §3.1): cut "
+    f"each doc into aligned {SEGMENT_W}-token units, hash-count them "
+    "corpus-wide, and drop every occurrence except the global first "
+    "(min doc, position) — the boilerplate-removal pass that runs "
+    "before MinHash in a production crawl pipeline. One unit-hash "
+    "window shuffle + one doc-keyed reassembly groupBy; no UDFs.",
+)
+def q_docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return D.segment_dedup(docs, seg_tokens=SEGMENT_W)
+
+
+INCR_CORPUS_SPLIT = 400  # doc_id < split = the indexed corpus; rest = incoming
+
+
+@register(
+    "docs_incremental_dedup",
+    f"""
+    WITH {_minhash_ctes()},
+    cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh
+              AND a.doc_id < {INCR_CORPUS_SPLIT}
+              AND b.doc_id >= {INCR_CORPUS_SPLIT}),
+    ver AS (SELECT new_id, old_id,
+                   ({_minhash_agree_sql()}) / {float(D.MINHASH_PERMS)} AS est_sim
+            FROM cand
+            JOIN sig sa ON cand.old_id = sa.doc_id
+            JOIN sig sb ON cand.new_id = sb.doc_id),
+    best AS (SELECT new_id, old_id, est_sim FROM (
+               SELECT new_id, old_id, est_sim,
+                      row_number() OVER (PARTITION BY new_id
+                                         ORDER BY est_sim DESC, old_id) AS rk
+               FROM ver WHERE est_sim >= {MINHASH_EST_THRESHOLD})
+             WHERE rk = 1)
+    SELECT d.doc_id, b.old_id AS match_doc_id, b.est_sim,
+           b.old_id IS NULL AS is_novel
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+    WHERE d.doc_id >= {INCR_CORPUS_SPLIT}
+    """,
+    "Incremental dedup against a PREBUILT MinHash index "
+    f"(corpus = doc_id < {INCR_CORPUS_SPLIT}, incoming = the rest): "
+    "the new batch's band hashes equi-join the persisted bucket "
+    "table, candidates verify against fetched corpus signatures, and "
+    "each incoming doc reports its best match or is_novel — the "
+    "don't-re-ingest gate of a continuously fed crawl pipeline. "
+    "Corpus text is never rescanned; with the index bucketed by bh "
+    "the probe join is shuffle-free on the index side.",
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_CORPUS_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= INCR_CORPUS_SPLIT)
+    buckets, sigs = D.minhash_index(corpus)
+    return D.minhash_novelty(
+        incoming, buckets, sigs, threshold=MINHASH_EST_THRESHOLD
     )

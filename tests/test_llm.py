@@ -1368,3 +1368,103 @@ def test_hard_negative_topk_masks_query_label(spark):
         want = [-i for _, i in sorted(cand, reverse=True)[:4]]
         got = [r.vec_id for r in sorted(out, key=lambda r: r.rk) if r.qid == q]
         assert got == want, (q, got, want)
+
+
+def test_segment_dedup_keeps_global_first_occurrence(spark):
+    """Aligned duplicate units keep exactly one (min doc,seg) copy;
+    unit boundaries are fixed — an offset copy is NOT a duplicate
+    (that's span_dedup's job); token-less docs come back empty."""
+    from realtime0523_spark.llm.dedup import segment_dedup
+
+    seg = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg} x1 x2 x3 x4"),
+            (2, f"{seg} y1 y2 y3 y4"),  # same first unit → removed here
+            (3, f"pad {seg} z1 z2 z3"),  # offset by 1: units differ → kept
+            (4, "a b"),  # short doc: one ragged unit
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, seg_tokens=4).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == f"{seg} x1 x2 x3 x4"
+    assert out[2].n_removed == 1 and out[2].clean_text == "y1 y2 y3 y4"
+    assert out[3].n_removed == 0 and seg in out[3].clean_text
+    assert out[4].n_segs == 1 and out[4].clean_text == "a b"
+    assert out[5].n_segs == 0 and out[5].clean_text == ""
+
+
+def test_segment_dedup_intra_doc_repeat_and_determinism(spark):
+    """A unit repeated inside one doc keeps only its first position,
+    and the keep decision is insensitive to input partitioning."""
+    from realtime0523_spark.llm.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s p q r s t u v w"), (9, "p q r s only once here x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, seg_tokens=4).collect()}
+    assert out[7].n_removed == 1 and out[7].clean_text == "p q r s t u v w"
+    assert out[9].n_removed == 1 and out[9].clean_text == "only once here x"
+    again = {
+        r.doc_id: r
+        for r in segment_dedup(docs.repartition(7), seg_tokens=4).collect()
+    }
+    assert {k: (v.clean_text, v.n_removed) for k, v in out.items()} == {
+        k: (v.clean_text, v.n_removed) for k, v in again.items()
+    }
+
+
+def test_minhash_novelty_matches_index_and_flags_novel(spark):
+    """Near-dup incoming docs match their indexed twin; genuinely new
+    and sub-shingle docs are novel; appending a batch to the index is
+    a plain union (no rebuild)."""
+    from realtime0523_spark.llm.dedup import (
+        minhash_index,
+        minhash_novelty,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different indexed content words here now")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, base),  # exact copy of doc 1 → match
+            (101, "fresh unseen material nothing shares these tokens"),
+            (102, "xy"),  # below shingle length → no signature → novel
+        ],
+        "doc_id long, text string",
+    )
+    buckets, sigs = minhash_index(corpus)
+    out = {r.doc_id: r for r in minhash_novelty(incoming, buckets, sigs).collect()}
+    assert out[100].match_doc_id == 1 and out[100].est_sim == 1.0
+    assert not out[100].is_novel
+    assert out[101].is_novel and out[101].match_doc_id is None
+    assert out[102].is_novel
+
+    # incremental append: index the first batch, probe a copy of it
+    b2, s2 = minhash_index(incoming.filter("doc_id = 101"))
+    probe = spark.createDataFrame([(200, "fresh unseen material nothing shares these tokens")], "doc_id long, text string")
+    out2 = {
+        r.doc_id: r
+        for r in minhash_novelty(
+            probe, buckets.unionByName(b2), sigs.unionByName(s2)
+        ).collect()
+    }
+    assert out2[200].match_doc_id == 101 and not out2[200].is_novel
+
+
+def test_minhash_novelty_best_match_ties_to_smallest_id(spark):
+    """Two identical indexed twins: the reported match is the smaller
+    doc_id (deterministic arg-best)."""
+    from realtime0523_spark.llm.dedup import minhash_index, minhash_novelty
+
+    t = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame([(5, t), (3, t)], "doc_id long, text string")
+    incoming = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    buckets, sigs = minhash_index(corpus)
+    row = minhash_novelty(incoming, buckets, sigs).collect()[0]
+    assert row.match_doc_id == 3 and row.est_sim == 1.0

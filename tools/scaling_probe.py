@@ -86,6 +86,8 @@ PROBES = [
     "emb_ann_ivfpq",       # IVF cell probe × PQ-ADC candidate scoring (r7)
     "emb_hard_negatives",  # label-masked exact scan (r7)
     "events_zorder",       # codegen'd morton map + 2^prefix-row agg (r7)
+    "docs_segment_dedup",  # unit-hash window shuffle + doc reassembly (r7)
+    "docs_incremental_dedup",  # batch-vs-index bucket probe join (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
