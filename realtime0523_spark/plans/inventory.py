@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "docs_dsir_weights", "docs_dsir_sample", "docs_domain_mix_temp",
     "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
     "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
+    "emb_ann_sq", "emb_sq_codes",
     "emb_ann_recall", "emb_cosine_topk",
     "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
     "docs_bm25_search", "stream_bloom_contamination",

@@ -835,6 +835,50 @@ def _pq_adc_chain(cent: str, p: str) -> str:
 
 _PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "tpq")
 
+# SQ8 scalar quantization: per-dim exact min/max bounds, code =
+# clip(⌊(x−mn)·256/(mx−mn)⌋, 0, 255), asymmetric scoring against the
+# midpoint reconstruction mn + (code+0.5)·(mx−mn)/256 — mirrors
+# llm.similarity.sq_train_bounds / sq_encode / ann_topk_sq
+_SQ_CODE_CTES = f"""
+    sqb AS (
+      SELECT CAST(d AS INT) AS d,
+             min(CAST(embedding[d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[d] AS DOUBLE)) AS mx
+      FROM embeddings CROSS JOIN range(1, {EMB_DIMS + 1}) t(d)
+      GROUP BY CAST(d AS INT)),
+    sqcode AS (
+      SELECT e.vec_id, b.d,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least(255, greatest(0, CAST(floor(
+                    (CAST(e.embedding[b.d] AS DOUBLE) - b.mn)
+                      / (b.mx - b.mn) * 256) AS INT)))
+             END AS code
+      FROM embeddings e CROSS JOIN sqb b)"""
+
+_SQ_ANN_CTES = f"""
+    {_SQ_CODE_CTES},
+    sqrec AS (
+      SELECT c.vec_id, c.d,
+             b.mn + (c.code + 0.5) * (b.mx - b.mn) / 256 AS rv
+      FROM sqcode c JOIN sqb b ON b.d = c.d),
+    sqadc AS (
+      SELECT q.vec_id AS qid, r.vec_id,
+             sum(CAST(q.embedding[r.d] AS DOUBLE) * r.rv) AS dot,
+             sqrt(sum(r.rv * r.rv)) AS n_r,
+             sqrt(sum(CAST(q.embedding[r.d] AS DOUBLE)
+                      * CAST(q.embedding[r.d] AS DOUBLE))) AS n_q
+      FROM sqrec r CROSS JOIN embeddings q
+      WHERE q.vec_id < {TOPK_QUERIES} AND r.vec_id <> q.vec_id
+      GROUP BY q.vec_id, r.vec_id),
+    sqcand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('dot / (n_r * n_q)')} DESC,
+                                           vec_id) AS rn
+        FROM sqadc) WHERE rn <= {S.SQ_RETRIEVE}),
+    {_rerank_cte('sqcand', 'sqann')}"""
+
 
 @register(
     "emb_ann_recall",
@@ -850,6 +894,7 @@ _PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "t
     {_IVF_ANN_CTES},
     {_PQ_ANN_CTES},
     {_PQ_TRAINED_ANN_CTES},
+    {_SQ_ANN_CTES},
     rxadc AS (
       SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
       FROM ivfcand ic
@@ -892,10 +937,16 @@ _PQ_TRAINED_ANN_CTES = _pq_trained_cent_ctes() + "," + _pq_adc_chain("tcent", "t
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
       FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM rxann WHERE rk <= {TOPK_K}) a
         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'sq' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM sqann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
       GROUP BY e.qid)
     """,
     "Recall@k of each ANN index (sign-LSH, IVF, label-seeded PQ-ADC, "
-    "Lloyd-trained PQ-ADC, and combined IVFPQ) against the exact "
+    "Lloyd-trained PQ-ADC, combined IVFPQ, and SQ8) against the exact "
     "brute-force top-k — "
     "the quality metric for the approximate paths, itself exact and "
     "oracle-checked because every index (the trained one included) is "
@@ -936,6 +987,9 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK_K,
         score_transform=r9,
     ).select("qid", "vec_id")
+    sq = S.ann_topk_sq(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id"
+    )
 
     def _recall(ann: DataFrame, method: str) -> DataFrame:
         hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
@@ -958,6 +1012,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall(pq, "pq"))
         .unionAll(_recall(pq_trained, "pq_trained"))
         .unionAll(_recall(ivfpq, "ivfpq"))
+        .unionAll(_recall(sq, "sq"))
     )
 
 
@@ -1027,6 +1082,49 @@ def q_emb_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_pq(
         emb, queries, codebooks=cb, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_ann_sq",
+    f"""
+    WITH {_SQ_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM sqann WHERE rk <= {TOPK_K}
+    """,
+    "SQ8 scalar-quantization ANN (the faiss IndexScalarQuantizer / "
+    "QT_8bit recipe): per-dim exact min/max bounds train the "
+    "quantizer, each vector compresses to one byte per dim (4× vs "
+    "fp32), and queries score the midpoint reconstruction "
+    "asymmetrically — full-precision query, coded corpus — with an "
+    f"exact-cosine re-rank of the top-{S.SQ_RETRIEVE}. The cheapest "
+    "quantized index: no codebook training, encode is pure "
+    "whole-stage codegen (a built-in transform — not even an Arrow "
+    "kernel), the scan is map-only, the corpus never shuffles.",
+)
+def q_emb_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.ann_topk_sq(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id", "score", "rk"
+    )
+
+
+@register(
+    "emb_sq_codes",
+    f"""
+    WITH {_SQ_CODE_CTES}
+    SELECT vec_id, d, code FROM sqcode
+    """,
+    "The SQ8 index ARTIFACT: every vector's 8-bit code per dimension "
+    f"({EMB_DIMS} bytes replacing {EMB_DIMS} floats). Encoding is "
+    "one codegen'd map over the corpus with the bounds as literal "
+    "arrays — no Python, no shuffle; emitted exploded "
+    "(vec, dim, code) for the set-compare.",
+)
+def q_emb_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    coded = S.sq_encode(emb, S.sq_train_bounds(emb))
+    return coded.select(
+        "vec_id", F.posexplode("sq_code").alias("d0", "code")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "code")
 
 
 # ----------------------------------------------------------------------

@@ -1468,3 +1468,67 @@ def test_minhash_novelty_best_match_ties_to_smallest_id(spark):
     buckets, sigs = minhash_index(corpus)
     row = minhash_novelty(incoming, buckets, sigs).collect()[0]
     assert row.match_doc_id == 3 and row.est_sim == 1.0
+
+
+def test_sq_codes_range_and_degenerate_dim(spark):
+    """Codes span [0,255]; the corpus min codes to 0 and the max to
+    255 in every non-degenerate dim; a constant dim codes to 0; and
+    the encode plan is pure codegen (no Python stage)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import sq_encode, sq_train_bounds
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [10.0, 5.0, 1.0]),
+        (3, [2.5, 5.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bounds = sq_train_bounds(emb)
+    assert np.allclose(bounds[:, 0], [0.0, 5.0, -1.0])
+    assert np.allclose(bounds[:, 1], [10.0, 5.0, 1.0])
+    coded = sq_encode(emb, bounds)
+    out = {r.vec_id: r.sq_code for r in coded.collect()}
+    assert out[1] == [0, 0, 0]          # min → 0; constant dim → 0
+    assert out[2] == [255, 0, 255]      # max clips 256 → 255
+    assert out[3][0] == 64              # 2.5/10*256
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_ann_sq_recall_at_least_pq_on_fixture(spark):
+    """SQ8 keeps 256 per-dim levels, so on the fixture its recall@5
+    should beat-or-match label-seeded PQ and be near-exact."""
+    from realtime0523_spark.llm.similarity import (
+        ann_topk_pq,
+        ann_topk_sq,
+        cosine_topk,
+        pq_codebooks,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    sq = {(r.qid, r.vec_id) for r in ann_topk_sq(emb, queries, k=5).collect()}
+    pq = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_pq(
+            emb, queries, codebooks=pq_codebooks(emb), k=5
+        ).collect()
+    }
+    assert len(sq & exact) >= len(pq & exact)
+    assert len(sq & exact) >= int(0.8 * len(exact))
+
+
+def test_ann_sq_plan_never_shuffles_corpus(spark):
+    from realtime0523_spark.plans import REGISTRY
+
+    df = REGISTRY["emb_ann_sq"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
