@@ -1,0 +1,136 @@
+"""Graph centrality over DataFrame edge tables.
+
+PageRank is the quality-weighting signal web-corpus pipelines attach
+to crawled documents (Common Crawl publishes harmonic-centrality /
+PageRank rankings for exactly this use; CCNet-era filtering keys on
+them). The reference engine has no graph operator; this is part of
+the beyond-reference surface for training-data curation, expressed as
+the canonical distributed power iteration: per-round one equi-join of
+ranks onto edges and one partial-agg'd groupBy on the destination —
+the shapes that hold at any scale (GraphX's Pregel PageRank reduces
+to the same join+agg per superstep).
+
+Exactness contract (what makes the operator ORACLE-replayable): the
+iteration runs in INTEGER FIXED POINT. Ranks are BIGINTs scaled by
+`scale`; each round computes
+
+    contrib(e: u→v) = rank_fp(u) div out_deg(u)
+    rank_fp'(v)     = ((100 - damping_pct) * scale) div 100
+                      + (damping_pct * Σ contrib) div 100
+
+with integer (floor) division throughout. Every engine computes the
+identical BIGINTs — no float summation order to drift, no rounding
+contract to document beyond "div means floor division". The quantized
+mass lost to flooring is ≤ 1/scale per edge per round (≈ 1e-12
+relative at the default scale) — far below any ranking-relevant
+difference, and deterministic.
+
+Overflow envelope: Σ ranks ≈ N·scale must stay below 2^63/100.
+scale=1e12 holds to ~90 M nodes; a billion-node web graph uses
+scale=1e6 (micro-rank units) with head-room to 10^11 nodes. The
+operator asserts the envelope from the node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime0523_spark.llm.clusters import _ckpt_tools
+
+PAGERANK_SCALE = 10**12
+PAGERANK_DAMPING_PCT = 85
+PAGERANK_ITERS = 5
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct both-direction part pairs sharing an order — the
+    co-occurrence graph (src, dst). The per-order self-join fans out
+    by order size squared; order sizes are bounded (TPC-H ≤ 7 items,
+    real carts similar), so the explode is a constant factor, and the
+    join is an equi-join on the order key, never cartesian."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = PAGERANK_ITERS,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Power-iteration PageRank over an (src, dst) edge table in
+    exact integer fixed point (see module docstring). Returns
+    (node, rank_fp) for every node that appears in the edge table.
+
+    Every node needs an out-edge (true for symmetric co-occurrence
+    graphs); a directed graph with dangling nodes must add self-loops
+    or sink-redistribution edges first — the operator raises rather
+    than silently leaking their mass.
+
+    Scale shape per round: ranks equi-join edges on src (at rest,
+    pre-partition both by the join key and the join is co-located),
+    one partial-agg'd sum groupBy on dst, one left join back to the
+    node set. Rounds localCheckpoint alternately with eager release
+    of the superseded snapshot (the clusters.py discipline), so plan
+    depth and executor memory stay O(1) in n_iter."""
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    dangling = (
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "pagerank_fixed_point: graph has dangling nodes (no "
+            "out-edges); add self-loops or redistribution edges — "
+            "silent mass leak refused."
+        )
+    n_nodes = nodes.count()
+    if n_nodes * scale >= 2**63 // 100:
+        raise ValueError(
+            f"fixed-point overflow envelope exceeded: {n_nodes} nodes "
+            f"at scale={scale}; lower `scale` (total mass × 100 must "
+            f"fit in int64)."
+        )
+    base = ((100 - damping_pct) * scale) // 100
+
+    ckpt, release = _ckpt_tools(edges)
+    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    held: set = set()
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div out_deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        nxt = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+            ).cast("long").alias("rank_fp"),
+        )
+        ranks, ids = ckpt(nxt)
+        release(held)
+        held = ids
+    return ranks

@@ -102,7 +102,7 @@ _PRIORITY: list[str] = [
     "docs_dsir_weights", "docs_dsir_sample", "docs_domain_mix_temp",
     "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
     "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
-    "emb_ann_sq", "emb_sq_codes",
+    "emb_ann_sq", "emb_sq_codes", "parts_copurchase_rank",
     "emb_ann_recall", "emb_cosine_topk",
     "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
     "docs_bm25_search", "stream_bloom_contamination",
@@ -1974,3 +1974,81 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(65535))
     )
     return zorder_boxes(events, x, y, bits=16, prefix_bits=ZORDER_PREFIX_BITS)
+
+
+PAGERANK_TOPN = 50
+
+
+def _pagerank_sql() -> str:
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT as DP,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE as SC,
+    )
+
+    base = ((100 - DP) * SC) // 100
+    parts = [
+        """pedges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""",
+        "pdeg AS (SELECT src, count(*) AS deg FROM pedges GROUP BY src)",
+        "pnodes AS (SELECT DISTINCT src AS node FROM pedges)",
+        f"r0 AS (SELECT node, CAST({SC} AS BIGINT) AS r FROM pnodes)",
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST({base} + ({DP} * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+      FROM pnodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(rr.r // d.deg) AS m
+        FROM pedges e
+        JOIN r{i} rr ON rr.node = e.src
+        JOIN pdeg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT node AS part_id, r AS rank_fp,
+           row_number() OVER (ORDER BY r DESC, node) AS rk
+    FROM r{PAGERANK_ITERS}
+    ORDER BY rk LIMIT {PAGERANK_TOPN}
+    """
+
+
+@register(
+    "parts_copurchase_rank",
+    _pagerank_sql(),
+    "PageRank centrality over the part co-purchase graph (distinct "
+    "same-order part pairs, both directions) — the quality-weighting "
+    "signal web-corpus pipelines attach to crawled pages (Common "
+    "Crawl publishes exactly these rankings), here as the canonical "
+    "distributed power iteration: per round one ranks-onto-edges "
+    "equi-join and one partial-agg'd destination groupBy. The whole "
+    "iteration runs in INTEGER FIXED POINT (bigint ranks scaled by "
+    "1e12, floor division) so every engine computes identical values "
+    "— no float drift, no quantization contract beyond div. Rounds "
+    "localCheckpoint with eager snapshot release (O(1) memory and "
+    "plan depth in iterations); the top-N is orderBy+limit → "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def q_parts_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed_point,
+    )
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    ranks = pagerank_fixed_point(copurchase_edges(li))
+    top = ranks.orderBy(F.desc("rank_fp"), F.col("node")).limit(PAGERANK_TOPN)
+    return top.select(
+        F.col("node").alias("part_id"),
+        "rank_fp",
+        F.row_number()
+        .over(W.orderBy(F.desc("rank_fp"), F.col("node")))
+        .alias("rk"),
+    )

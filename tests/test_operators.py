@@ -370,3 +370,74 @@ def test_zorder_boxes_are_tight_rectangles(spark):
     for r in boxes:
         assert r.x_max - r.x_min <= 63, r
         assert r.y_max - r.y_min <= 63, r
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    """On a star (hub connected to k spokes, symmetric), the hub's
+    rank strictly exceeds every spoke's, spokes tie exactly (integer
+    arithmetic → bit-equal), and total mass stays within the
+    documented floor-loss envelope of N·scale."""
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    spokes = list(range(2, 9))
+    pairs = [(1, s) for s in spokes] + [(s, 1) for s in spokes]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ranks = {r.node: r.rank_fp for r in pagerank_fixed_point(edges).collect()}
+    assert all(ranks[1] > ranks[s] for s in spokes)
+    assert len({ranks[s] for s in spokes}) == 1
+    total = sum(ranks.values())
+    n = len(spokes) + 1
+    assert total <= n * PAGERANK_SCALE
+    # floor loss ≤ ~1 unit per integer division per node per round
+    assert total >= n * PAGERANK_SCALE - 1000
+
+
+def test_pagerank_matches_float_reference(spark):
+    """The fixed-point iteration tracks a plain float power iteration
+    to ~1e-9 relative — the quantization is resolution, not bias."""
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4), (1, 3), (3, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank_fixed_point(edges).collect()}
+
+    nodes = sorted(got)
+    out = {u: sum(1 for a, _ in pairs if a == u) for u in nodes}
+    d = PAGERANK_DAMPING_PCT / 100.0
+    r = {u: 1.0 for u in nodes}
+    for _ in range(PAGERANK_ITERS):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in pairs:
+            contrib[b] += r[a] / out[a]
+        r = {u: (1 - d) + d * contrib[u] for u in nodes}
+    for u in nodes:
+        assert abs(got[u] / PAGERANK_SCALE - r[u]) < 1e-9, (u, got[u], r[u])
+
+
+def test_pagerank_refuses_dangling_nodes(spark):
+    import pytest
+
+    from realtime0523_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 dangles
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_fixed_point(edges)
+
+
+def test_copurchase_edges_symmetric_distinct(spark):
+    from realtime0523_spark.operators.graph import copurchase_edges
+
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 2), (11, 2), (11, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}

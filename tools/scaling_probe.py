@@ -89,6 +89,7 @@ PROBES = [
     "docs_segment_dedup",  # unit-hash window shuffle + doc reassembly (r7)
     "docs_incremental_dedup",  # batch-vs-index bucket probe join (r7)
     "emb_ann_sq",          # codegen'd SQ8 encode + map-only recon scan (r7)
+    "parts_copurchase_rank",  # per-round join+agg power iteration (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
