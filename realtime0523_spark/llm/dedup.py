@@ -506,14 +506,24 @@ def minhash_signatures(
 
 def band_buckets(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bh) rows from a signature frame: band hash =
-    md5 of the band's comma-joined signature rows. One posexplode per
-    signature row — a single scan, not a BANDS-way union of scans."""
+    md5 of the band INDEX plus the band's comma-joined signature
+    rows. One posexplode per signature row — a single scan, not a
+    BANDS-way union of scans.
+
+    The band index is baked INTO the hash so `bh` alone is a complete
+    bucket key: equal bh ⇒ same band AND same band contents. That
+    keeps every downstream join single-column — which is what lets a
+    persisted index bucketed by bh serve probes with zero index-side
+    shuffle (a composite (band, bh) join key is incompatible with
+    single-column bucketing and makes the planner disable the
+    bucketed scan)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_hashes = F.array(
         *[
             F.md5(
                 F.concat_ws(
                     ",",
+                    F.lit(str(band)),
                     *[
                         F.col(f"sig_{band * rows_per_band + r}").cast("string")
                         for r in range(rows_per_band)
@@ -569,11 +579,15 @@ def minhash_novelty(
     candidates then fetch exactly the candidate corpus signatures by
     doc_id. Nothing corpus-sized ever scans or shuffles."""
     sig_new = minhash_signatures(incoming, n, id_col, text_col)
+    # the probe joins on bh ALONE — complete by construction (the
+    # band index is hashed into bh), so an index bucketed by bh
+    # serves this with zero index-side shuffle (plan-asserted in
+    # tests/test_scale_plans.py)
     cand = (
         band_buckets(sig_new)
-        .withColumnRenamed("doc_id", "new_id")
+        .select(F.col("doc_id").alias("new_id"), "bh")
         .join(
-            index_buckets.withColumnRenamed("doc_id", "old_id"), ["band", "bh"]
+            index_buckets.select(F.col("doc_id").alias("old_id"), "bh"), "bh"
         )
         .select("new_id", "old_id")
         .distinct()

@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
     "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
     "emb_ann_sq", "emb_sq_codes", "parts_copurchase_rank",
+    "stream_docs_novelty", "cheapest_supplier_per_part",
+    "lone_late_supplier",
     "emb_ann_recall", "emb_cosine_topk",
     "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
     "docs_bm25_search", "stream_bloom_contamination",
@@ -2051,4 +2053,124 @@ def q_parts_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.desc("rank_fp"), F.col("node")))
         .alias("rk"),
+    )
+
+
+LATE_DAYS = 60  # ship lag that counts as "kept the order waiting"
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             round(sum(l_extendedprice) / sum(l_quantity), 9) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             min(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+      FROM unit)
+    SELECT b.l_partkey AS part_id, b.l_suppkey AS supp_id, s.s_name,
+           b.unit_price
+    FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.unit_price = b.best_price
+    """,
+    "TPC-H Q2's shape on the available tables: for every part, the "
+    "supplier(s) achieving the minimum realized unit price — the "
+    "correlated-MIN-subquery pattern, decorrelated into one "
+    "partial-agg'd (part, supp) groupBy plus a per-part window min "
+    "(no re-scan, no self-join); the supplier dim joins by "
+    "broadcast. Ties keep every best supplier (deterministic set). "
+    "Prices quantized to 9 dp before the min so the float compare "
+    "is engine-portable.",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    li, supp = cat.table("lineitem"), cat.table("supplier")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 9).alias(
+            "unit_price"
+        )
+    )
+    best = unit.withColumn(
+        "best_price", F.min("unit_price").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_price") == F.col("best_price"))
+    return best.join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        best.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_suppkey").alias("supp_id"),
+        "s_name",
+        "unit_price",
+    )
+
+
+@register(
+    "lone_late_supplier",
+    f"""
+    WITH ls AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate
+                             + INTERVAL {LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS was_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supps,
+             sum(was_late) AS n_late
+      FROM ls GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ls
+    JOIN per_order p ON p.l_orderkey = ls.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+    WHERE ls.was_late = 1 AND p.n_supps > 1 AND p.n_late = 1
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21's shape (suppliers who kept waiting orders): in "
+    "multi-supplier orders where EXACTLY ONE supplier shipped late "
+    f"(> {LATE_DAYS} days after the order date), count offenses per "
+    "supplier. The classic EXISTS/NOT-EXISTS pair decorrelates into "
+    "one (order, supplier) any-late aggregate reused three ways — "
+    "per-order supplier/late counts, then the lone-late filter — so "
+    "lineitem scans once instead of three correlated re-scans; the "
+    "supplier dim is a broadcast join.",
+)
+def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o, supp = cat.table("lineitem"), cat.table("orders"), cat.table("supplier")
+    # orders is fact-sized: equi-join on the order key (AQE picks the
+    # strategy; at scale this is the co-partitioned SMJ), never a
+    # forced broadcast
+    ls = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), LATE_DAYS),
+                    1,
+                ).otherwise(0)
+            ).alias("was_late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("was_late").alias("n_late")
+    )
+    return (
+        ls.filter(F.col("was_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            ls.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

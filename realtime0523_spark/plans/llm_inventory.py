@@ -343,9 +343,12 @@ def _minhash_ctes() -> str:
     band_selects = []
     for band in range(D.MINHASH_BANDS):
         cols = [f"sig_{band * rows_per_band + r}" for r in range(rows_per_band)]
+        # the band INDEX is hashed into bh (see dedup.band_buckets):
+        # bh alone is a complete bucket key
         concat = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_selects.append(
-            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {concat})) AS bh FROM sig"
+            f"SELECT doc_id, {band} AS band, "
+            f"md5(concat_ws(',', '{band}', {concat})) AS bh FROM sig"
         )
     return f"""{_SHINGLES_CTE},
     x AS (SELECT doc_id, {_MD5_INT32_SQL.format(col='sh')} AS x FROM sh),
@@ -3190,4 +3193,57 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, sigs = D.minhash_index(corpus)
     return D.minhash_novelty(
         incoming, buckets, sigs, threshold=MINHASH_EST_THRESHOLD
+    )
+
+
+@register(
+    "stream_docs_novelty",
+    REGISTRY["docs_incremental_dedup"].oracle,
+    "Streaming twin of docs_incremental_dedup — the online "
+    "don't-re-ingest gate: the MinHash index (bucket + signature "
+    "tables) is built ONCE from the corpus and persisted; each "
+    "micro-batch of incoming docs signs itself, probes the cached "
+    "index buckets, verifies candidates, and appends its "
+    "novel/matched verdicts to an idempotent parquet sink. Per-batch "
+    "state is bounded by the batch (signatures) plus the shared "
+    "index; nothing corpus-sized recomputes per trigger.",
+)
+def q_stream_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import (
+        detach_and_cleanup,
+        idempotent_batch_writer,
+    )
+    from realtime0523_spark.streaming.sources import stream_table
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_CORPUS_SPLIT)
+    buckets, sigs = D.minhash_index(corpus)
+    buckets, sigs = buckets.persist(), sigs.persist()
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= INCR_CORPUS_SPLIT
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_novelty_")
+    sink = idempotent_batch_writer(out_dir)
+
+    def probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        res = D.minhash_novelty(
+            batch_df, buckets, sigs, threshold=MINHASH_EST_THRESHOLD
+        )
+        sink(res, batch_id)
+
+    try:
+        run_foreach_batch(stream, probe, output_mode="append")
+    finally:
+        buckets.unpersist()
+        sigs.unpersist()
+    return detach_and_cleanup(
+        spark.read.parquet(out_dir).select(
+            "doc_id", "match_doc_id", "est_sim", "is_novel"
+        ),
+        out_dir,
     )

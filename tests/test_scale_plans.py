@@ -197,3 +197,77 @@ def test_leakage_split_broadcasts_components(spark):
     duplicate-density-sized components table broadcasts."""
     plan = formatted_plan(REGISTRY["docs_leakage_split"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_index_bucketed_probe_is_index_shuffle_free(spark, tmp_path):
+    """The incremental-dedup contract: with the persisted index
+    bucketed by band hash, probing it never shuffles the index side —
+    only the (small) incoming batch's bucket rows move."""
+    from realtime0523_spark.core.bucketing import write_bucketed
+    from realtime0523_spark.llm.dedup import (
+        band_buckets,
+        minhash_index,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    buckets, _ = minhash_index(corpus)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_buckets")
+        import shutil
+
+        shutil.rmtree(  # a stale dir survives a dropped catalog entry
+            "spark-warehouse/mh_idx_buckets", ignore_errors=True
+        )
+        write_bucketed(buckets, "mh_idx_buckets", 8, "bh")
+        incoming = spark.createDataFrame(  # verbatim copy of doc 7
+            [(100, "word7 alpha beta gamma delta epsilon zeta 7")],
+            "doc_id long, text string",
+        )
+        probe = band_buckets(minhash_signatures(incoming)).select(
+            F.col("doc_id").alias("new_id"), "bh"
+        )
+        joined = probe.join(
+            spark.table("mh_idx_buckets").select("doc_id", "bh"), "bh"
+        )
+        # one Exchange total (the probe side, shuffled to the index's
+        # bucket count); the bucketed index scan feeds the join with
+        # no Exchange — simple-mode plan string counts nodes once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() >= 1  # shared shingle content collides
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS mh_idx_buckets")
+
+
+def test_lone_late_supplier_reuses_one_lineitem_pass(spark):
+    """The Q21 decorrelation promise: the (order, supplier) any-late
+    aggregate is computed once and reused (ReusedExchange), not
+    re-derived per correlated predicate."""
+    df = REGISTRY["lone_late_supplier"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE reuses the shared shuffle stage at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cheapest_supplier_window_not_self_join(spark):
+    """The Q2 decorrelation: min-per-part is a window over the
+    (part, supp) aggregate — no second lineitem scan, no self-join."""
+    plan = (
+        REGISTRY["cheapest_supplier_per_part"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 2, plan  # lineitem + supplier
+    assert "SortMergeJoin" not in plan, plan

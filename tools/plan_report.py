@@ -160,6 +160,60 @@ AUDITED: dict[str, str] = {
         "explode -> per-probe broadcast join -> two partial-agg'd "
         "groupBys — nothing eval-sized ships"
     ),
+    "docs_dsir_weights": (
+        "feature hashing is one token-sized explode into a "
+        "fixed-bucket partial-agg'd groupBy per distribution; the "
+        "lambda table is |buckets|-row and broadcasts onto the "
+        "per-doc scoring join — corpus-sized data shuffles once"
+    ),
+    "docs_dsir_sample": (
+        "the weights chain plus a per-doc Gumbel key; selection is "
+        "orderBy+limit -> TakeOrderedAndProject, never a global sort"
+    ),
+    "docs_leakage_split": (
+        "the near-dup components are duplicate-density-sized and "
+        "broadcast onto the corpus; the split itself is a per-row "
+        "hash — the corpus is never shuffled"
+    ),
+    "emb_ann_ivfpq": (
+        "two map-only index passes (cell assign, PQ encode), "
+        "broadcast probe join restricts candidates to probed cells, "
+        "ADC scores ride the coded rows, exact re-rank fetches via "
+        "broadcast — the corpus never shuffles"
+    ),
+    "emb_hard_negatives": (
+        "the exact one-pass scan with the label mask inside the "
+        "batch-local prune: one Arrow stage, one k*nq-row shuffle "
+        "for the final rank"
+    ),
+    "events_zorder": (
+        "the morton code is a codegen'd shift/mask projection; the "
+        "report is one partial-agg'd groupBy on the 2^prefix-bit "
+        "bucket — no Python stage, one exchange"
+    ),
+    "docs_segment_dedup": (
+        "the unit explode is |tokens|/W rows; one hash-partitioned "
+        "first-occurrence window + one doc-keyed reassembly groupBy "
+        "are the only shuffles; no UDFs anywhere"
+    ),
+    "docs_incremental_dedup": (
+        "the incoming batch's band hashes equi-join the index bucket "
+        "table (bucketed-by-bh at rest: index side shuffle-free); "
+        "verification fetches only candidate signatures — corpus "
+        "text is never rescanned"
+    ),
+    "emb_ann_sq": (
+        "encode is a pure codegen'd transform (no Arrow stage); the "
+        "recon scan is map-only with batch-local pruning; re-rank "
+        "fetches the shortlist via broadcast — corpus never shuffles"
+    ),
+    "parts_copurchase_rank": (
+        "each power-iteration round is one ranks-onto-edges "
+        "equi-join + one partial-agg'd destination groupBy, "
+        "checkpointed with eager release (the explain shows the "
+        "final round over the truncated checkpoint lineage); top-N "
+        "plans TakeOrderedAndProject"
+    ),
 }
 
 
