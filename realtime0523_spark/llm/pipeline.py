@@ -745,11 +745,13 @@ def training_order(
 
     Scale shape: one window per domain partition for the rank (a
     single hash exchange on the domain key, no global sort of
-    anything wider than the rank key), then the global position is a
-    rank over (quantile, domain) — at cluster scale the final total
-    order would stay an ORDER BY on write (range partitioner), not a
-    single-task sort; the inventory query emits the position column,
-    which is what a sharded writer consumes."""
+    anything wider than the rank key); the global position comes from
+    `operators.layout.global_positions` — a sampled RANGE exchange +
+    partition-local sort + per-partition offset arithmetic, the
+    sharded-writer formulation — never a single-task
+    `row_number() OVER (ORDER BY …)` window."""
+    from realtime0523_spark.operators.layout import global_positions
+
     n = F.count(F.lit(1)).over(W.partitionBy(domain_col))
     r = F.row_number().over(
         W.partitionBy(domain_col).orderBy(
@@ -761,7 +763,99 @@ def training_order(
         F.col(domain_col).alias("domain"),
         ((r.cast("double") - 0.5) / n.cast("double")).alias("q"),
     )
-    return keyed.withColumn(
-        "global_pos",
-        F.row_number().over(W.orderBy("q", "domain", id_col)),
-    ).select(id_col, "domain", "global_pos")
+    return global_positions(keyed, ["q", "domain", id_col]).select(
+        id_col, "domain", "global_pos"
+    )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-domain distribution DRIFT between two corpus snapshots:
+    KL divergence in both directions over add-1-smoothed hashed
+    unigram+bigram bucket multinomials (the DSIR feature space,
+    Xie et al. NeurIPS 2023 §3.1) — the monitoring signal a
+    continuously fed pipeline alarms on when a domain's crawl content
+    shifts (new boilerplate, template change, spam influx), computed
+    without storing vocabularies: two fixed-width count vectors per
+    domain.
+
+    A domain absent from one snapshot degrades gracefully to the
+    uniform smoothed distribution (KL vs uniform = how concentrated
+    the other side is). Log values are 9-dp-quantized (the DSIR
+    convention) so both engines difference identical logs.
+
+    Scale shape: one token-sized explode + partial-agg'd groupBy per
+    snapshot into (domain, bucket) counts; everything after runs on
+    |domains| x n_buckets meta-sized rows (the bucket grid comes from
+    a per-domain sequence explode — no cartesian join).
+
+    Returns (domain, n_terms_a, n_terms_b, kl_ab, kl_ba).
+    """
+    from realtime0523_spark.llm.dsir import (
+        DSIR_BUCKETS,
+        _ngram_terms,
+        _r9,
+    )
+
+    B = n_buckets or DSIR_BUCKETS
+
+    def counts(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                F.col(domain_col).alias("domain"),
+                F.explode(_ngram_terms(F.col(text_col))).alias("term"),
+            )
+            .select("domain", (md5_int32(F.col("term")) % B).alias("bucket"))
+            .groupBy("domain", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca, cb = counts(docs_a), counts(docs_b)
+    ta = ca.groupBy("domain").agg(F.sum("cnt").alias("t_a"))
+    tb = cb.groupBy("domain").agg(F.sum("cnt").alias("t_b"))
+    grid = (
+        ta.select("domain")
+        .union(tb.select("domain"))
+        .distinct()
+        .select(
+            "domain",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bucket"),
+        )
+    )
+    g = (
+        grid.join(ca.withColumnRenamed("cnt", "n_a"), ["domain", "bucket"], "left")
+        .join(cb.withColumnRenamed("cnt", "n_b"), ["domain", "bucket"], "left")
+        .join(ta, "domain", "left")
+        .join(tb, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("t_a", F.lit(0)).alias("t_a"),
+            F.coalesce("t_b", F.lit(0)).alias("t_b"),
+        )
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("t_a") + B).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("t_b") + B).cast("double")
+    ln_a, ln_b = _r9(F.log(pa)), _r9(F.log(pb))
+    return (
+        g.select(
+            "domain",
+            "t_a",
+            "t_b",
+            (pa * (ln_a - ln_b)).alias("__kab"),
+            (pb * (ln_b - ln_a)).alias("__kba"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.max("t_a").cast("long").alias("n_terms_a"),
+            F.max("t_b").cast("long").alias("n_terms_b"),
+            _r9(F.sum("__kab")).alias("kl_ab"),
+            _r9(F.sum("__kba")).alias("kl_ba"),
+        )
+    )

@@ -92,3 +92,60 @@ def zorder_boxes(
             F.max("__y").alias("y_max"),
         )
     )
+
+
+def global_positions(
+    df: DataFrame,
+    order_cols: list,
+    pos_col: str = "global_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank by `order_cols` WITHOUT a single-task
+    sort — the scalable form of `row_number() OVER (ORDER BY …)`:
+
+    1. `repartitionByRange(order_cols)`: a SAMPLED range exchange
+       (every engine's scalable sort primitive) puts each partition on
+       a disjoint, ordered key range;
+    2. partition-local sort completes the total order;
+    3. `monotonically_increasing_id()` encodes (partition, local row
+       index) — pure metadata, no extra pass;
+    4. per-partition row counts (|partitions| scalars to the driver)
+       become cumulative offsets, broadcast-joined back;
+    5. pos = offset[partition] + local index + 1.
+
+    The sorted frame is materialized once (localCheckpoint) before the
+    count pass: range boundaries come from sampling, so re-executing
+    the exchange for a second action could re-draw them and misalign
+    the offsets. A production writer persists this exact artifact
+    anyway — the sorted output IS what it ships; the materialization
+    is the write, not overhead. `order_cols` must be a UNIQUE total
+    order (include a tie-break id) or ranks within ties follow the
+    partition-local order.
+    """
+    if num_partitions is not None:
+        d = df.repartitionByRange(num_partitions, *order_cols)
+    else:
+        d = df.repartitionByRange(*order_cols)
+    d = d.sortWithinPartitions(*order_cols).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    d = d.localCheckpoint()  # pin partitioning + ids across both passes
+    pid = F.shiftright("__mid", 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    sizes = sorted(
+        (r[0], r[1])
+        for r in d.groupBy(pid.alias("__pid")).count().collect()
+    )
+    offsets, acc = [], 0
+    for p, n in sizes:
+        offsets.append((p, acc))
+        acc += n
+    off = df.sparkSession.createDataFrame(
+        offsets, "__pid long, __off long"
+    )
+    return (
+        d.withColumn("__pid", pid)
+        .join(F.broadcast(off), "__pid")
+        .withColumn(pos_col, F.col("__off") + local + 1)
+        .drop("__pid", "__mid", "__off")
+    )

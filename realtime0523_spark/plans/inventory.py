@@ -104,7 +104,10 @@ _PRIORITY: list[str] = [
     "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
     "emb_ann_sq", "emb_sq_codes", "parts_copurchase_rank",
     "stream_docs_novelty", "cheapest_supplier_per_part",
-    "lone_late_supplier",
+    "lone_late_supplier", "docs_domain_drift", "emb_ann_rp",
+    "emb_rp_sketch", "docs_training_order",  # training_order: global
+    # position now computed by operators/layout.global_positions
+    # (range exchange + offsets) instead of a single-task window
     "emb_ann_recall", "emb_cosine_topk",
     "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
     "docs_bm25_search", "stream_bloom_contamination",

@@ -883,6 +883,44 @@ _SQ_ANN_CTES = f"""
     {_rerank_cte('sqcand', 'sqann')}"""
 
 
+_RP_SIGN_SQL = (
+    "CASE WHEN ("
+    + _MD5_INT32_SQL.format(
+        col="'" + S.RP_SALT + ":' || CAST(d.d - 1 AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)"
+    )
+    + ") % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+_RP_CTES = f"""
+    rpc AS (
+      SELECT e.vec_id, j.j,
+             sum(CAST(e.embedding[d.d] AS DOUBLE) * {_RP_SIGN_SQL}) AS y
+      FROM embeddings e
+      CROSS JOIN range(1, {EMB_DIMS + 1}) d(d)
+      CROSS JOIN range(0, {S.RP_DIMS}) j(j)
+      GROUP BY e.vec_id, j.j)"""
+
+_RP_ANN_CTES = f"""
+    {_RP_CTES},
+    rpdot AS (
+      SELECT a.vec_id AS qid, b.vec_id,
+             sum(a.y * b.y) AS dot,
+             sqrt(sum(b.y * b.y)) AS n_c,
+             sqrt(sum(a.y * a.y)) AS n_q
+      FROM rpc a JOIN rpc b ON b.j = a.j AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {TOPK_QUERIES}
+      GROUP BY a.vec_id, b.vec_id),
+    rpcand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('dot / (n_c * n_q)')} DESC,
+                                           vec_id) AS rn
+        FROM rpdot) WHERE rn <= {S.RP_RETRIEVE}),
+    {_rerank_cte('rpcand', 'rpann')}"""
+
+
+
 @register(
     "emb_ann_recall",
     f"""
@@ -898,6 +936,7 @@ _SQ_ANN_CTES = f"""
     {_PQ_ANN_CTES},
     {_PQ_TRAINED_ANN_CTES},
     {_SQ_ANN_CTES},
+    {_RP_ANN_CTES},
     rxadc AS (
       SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
       FROM ivfcand ic
@@ -946,11 +985,17 @@ _SQ_ANN_CTES = f"""
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
       FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM sqann WHERE rk <= {TOPK_K}) a
         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'rp' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM rpann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
       GROUP BY e.qid)
     """,
     "Recall@k of each ANN index (sign-LSH, IVF, label-seeded PQ-ADC, "
-    "Lloyd-trained PQ-ADC, combined IVFPQ, and SQ8) against the exact "
-    "brute-force top-k — "
+    "Lloyd-trained PQ-ADC, combined IVFPQ, SQ8, and the JL "
+    "random-projection sketch) against the exact brute-force top-k — "
     "the quality metric for the approximate paths, itself exact and "
     "oracle-checked because every index (the trained one included) is "
     "deterministic.",
@@ -993,6 +1038,9 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = S.ann_topk_sq(emb, queries, k=TOPK_K, score_transform=r9).select(
         "qid", "vec_id"
     )
+    rp = S.ann_topk_rp(
+        emb, queries, in_dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
 
     def _recall(ann: DataFrame, method: str) -> DataFrame:
         hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
@@ -1016,6 +1064,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall(pq_trained, "pq_trained"))
         .unionAll(_recall(ivfpq, "ivfpq"))
         .unionAll(_recall(sq, "sq"))
+        .unionAll(_recall(rp, "rp"))
     )
 
 
@@ -3247,3 +3296,106 @@ def q_stream_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         out_dir,
     )
+
+
+DRIFT_SPLIT = 250  # doc_id < split = snapshot A; rest = snapshot B
+
+
+def _drift_sql() -> str:
+    B = DS.DSIR_BUCKETS
+    md5b = _MD5_INT32_SQL.format(col="term") + f" % {B}"
+    pa = f"(CAST(coalesce(n_a, 0) + 1 AS DOUBLE) / CAST(coalesce(t_a, 0) + {B} AS DOUBLE))"
+    pb = f"(CAST(coalesce(n_b, 0) + 1 AS DOUBLE) / CAST(coalesce(t_b, 0) + {B} AS DOUBLE))"
+    lna, lnb = _r9(f"ln({pa})"), _r9(f"ln({pb})")
+    return f"""
+    WITH dterm2 AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             )) AS term
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)),
+    csa AS (SELECT source AS domain, {md5b} AS bucket, count(*) AS n_a
+            FROM dterm2 WHERE doc_id < {DRIFT_SPLIT} GROUP BY 1, 2),
+    csb AS (SELECT source AS domain, {md5b} AS bucket, count(*) AS n_b
+            FROM dterm2 WHERE doc_id >= {DRIFT_SPLIT} GROUP BY 1, 2),
+    ta AS (SELECT domain, sum(n_a) AS t_a FROM csa GROUP BY domain),
+    tb AS (SELECT domain, sum(n_b) AS t_b FROM csb GROUP BY domain),
+    grid AS (SELECT domain, bucket
+             FROM (SELECT domain FROM ta UNION SELECT domain FROM tb)
+             CROSS JOIN range(0, {B}) r(bucket)),
+    g AS (SELECT gr.domain,
+                 coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+                 coalesce(ta.t_a, 0) AS t_a, coalesce(tb.t_b, 0) AS t_b
+          FROM grid gr
+          LEFT JOIN csa a ON a.domain = gr.domain AND a.bucket = gr.bucket
+          LEFT JOIN csb b ON b.domain = gr.domain AND b.bucket = gr.bucket
+          LEFT JOIN ta ON ta.domain = gr.domain
+          LEFT JOIN tb ON tb.domain = gr.domain)
+    SELECT domain,
+           CAST(max(t_a) AS BIGINT) AS n_terms_a,
+           CAST(max(t_b) AS BIGINT) AS n_terms_b,
+           {_r9(f'sum({pa} * ({lna} - {lnb}))')} AS kl_ab,
+           {_r9(f'sum({pb} * ({lnb} - {lna}))')} AS kl_ba
+    FROM g GROUP BY domain
+    """
+
+
+@register(
+    "docs_domain_drift",
+    _drift_sql(),
+    "Corpus drift monitor: per-domain KL divergence (both directions) "
+    "between two snapshots' add-1-smoothed hashed unigram+bigram "
+    "bucket multinomials — the alarm signal a continuously fed "
+    "pipeline watches for template changes or spam influx per "
+    "domain, with no vocabulary storage (two fixed-width count "
+    "vectors per domain). One token explode + partial-agg'd groupBy "
+    "per snapshot; everything downstream is |domains|×buckets "
+    "meta-sized (the grid comes from a sequence explode, not a "
+    "cartesian).",
+)
+def q_docs_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return P.corpus_drift(
+        docs.filter(F.col("doc_id") < DRIFT_SPLIT),
+        docs.filter(F.col("doc_id") >= DRIFT_SPLIT),
+    )
+
+
+@register(
+    "emb_ann_rp",
+    f"""
+    WITH {_RP_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM rpann WHERE rk <= {TOPK_K}
+    """,
+    f"Random-projection ANN (Achlioptas' ±1 JL sketch, derandomized "
+    f"through the corpus-standard md5): project to {S.RP_DIMS} sign "
+    f"sums ({EMB_DIMS // S.RP_DIMS}× fewer bytes scanned), shortlist "
+    "by sketch cosine with the exact batch-local-prune scan, re-rank "
+    "by full-precision cosine. The only index with ZERO training "
+    "state — the projection is a pure function of (dim, output), so "
+    "it never goes stale as the corpus grows.",
+)
+def q_emb_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.ann_topk_rp(
+        emb, queries, in_dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_rp_sketch",
+    f"""
+    WITH {_RP_CTES}
+    SELECT vec_id, j, {_r9('y')} AS y FROM rpc
+    """,
+    f"The JL sketch ARTIFACT: every vector's {S.RP_DIMS} sign-sum "
+    "coordinates (9-dp-quantized for the cross-engine compare). One "
+    "Arrow matmul pass, map-only, no shuffle — the narrow table LSH "
+    "bucketing or k-means training reads instead of full vectors.",
+)
+def q_emb_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    proj = S.rp_project(emb, in_dims=EMB_DIMS)
+    return proj.select(
+        "vec_id", F.posexplode("rp").alias("j", "y0")
+    ).select("vec_id", "j", r9(F.col("y0")).alias("y"))

@@ -1532,3 +1532,62 @@ def test_ann_sq_plan_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_rp_projection_deterministic_and_sign_exact(spark):
+    """The JL sketch is a pure function: replay-identical, and each
+    coordinate equals the manual ±1 sign sum."""
+    import hashlib
+
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import (
+        RP_SALT,
+        _rp_sign_matrix,
+        rp_project,
+    )
+
+    S = _rp_sign_matrix(4, 3)
+    for d in range(4):
+        for j in range(3):
+            h = int(hashlib.md5(f"{RP_SALT}:{d}:{j}".encode()).hexdigest()[:8], 16)
+            assert S[d, j] == (1.0 if h % 2 == 0 else -1.0)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, -1.0, 0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.rp for r in rp_project(emb, 4, 3).collect()}
+    for vid, vec in [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, -1.0, 0.0, 2.0])]:
+        want = np.asarray(vec, dtype=np.float64) @ S
+        assert np.allclose(out[vid], want)
+    again = {r.vec_id: r.rp for r in rp_project(emb.repartition(3), 4, 3).collect()}
+    assert out == again
+
+
+def test_ann_rp_recall_reasonable(spark):
+    """32-dim JL sketch + wide shortlist over the 64-dim fixture: the
+    fixture is near-isotropic (the JL worst case — tiny neighbor
+    gaps), so the documented compensation is the wide shortlist;
+    recall@5 must still clear 0.6, and widening the shortlist must
+    not hurt it (monotonicity sanity)."""
+    from realtime0523_spark.llm.similarity import ann_topk_rp, cosine_topk
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    rp = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_rp(emb, queries, in_dims=64, k=5).collect()
+    }
+    assert len(rp) == len(exact) == 25
+    assert len(rp & exact) >= int(0.6 * len(exact))
+    narrow = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_rp(
+            emb, queries, in_dims=64, retrieve=20, k=5
+        ).collect()
+    }
+    assert len(rp & exact) >= len(narrow & exact)

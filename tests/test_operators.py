@@ -441,3 +441,48 @@ def test_copurchase_edges_symmetric_distinct(spark):
     )
     got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_global_positions_matches_global_window(spark):
+    """Exact equivalence with row_number() OVER (ORDER BY ...) — on a
+    multi-partition frame with a forced partition count, positions are
+    a gapless 1..N permutation in key order."""
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.operators.layout import global_positions
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(13)
+    got = {
+        r.id: r.global_pos
+        for r in global_positions(df, ["k", "id"], num_partitions=5).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_corpus_drift_zero_on_identical_and_positive_on_shifted(spark):
+    from realtime0523_spark.llm.pipeline import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"), (2, "epsilon zeta eta", "s1"),
+         (3, "one two three four five", "s2")],
+        "doc_id long, text string, source string",
+    )
+    same = {r.domain: r for r in corpus_drift(a, a).collect()}
+    assert all(r.kl_ab == 0.0 and r.kl_ba == 0.0 for r in same.values())
+
+    b = spark.createDataFrame(
+        [(10, "totally different words now here", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.domain: r for r in corpus_drift(a, b).collect()}
+    assert out["s1"].kl_ab > 0 and out["s1"].kl_ba > 0
+    # s2 absent from B: degrades to uniform smoothing, still finite
+    assert out["s2"].n_terms_b == 0 and out["s2"].kl_ab > 0

@@ -207,6 +207,16 @@ AUDITED: dict[str, str] = {
         "recon scan is map-only with batch-local pruning; re-rank "
         "fetches the shortlist via broadcast — corpus never shuffles"
     ),
+    "docs_domain_drift": (
+        "one token explode + partial-agg'd (domain, bucket) groupBy "
+        "per snapshot; the KL runs on |domains| x buckets meta-sized "
+        "rows built by a sequence explode — no cartesian"
+    ),
+    "emb_ann_rp": (
+        "the sketch is one Arrow matmul map; shortlisting reuses the "
+        "exact batch-local-prune scan over the 4x-narrower sketch; "
+        "re-rank fetches via broadcast — corpus never shuffles"
+    ),
     "parts_copurchase_rank": (
         "each power-iteration round is one ranks-onto-edges "
         "equi-join + one partial-agg'd destination groupBy, "

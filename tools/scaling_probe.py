@@ -74,7 +74,7 @@ PROBES = [
     "docs_chunk_embed",    # explode + partial-agg + per-chunk window (r5)
     "docs_sparse_search",  # broadcast posting join, bounded fan-out (r5)
     "docs_bpe_merges",     # vocab-sized rounds: cost ~flat vs corpus growth (r5)
-    "docs_training_order", # per-domain rank window + position rank (r5)
+    "docs_training_order", # r5; since r7: range-exchange global positions
     "emb_pq_codes",        # map-only Arrow encode of the coded index (r5)
     "emb_ann_pq_trained",  # Lloyd-trained codebooks: bounded-sample train + ADC scan (r6)
     "docs_span_stats",     # gram-hash shuffle + per-row run-length fold (r6)
@@ -90,6 +90,8 @@ PROBES = [
     "docs_incremental_dedup",  # batch-vs-index bucket probe join (r7)
     "emb_ann_sq",          # codegen'd SQ8 encode + map-only recon scan (r7)
     "parts_copurchase_rank",  # per-round join+agg power iteration (r7)
+    "docs_domain_drift",   # two bucket-count shuffles + meta-sized KL (r7)
+    "emb_ann_rp",          # training-free JL sketch scan + rerank (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
