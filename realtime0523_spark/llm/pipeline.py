@@ -796,26 +796,50 @@ def corpus_drift(
 
     Returns (domain, n_terms_a, n_terms_b, kl_ab, kl_ba).
     """
-    from realtime0523_spark.llm.dsir import (
-        DSIR_BUCKETS,
-        _ngram_terms,
-        _r9,
+    B = n_buckets or _drift_buckets()
+    ca = domain_bucket_counts(docs_a, domain_col, text_col, B)
+    cb = domain_bucket_counts(docs_b, domain_col, text_col, B)
+    return drift_from_counts(ca, cb, B)
+
+
+def _drift_buckets() -> int:
+    from realtime0523_spark.llm.dsir import DSIR_BUCKETS
+
+    return DSIR_BUCKETS
+
+
+def domain_bucket_counts(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(domain, bucket, cnt): the hashed unigram+bigram profile of a
+    corpus snapshot — one token-sized explode + partial-agg'd groupBy.
+    ADDITIVE across batches/shards (counts sum), which is what lets
+    the streaming drift monitor accumulate it incrementally."""
+    from realtime0523_spark.llm.dsir import _ngram_terms
+
+    B = n_buckets or _drift_buckets()
+    return (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(_ngram_terms(F.col(text_col))).alias("term"),
+        )
+        .select("domain", (md5_int32(F.col("term")) % B).alias("bucket"))
+        .groupBy("domain", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    B = n_buckets or DSIR_BUCKETS
 
-    def counts(docs: DataFrame) -> DataFrame:
-        return (
-            docs.select(
-                F.col(domain_col).alias("domain"),
-                F.explode(_ngram_terms(F.col(text_col))).alias("term"),
-            )
-            .select("domain", (md5_int32(F.col("term")) % B).alias("bucket"))
-            .groupBy("domain", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+def drift_from_counts(
+    ca: DataFrame, cb: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """The KL core of `corpus_drift`, over two prebuilt
+    (domain, bucket, cnt) profiles — see corpus_drift for semantics."""
+    from realtime0523_spark.llm.dsir import _r9
 
-    ca, cb = counts(docs_a), counts(docs_b)
+    B = n_buckets or _drift_buckets()
     ta = ca.groupBy("domain").agg(F.sum("cnt").alias("t_a"))
     tb = cb.groupBy("domain").agg(F.sum("cnt").alias("t_b"))
     grid = (
@@ -858,4 +882,33 @@ def corpus_drift(
             _r9(F.sum("__kab")).alias("kl_ab"),
             _r9(F.sum("__kba")).alias("kl_ba"),
         )
+    )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str = "fp",
+) -> DataFrame:
+    """Per-id delta between two corpus snapshots: added / removed /
+    changed / unchanged, decided by a content fingerprint — the
+    audit-and-incremental-processing primitive of a periodically
+    re-crawled corpus (process only `added`+`changed`, tombstone
+    `removed`, skip `unchanged` — typically the overwhelming bulk).
+
+    One full-outer equi-join on the id; with both snapshots bucketed
+    by id at rest the join is co-located and shuffle-free. Returns
+    (id, status, fp_a, fp_b)."""
+    a = snap_a.select(F.col(id_col), F.col(fingerprint_col).alias("fp_a"))
+    b = snap_b.select(F.col(id_col), F.col(fingerprint_col).alias("fp_b"))
+    return a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "fp_a",
+        "fp_b",
     )

@@ -313,6 +313,7 @@ def ann_topk_lsh(
     query_id_col: str = "qid",
     query_vec_col: str = "qv",
     score_transform=None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Multi-table sign-LSH approximate top-k.
 
@@ -323,10 +324,25 @@ def ann_topk_lsh(
     buckets. All candidate generation is one equi-join on
     (table, bucket) — never a cross join.
 
+    `probe_hamming=1` turns on MULTI-PROBE (Lv et al., VLDB 2007):
+    each query additionally probes every bucket at Hamming distance 1
+    from its own — the vectors a near-boundary hyperplane sign flip
+    would have bucketed elsewhere. Recall rises like adding ~`bits`
+    extra tables but the INDEX does not grow at all: only the
+    (tiny, broadcast) query-side entries multiply by bits+1. The
+    deterministic all-single-flips probe set keeps the index
+    SQL-replayable (the paper's margin-ordered probing is a
+    cost-ordering of the same set).
+
     `score_transform` (e.g. round-to-9dp) is applied BEFORE the final
     rank so an SQL twin that rounds-then-ranks orders identically; the
     full candidate set is ranked (no batch-local prune), so no margin
     logic is needed here."""
+    if probe_hamming not in (0, 1):
+        raise ValueError(
+            f"probe_hamming supports 0 (exact bucket) or 1 (all "
+            f"single-bit flips), got {probe_hamming}"
+        )
     c = _lsh_table_entries(corpus, vec_col, dims, bits, tables)
     q = _lsh_table_entries(queries, query_vec_col, dims, bits, tables).select(
         F.col(query_id_col),
@@ -334,6 +350,20 @@ def ann_topk_lsh(
         F.col("__t").alias("__qt"),
         F.col("__bucket").alias("__qbucket"),
     )
+    if probe_hamming == 1:
+        probes = F.array(
+            F.col("__qbucket"),
+            *[
+                F.col("__qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(bits)
+            ],
+        )
+        q = q.select(
+            query_id_col,
+            query_vec_col,
+            "__qt",
+            F.explode(probes).alias("__qbucket"),
+        )
     cand = (
         c.join(
             F.broadcast(q),

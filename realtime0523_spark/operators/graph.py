@@ -67,7 +67,7 @@ def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = PAGERANK_ITERS,
     damping_pct: int = PAGERANK_DAMPING_PCT,
-    scale: int = PAGERANK_SCALE,
+    scale: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge table in
     exact integer fixed point (see module docstring). Returns
@@ -114,7 +114,21 @@ def pagerank_fixed_point(
                 "silent mass leak refused."
             )
         n_nodes = nodes.count()
-        if n_nodes * scale >= 2**63 // 100:
+        if scale is None:
+            # auto: the largest power of 10 that keeps total mass × 100
+            # inside int64, capped at the default so small graphs keep
+            # the canonical (oracle-replayed) resolution; a billion-node
+            # web graph lands at micro-rank units automatically
+            safe = (2**63 // 100) // max(n_nodes, 1)
+            auto = 10 ** max(0, len(str(safe)) - 1)
+            scale = min(PAGERANK_SCALE, auto)
+            if scale < 10**6:
+                raise ValueError(
+                    f"auto fixed-point scale degraded below 1e6 "
+                    f"({n_nodes} nodes) — rank resolution too coarse; "
+                    f"partition the graph or pass `scale` explicitly."
+                )
+        elif n_nodes * scale >= 2**63 // 100:
             raise ValueError(
                 f"fixed-point overflow envelope exceeded: {n_nodes} nodes "
                 f"at scale={scale}; lower `scale` (total mass × 100 must "

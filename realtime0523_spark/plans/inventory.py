@@ -105,7 +105,11 @@ _PRIORITY: list[str] = [
     "emb_ann_sq", "emb_sq_codes", "parts_copurchase_rank",
     "stream_docs_novelty", "cheapest_supplier_per_part",
     "lone_late_supplier", "docs_domain_drift", "emb_ann_rp",
-    "emb_rp_sketch", "docs_training_order",  # training_order: global
+    "emb_rp_sketch", "warehouse_quality_report", "emb_ann_lsh_mp",
+    "stream_domain_drift", "docs_snapshot_diff", "event_funnel",
+    "user_cohort_retention", "docs_curriculum_order",
+    "lineitem_column_stats",
+    "docs_training_order",  # training_order: global
     # position now computed by operators/layout.global_positions
     # (range exchange + offsets) instead of a single-task window
     "emb_ann_recall", "emb_cosine_topk",
@@ -2176,4 +2180,117 @@ def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "warehouse_quality_report",
+    """
+    WITH li AS (
+      SELECT 'lineitem.quantity_in_range' AS rule,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.extendedprice_positive',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.discount_in_unit_interval',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 1, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders.totalprice_positive',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.orderdate_not_null',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.pk_unique', CAST(sum(c) AS BIGINT),
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem.pk_unique', CAST(sum(c) AS BIGINT),
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+      UNION ALL
+      SELECT 'lineitem.fk_orders', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'orders.fk_customer', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'lineitem.fk_part', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON p.p_partkey = l.l_partkey)
+    SELECT rule, n_rows, n_violations,
+           round(CAST(n_violations AS DOUBLE)
+                 / greatest(CAST(n_rows AS DOUBLE), 1.0), 9) AS violation_rate
+    FROM li
+    """,
+    "Declarative data-quality gate (the Deequ / dbt-tests shape): "
+    "row-level constraints evaluated in ONE aggregate pass per table "
+    "(NULL predicate = violation — the three-valued-logic footgun "
+    "closed), key-uniqueness as one groupBy, referential integrity "
+    "as left joins against DISTINCT parent keys. The admission check "
+    "a 100 TB ingest runs in front of the warehouse; cost = one scan "
+    "per table + |keys|-sized reductions.",
+)
+def q_warehouse_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.validate import (
+        fk_report,
+        rule_report,
+        uniqueness_report,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    cust, part = cat.table("customer"), cat.table("part")
+    return (
+        rule_report(
+            li,
+            {
+                "lineitem.quantity_in_range": F.col("l_quantity").between(1, 50),
+                "lineitem.extendedprice_positive": F.col("l_extendedprice") > 0,
+                "lineitem.discount_in_unit_interval": F.col("l_discount").between(0, 1),
+            },
+        )
+        .unionAll(
+            rule_report(
+                o,
+                {
+                    "orders.totalprice_positive": F.col("o_totalprice") > 0,
+                    "orders.orderdate_not_null": F.col("o_orderdate").isNotNull(),
+                },
+            )
+        )
+        .unionAll(uniqueness_report(o, ["o_orderkey"], "orders.pk_unique"))
+        .unionAll(
+            uniqueness_report(
+                li, ["l_orderkey", "l_linenumber"], "lineitem.pk_unique"
+            )
+        )
+        .unionAll(fk_report(li, "l_orderkey", o, "o_orderkey", "lineitem.fk_orders"))
+        .unionAll(fk_report(o, "o_custkey", cust, "c_custkey", "orders.fk_customer"))
+        .unionAll(fk_report(li, "l_partkey", part, "p_partkey", "lineitem.fk_part"))
     )

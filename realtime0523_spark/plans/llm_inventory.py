@@ -554,6 +554,27 @@ _LSH_ANN_CTES = f"""
     {_rerank_cte('lshcand', 'lshann')}
 """
 
+
+# multi-probe: every query also probes the bits+1 buckets at Hamming
+# distance <= 1 (xor with each single-bit mask) — mirrors
+# llm.similarity.ann_topk_lsh(probe_hamming=1)
+_MP_XOR_LIST = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(S.LSH_BITS)]
+)
+
+_LSH_MP_ANN_CTES = f"""
+    {_LSH_BUCKETS_CTE},
+    mpq AS (
+      SELECT vec_id, tbl, unnest([{_MP_XOR_LIST}]) AS bucket
+      FROM lshbuckets WHERE vec_id < {TOPK_QUERIES}),
+    mpcand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id
+      FROM lshbuckets c JOIN mpq q
+        ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+    {_rerank_cte('mpcand', 'mpann')}
+"""
+
+
 # label-seeded IVF: centroid = normalized per-dim sum per label (sum ≡
 # mean after normalization); corpus rows live in their argmax-dot cell,
 # queries probe the top-IVF_NPROBE cells — mirrors
@@ -613,6 +634,32 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = _ann_queries(spark, sf_dir)
     return S.ann_topk_lsh(
         emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
+
+
+@register(
+    "emb_ann_lsh_mp",
+    f"""
+    WITH {_LSH_MP_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM mpann WHERE rk <= {TOPK_K}
+    """,
+    "MULTI-PROBE sign-LSH (Lv et al. VLDB 2007): each query also "
+    f"probes every bucket at Hamming distance 1 ({S.LSH_BITS} flips "
+    "per table) — the candidates a near-boundary sign flip would "
+    "have bucketed elsewhere. Recall rises like adding ~bits extra "
+    "tables while the INDEX stays identical; only the broadcast "
+    "query-side entries multiply. The deterministic all-flips probe "
+    "set keeps it exactly SQL-replayable.",
+)
+def q_emb_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.ann_topk_lsh(
+        emb,
+        queries,
+        dims=EMB_DIMS,
+        k=TOPK_K,
+        score_transform=r9,
+        probe_hamming=1,
     ).select("qid", "vec_id", "score", "rk")
 
 
@@ -937,6 +984,14 @@ _RP_ANN_CTES = f"""
     {_PQ_TRAINED_ANN_CTES},
     {_SQ_ANN_CTES},
     {_RP_ANN_CTES},
+    mpq AS (
+      SELECT vec_id, tbl, unnest([{_MP_XOR_LIST}]) AS bucket
+      FROM lshbuckets WHERE vec_id < {TOPK_QUERIES}),
+    mpcand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id
+      FROM lshbuckets c JOIN mpq q
+        ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+    {_rerank_cte('mpcand', 'mpann')},
     rxadc AS (
       SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
       FROM ivfcand ic
@@ -991,10 +1046,17 @@ _RP_ANN_CTES = f"""
              CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
       FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM rpann WHERE rk <= {TOPK_K}) a
         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'lsh_mp' AS method, e.qid,
+             CAST(count(a.vec_id) AS DOUBLE) / {TOPK_K} AS recall
+      FROM exactk e LEFT JOIN (SELECT qid, vec_id FROM mpann WHERE rk <= {TOPK_K}) a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
       GROUP BY e.qid)
     """,
-    "Recall@k of each ANN index (sign-LSH, IVF, label-seeded PQ-ADC, "
-    "Lloyd-trained PQ-ADC, combined IVFPQ, SQ8, and the JL "
+    "Recall@k of each ANN index (sign-LSH and its multi-probe "
+    "variant, IVF, label-seeded PQ-ADC, Lloyd-trained PQ-ADC, "
+    "combined IVFPQ, SQ8, and the JL "
     "random-projection sketch) against the exact brute-force top-k — "
     "the quality metric for the approximate paths, itself exact and "
     "oracle-checked because every index (the trained one included) is "
@@ -1041,6 +1103,14 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = S.ann_topk_rp(
         emb, queries, in_dims=EMB_DIMS, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id")
+    lsh_mp = S.ann_topk_lsh(
+        emb,
+        queries,
+        dims=EMB_DIMS,
+        k=TOPK_K,
+        score_transform=r9,
+        probe_hamming=1,
+    ).select("qid", "vec_id")
 
     def _recall(ann: DataFrame, method: str) -> DataFrame:
         hits = exact.join(ann, ["qid", "vec_id"]).groupBy("qid").count()
@@ -1065,6 +1135,7 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall(ivfpq, "ivfpq"))
         .unionAll(_recall(sq, "sq"))
         .unionAll(_recall(rp, "rp"))
+        .unionAll(_recall(lsh_mp, "lsh_mp"))
     )
 
 
@@ -3399,3 +3470,369 @@ def q_emb_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("rp").alias("j", "y0")
     ).select("vec_id", "j", r9(F.col("y0")).alias("y"))
+
+
+@register(
+    "stream_domain_drift",
+    REGISTRY["docs_domain_drift"].oracle,
+    "Streaming twin of docs_domain_drift — the ONLINE drift monitor: "
+    "each micro-batch of the incoming snapshot folds its hashed-ngram "
+    "(domain, bucket) profile into an idempotent sink (profiles are "
+    "ADDITIVE, so accumulation is a sum — no global state store "
+    "needed), and the drained totals feed the same KL core against "
+    "the reference snapshot's cached profile. Per-batch work is "
+    "batch-sized; the reference profile is computed once.",
+)
+def q_stream_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import (
+        detach_and_cleanup,
+        idempotent_batch_writer,
+    )
+    from realtime0523_spark.streaming.sources import stream_table
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    ref_counts = P.domain_bucket_counts(
+        docs.filter(F.col("doc_id") < DRIFT_SPLIT)
+    ).persist()
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= DRIFT_SPLIT
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_drift_")
+    sink = idempotent_batch_writer(out_dir)
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sink(P.domain_bucket_counts(batch_df), batch_id)
+
+    try:
+        run_foreach_batch(stream, fold, output_mode="append")
+        incoming = (
+            spark.read.parquet(out_dir)
+            .groupBy("domain", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        out = detach_and_cleanup(
+            P.drift_from_counts(ref_counts, incoming), out_dir
+        )
+    finally:
+        ref_counts.unpersist()
+    return out
+
+
+@register(
+    "docs_snapshot_diff",
+    """
+    WITH snapa AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    snapb AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             md5('new doc ' || CAST(doc_id AS VARCHAR)) AS fp
+      FROM documents WHERE doc_id % 13 = 0)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.fp IS NULL THEN 'added'
+                WHEN b.fp IS NULL THEN 'removed'
+                WHEN a.fp = b.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           a.fp AS fp_a, b.fp AS fp_b
+    FROM snapa a FULL OUTER JOIN snapb b ON b.doc_id = a.doc_id
+    """,
+    "Snapshot delta audit: per-doc added/removed/changed/unchanged "
+    "between two corpus snapshots by content fingerprint — the "
+    "incremental-processing primitive of a re-crawled corpus "
+    "(process added+changed, tombstone removed, skip the unchanged "
+    "bulk). One full-outer equi-join; bucketed-by-id snapshots make "
+    "it co-located and shuffle-free at rest. The second snapshot is "
+    "synthesized in-query (mod-7 edits, mod-11 deletions, mod-13 "
+    "additions) so the delta is deterministic and oracle-exact.",
+)
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    snap_a = docs.select("doc_id", F.md5("text").alias("fp"))
+    edited = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.md5(
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+        ).alias("fp"),
+    )
+    return P.snapshot_diff(snap_a, edited.unionAll(added))
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "event_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+    "Ordered funnel analysis (view → click → purchase, strictly "
+    "increasing event time): stage k's users are those whose "
+    "earliest stage-k event follows their earliest qualifying "
+    "stage-(k-1) event — the product-analytics staple. Decorrelated "
+    "into one user-keyed min-aggregate per stage chained by join "
+    "(every shuffle on the same user key — co-partitioned "
+    "end-to-end); no per-user sort, no window over the full stream.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", s1)
+        .unionAll(stage(2, "click", s2))
+        .unionAll(stage(3, "purchase", s3))
+    )
+
+
+@register(
+    "user_cohort_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size
+              FROM firstw GROUP BY cohort_week)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(max(s.cohort_size) AS BIGINT) AS cohort_size,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(max(s.cohort_size) AS DOUBLE), 9) AS retention
+    FROM activity a
+    JOIN firstw f ON f.user_id = a.user_id
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INT)
+    """,
+    "Weekly cohort retention (the classic warehouse triangle): users "
+    "cohorted by the ISO week of their first event; each cell is the "
+    "share of the cohort active `week_offset` weeks later. Two "
+    "user-keyed partial-agg'd groupBys (first-seen, distinct "
+    "activity weeks) + one |cohorts|-sized size join — no windows, "
+    "no self-join over raw events.",
+)
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    sizes = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(firstw, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("w"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.max("cohort_size").cast("double"),
+                9,
+            ).alias("retention"),
+        )
+    )
+
+
+_CURRICULUM_MD5 = _MD5_INT32_SQL.format(col="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "docs_curriculum_order",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             greatest(0.0, least(1.0,
+               0.05 * (CAST(list_aggregate(list_transform(t, x -> length(x)),
+                                           'sum') AS DOUBLE) / len(t))
+               + CAST(len(regexp_extract_all(text, '{X.LANG_PATTERNS['en']}'))
+                      AS DOUBLE) / len(t)
+               - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                      AS DOUBLE) / length(text))) AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    p1 AS (
+      SELECT doc_id, quality_score,
+             row_number() OVER (ORDER BY quality_score DESC, doc_id) AS pos,
+             count(*) OVER () AS n
+      FROM q),
+    d AS (SELECT doc_id, quality_score,
+                 CAST((pos - 1) * 10 // n AS INT) AS decile
+          FROM p1)
+    SELECT doc_id, quality_score, decile,
+           CAST(row_number() OVER (ORDER BY decile, {_CURRICULUM_MD5},
+                                   doc_id) AS BIGINT) AS curriculum_pos
+    FROM d
+    """,
+    "Curriculum training order (easy-to-hard scheduling, Bengio et "
+    "al. ICML 2009): docs ranked by quality score into exact "
+    "DECILES, then the stream walks deciles best-first with a "
+    "deterministic md5 pseudo-shuffle inside each — so training "
+    "starts on the cleanest tenth and ends on the noisiest. BOTH "
+    "global ranks come from operators/layout.global_positions "
+    "(sampled range exchange + offset arithmetic — composed twice, "
+    "zero single-task sorts); the oracle replays them as "
+    "row_number() windows.",
+)
+def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.dedup import md5_int32
+    from realtime0523_spark.operators.layout import global_positions
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id", X.quality_features("text")["quality_score"].alias("quality_score")
+    )
+    n = scored.count()  # one scalar to the driver (the decile divisor)
+    ranked = global_positions(
+        scored,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        pos_col="__pos",
+    ).select(
+        "doc_id",
+        "quality_score",
+        F.expr(f"cast(((__pos - 1) * 10) div {n} as int)").alias("decile"),
+    )
+    return global_positions(
+        ranked,
+        [
+            F.col("decile"),
+            md5_int32(F.col("doc_id").cast("string")),
+            F.col("doc_id"),
+        ],
+        pos_col="curriculum_pos",
+    ).select("doc_id", "quality_score", "decile", "curriculum_pos")
+
+
+@register(
+    "lineitem_column_stats",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
+             count(DISTINCT l_quantity) AS nd_q,
+             min(CAST(l_quantity AS DOUBLE)) AS mn_q,
+             max(CAST(l_quantity AS DOUBLE)) AS mx_q,
+             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_e,
+             count(DISTINCT l_extendedprice) AS nd_e,
+             min(CAST(l_extendedprice AS DOUBLE)) AS mn_e,
+             max(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
+             sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_d,
+             count(DISTINCT l_discount) AS nd_d,
+             min(CAST(l_discount AS DOUBLE)) AS mn_d,
+             max(CAST(l_discount AS DOUBLE)) AS mx_d,
+             sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nn_p,
+             count(DISTINCT l_partkey) AS nd_p,
+             min(CAST(l_partkey AS DOUBLE)) AS mn_p,
+             max(CAST(l_partkey AS DOUBLE)) AS mx_p
+      FROM lineitem)
+    SELECT 'l_quantity' AS column_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(nn_q AS BIGINT) AS n_nulls, CAST(nd_q AS BIGINT) AS n_distinct,
+           mn_q AS min_value, mx_q AS max_value FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(n AS BIGINT), CAST(nn_e AS BIGINT),
+           CAST(nd_e AS BIGINT), mn_e, mx_e FROM s
+    UNION ALL
+    SELECT 'l_discount', CAST(n AS BIGINT), CAST(nn_d AS BIGINT),
+           CAST(nd_d AS BIGINT), mn_d, mx_d FROM s
+    UNION ALL
+    SELECT 'l_partkey', CAST(n AS BIGINT), CAST(nn_p AS BIGINT),
+           CAST(nd_p AS BIGINT), mn_p, mx_p FROM s
+    """,
+    "Table-statistics profiler (the ANALYZE TABLE / Deequ-profile "
+    "artifact a cost-based optimizer and a data catalog both feed "
+    "on): per column, null count, EXACT distinct count, and min/max "
+    "— one aggregate pass over the fact table (multiple exact "
+    "count-distincts plan as one Expand + partial agg; swap in "
+    "approx_count_distinct for the sketch path at 100 TB, same "
+    "shape minus the expand).",
+)
+def q_lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+
+    def one(col: str) -> list:
+        return [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(F.col(col).cast("double")).alias("min_value"),
+            F.max(F.col(col).cast("double")).alias("max_value"),
+        ]
+
+    out = None
+    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]:
+        part = li.agg(*one(col)).select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -1591,3 +1591,44 @@ def test_ann_rp_recall_reasonable(spark):
         ).collect()
     }
     assert len(rp & exact) >= len(narrow & exact)
+
+
+def test_multiprobe_lsh_recall_at_least_single_probe(spark):
+    """Hamming-1 probing may only ADD candidates, so recall@5 is
+    monotone vs the plain index; the index side is untouched (same
+    corpus entries). Invalid probe radius raises."""
+    import pytest
+
+    from realtime0523_spark.llm.similarity import ann_topk_lsh, cosine_topk
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    plain = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_lsh(emb, queries, dims=64, k=5).collect()
+    }
+    mp = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_lsh(
+            emb, queries, dims=64, k=5, probe_hamming=1
+        ).collect()
+    }
+    assert len(mp & exact) >= len(plain & exact)
+    with pytest.raises(ValueError, match="probe_hamming"):
+        ann_topk_lsh(emb, queries, dims=64, probe_hamming=2)
+
+
+def test_snapshot_diff_statuses(spark):
+    from realtime0523_spark.llm.pipeline import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "doc_id long, fp string"
+    )
+    b = spark.createDataFrame(
+        [(1, "h1"), (2, "h2x"), (4, "h4")], "doc_id long, fp string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(a, b).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -486,3 +486,34 @@ def test_corpus_drift_zero_on_identical_and_positive_on_shifted(spark):
     assert out["s1"].kl_ab > 0 and out["s1"].kl_ba > 0
     # s2 absent from B: degrades to uniform smoothing, still finite
     assert out["s2"].n_terms_b == 0 and out["s2"].kl_ab > 0
+
+
+def test_rule_report_semantics_on_dirty_data(spark):
+    """NULL predicate counts as a violation; uniqueness counts every
+    copy of a duplicated key; FK counts orphan child rows."""
+    import pytest
+
+    from realtime0523_spark.operators.validate import (
+        fk_report,
+        rule_report,
+        uniqueness_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (3, 5.0)],
+        "k long, v double",
+    )
+    r = {x.rule: x for x in rule_report(df, {"v_positive": F.col("v") > 0}).collect()}
+    # -3 violates; NULL is a violation too (three-valued logic closed)
+    assert r["v_positive"].n_rows == 4 and r["v_positive"].n_violations == 2
+    assert r["v_positive"].violation_rate == 0.5
+
+    u = uniqueness_report(df, ["k"], "k_unique").collect()[0]
+    assert u.n_rows == 4 and u.n_violations == 2  # both k=3 copies count
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    f = fk_report(df, "k", parent, "pk", "fk").collect()[0]
+    assert f.n_rows == 4 and f.n_violations == 2  # the two k=3 orphans
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        rule_report(df, {})

@@ -207,6 +207,16 @@ AUDITED: dict[str, str] = {
         "recon scan is map-only with batch-local pruning; re-rank "
         "fetches the shortlist via broadcast — corpus never shuffles"
     ),
+    "warehouse_quality_report": (
+        "each table contributes ONE aggregate scan for its row rules; "
+        "uniqueness is one partial-agg'd groupBy; FK checks join "
+        "against distinct parent keys (broadcast-sized reductions)"
+    ),
+    "emb_ann_lsh_mp": (
+        "identical corpus index to emb_ann_lsh; only the broadcast "
+        "query entries multiply by bits+1 — candidate generation "
+        "stays one (table, bucket) equi-join"
+    ),
     "docs_domain_drift": (
         "one token explode + partial-agg'd (domain, bucket) groupBy "
         "per snapshot; the KL runs on |domains| x buckets meta-sized "
