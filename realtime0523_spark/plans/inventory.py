@@ -117,7 +117,7 @@ _PRIORITY: list[str] = [
     "docs_bm25_search", "stream_bloom_contamination",
     "stream_ann_lookup", "stream_brand_amount", "stream_dwd_order",
     "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
-    "emb_semantic_dedup",
+    "emb_semantic_dedup", "docs_minhash_lsh", "docs_corpus_prep",
     # Round 7 group 3 — stalest-green ascending (r4 rows first; their
     # last driver rows are two rounds old):
     "emb_dedup_pairs", "emb_label_centroids", "event_cube",

@@ -207,6 +207,20 @@ AUDITED: dict[str, str] = {
         "recon scan is map-only with batch-local pruning; re-rank "
         "fetches the shortlist via broadcast — corpus never shuffles"
     ),
+    "event_funnel": (
+        "three chained user-keyed min-aggregates, every shuffle on "
+        "the same user key (co-partitioned end-to-end); no window "
+        "over the raw stream, no per-user sort"
+    ),
+    "user_cohort_retention": (
+        "two user-keyed partial-agg'd groupBys + one |cohorts|-row "
+        "size join; the retention matrix is meta-sized"
+    ),
+    "docs_curriculum_order": (
+        "two composed global_positions passes: sampled range "
+        "exchange + partition-local sort + offset join each — the "
+        "plan contains no SinglePartition exchange anywhere"
+    ),
     "warehouse_quality_report": (
         "each table contributes ONE aggregate scan for its row rules; "
         "uniqueness is one partial-agg'd groupBy; FK checks join "
