@@ -288,3 +288,75 @@ def test_interval_join_matches_bruteforce(spark, ev_secs, ivs, bin_seconds):
         if s <= es < s + ln
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 7),
+)
+@settings(**PROP_SETTINGS)
+def test_global_positions_is_exact_rank_permutation(spark, rows, nparts):
+    """For ANY unique-keyed frame and partition count, global_positions
+    equals the single-task row_number() window: a gapless 1..N
+    permutation in total-key order."""
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.operators.layout import global_positions
+
+    df = spark.createDataFrame(rows, "id long, k long")
+    got = {
+        r.id: r.global_pos
+        for r in global_positions(
+            df, ["k", "id"], num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_pagerank_fixed_point_tracks_float_reference(spark, pairs):
+    """On ANY symmetric multigraph, the integer fixed-point iteration
+    tracks the float power iteration to ~1e-9 relative — quantization
+    is resolution, never bias (distinct edges, symmetrized)."""
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank_fixed_point(df).collect()}
+
+    nodes = sorted(got)
+    out = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    d = PAGERANK_DAMPING_PCT / 100.0
+    r = {u: 1.0 for u in nodes}
+    for _ in range(PAGERANK_ITERS):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / out[a]
+        r = {u: (1 - d) + d * contrib[u] for u in nodes}
+    for u in nodes:
+        assert abs(got[u] / PAGERANK_SCALE - r[u]) < 1e-9, (u, got[u], r[u])
