@@ -68,10 +68,19 @@ def pagerank_fixed_point(
     n_iter: int = PAGERANK_ITERS,
     damping_pct: int = PAGERANK_DAMPING_PCT,
     scale: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge table in
     exact integer fixed point (see module docstring). Returns
     (node, rank_fp) for every node that appears in the edge table.
+
+    With `seeds` (a 1-column `node` frame), this is PERSONALIZED
+    PageRank (Haveliwala, WWW 2002): the teleport term lands only on
+    the seed set — rank becomes proximity TO THE SEEDS through the
+    graph, the related-items / recommendation primitive (Pixie-style
+    item-item recs run exactly this on the co-occurrence graph).
+    Seeds init at `scale` and receive the (1−d) teleport mass each
+    round; every other node starts at 0 and accrues only flowed mass.
 
     Every node needs an out-edge (true for symmetric co-occurrence
     graphs); a directed graph with dangling nodes must add self-loops
@@ -83,7 +92,8 @@ def pagerank_fixed_point(
     one partial-agg'd sum groupBy on dst, one left join back to the
     node set. Rounds localCheckpoint alternately with eager release
     of the superseded snapshot (the clusters.py discipline), so plan
-    depth and executor memory stay O(1) in n_iter."""
+    depth and executor memory stay O(1) in n_iter. The seed flag
+    rides the node set, so personalization adds zero extra joins."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     ckpt, release = _ckpt_tools(edges)
@@ -139,7 +149,25 @@ def pagerank_fixed_point(
         raise
     base = ((100 - damping_pct) * scale) // 100
 
-    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    if seeds is None:
+        nodes = nodes.withColumn("__seed", F.lit(True))
+    else:
+        nodes = nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+            .withColumn("__seed", F.lit(True)),
+            "node",
+            "left",
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+        nodes, s_ids = ckpt(nodes)
+        graph_ids |= s_ids
+    base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("__seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_fp"),
+    )
     held: set = set()
     for _ in range(n_iter):
         contrib = (
@@ -154,7 +182,7 @@ def pagerank_fixed_point(
         nxt = nodes.join(sums, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
             ).cast("long").alias("rank_fp"),
         )

@@ -108,7 +108,8 @@ _PRIORITY: list[str] = [
     "emb_rp_sketch", "warehouse_quality_report", "emb_ann_lsh_mp",
     "stream_domain_drift", "docs_snapshot_diff", "event_funnel",
     "user_cohort_retention", "docs_curriculum_order",
-    "lineitem_column_stats",
+    "lineitem_column_stats", "parts_related_rank",
+    "events_trending_decayed",
     "docs_training_order",  # training_order: global
     # position now computed by operators/layout.global_positions
     # (range exchange + offsets) instead of a single-task window
@@ -2293,4 +2294,156 @@ def q_warehouse_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fk_report(li, "l_orderkey", o, "o_orderkey", "lineitem.fk_orders"))
         .unionAll(fk_report(o, "o_custkey", cust, "c_custkey", "orders.fk_customer"))
         .unionAll(fk_report(li, "l_partkey", part, "p_partkey", "lineitem.fk_part"))
+    )
+
+
+PPR_SEEDS = 3
+PPR_TOPN = 20
+
+
+def _ppr_sql() -> str:
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT as DP,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE as SC,
+    )
+
+    base = ((100 - DP) * SC) // 100
+    parts = [
+        """pedges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""",
+        "pdeg AS (SELECT src, count(*) AS deg FROM pedges GROUP BY src)",
+        "pnodes AS (SELECT DISTINCT src AS node FROM pedges)",
+        f"""pseeds AS (
+      SELECT node FROM (
+        SELECT l_partkey AS node,
+               row_number() OVER (ORDER BY sum(l_quantity) DESC,
+                                  l_partkey) AS rk
+        FROM lineitem GROUP BY l_partkey) WHERE rk <= {PPR_SEEDS})""",
+        f"""r0 AS (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {SC} ELSE 0 END
+                  AS BIGINT) AS r,
+             s.node IS NOT NULL AS seed
+      FROM pnodes n LEFT JOIN pseeds s ON s.node = n.node)""",
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.seed THEN {base} ELSE 0 END
+                  + ({DP} * coalesce(s.m, 0)) // 100 AS BIGINT) AS r,
+             n.seed
+      FROM r{i} n LEFT JOIN (
+        SELECT e.dst AS node, sum(rr.r // d.deg) AS m
+        FROM pedges e
+        JOIN r{i} rr ON rr.node = e.src
+        JOIN pdeg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT node AS part_id, r AS rank_fp,
+           row_number() OVER (ORDER BY r DESC, node) AS rk
+    FROM r{PAGERANK_ITERS}
+    ORDER BY rk LIMIT {PPR_TOPN}
+    """
+
+
+@register(
+    "parts_related_rank",
+    _ppr_sql(),
+    f"PERSONALIZED PageRank (Haveliwala WWW 2002; the Pixie-style "
+    "related-items recommender): the teleport term lands only on a "
+    f"seed set (the {PPR_SEEDS} highest-volume parts), so rank "
+    "becomes graph proximity TO THE SEEDS through co-purchases — "
+    "'customers who bought these also bought…' at catalog scale. "
+    "Identical per-round join+aggregate shape and integer fixed-point "
+    "contract as parts_copurchase_rank; the seed flag rides the node "
+    "set, adding zero extra joins per round.",
+)
+def q_parts_related_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed_point,
+    )
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy(F.desc("q"), F.col("l_partkey"))
+        .limit(PPR_SEEDS)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    ranks = pagerank_fixed_point(copurchase_edges(li), seeds=seeds)
+    top = ranks.orderBy(F.desc("rank_fp"), F.col("node")).limit(PPR_TOPN)
+    return top.select(
+        F.col("node").alias("part_id"),
+        "rank_fp",
+        F.row_number()
+        .over(W.orderBy(F.desc("rank_fp"), F.col("node")))
+        .alias("rk"),
+    )
+
+
+DECAY_HALF_LIFE_S = 7 * 24 * 3600  # 7-day half-life
+
+
+@register(
+    "events_trending_decayed",
+    f"""
+    WITH ref AS (SELECT max(ts) AS t_ref FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(pow(0.5,
+             CAST(epoch_us(r.t_ref) - epoch_us(ts) AS DOUBLE)
+               / ({DECAY_HALF_LIFE_S} * 1000000.0))), 9) AS decayed_count,
+           CAST(row_number() OVER (
+             ORDER BY round(sum(pow(0.5,
+               CAST(epoch_us(r.t_ref) - epoch_us(ts) AS DOUBLE)
+                 / ({DECAY_HALF_LIFE_S} * 1000000.0))), 9) DESC,
+               event_type) AS INT) AS rk
+    FROM events CROSS JOIN ref r
+    GROUP BY event_type
+    """,
+    "Exponentially time-decayed trending counts (7-day half-life) — "
+    "the recency-weighted upgrade of the reference's hot-goods "
+    "ranking: each event contributes 2^(−age/half-life), so last "
+    "week's burst outranks last month's tail without any windowing "
+    "cutoff. The anchor is the corpus max timestamp (one scalar to "
+    "the driver — deterministic, replayable); the aggregate is one "
+    "partial-agg'd groupBy, decay computed map-side. The sum is "
+    "ADDITIVE given a fixed anchor, so a streaming twin folds "
+    "per-batch partial sums exactly like stream_domain_drift.",
+)
+def q_events_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).table("events")
+    t_ref = ev.agg(F.max("ts")).first()[0]  # one scalar anchor
+    age_us = (
+        F.lit(t_ref).cast("timestamp").cast("double") * 1e6
+        - F.col("ts").cast("double") * 1e6
+    )
+    decayed = F.round(
+        F.sum(F.pow(F.lit(0.5), age_us / F.lit(DECAY_HALF_LIFE_S * 1e6))), 9
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        decayed.alias("decayed_count"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "decayed_count",
+        F.row_number()
+        .over(W.orderBy(F.desc("decayed_count"), F.col("event_type")))
+        .cast("int")
+        .alias("rk"),
     )

@@ -517,3 +517,39 @@ def test_rule_report_semantics_on_dirty_data(spark):
 
     with pytest.raises(ValueError, match="at least one rule"):
         rule_report(df, {})
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """Path graph 1-2-3-4-5 with seed {1}: the fixed-point PPR must
+    match the float personalized power iteration to 1e-9 relative
+    (finite-round wave effects and the degree-1-seed quirk included),
+    and mass must concentrate on the seed's side of the path."""
+    from realtime0523_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(edges, seeds=seeds).collect()}
+
+    nodes = sorted(r)
+    out = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    d = PAGERANK_DAMPING_PCT / 100.0
+    ref = {u: (1.0 if u == 1 else 0.0) for u in nodes}
+    for _ in range(PAGERANK_ITERS):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in sym:
+            contrib[b] += ref[a] / out[a]
+        ref = {u: ((1 - d) if u == 1 else 0.0) + d * contrib[u] for u in nodes}
+    for u in nodes:
+        assert abs(r[u] / PAGERANK_SCALE - ref[u]) < 1e-9, (u, r[u], ref[u])
+    assert r[1] + r[2] + r[3] > r[4] + r[5]
+    assert r[5] > 0  # far mass is nonzero, via flow only
+    # uniform (seeds=None) must NOT equal the personalized ranking
+    u = {x.node: x.rank_fp for x in pagerank_fixed_point(edges).collect()}
+    assert sorted(u, key=u.get) != sorted(r, key=r.get)

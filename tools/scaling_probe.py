@@ -99,6 +99,8 @@ PROBES = [
     "docs_snapshot_diff",  # one full-outer equi-join on the id (r7)
     "docs_curriculum_order",  # two composed range-exchange global ranks (r7)
     "lineitem_column_stats",  # one agg pass w/ Expand for exact NDVs (r7)
+    "parts_related_rank",  # seeded teleport, same per-round join+agg (r7)
+    "events_trending_decayed",  # map-side decay + one partial-agg groupBy (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
