@@ -191,3 +191,66 @@ def pagerank_fixed_point(
         held = ids
     release(graph_ids)
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    both-directions (src, dst) edge table — the clustering-structure
+    signal (tight co-purchase communities, link-farm detection on web
+    graphs), computed with the degree-ORIENTED wedge join of Suri &
+    Vassilvitskii ("Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011): direct every edge from the (degree, id)-
+    smaller endpoint, enumerate wedges only from each node's ORIENTED
+    out-edges, and close them against the oriented edge set. Each
+    triangle materializes exactly once, and the per-node wedge fan-out
+    is bounded by the oriented out-degree ≤ O(√m) even on power-law
+    graphs — the whole point of the orientation (a naive wedge join
+    explodes on hub nodes).
+
+    Three shuffles total: degrees (one groupBy), the wedge self-join
+    on the apex, the closure equi-join on (b, c). Returns
+    (node, degree, n_triangles) for every node, including zeros."""
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    # orient: keep (u, v) iff (deg_u, u) < (deg_v, v)
+    e = (
+        und.join(deg.withColumnRenamed("src", "u_"), und.src == F.col("u_"))
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.select(F.col("src").alias("v_"), F.col("deg").alias("deg_v")),
+            und.dst == F.col("v_"),
+        )
+        .filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("src") < F.col("dst")))
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("deg_u").alias("da"),
+            F.col("deg_v").alias("db"),
+        )
+    )
+    w1 = e.select(F.col("a"), F.col("b"), F.col("db").alias("ord_b"))
+    w2 = e.select(
+        F.col("a"), F.col("b").alias("c"), F.col("db").alias("ord_c")
+    )
+    wedges = w1.join(w2, "a").filter(
+        (F.col("ord_b") < F.col("ord_c"))
+        | ((F.col("ord_b") == F.col("ord_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -563,3 +563,32 @@ def test_global_positions_empty_and_trending_empty_guard(spark):
 
     empty = spark.createDataFrame([], "id long, k long")
     assert global_positions(empty, ["k", "id"]).count() == 0
+
+
+def test_triangle_counts_k4_and_path(spark):
+    """K4: every node sits on C(3,2)=3 triangles with clustering 1;
+    a path has zero triangles; counts are exact and include zeros."""
+    from realtime0523_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    out = {r.node: r for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert all(out[n].n_triangles == 3 and out[n].degree == 3 for n in range(1, 5))
+
+    path = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    out2 = {r.node: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(path, "src long, dst long")).collect()}
+    assert out2 == {1: 0, 2: 0, 3: 0}
+
+
+def test_triangle_counts_counts_each_triangle_once(spark):
+    """A triangle plus a pendant edge: exactly one triangle, shared by
+    its three corners; the pendant node has zero."""
+    from realtime0523_spark.operators.graph import triangle_counts
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0}

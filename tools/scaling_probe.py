@@ -101,6 +101,7 @@ PROBES = [
     "lineitem_column_stats",  # one agg pass w/ Expand for exact NDVs (r7)
     "parts_related_rank",  # seeded teleport, same per-round join+agg (r7)
     "events_trending_decayed",  # map-side decay + one partial-agg groupBy (r7)
+    "parts_triangle_stats",  # degree-oriented wedge join, O(sqrt m) fan-out (r7)
 ]
 
 # Library paths without their own registry entry, probed as callables:
