@@ -241,6 +241,11 @@ AUDITED: dict[str, str] = {
         "exact batch-local-prune scan over the 4x-narrower sketch; "
         "re-rank fetches via broadcast — corpus never shuffles"
     ),
+    "parts_triangle_stats": (
+        "the degree-oriented wedge join bounds per-node fan-out by "
+        "O(sqrt m); three shuffles total (degrees, apex wedge join, "
+        "(b, c) closure); top-N plans TakeOrderedAndProject"
+    ),
     "parts_copurchase_rank": (
         "each power-iteration round is one ranks-onto-edges "
         "equi-join + one partial-agg'd destination groupBy, "
