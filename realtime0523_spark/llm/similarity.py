@@ -1320,6 +1320,10 @@ def ann_topk_rp(
     pq_ = rp_project(
         queries, in_dims, out_dims, query_id_col, query_vec_col, out_col="rp"
     )
+    # the sketch-shortlist rank is ALWAYS quantized at the fixed 9 dp
+    # the SQL twin replays — the caller's score_transform shapes final
+    # scores only (re-rank below); a non-monotone or shifting transform
+    # must never change shortlist MEMBERSHIP
     shortlist = cosine_topk(
         pc,
         pq_,
@@ -1328,7 +1332,8 @@ def ann_topk_rp(
         vec_col="rp",
         query_id_col=query_id_col,
         query_vec_col="rp",
-        score_transform=score_transform,
+        score_transform=lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5))
+        / F.lit(1e9),
     ).select(query_id_col, id_col)
 
     fetched = corpus.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)

@@ -2433,10 +2433,13 @@ def q_events_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "event_type string, n_events long, decayed_count double, rk int",
         )
+    # EXACT integer microsecond ages (unix_micros mirrors the oracle's
+    # epoch_us bigint-for-bigint — a float epoch carries ~0.2 µs
+    # representation error that a boundary-sitting 9-dp round can flip)
     age_us = (
-        F.lit(t_ref).cast("timestamp").cast("double") * 1e6
-        - F.col("ts").cast("double") * 1e6
-    )
+        F.unix_micros(F.lit(t_ref).cast("timestamp"))
+        - F.unix_micros("ts")
+    ).cast("double")
     decayed = F.round(
         F.sum(F.pow(F.lit(0.5), age_us / F.lit(DECAY_HALF_LIFE_S * 1e6))), 9
     )
@@ -2486,10 +2489,11 @@ def q_stream_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "event_type string, n_events long, decayed_count double, rk int",
         )
+    # exact integer microsecond ages — same contract as the batch twin
     age_us = (
-        F.lit(t_ref).cast("timestamp").cast("double") * 1e6
-        - F.col("ts").cast("double") * 1e6
-    )
+        F.unix_micros(F.lit(t_ref).cast("timestamp"))
+        - F.unix_micros("ts")
+    ).cast("double")
     weight = F.pow(F.lit(0.5), age_us / F.lit(DECAY_HALF_LIFE_S * 1e6))
     stream = stream_table(spark, sf_dir, "events")
     out_dir = tempfile.mkdtemp(prefix="stream_trending_")
@@ -2576,18 +2580,25 @@ TRIANGLE_TOPN = 30
     "hubs — the curse-of-the-last-reducer fix), closed by one "
     "(b, c) equi-join; each triangle materializes exactly once. "
     "Tight-community detection for recommendations, link-farm "
-    "screening on web graphs. Three shuffles total.",
+    "screening on web graphs. The derived graph (undirected edges, "
+    "degrees, oriented table) is checkpoint-materialized once before "
+    "the multi-branch fan-out, so the lineitem self-join runs once — "
+    "single-digit shuffles end-to-end, plan-asserted.",
 )
 def q_parts_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from realtime0523_spark.operators.graph import (
-        copurchase_edges,
-        triangle_counts,
-    )
+    from realtime0523_spark.operators.graph import triangle_counts
 
     li = Catalog(spark, sf_dir).table("lineitem")
-    tc = triangle_counts(copurchase_edges(li))
+    # feed the RAW half-pair stream (src < dst, per-order duplicates
+    # kept): triangle_counts canonicalizes + distincts internally, so
+    # the both-directions copurchase_edges distinct would be a second
+    # full shuffle of the self-join fan-out for the same graph
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    tc = triangle_counts(pairs)
     clustering = F.when(
         F.col("degree") >= 2,
         F.round(

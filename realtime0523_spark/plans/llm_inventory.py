@@ -3812,27 +3812,32 @@ def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]
 
-    def one(col: str) -> list:
-        return [
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+    # ONE agg over the fact table (all columns' aggregates in a single
+    # pass, like the SQL twin's `s` CTE — the exact count-distincts
+    # plan as one Expand), then unpivot the 1-row result with stack
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
-            .alias("n_nulls"),
-            F.countDistinct(col).cast("long").alias("n_distinct"),
-            F.min(F.col(col).cast("double")).alias("min_value"),
-            F.max(F.col(col).cast("double")).alias("max_value"),
+            .alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
         ]
-
-    out = None
-    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]:
-        part = li.agg(*one(col)).select(
-            F.lit(col).alias("column_name"),
-            "n_rows",
-            "n_nulls",
-            "n_distinct",
-            "min_value",
-            "max_value",
-        )
-        out = part if out is None else out.unionAll(part)
-    return out
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return s.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )

@@ -243,8 +243,10 @@ AUDITED: dict[str, str] = {
     ),
     "parts_triangle_stats": (
         "the degree-oriented wedge join bounds per-node fan-out by "
-        "O(sqrt m); three shuffles total (degrees, apex wedge join, "
-        "(b, c) closure); top-N plans TakeOrderedAndProject"
+        "O(sqrt m); the derived graph (canonical edges, degrees, "
+        "oriented table) is checkpoint-materialized once before the "
+        "multi-branch fan-out, so the explain reads ExistingRDD with "
+        "zero parquet rescans; top-N plans TakeOrderedAndProject"
     ),
     "parts_copurchase_rank": (
         "each power-iteration round is one ranks-onto-edges "
