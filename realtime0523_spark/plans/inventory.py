@@ -91,6 +91,17 @@ def _ensure_full_registry() -> None:
 # absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
+    # Round 8 group 1 — ADDED this round (streaming funnel) or CHANGED
+    # (triangle_counts checkpoint-materializes the derived graph and
+    # the inventory query feeds the raw half-pair stream; trending-
+    # decayed pair moved to exact integer unix_micros ages; column
+    # stats collapsed to ONE aggregate pass + stack unpivot; the RP
+    # ANN sketch shortlist is pinned to fixed 9-dp quantization —
+    # recall report re-verifies as its rider):
+    "stream_event_funnel", "parts_triangle_stats",
+    "events_trending_decayed", "stream_trending_decayed",
+    "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
+    "event_funnel",  # group 2: shares the funnel oracle/semantics
     # Round 7 group 1 — ADDED this round (DSIR weights + Gumbel-top-k
     # sample, temperature mixing, leakage-safe split, IVFADC,
     # hard-negative mining, Z-order layout) or CHANGED (recall report

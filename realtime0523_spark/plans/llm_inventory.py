@@ -3639,6 +3639,42 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_event_funnel",
+    REGISTRY["event_funnel"].oracle,
+    "Streaming twin of event_funnel — the CROSS-BATCH funnel: per-"
+    "user stage times under applyInPandasWithState with an event-"
+    "time buffer for out-of-order arrivals (a view arriving LATER "
+    "with an EARLIER timestamp retroactively qualifies a buffered "
+    "click — a forward-only stage machine gets this wrong). State "
+    "per user is bounded by the watermark: stage 1 is a running "
+    "min, each later stage keeps one scalar plus only the events "
+    "inside the out-of-orderness horizon (events ≤ min(watermark, "
+    "previous-stage time) are provably dead and dropped). Stage "
+    "times are non-increasing across emissions, so the drained "
+    "update stream reduces by per-user min, then counts per stage.",
+)
+def q_stream_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.streaming.funnel import (
+        funnel_report,
+        streaming_funnel_stages,
+    )
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    per_user = run_to_memory(
+        streaming_funnel_stages(
+            stream_table(spark, sf_dir, "events"),
+            "user_id",
+            "event_type",
+            "ts",
+            stages=FUNNEL_STAGES,
+        ),
+        output_mode="update",
+    )
+    return funnel_report(per_user, FUNNEL_STAGES)
+
+
+@register(
     "user_cohort_retention",
     """
     WITH firstw AS (

@@ -732,3 +732,95 @@ def test_salted_streaming_join_spreads_hot_key_and_matches_unsalted(spark, tmp_p
             o, d, order_ts="o_ts", detail_ts="l_ts",
             how="left_outer", salt_buckets=parts,
         )
+
+
+def test_funnel_fold_out_of_order_and_requalification():
+    """The pure per-key fold behind the streaming funnel: buffered
+    events re-qualify when an upstream stage time DECREASES, and the
+    watermark prune only drops provably-dead events."""
+    from realtime0523_spark.streaming.funnel import INF, fold_funnel
+
+    # click before any view: buffered, not counted
+    s = fold_funnel(None, [[], [5], []], 0)
+    assert s[0] == INF and s[1] == INF and s[3] == [5]
+    # the view arrives later with an EARLIER ts: click qualifies now
+    s = fold_funnel(s, [[3], [], []], 0)
+    assert s[0] == 3 and s[1] == 5 and s[3] == []
+
+    # t1 decreasing re-qualifies a BETTER buffered click (4 beats 7)
+    s = fold_funnel(None, [[5], [4, 7], []], 0)
+    assert (s[0], s[1]) == (5, 7) and s[3] == [4]
+    s = fold_funnel(s, [[2], [], []], 0)
+    assert (s[0], s[1]) == (2, 4) and s[3] == []
+
+    # purchase chain: buffered under t2, qualifies once t2 drops
+    s = fold_funnel(None, [[10], [100], [50]], 0)
+    assert (s[0], s[1], s[2]) == (10, 100, INF) and s[4] == [50]
+    s = fold_funnel(s, [[], [30], []], 0)
+    assert (s[0], s[1], s[2]) == (10, 30, 50) and s[4] == []
+
+    # watermark prune: a click <= min(W, t1) is provably dead (future
+    # views are >= W, so t1 can never drop below it) and is dropped
+    s = fold_funnel(None, [[5], [3], []], 10)
+    assert (s[0], s[1]) == (5, INF) and s[3] == []
+    # but a click INSIDE the horizon (W < x <= t1) must stay buffered
+    s = fold_funnel(None, [[50], [20], []], 10)
+    assert s[3] == [20]
+    s = fold_funnel(s, [[15], [], []], 10)
+    assert (s[0], s[1]) == (15, 20) and s[3] == []
+
+
+def test_stream_funnel_cross_batch_out_of_order(spark, state_provider, tmp_path):
+    """End-to-end cross-batch disorder: the click and purchase arrive
+    BEFORE any view; later batches deliver earlier-timestamped views
+    that retroactively qualify them, and a later-arriving better click
+    displaces the first qualifier. A forward-only stage machine yields
+    (t2=base+100, t3=null); the buffered replay must recover the exact
+    batch answer. Runs under both state-store providers."""
+    from realtime0523_spark.streaming.funnel import (
+        funnel_report,
+        streaming_funnel_stages,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    write([(1, "click", base + 100), (1, "purchase", base + 50)])
+    time.sleep(1.1)
+    write([(1, "view", base + 10), (2, "view", base + 20)])
+    time.sleep(1.1)
+    write([(1, "view", base + 5), (1, "click", base + 30)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stages = ["view", "click", "purchase"]
+    per_user = run_to_memory(
+        streaming_funnel_stages(
+            stream, "user_id", "event_type", "ts", stages, watermark="10 minutes"
+        ),
+        output_mode="update",
+    )
+    finals = {
+        r.user: (r.t1, r.t2, r.t3)
+        for r in per_user.groupBy("user")
+        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+        .collect()
+    }
+    us = 1_000_000
+    assert finals[1] == ((base + 5) * us, (base + 30) * us, (base + 50) * us)
+    assert finals[2] == ((base + 20) * us, None, None)
+    report = {
+        r.stage: r.n_users for r in funnel_report(per_user, stages).collect()
+    }
+    assert report == {"view": 2, "click": 1, "purchase": 1}
