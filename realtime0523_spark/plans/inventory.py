@@ -98,7 +98,8 @@ _PRIORITY: list[str] = [
     # stats collapsed to ONE aggregate pass + stack unpivot; the RP
     # ANN sketch shortlist is pinned to fixed 9-dp quantization —
     # recall report re-verifies as its rider):
-    "stream_event_funnel", "parts_triangle_stats",
+    "stream_event_funnel", "docs_unigram_vocab", "docs_unigram_encode",
+    "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
     "event_funnel",  # group 2: shares the funnel oracle/semantics

@@ -2893,6 +2893,199 @@ def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, merges)
 
 
+# --- Unigram-LM (SentencePiece-style) tokenizer oracle ----------------
+# The trainer's fixed schedule (llm/unigram.py: seed → E → prune → M →
+# E → M) replayed as generated CTEs, like _bpe_ctes. The Viterbi
+# E-step is a per-word list_reduce whose accumulator is the chr(1)-
+# separated dp table; each entry is "cost<chr(2)>segmentation" and the
+# argmin ties break on the integer key (dp[j]+cost)*4096 + j — the
+# exact tie-break viterbi_segment implements (smallest split position
+# wins). Costs are integer nano-nats, so every dp sum is BIGINT-exact.
+
+from realtime0523_spark.llm.unigram import (  # noqa: E402
+    UNIGRAM_KEEP_MULTI,
+    UNIGRAM_MAXLEN,
+    UNIGRAM_SEED_MULTI,
+)
+
+_UNI_COST = (
+    "CAST(floor(-ln(CAST({n} + 1 AS DOUBLE) / CAST({t} + {vs} AS DOUBLE))"
+    " * 1000000000 + 0.5) AS BIGINT)"
+)
+
+
+def _uni_estep(tag: str, cost_cte: str) -> list[str]:
+    """One Viterbi E-step as CTEs: candidates (word substring × vocab
+    equi-join), the dp fold, and the weighted piece counts."""
+    ml = UNIGRAM_MAXLEN
+    entries = "string_split(acc, chr(1))"
+    key = (
+        f"list_min(list_transform("
+        f"list_filter(cands, c -> c.i = CAST(x AS BIGINT)), "
+        f"c -> (CAST(split_part({entries}[c.j + 1], chr(2), 1) AS BIGINT)"
+        f" + c.cost) * 4096 + c.j))"
+    )
+    j = f"({key} % 4096)"
+    new_entry = (
+        f"CAST({key} // 4096 AS VARCHAR) || chr(2) || "
+        f"split_part({entries}[{j} + 1], chr(2), 2) || ' ' || "
+        f"substr(w, {j} + 1, CAST(x AS BIGINT) - {j})"
+    )
+    return [
+        f"""cand_{tag} AS MATERIALIZED (
+      SELECT wt.w, a.j, b.i, c.cost
+      FROM uni_words wt,
+           LATERAL (SELECT unnest(range(0, length(wt.w))) AS j) a,
+           LATERAL (SELECT unnest(range(a.j + 1,
+                      least(a.j + {ml}, length(wt.w)) + 1)) AS i) b
+      JOIN {cost_cte} c ON c.piece = substr(wt.w, a.j + 1, b.i - a.j))""",
+        f"""seg_{tag} AS MATERIALIZED (
+      SELECT w, freq,
+             string_split(trim(split_part(
+               string_split(
+                 list_reduce(
+                   list_prepend('0' || chr(2),
+                     list_transform(range(1, length(w) + 1),
+                                    x -> CAST(x AS VARCHAR))),
+                   (acc, x) -> acc || chr(1) || {new_entry}),
+                 chr(1))[length(w) + 1],
+               chr(2), 2)), ' ') AS units
+      FROM (SELECT wt.w, wt.freq,
+                   list(struct_pack(j := cd.j, i := cd.i,
+                                    cost := cd.cost)) AS cands
+            FROM uni_words wt JOIN cand_{tag} cd ON cd.w = wt.w
+            GROUP BY wt.w, wt.freq))""",
+        f"""n_{tag} AS MATERIALIZED (
+      SELECT piece, sum(freq) AS n
+      FROM (SELECT unnest(units) AS piece, freq FROM seg_{tag})
+      GROUP BY piece)""",
+    ]
+
+
+def _uni_mstep(cost_tag: str, vocab_cte: str, counts_cte: str) -> str:
+    """Add-1-smoothed nano-nat costs over the CURRENT vocabulary."""
+    cost = _UNI_COST.format(n="coalesce(n.n, 0)", t="t.t", vs="t.vs")
+    return f"""{cost_tag} AS MATERIALIZED (
+      SELECT v.piece, {cost} AS cost
+      FROM {vocab_cte} v
+      LEFT JOIN {counts_cte} n ON n.piece = v.piece,
+           (SELECT sum(coalesce(nn.n, 0)) AS t, count(*) AS vs
+            FROM {vocab_cte} vv
+            LEFT JOIN {counts_cte} nn ON nn.piece = vv.piece) t)"""
+
+
+def _uni_ctes() -> str:
+    """The full training replay: seed vocab + costs, E-step under c0,
+    count-based prune to v1, M-step c1, E-step under c1, final M-step
+    c2 (the served model)."""
+    ml, seed, keep = UNIGRAM_MAXLEN, UNIGRAM_SEED_MULTI, UNIGRAM_KEEP_MULTI
+    seed_cost = _UNI_COST.format(n="n", t="t.t", vs="t.vs")
+    parts = [
+        f"""uni_words AS MATERIALIZED (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w)""",
+        f"""uni_sub AS MATERIALIZED (
+      SELECT substr(w, a.j + 1, b.l) AS piece, sum(freq) AS n
+      FROM uni_words,
+           LATERAL (SELECT unnest(range(0, length(w))) AS j) a,
+           LATERAL (SELECT unnest(range(1,
+                      least({ml}, length(w) - a.j) + 1)) AS l) b
+      GROUP BY 1)""",
+        f"""v0 AS MATERIALIZED (
+      SELECT piece, n FROM uni_sub WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM
+        (SELECT piece, n FROM uni_sub WHERE length(piece) >= 2
+         ORDER BY n DESC, piece LIMIT {seed}))""",
+        f"""c0 AS MATERIALIZED (
+      SELECT piece, {seed_cost} AS cost
+      FROM v0, (SELECT sum(n) AS t, count(*) AS vs FROM v0) t)""",
+    ]
+    parts += _uni_estep("e0", "c0")
+    parts.append(
+        f"""v1 AS MATERIALIZED (
+      SELECT piece FROM v0 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece FROM
+        (SELECT vv.piece, coalesce(n.n, 0) AS n
+         FROM v0 vv LEFT JOIN n_e0 n ON n.piece = vv.piece
+         WHERE length(vv.piece) >= 2
+         ORDER BY n DESC, vv.piece LIMIT {keep}))"""
+    )
+    parts.append(_uni_mstep("c1", "v1", "n_e0"))
+    parts += _uni_estep("e1", "c1")
+    parts.append(_uni_mstep("c2", "v1", "n_e1"))
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "docs_unigram_vocab",
+    _uni_ctes()
+    + """
+    SELECT v.piece, CAST(coalesce(n.n, 0) AS BIGINT) AS cnt,
+           c.cost AS cost_ns
+    FROM v1 v
+    LEFT JOIN n_e1 n ON n.piece = v.piece
+    JOIN c2 c ON c.piece = v.piece
+    """,
+    f"Unigram-LM (SentencePiece) tokenizer TRAINING (Kudo, ACL 2018) "
+    f"in deterministic hard-EM form: seed = every character + top "
+    f"{UNIGRAM_SEED_MULTI} substrings (≤{UNIGRAM_MAXLEN} chars) by "
+    "weighted count; each E-step VITERBI-segments the distinct-word "
+    "table (an Arrow pass; dp ties break on the smallest split "
+    "position); the M-step is add-1-smoothed costs in integer "
+    f"nano-nats; prune keeps chars + top {UNIGRAM_KEEP_MULTI} pieces "
+    "by count (count-based prune and Viterbi-not-forward-backward are "
+    "the documented deviations from full SentencePiece). The corpus "
+    "is scanned once (word counts); training cost scales with "
+    "vocabulary size, never corpus size. The oracle replays every "
+    "round as generated CTEs whose dp fold uses the identical "
+    "integer-key tie-break.",
+)
+def q_docs_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.unigram import train_unigram
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    vocab = train_unigram(docs)
+    return spark.createDataFrame(
+        vocab, "piece string, cnt long, cost_ns long"
+    )
+
+
+@register(
+    "docs_unigram_encode",
+    _uni_ctes()
+    + ",\n    "
+    + ",\n    ".join(_uni_estep("enc", "c2"))
+    + f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(m.n_units) AS BIGINT) AS n_units
+    FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) d
+    JOIN (SELECT w, len(units) AS n_units FROM seg_enc) m ON m.w = d.w
+    GROUP BY doc_id
+    """,
+    "UNIGRAM-ENCODE the corpus with the trained vocabulary — the "
+    "per-doc token-budget artifact (twin of docs_bpe_encode): "
+    "Viterbi segmentation runs ONCE per distinct word under the "
+    "final costs; the corpus then makes one explode → word "
+    "equi-join (vocab side broadcastable) → partial-agg'd per-doc "
+    "groupBy. The token stream is never re-segmented row by row.",
+)
+def q_docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.unigram import (
+        train_unigram,
+        unigram_encode_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    vocab = train_unigram(docs)
+    return unigram_encode_counts(docs, vocab).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_units").cast("long").alias("n_units"),
+    )
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (

@@ -1632,3 +1632,73 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff(a, b).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_unigram_viterbi_min_cost_and_tiebreak():
+    """Viterbi picks the globally cheapest segmentation; equal-cost
+    segmentations break on the SMALLEST split position (the longest
+    last piece) — the tie-break the SQL oracle's integer key
+    (dp[j]+cost)*4096+j replays."""
+    from realtime0523_spark.llm.unigram import viterbi_segment
+
+    # 'abc' as one piece beats any split
+    costs = {"a": 10, "b": 10, "c": 10, "ab": 12, "bc": 12, "abc": 15}
+    assert viterbi_segment("abc", costs) == ["abc"]
+    # without 'abc': ab+c (22) ties a+bc (22) — smallest final split
+    # position j=0 would need piece 'abc'; candidates at i=3 are
+    # (j=1, 'bc') and (j=2, 'c'): j=1 wins the tie
+    del costs["abc"]
+    assert viterbi_segment("abc", costs) == ["a", "bc"]
+    # cheapest path wins when costs differ
+    costs["ab"] = 5
+    assert viterbi_segment("abc", costs) == ["ab", "c"]
+
+
+def test_unigram_trainer_learns_frequent_pieces(spark):
+    """On a corpus dominated by repeated stems, the trained vocabulary
+    keeps the stems as whole pieces and the encode pass segments with
+    them (n_units < per-character counts); every corpus character is
+    always present so every word stays segmentable."""
+    from realtime0523_spark.llm.unigram import (
+        train_unigram,
+        unigram_encode_counts,
+        viterbi_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["lowlow"] * 8 + ["newest"] * 6)),
+            (1, " ".join(["widest"] * 5 + ["low"] * 4)),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram(docs)
+    pieces = {p for p, _, _ in vocab}
+    # all single chars survive every prune
+    assert set("lowestwid") <= pieces
+    # the dominant 3-4 char substrings are learned as pieces
+    assert "low" in pieces
+    costs = {p: c for p, _, c in vocab}
+    seg = viterbi_segment("lowlow", costs)
+    assert "".join(seg) == "lowlow" and len(seg) <= 3, seg
+    enc = {
+        r.doc_id: (r.n_tokens, r.n_units)
+        for r in unigram_encode_counts(docs, vocab).collect()
+    }
+    assert enc[0][0] == 14 and enc[1][0] == 9
+    # multi-char pieces compress: far fewer units than characters
+    assert enc[0][1] < 14 * 6 and enc[0][1] >= 14
+
+
+def test_unigram_refuses_absurd_words(spark):
+    """The DP key encoding (and any sane tokenizer) refuses 4096-char
+    'words' loudly instead of training on garbage."""
+    import pytest as _pytest
+
+    from realtime0523_spark.llm.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(0, "ok " + "x" * 5000)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="4096"):
+        train_unigram(docs)
