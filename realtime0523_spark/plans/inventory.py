@@ -99,7 +99,7 @@ _PRIORITY: list[str] = [
     # ANN sketch shortlist is pinned to fixed 9-dp quantization —
     # recall report re-verifies as its rider):
     "stream_event_funnel", "docs_unigram_vocab", "docs_unigram_encode",
-    "parts_triangle_stats",
+    "stream_trending_anchored", "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
     "event_funnel",  # group 2: shares the funnel oracle/semantics
@@ -2478,9 +2478,9 @@ def q_events_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum is ADDITIVE — every micro-batch folds its per-type partial "
     "(count, weight-sum) into an idempotent sink and the drained "
     "totals are summed and ranked. No state store, no recomputation; "
-    "per-batch work is batch-sized. (A live deployment advances the "
-    "anchor by multiplying all partials by 2^(−Δt/half-life) — a "
-    "metadata-sized rescale, same additivity.)",
+    "per-batch work is batch-sized. (The anchor-ADVANCING variant — "
+    "per-batch anchors rescaled at the fold, for unbounded horizons "
+    "— is stream_trending_anchored / streaming/decayed.py.)",
 )
 def q_stream_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -2530,6 +2530,60 @@ def q_stream_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w"), 9).alias("decayed_count"),
         )
     )
+    return detach_and_cleanup(
+        totals.select(
+            "event_type",
+            "n_events",
+            "decayed_count",
+            F.row_number()
+            .over(W.orderBy(F.desc("decayed_count"), F.col("event_type")))
+            .cast("int")
+            .alias("rk"),
+        ),
+        out_dir,
+    )
+
+
+@register(
+    "stream_trending_anchored",
+    REGISTRY["events_trending_decayed"].oracle,
+    "ANCHOR-ADVANCING decayed trending (the unbounded-horizon "
+    "variant stream_trending_decayed's docstring promises): each "
+    "micro-batch weights its events against its OWN anchor (the "
+    "batch max event time — in-batch ages are batch-spanned, so "
+    "weights never underflow however long the stream runs) and "
+    "records the anchor beside the partial; the reader rescales "
+    "every partial to the newest anchor via the anchor-shift "
+    "identity 2^(-(T'-T)/hl) — one multiply per key per partial, "
+    "metadata-sized, events never re-read. With the drain in one "
+    "micro-batch the anchor IS the corpus max and the computation "
+    "is literally the batch expression (exact oracle row); the "
+    "multi-batch rescale path is pytest-asserted across an anchor "
+    "advance under both state-store providers.",
+)
+def q_stream_trending_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.streaming.decayed import (
+        decayed_totals,
+        run_decayed_partials,
+    )
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = Catalog(spark, sf_dir).table("events")
+    if ev.limit(1).count() == 0:  # empty table: contract-schema frame
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, decayed_count double, rk int",
+        )
+    out_dir = run_decayed_partials(
+        stream_table(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        DECAY_HALF_LIFE_S,
+    )
+    totals = decayed_totals(spark, out_dir, "event_type", DECAY_HALF_LIFE_S)
     return detach_and_cleanup(
         totals.select(
             "event_type",

@@ -824,3 +824,64 @@ def test_stream_funnel_cross_batch_out_of_order(spark, state_provider, tmp_path)
         r.stage: r.n_users for r in funnel_report(per_user, stages).collect()
     }
     assert report == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_decayed_anchor_advance_matches_batch(spark, state_provider, tmp_path):
+    """The anchor-advance identity end-to-end: three micro-batches
+    whose event times stride ~3 half-lives apart (the anchor advances
+    at every batch), partials rescaled to the newest anchor at the
+    fold. Must equal the single-anchor batch computation to the 9-dp
+    contract, and the early batch's in-batch weights must be O(1)
+    (never underflowed) even though its ABSOLUTE age at the end spans
+    many half-lives."""
+    import math
+
+    from realtime0523_spark.streaming.decayed import (
+        decayed_totals,
+        run_decayed_partials,
+    )
+
+    in_dir = str(tmp_path / "dec_in")
+    os.makedirs(in_dir)
+    hl = 3600  # 1 h half-life
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "k string, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    base = 1_700_000_000
+    write([("a", base), ("a", base + 600), ("b", base + 300)])
+    time.sleep(1.1)
+    write([("a", base + 3 * hl), ("b", base + 3 * hl + 60)])
+    time.sleep(1.1)
+    write([("b", base + 6 * hl), ("a", base + 6 * hl + 120)])
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = run_decayed_partials(stream, "k", "ts", hl, str(tmp_path / "sink"))
+    got = {
+        r.k: (r.n_events, r.decayed_count)
+        for r in decayed_totals(spark, out_dir, "k", hl).collect()
+    }
+
+    # the partial sink must hold three distinct anchors, and every
+    # in-batch weight sum is O(1) — the no-underflow property
+    parts = spark.read.parquet(out_dir)
+    assert parts.select("anchor_us").distinct().count() == 3
+    assert parts.filter(F.col("w") < 0.5).count() == 0
+
+    t_ref = base + 6 * hl + 120
+    events = {
+        "a": [base, base + 600, base + 3 * hl, t_ref],
+        "b": [base + 300, base + 3 * hl + 60, base + 6 * hl],
+    }
+    for k, ts in events.items():
+        want = round(sum(0.5 ** ((t_ref - t) / hl) for t in ts), 9)
+        assert got[k][0] == len(ts)
+        assert abs(got[k][1] - want) < 2e-9, (k, got[k][1], want)
