@@ -91,70 +91,57 @@ def _ensure_full_registry() -> None:
 # absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # Round 8 group 1 — ADDED this round (streaming funnel) or CHANGED
+    # Round 8 group 1 — ADDED this round (streaming funnel, unigram
+    # trainer + encode, anchor-advancing decayed trending) or CHANGED
     # (triangle_counts checkpoint-materializes the derived graph and
-    # the inventory query feeds the raw half-pair stream; trending-
-    # decayed pair moved to exact integer unix_micros ages; column
-    # stats collapsed to ONE aggregate pass + stack unpivot; the RP
-    # ANN sketch shortlist is pinned to fixed 9-dp quantization —
-    # recall report re-verifies as its rider):
+    # its query feeds the raw half-pair stream; trending-decayed pair
+    # moved to exact integer unix_micros ages; column stats collapsed
+    # to ONE aggregate pass + stack unpivot; the RP ANN sketch
+    # shortlist pinned to fixed 9-dp quantization — recall report and
+    # the funnel's batch twin re-verify as riders):
     "stream_event_funnel", "docs_unigram_vocab", "docs_unigram_encode",
     "stream_trending_anchored", "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
-    "event_funnel",  # group 2: shares the funnel oracle/semantics
-    # Round 7 group 1 — ADDED this round (DSIR weights + Gumbel-top-k
-    # sample, temperature mixing, leakage-safe split, IVFADC,
-    # hard-negative mining, Z-order layout) or CHANGED (recall report
-    # gained ivfpq; cosine_topk scan grew the hard-negative label
-    # mask; BPE oracles rebuilt on the explicit CTE-block helper;
-    # BM25 empty-corpus guard; the four streaming drain queries now
-    # detach-and-clean their scratch sinks; connected_components
-    # filters self-pairs — its four riders re-verify).
-    "docs_dsir_weights", "docs_dsir_sample", "docs_domain_mix_temp",
-    "docs_leakage_split", "emb_ann_ivfpq", "emb_hard_negatives",
-    "events_zorder", "docs_segment_dedup", "docs_incremental_dedup",
-    "emb_ann_sq", "emb_sq_codes", "parts_copurchase_rank",
-    "stream_docs_novelty", "cheapest_supplier_per_part",
-    "lone_late_supplier", "docs_domain_drift", "emb_ann_rp",
-    "emb_rp_sketch", "warehouse_quality_report", "emb_ann_lsh_mp",
-    "stream_domain_drift", "docs_snapshot_diff", "event_funnel",
-    "user_cohort_retention", "docs_curriculum_order",
-    "lineitem_column_stats", "parts_related_rank",
-    "events_trending_decayed", "stream_trending_decayed",
-    "parts_triangle_stats",
-    "docs_training_order",  # training_order: global
-    # position now computed by operators/layout.global_positions
-    # (range exchange + offsets) instead of a single-task window
-    "emb_ann_recall", "emb_cosine_topk",
-    "docs_bpe_vocab", "docs_bpe_encode", "docs_bpe_merges",
-    "docs_bm25_search", "stream_bloom_contamination",
-    "stream_ann_lookup", "stream_brand_amount", "stream_dwd_order",
-    "docs_dedup_clusters", "docs_dedup_keep_best", "docs_dedup_filter",
-    "emb_semantic_dedup", "docs_minhash_lsh", "docs_corpus_prep",
-    # Round 7 group 3 — stalest-green ascending (r4 rows first; their
-    # last driver rows are two rounds old):
-    "emb_dedup_pairs", "emb_label_centroids", "event_cube",
+    "event_funnel",
+    # Round 8 group 3 — stalest-green ascending. The 14 queries whose
+    # newest driver row is still r4 (three rounds old) land first:
     "first_order_flag", "follow_on_clicks", "hot_parts_topk",
     "media_features", "media_frames", "media_resize", "order_wide",
-    "running_total", "scd2_history", "sessionize",
-    "ship_priority_topk", "spend_full_outer", "stream_session_counts",
-    "windowed_event_counts",
-    # r5 rows (alphabetical; the first ~12 fill the window, the rest
-    # lead the next rotation):
+    "running_total", "scd2_history", "sessionize", "ship_priority_topk",
+    "spend_full_outer", "stream_session_counts", "windowed_event_counts",
+    # then the r5 rows, alphabetical; the first 25 complete the
+    # 50-slot window, the remainder lead the round-9 rotation:
     "active_buyers_union", "churned_buyers", "docs_chunk_embed",
     "docs_lang_guess", "docs_pack_exact", "docs_quality",
     "docs_quality_approx_contract", "docs_quality_filter",
-    "docs_sparse_search", "docs_training_order", "docs_winnow_pairs",
-    "dormant_rich_customers",
-    # --- 50-slot window boundary (assuming all above registered) ---
+    "docs_sparse_search", "docs_winnow_pairs", "dormant_rich_customers",
     "emb_ann_pq", "emb_ann_rerank", "emb_pq_codes",
-    "event_incident_join", "event_value_stats",
-    "grouping_sets_revenue", "late_ship_priority_counts",
-    "nation_year_pivot", "pricing_summary", "qty_quantiles",
-    "regional_revenue", "repeat_buyers", "revenue_rollup",
-    "salted_flag_agg", "salted_priority_revenue", "small_qty_revenue",
-    # r6 rows (newest — rotate last) keep registration order at the end.
+    "event_incident_join", "event_value_stats", "grouping_sets_revenue",
+    "late_ship_priority_counts", "nation_year_pivot", "pricing_summary",
+    "qty_quantiles", "regional_revenue", "repeat_buyers",
+    "revenue_rollup", "salted_flag_agg", "salted_priority_revenue",
+    "small_qty_revenue", "stream_dau", "stream_dedup_pairs",
+    "stream_docs_chunk", "stream_docs_ingest",
+    "stream_event_value_stats", "stream_first_seen",
+    "stream_order_wide", "stream_sliding_counts",
+    "stream_top_tokens_cms", "stream_windowed_counts",
+    "stream_windowed_topk", "top_customers_per_nation", "top_tokens",
+    "top_tokens_cms",
+    # r6 rows:
+    "acct_bucket", "allocation", "asof_last_click", "brand_amount",
+    "customers_never_ordered", "customers_with_orders", "date_derive",
+    "dau", "dau_approx", "dedup_first", "dim_enrich",
+    "docs_bloom_contamination", "docs_bpe_tokens", "docs_chunk",
+    "docs_contamination", "docs_domain_mix", "docs_exact_dedup",
+    "docs_fingerprint", "docs_lm_score", "docs_ngram_jaccard",
+    "docs_pack_sequences", "docs_pii_redact", "docs_repetition",
+    "docs_simhash", "docs_span_dedup", "docs_span_stats",
+    "docs_stratified_sample", "docs_token_budget_sample",
+    "docs_token_stats", "docs_train_split", "emb_ann_ivf",
+    "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
+    "qty_moving_stats", "router_fanout", "router_filter",
+    # r7 rows (newest — rotate last) keep registration order at the end.
 ]
 
 
