@@ -791,6 +791,17 @@ def pq_train_codebooks(
             f"{n_codes}; lower n_codes or raise `sample`."
         )
     X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return _lloyd_pq(X, n_codes, m, iters)
+
+
+def _lloyd_pq(X: "np.ndarray", n_codes: int, m: int, iters: int) -> "np.ndarray":
+    """Matrix-level per-subspace Lloyd trainer (the body of
+    pq_train_codebooks, extracted so OPQ can retrain on rotated
+    samples): init = first n_codes rows; assignment = argmin of the
+    9-dp-quantized subspace L2 with ties to the smallest code;
+    update = 9-dp-quantized per-(code, dim) mean; empty codes keep
+    their previous centroid. Numerics are bit-identical to the SQL
+    replay of emb_ann_pq_trained."""
     dims = X.shape[1]
     if dims % m:
         raise ValueError(
@@ -813,6 +824,136 @@ def pq_train_codebooks(
                     new[c, j * sd : (j + 1) * sd] = _r9_np(members.mean(axis=0))
         cb = new
     return cb
+
+
+OPQ_ITERS = 3
+
+
+def opq_train(
+    corpus: DataFrame,
+    n_codes: int = PQ_TRAIN_CODES,
+    m: int = PQ_SUBSPACES,
+    sample: int = PQ_TRAIN_SAMPLE,
+    iters: int = PQ_TRAIN_ITERS,
+    opq_iters: int = OPQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """OPQ — Optimized Product Quantization (Ge, He, Ke, Sun, CVPR
+    2013, the non-parametric alternation): learn an ORTHONORMAL
+    rotation R jointly with the PQ codebooks so the subspace split
+    aligns with the data's principal structure (plain PQ quantizes
+    whatever balance the raw coordinate order happens to give the
+    subspaces; on anisotropic/correlated embeddings the rotation
+    recovers large recall at identical code size).
+
+    Alternation per round, on the same bounded md5-ordered sample as
+    pq_train_codebooks: (1) Lloyd codebooks on X·R; (2) encode the
+    rotated sample and reconstruct Ŷ; (3) R ← U·Vᵀ from
+    SVD(Xᵀ·Ŷ) — the orthogonal-Procrustes minimizer of
+    ‖X·R − Ŷ‖². Returns (R, codebooks) with codebooks retrained
+    under the final R.
+
+    ORACLE CONTRACT (documented deviation from the exact-replay
+    families): the SVD is not SQL-replayable, so emb_ann_opq is a
+    RECALL-CONTRACT row (like dau_approx / the quality-sketch
+    contract), not a value-hash row — the checkable surface is
+    recall ≥ the trained-PQ baseline, asserted in tests and by the
+    registered contract query."""
+    from realtime0523_spark.llm.dedup import md5_int32
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(md5_int32(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"OPQ training sample has {len(rows)} vectors < n_codes="
+            f"{n_codes}; lower n_codes or raise `sample`."
+        )
+    X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"OPQ: dims {dims} not divisible by m={m}")
+    sd = dims // m
+    R = np.eye(dims)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        cb = _lloyd_pq(Xr, n_codes, m, iters)
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            Xm = Xr[:, j * sd : (j + 1) * sd]
+            Cm = cb[:, j * sd : (j + 1) * sd]
+            d2 = ((Xm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=-1)
+            Y[:, j * sd : (j + 1) * sd] = Cm[np.argmin(_r9_np(d2), axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    cb = _lloyd_pq(X @ R, n_codes, m, iters)
+    return R, cb
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec·R): one Arrow matmul map, no shuffle — the same
+    shape as rp_project but with a learned square rotation."""
+    Rm = np.ascontiguousarray(R, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def rot(v):
+        X = _mat(v)
+        if X.shape[1] != Rm.shape[0]:
+            raise ValueError(
+                f"rotate_vectors: vector dims {X.shape[1]} != rotation "
+                f"dims {Rm.shape[0]}"
+            )
+        return pd.Series(list(X @ Rm))
+
+    return df.select(id_col, rot(F.col(vec_col)).alias(vec_col))
+
+
+def ann_topk_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    rotation: "np.ndarray",
+    codebooks: "np.ndarray",
+    m: int = PQ_SUBSPACES,
+    retrieve: int = PQ_RETRIEVE,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """OPQ-ADC top-k: rotate corpus and queries by the learned R
+    (map-only Arrow pass each), then run the standard PQ-ADC scan +
+    exact re-rank in rotated space. An orthonormal rotation preserves
+    cosine exactly in real arithmetic (up to float ulps here — this
+    family's checkable surface is the recall contract, not a value
+    hash). Scale shape is PQ's: LUTs closure-broadcast, map-only
+    coded scan with batch-local prune, broadcast shortlist fetch —
+    plus one extra map for the rotation; the corpus never shuffles."""
+    rc = rotate_vectors(corpus, rotation, id_col, vec_col)
+    rq = rotate_vectors(queries, rotation, query_id_col, query_vec_col)
+    return ann_topk_pq(
+        rc,
+        rq,
+        codebooks=codebooks,
+        m=m,
+        retrieve=retrieve,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=score_transform,
+    )
 
 
 def pq_encode_udf(codebooks: np.ndarray, m: int = PQ_SUBSPACES):

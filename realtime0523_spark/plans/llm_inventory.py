@@ -1208,6 +1208,51 @@ def q_emb_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ann_opq",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOPK_K} AS INT) AS k,
+           true AS opq_recall_ge_trained
+    FROM embeddings WHERE vec_id < {TOPK_QUERIES}
+    """,
+    "OPQ — Optimized Product Quantization (Ge et al., CVPR 2013): an "
+    "orthonormal rotation learned jointly with the PQ codebooks "
+    "(Lloyd on the rotated sample, alternate with the orthogonal-"
+    "Procrustes SVD update), then the standard ADC scan + exact "
+    "re-rank in rotated space. The rotation aligns the subspace "
+    "split with the data's principal structure — same code size, "
+    "higher recall. CONTRACT ROW (the dau_approx pattern, the "
+    "documented deviation): the SVD is not SQL-replayable, so the "
+    "checkable surface is recall@5 of OPQ ≥ recall@5 of trained PQ "
+    "against the exact top-k — computed Spark-side and emitted as a "
+    "boolean the oracle asserts true; an OPQ regression below the "
+    "trained-PQ baseline flips it and fails the hash. Scale shape: "
+    "one extra Arrow rotation map over PQ's (map-only coded scan, "
+    "closure-broadcast LUTs, broadcast shortlist fetch).",
+)
+def q_emb_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = S.cosine_topk(
+        emb, queries, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+    R, cb = S.opq_train(emb)
+    opq = S.ann_topk_opq(emb, queries, R, cb, k=TOPK_K).select(
+        "qid", "vec_id"
+    )
+    cbt = S.pq_train_codebooks(emb)
+    pqt = S.ann_topk_pq(emb, queries, codebooks=cbt, k=TOPK_K).select(
+        "qid", "vec_id"
+    )
+    n_q = queries.count()
+    hits_opq = opq.join(exact, ["qid", "vec_id"]).count()
+    hits_pq = pqt.join(exact, ["qid", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_q, TOPK_K, hits_opq >= hits_pq)],
+        "n_queries long, k int, opq_recall_ge_trained boolean",
+    )
+
+
+@register(
     "emb_ann_sq",
     f"""
     WITH {_SQ_ANN_CTES}

@@ -1702,3 +1702,82 @@ def test_unigram_refuses_absurd_words(spark):
     )
     with _pytest.raises(ValueError, match="4096"):
         train_unigram(docs)
+
+
+def test_opq_rotation_orthonormal_and_recall_beats_trained_pq(spark):
+    """OPQ's learned rotation must be orthonormal (R·Rᵀ = I — search
+    in rotated space is then exactly equivalent in real arithmetic),
+    and on the fixture its recall@5 against the exact top-k must be
+    at least trained PQ's — the registered contract surface."""
+    import numpy as np
+
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.llm import similarity as S
+    from realtime0523_spark.plans.llm_inventory import (
+        TOPK_K,
+        TOPK_QUERIES,
+        r9,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    R, cb = S.opq_train(emb)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+    exact = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
+        "qid", "vec_id"
+    )
+    opq = S.ann_topk_opq(emb, queries, R, cb, k=TOPK_K).select("qid", "vec_id")
+    pqt = S.ann_topk_pq(
+        emb, queries, codebooks=S.pq_train_codebooks(emb), k=TOPK_K
+    ).select("qid", "vec_id")
+    h_opq = opq.join(exact, ["qid", "vec_id"]).count()
+    h_pq = pqt.join(exact, ["qid", "vec_id"]).count()
+    assert h_opq >= h_pq, (h_opq, h_pq)
+
+
+def test_opq_rotation_reduces_quantization_error():
+    """The alternation must not increase the sample quantization error
+    vs identity-rotation PQ (the OPQ objective): reconstruction error
+    under the learned (R, codebooks) <= plain PQ's on the same
+    sample matrix."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import _lloyd_pq, _r9_np
+
+    rng = np.random.RandomState(7)
+    # correlated data — the case rotation exists for
+    A = rng.randn(16, 16)
+    X = rng.randn(400, 16) @ A
+    m, codes, iters = 4, 8, 4
+
+    def recon_err(Xs, cb):
+        sd = Xs.shape[1] // m
+        err = 0.0
+        for j in range(m):
+            Xm = Xs[:, j * sd:(j + 1) * sd]
+            Cm = cb[:, j * sd:(j + 1) * sd]
+            d2 = ((Xm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=-1)
+            err += d2[np.arange(len(Xm)), np.argmin(_r9_np(d2), axis=1)].sum()
+        return err
+
+    cb0 = _lloyd_pq(X, codes, m, iters)
+    base = recon_err(X, cb0)
+    R = np.eye(16)
+    sd = 16 // m
+    for _ in range(3):
+        Xr = X @ R
+        cb = _lloyd_pq(Xr, codes, m, iters)
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            Xm = Xr[:, j * sd:(j + 1) * sd]
+            Cm = cb[:, j * sd:(j + 1) * sd]
+            d2 = ((Xm[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=-1)
+            Y[:, j * sd:(j + 1) * sd] = Cm[np.argmin(_r9_np(d2), axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    cb = _lloyd_pq(X @ R, codes, m, iters)
+    rotated = recon_err(X @ R, cb)
+    assert rotated <= base * 1.001, (rotated, base)
