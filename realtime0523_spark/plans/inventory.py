@@ -99,7 +99,9 @@ _PRIORITY: list[str] = [
     # to ONE aggregate pass + stack unpivot; the RP ANN sketch
     # shortlist pinned to fixed 9-dp quantization — recall report and
     # the funnel's batch twin re-verify as riders):
-    "stream_event_funnel", "docs_unigram_vocab", "docs_unigram_encode",
+    "stream_event_funnel", "event_funnel_windowed",
+    "stream_event_funnel_windowed",
+    "docs_unigram_vocab", "docs_unigram_encode",
     "stream_trending_anchored", "emb_ann_opq", "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",

@@ -3912,6 +3912,125 @@ def q_stream_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_report(per_user, FUNNEL_STAGES)
 
 
+FUNNEL_GAP_S = 24 * 3600  # 24 h conversion window per stage
+_FUNNEL_GAP_US = FUNNEL_GAP_S * 1_000_000
+
+_FUNNEL_WINDOWED_SQL = f"""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+             AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_GAP_US}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+             AND epoch_us(e.ts) <= s2.t2 + {_FUNNEL_GAP_US}
+           GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """
+
+
+@register(
+    "event_funnel_windowed",
+    _FUNNEL_WINDOWED_SQL,
+    "Funnel with CONVERSION WINDOWS (the form product analytics "
+    "actually ships): stage k counts only if its earliest qualifying "
+    "event lands within 24 h of stage k-1's time — view→click→"
+    "purchase chains slower than the window break the funnel. Same "
+    "decorrelated shape as event_funnel (one user-keyed min-"
+    "aggregate per stage, all shuffles on the user key), with the "
+    "window as one extra integer-microsecond predicate; timestamps "
+    "compare as exact unix_micros in both engines.",
+)
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + _FUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", s1)
+        .unionAll(stage(2, "click", s2))
+        .unionAll(stage(3, "purchase", s3))
+    )
+
+
+@register(
+    "stream_event_funnel_windowed",
+    _FUNNEL_WINDOWED_SQL,
+    "Streaming twin of event_funnel_windowed: the conversion window "
+    "breaks the plain funnel's monotonicity (a later-arriving "
+    "EARLIER view slides the window left and can DISQUALIFY a "
+    "previously-counted click), so the per-user state keeps every "
+    "stage-k event still able to qualify under any future anchor — "
+    "provably inside (min(watermark, t1), t1 + (k-1)·gap], bounded "
+    "by the out-of-orderness horizon plus the window — and "
+    "re-derives the stage times at every emission. Emissions carry "
+    "a per-user sequence number; the drained update stream reduces "
+    "by LAST emission (min-reduce is unsound here), then counts.",
+)
+def q_stream_event_funnel_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from realtime0523_spark.streaming.funnel import (
+        funnel_report,
+        streaming_funnel_stages,
+    )
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    per_user = run_to_memory(
+        streaming_funnel_stages(
+            stream_table(spark, sf_dir, "events"),
+            "user_id",
+            "event_type",
+            "ts",
+            stages=FUNNEL_STAGES,
+            max_gap_s=FUNNEL_GAP_S,
+        ),
+        output_mode="update",
+    )
+    return funnel_report(per_user, FUNNEL_STAGES)
+
+
 @register(
     "user_cohort_retention",
     """

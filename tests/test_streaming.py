@@ -885,3 +885,112 @@ def test_decayed_anchor_advance_matches_batch(spark, state_provider, tmp_path):
         want = round(sum(0.5 ** ((t_ref - t) / hl) for t in ts), 9)
         assert got[k][0] == len(ts)
         assert abs(got[k][1] - want) < 2e-9, (k, got[k][1], want)
+
+
+def test_windowed_funnel_fold_disqualification_and_bounds():
+    """The conversion-window fold: a later-arriving EARLIER view
+    slides the window left and must DISQUALIFY a click that
+    previously counted; kept lists stay inside
+    (min(W, t1), t1 + k*gap]."""
+    from realtime0523_spark.streaming.funnel import (
+        INF,
+        fold_funnel_windowed,
+    )
+
+    gap = 100
+    # batch 1: view@50, click@120 (in (50,150]) -> qualifies
+    s, emit = fold_funnel_windowed(None, [[50], [120], []], 0, gap)
+    assert emit == (50, 120, INF)
+    # batch 2: view@10 arrives late: window becomes (10,110] -> the
+    # click at 120 falls OUT; t2 unset again
+    s, emit = fold_funnel_windowed(s, [[10], [], []], 0, gap)
+    assert emit == (10, INF, INF)
+    # click at 120 is still kept (<= t1 + gap? 120 > 10+100=110 ->
+    # actually now DEAD: it can never re-qualify since t1 only drops)
+    assert 120 not in s[2]
+    # a click at 90 arrives: in (10,110] -> qualifies; purchase at
+    # 150 lands in (90,190] -> full funnel
+    s, emit = fold_funnel_windowed(s, [[], [90], [150]], 0, gap)
+    assert emit == (10, 90, 150)
+
+    # watermark prune: stage-2 events <= min(W, t1) are dropped
+    s, _ = fold_funnel_windowed(None, [[500], [450], []], 480, gap)
+    assert 450 not in s[2]  # 450 <= min(480, 500) -> dead
+    # but an event inside the horizon stays
+    s2, _ = fold_funnel_windowed(None, [[500], [490], []], 480, gap)
+    assert 490 in s2[2]
+
+    # seq increments per fold (the last-emission reduce key)
+    assert s2[1] == 1
+    s3, _ = fold_funnel_windowed(s2, [[], [], []], 480, gap)
+    assert s3[1] == 2
+
+
+def test_stream_windowed_funnel_cross_batch_disqualification(
+    spark, state_provider, tmp_path
+):
+    """End-to-end: the click qualifies in batch 1, the late earlier
+    view in batch 2 disqualifies it (window slides left), and a
+    qualifying click+purchase in batch 3 completes the funnel. The
+    final report must match the batch-windowed computation on the
+    union — only a LAST-emission reduce gets this right (a min
+    reduce would keep the disqualified stage time)."""
+    from realtime0523_spark.streaming.funnel import (
+        funnel_report,
+        streaming_funnel_stages,
+    )
+
+    in_dir = str(tmp_path / "wf_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+    gap_s = 3600  # 1 h window
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    # u1: click 50 min after the batch-1 view -> inside the window
+    write([(1, "view", base + 600), (1, "click", base + 3600)])
+    time.sleep(1.1)
+    # the TRUE first view is 2h earlier: window slides to
+    # (base-6600, base-3000]; the click at base+3600 disqualifies
+    write([(1, "view", base - 6600), (2, "view", base)])
+    time.sleep(1.1)
+    # a click inside the new window + a purchase inside ITS window
+    write([(1, "click", base - 4000), (1, "purchase", base - 1000)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stages = ["view", "click", "purchase"]
+    per_user = run_to_memory(
+        streaming_funnel_stages(
+            stream, "user_id", "event_type", "ts", stages,
+            watermark="6 hours", max_gap_s=gap_s,
+        ),
+        output_mode="update",
+    )
+    us = 1_000_000
+    finals = {
+        r.user: (r.t1, r.t2, r.t3)
+        for r in per_user.groupBy("user")
+        .agg(
+            F.max_by("t1", "seq").alias("t1"),
+            F.max_by("t2", "seq").alias("t2"),
+            F.max_by("t3", "seq").alias("t3"),
+        )
+        .collect()
+    }
+    assert finals[1] == (
+        (base - 6600) * us, (base - 4000) * us, (base - 1000) * us
+    )
+    assert finals[2] == (base * us, None, None)
+    report = {
+        r.stage: r.n_users for r in funnel_report(per_user, stages).collect()
+    }
+    assert report == {"view": 2, "click": 1, "purchase": 1}

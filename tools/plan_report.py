@@ -241,6 +241,12 @@ AUDITED: dict[str, str] = {
         "exact batch-local-prune scan over the 4x-narrower sketch; "
         "re-rank fetches via broadcast — corpus never shuffles"
     ),
+    "docs_unigram_encode": (
+        "Viterbi segmentation runs once per distinct word (Arrow pass "
+        "over the |vocab| table with the cost map in the closure); the "
+        "corpus makes one explode into a word equi-join + per-doc "
+        "partial agg — the token stream is never re-segmented per row"
+    ),
     "parts_triangle_stats": (
         "the degree-oriented wedge join bounds per-node fan-out by "
         "O(sqrt m); the derived graph (canonical edges, degrees, "

@@ -102,6 +102,11 @@ PROBES = [
     "parts_related_rank",  # seeded teleport, same per-round join+agg (r7)
     "events_trending_decayed",  # map-side decay + one partial-agg groupBy (r7)
     "parts_triangle_stats",  # degree-oriented wedge join, O(sqrt m) fan-out (r7)
+    "docs_unigram_vocab",  # substring agg + Arrow Viterbi over |vocab| rows (r8)
+    "docs_unigram_encode",  # one more Viterbi pass + word equi-join (r8)
+    "stream_event_funnel",  # keyed funnel state + per-user min reduce (r8)
+    "stream_trending_anchored",  # per-batch partials + anchor rescale (r8)
+    "emb_ann_opq",         # rotation map + PQ-ADC scan, twice (vs trained PQ) (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
