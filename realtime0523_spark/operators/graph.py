@@ -193,6 +193,90 @@ def pagerank_fixed_point(
     return ranks
 
 
+def kcore(
+    edges: DataFrame, k: int, rounds: int | None = None
+) -> DataFrame:
+    """k-CORE decomposition by iterative peeling (Seidman, "Network
+    structure and minimum degree", Social Networks 1983; the
+    distributed peel is Montresor et al.'s): repeatedly delete every
+    node whose degree in the REMAINING graph is < k; what survives is
+    the maximal subgraph where every node keeps ≥ k neighbors — the
+    dense-community screen (spam/link-farm cores on web graphs,
+    bot-ring detection, co-purchase communities worth recommending
+    inside).
+
+    Input is canonicalized exactly like triangle_counts (least,
+    greatest + distinct), so any edge-list convention works. Returns
+    (node, core_degree) for surviving nodes — core_degree is the
+    node's degree INSIDE the k-core.
+
+    `rounds=None` peels to the fixpoint (capped at 64 — a peel that
+    deep means adversarial chain structure; raise explicitly).
+    `rounds=R` runs EXACTLY R peels whether or not converged — the
+    R-round peel is a deterministic function of the data, which is
+    what the generated SQL oracle replays (convergence at fixture
+    scale is test-asserted separately, so equality never depends on
+    convergence).
+
+    Scale shape per round: one partial-agg'd degree groupBy over the
+    canonical edge table + two semi-join filters (broadcast when the
+    removed set is small, AQE otherwise) — all shuffles on the node
+    key. Each round's edge table is checkpoint-materialized with
+    eager release of the previous snapshot (the pagerank/_ckpt_tools
+    discipline), so plan depth and memory stay O(1) in rounds."""
+    if k < 1:
+        raise ValueError(f"kcore: k must be ≥ 1, got {k}")
+    ckpt, release = _ckpt_tools(edges)
+    cur, held = ckpt(
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("lo", "hi")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    max_rounds = 64 if rounds is None else rounds
+    try:
+        for _ in range(max_rounds):
+            deg = degrees(cur)
+            bad = deg.filter(F.col("deg") < k).select("node")
+            if rounds is None and bad.limit(1).count() == 0:
+                break
+            nxt = (
+                cur.join(
+                    bad.withColumnRenamed("node", "lo"), "lo", "left_anti"
+                ).join(
+                    bad.withColumnRenamed("node", "hi"), "hi", "left_anti"
+                )
+            )
+            nxt, ids = ckpt(nxt.select("lo", "hi"))
+            release(held)
+            cur, held = nxt, ids
+        else:
+            if rounds is None:
+                raise RuntimeError(
+                    "kcore: no fixpoint within 64 peel rounds — "
+                    "pathological chain structure; pass `rounds` "
+                    "explicitly."
+                )
+        out, _ = ckpt(
+            degrees(cur).select(
+                "node", F.col("deg").cast("long").alias("core_degree")
+            )
+        )
+    finally:
+        release(held)
+    return out
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as a
     both-directions (src, dst) edge table — the clustering-structure

@@ -592,3 +592,38 @@ def test_triangle_counts_counts_each_triangle_once(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_kcore_peels_to_maximal_subgraph(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the
+    clique (every pendant peels, including CASCADING peels along the
+    chain); core degrees are the in-core degrees. A too-high k
+    returns the empty frame, not an error."""
+    from realtime0523_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]  # peels over several rounds
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r.node: r.core_degree for r in kcore(edges, 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert kcore(edges, 10).count() == 0
+
+
+def test_kcore_fixed_rounds_matches_fixpoint_on_fixture(spark):
+    """The registered query runs EXACTLY KCORE_ROUNDS peels; the
+    fixture must CONVERGE within them (the documented contract) —
+    running rounds+1 must change nothing."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.operators.graph import kcore
+    from realtime0523_spark.plans.inventory import KCORE_K, KCORE_ROUNDS
+    from tests.conftest import SF_ORACLE
+
+    li = Catalog(spark, SF_ORACLE).table("lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    at_r = sorted(map(tuple, kcore(pairs, KCORE_K, rounds=KCORE_ROUNDS).collect()))
+    at_r1 = sorted(map(tuple, kcore(pairs, KCORE_K, rounds=KCORE_ROUNDS + 1).collect()))
+    assert at_r == at_r1 and len(at_r) > 0
