@@ -1662,3 +1662,95 @@ def sparse_search_topk(
         k,
         rank_col="rk",
     )
+
+
+# --- MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998) ------
+
+MMR_RETRIEVE = 20
+MMR_LAMBDA = 0.5  # exact binary fraction — both engines' doubles agree
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    retrieve: int = MMR_RETRIEVE,
+    k: int = 5,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998 — the standard RAG/result-diversification
+    re-rank): greedily select k results from a relevance shortlist,
+    each round maximizing
+
+        λ·rel(q, d) − (1 − λ)·max_{s ∈ selected} sim(d, s)
+
+    so near-duplicate hits can't crowd the answer set. Relevance and
+    pairwise similarities are 9-dp-quantized cosines; each round's
+    combined score is re-quantized and ties break on the smallest id
+    — the SQL oracle replays the identical greedy rounds as
+    generated CTEs.
+
+    Scale shape: the only corpus-sized work is the exact shortlist
+    scan (cosine_topk's map-only batch-local prune); everything
+    after runs on |queries|·retrieve rows. The greedy itself is
+    inherently sequential per query, so it runs driver-side on the
+    collected shortlist (|queries|·retrieve vectors, small by the
+    same contract as every ANN query-set collect) — at serving scale
+    this is the re-rank tier, not a cluster job."""
+    r9c = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    shortlist = cosine_topk(
+        corpus,
+        queries,
+        k=retrieve,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=r9c,
+    ).select(query_id_col, id_col, F.col("score").alias("rel"))
+    rows = shortlist.collect()
+    by_q: dict = {}
+    ids_needed: set = set()
+    for r in rows:
+        by_q.setdefault(r[0], []).append((r[1], float(r[2])))
+        ids_needed.add(r[1])
+    vec_rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(list(ids_needed)))
+        .collect()
+    )
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in vec_rows}
+    out = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid])  # (vec_id, rel), id-ascending
+        ids = [c[0] for c in cands]
+        rel = {c[0]: c[1] for c in cands}
+        M = np.vstack([vecs[i] for i in ids])
+        norms = np.linalg.norm(M, axis=1)
+        sims = _r9_np((M @ M.T) / (norms[:, None] * norms[None, :]))
+        idx = {i: p for p, i in enumerate(ids)}
+        selected: list = []
+        chosen: set = set()
+        for rank in range(1, min(k, len(ids)) + 1):
+            best = None  # (vec_id, score); order by (score desc, id asc)
+            for i in ids:
+                if i in chosen:
+                    continue
+                if not selected:
+                    sc = rel[i]
+                else:
+                    ms = max(sims[idx[i], idx[s]] for s in selected)
+                    sc = float(_r9_np(lam * rel[i] - (1 - lam) * ms))
+                if best is None or sc > best[1] or (sc == best[1] and i < best[0]):
+                    best = (i, sc)
+            selected.append(best[0])
+            chosen.add(best[0])
+            out.append((qid, best[0], best[1], rank))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out, f"{query_id_col} long, {id_col} long, mmr_score double, mmr_rank int"
+    )

@@ -3131,6 +3131,95 @@ def q_docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MMR diversified re-rank oracle -----------------------------------
+
+
+def _mmr_sql(retrieve: int, k: int) -> str:
+    """Generated greedy-round MMR oracle: relevance shortlist, pair
+    sims among shortlist members, then k argmax rounds (each scoring
+    0.5·rel − 0.5·max-sim-to-selected, 9-dp-quantized, ties to the
+    smallest id) — the identical greedy mmr_topk runs."""
+    rel = _r9("dot / (n_a * n_b)")
+    parts = [_DOT_CTE.format(nq=TOPK_QUERIES).strip()]
+    parts.append(
+        f"""mrel AS MATERIALIZED (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, {rel} AS rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {rel} DESC, vec_id) AS rn
+        FROM pairdot) WHERE rn <= {retrieve})"""
+    )
+    parts.append(
+        f"""mpair AS MATERIALIZED (
+      SELECT qid, i, j, {_r9('dot / (ni * nj)')} AS sim FROM (
+        SELECT sub.qid AS qid, sub.i AS i, sub.j AS j,
+               sum(CAST(sub.va[x] AS DOUBLE) * CAST(sub.vb[x] AS DOUBLE)) AS dot,
+               sqrt(sum(CAST(sub.va[x] AS DOUBLE) * CAST(sub.va[x] AS DOUBLE))) AS ni,
+               sqrt(sum(CAST(sub.vb[x] AS DOUBLE) * CAST(sub.vb[x] AS DOUBLE))) AS nj
+        FROM (SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM mrel a
+              JOIN mrel b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id) sub,
+             LATERAL (SELECT unnest(range(1, len(sub.va) + 1)) AS x)
+        GROUP BY sub.qid, sub.i, sub.j))"""
+    )
+    parts.append(
+        """selu1 AS MATERIALIZED (
+      SELECT qid, vec_id, rel AS mmr_score, 1 AS mmr_rank FROM (
+        SELECT qid, vec_id, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM mrel) WHERE rn = 1)"""
+    )
+    sc = _r9("0.5 * c.rel - 0.5 * ms.m")
+    for t in range(2, k + 1):
+        parts.append(
+            f"""selu{t} AS MATERIALIZED (
+      SELECT qid, vec_id, mmr_score, mmr_rank FROM selu{t - 1}
+      UNION ALL
+      SELECT qid, vec_id, sc AS mmr_score, {t} AS mmr_rank FROM (
+        SELECT c.qid, c.vec_id, {sc} AS sc,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY {sc} DESC, c.vec_id) AS rn
+        FROM mrel c
+        JOIN (SELECT p.qid, p.i AS vec_id, max(p.sim) AS m
+              FROM mpair p
+              JOIN selu{t - 1} s ON s.qid = p.qid AND s.vec_id = p.j
+              GROUP BY p.qid, p.i) ms
+          ON ms.qid = c.qid AND ms.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM selu{t - 1} s2
+                          WHERE s2.qid = c.qid
+                            AND s2.vec_id = c.vec_id)) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT qid, vec_id, mmr_score, mmr_rank FROM selu{k}"
+    )
+
+
+@register(
+    "emb_ann_mmr",
+    _mmr_sql(S.MMR_RETRIEVE, TOPK_K),
+    "MMR — Maximal Marginal Relevance diversified top-k (Carbonell & "
+    "Goldstein, SIGIR 1998; the standard RAG re-rank): greedily pick "
+    "k results from the exact relevance shortlist, each round "
+    "maximizing 0.5·rel − 0.5·max-sim-to-already-selected, so "
+    "near-duplicate hits cannot crowd the answer set. Relevance and "
+    "pair sims are 9-dp cosines; each round re-quantizes and ties "
+    "break on the smallest id — the oracle replays the greedy as "
+    "generated per-round CTEs. Scale shape: the only corpus-sized "
+    "work is the shortlist scan (map-only batch-local prune); the "
+    "greedy runs on |queries|·retrieve rows (the serving-tier "
+    "re-rank, small by the ANN query-set contract).",
+)
+def q_emb_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    return S.mmr_topk(emb, queries, k=TOPK_K)
+
+
 _SEM_PAIRS_SQL = f"""
     SELECT id_a AS doc_a, id_b AS doc_b FROM (
       SELECT id_a, id_b, {_r9('dot / (n_a * n_b)')} AS cos_sim FROM (

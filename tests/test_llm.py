@@ -1781,3 +1781,40 @@ def test_opq_rotation_reduces_quantization_error():
     cb = _lloyd_pq(X @ R, codes, m, iters)
     rotated = recon_err(X @ R, cb)
     assert rotated <= base * 1.001, (rotated, base)
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    """Three near-duplicate high-rel vectors + one distinct mid-rel
+    vector: pure relevance top-3 takes the three clones; MMR at
+    λ=0.5 must slot the distinct vector ahead of the later clones,
+    and rank 1 is always the top-relevance hit."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import mmr_topk
+
+    # cluster A (near axis 1, higher rel) and cluster B (near axis 2,
+    # lower rel): pure relevance top-3 = [A, A, B]; MMR alternates
+    # clusters [A, B, A] because the second A is ~redundant
+    rows = [
+        (100, [1.0, 0.01, 0.0, 0.0]),
+        (101, [1.0, 0.02, 0.0, 0.0]),
+        (102, [0.01, 1.0, 0.0, 0.0]),
+        (103, [0.02, 1.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.8, 0.0, 0.0])], "qid long, qv array<double>"
+    )
+    picked = [
+        r.vec_id
+        for r in sorted(
+            mmr_topk(corpus, queries, retrieve=4, k=3).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+    ]
+    assert picked[0] in (100, 101)  # top-rel first
+    assert picked[1] in (102, 103), picked  # diversity: cluster B second
+    assert picked[2] in (100, 101), picked  # back to A
+    _ = np
