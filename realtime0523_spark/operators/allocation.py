@@ -73,3 +73,65 @@ def allocate_order_amount(
 # The DuckDB-oracle formulation of this operator lives next to the
 # query inventory (realtime0523_spark/plans/inventory.py) — it must be
 # staged in two SELECT levels because window calls cannot nest.
+
+
+def attribute_linear(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    window_us: int,
+    conv_id: str = "conv_id",
+    conv_ts: str = "conv_ts_us",
+    conv_value_cents: str = "value_cents",
+    touch_id: str = "touch_id",
+    touch_ts: str = "touch_ts_us",
+) -> DataFrame:
+    """Linear multi-touch attribution with the allocation operator's
+    EXACT-SUM discipline: each conversion's integer-cent value splits
+    equally across the same key's (e.g. user's) touches inside the
+    lookback window (conv_ts − window < touch_ts ≤ conv_ts); every
+    touch gets value_cents div n and the LAST touch (latest ts,
+    then largest id — a deterministic total order, like F1's detail
+    key) additionally takes the remainder, so per conversion
+    Σ credit_cents == value_cents EXACTLY — in integers, no float
+    drift for money (the same last-row-remainder contract as
+    allocate_order_amount).
+
+    Returns (conv_id, touch_id, n_touches, credit_cents).
+    Conversions with no in-window touch are absent (report them
+    separately as unattributed).
+
+    Scale shape: one equi-join on the key with the window as a band
+    predicate (per-key fan-out bounded by touch rate × window), then
+    one window over the conversion id — every shuffle on `key` or
+    the conversion id."""
+    c = conversions.select(
+        F.col(key).alias("__k"),
+        F.col(conv_id).alias("conv_id"),
+        F.col(conv_ts).alias("__cts"),
+        F.col(conv_value_cents).alias("__cents"),
+    )
+    t = touches.select(
+        F.col(key).alias("__k"),
+        F.col(touch_id).alias("touch_id"),
+        F.col(touch_ts).alias("__tts"),
+    )
+    joined = c.join(t, "__k").filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (F.col("__tts") > F.col("__cts") - F.lit(window_us))
+    )
+    by_conv = W.partitionBy("conv_id")
+    ordered = by_conv.orderBy(F.desc("__tts"), F.desc("touch_id"))
+    staged = joined.withColumn("__n", F.count(F.lit(1)).over(by_conv)).withColumn(
+        "__last", F.row_number().over(ordered) == 1
+    )
+    base = F.expr("__cents div __n")
+    credit = F.when(
+        F.col("__last"), base + F.col("__cents") % F.col("__n")
+    ).otherwise(base)
+    return staged.select(
+        "conv_id",
+        "touch_id",
+        F.col("__n").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_cents"),
+    )

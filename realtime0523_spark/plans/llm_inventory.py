@@ -4120,6 +4120,63 @@ def q_stream_event_funnel_windowed(
     return funnel_report(per_user, FUNNEL_STAGES)
 
 
+ATTRIB_WINDOW_S = 7 * 24 * 3600
+_ATTRIB_WINDOW_US = ATTRIB_WINDOW_S * 1_000_000
+
+
+@register(
+    "purchase_attribution",
+    f"""
+    WITH ap AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+    at_ AS (SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tts
+            FROM events WHERE event_type = 'click'),
+    aj AS (SELECT ap.conv_id, at_.touch_id, ap.cents, at_.tts,
+                  count(*) OVER (PARTITION BY ap.conv_id) AS n,
+                  row_number() OVER (PARTITION BY ap.conv_id
+                                     ORDER BY at_.tts DESC,
+                                              at_.touch_id DESC) AS rn
+           FROM ap JOIN at_ ON at_.user_id = ap.user_id
+           WHERE at_.tts <= ap.cts
+             AND at_.tts > ap.cts - {_ATTRIB_WINDOW_US})
+    SELECT conv_id, touch_id, CAST(n AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rn = 1 THEN cents // n + cents % n
+                     ELSE cents // n END AS BIGINT) AS credit_cents
+    FROM aj
+    """,
+    "Linear multi-touch attribution (the marketing-warehouse "
+    "staple): each purchase's revenue splits equally across the "
+    "user's clicks in the 7-day lookback window, in INTEGER CENTS "
+    "with the F1 allocation operator's exact-sum discipline — every "
+    "touch gets cents div n and the last touch (latest ts, then "
+    "largest id — a deterministic total order) takes the remainder, "
+    "so per conversion the credits sum to the purchase value "
+    "EXACTLY, no float drift for money. One user-keyed equi-join "
+    "with the window as a band predicate (fan-out bounded by touch "
+    "rate × window) + one window over the conversion id.",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.allocation import attribute_linear
+
+    ev = Catalog(spark, sf_dir).table("events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    conversions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_ts_us"),
+        cents.alias("value_cents"),
+    )
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("touch_ts_us"),
+    )
+    return attribute_linear(
+        conversions, touches, "user_id", _ATTRIB_WINDOW_US
+    )
+
+
 @register(
     "user_cohort_retention",
     """

@@ -627,3 +627,70 @@ def test_kcore_fixed_rounds_matches_fixpoint_on_fixture(spark):
     at_r = sorted(map(tuple, kcore(pairs, KCORE_K, rounds=KCORE_ROUNDS).collect()))
     at_r1 = sorted(map(tuple, kcore(pairs, KCORE_K, rounds=KCORE_ROUNDS + 1).collect()))
     assert at_r == at_r1 and len(at_r) > 0
+
+
+def test_attribute_linear_exact_sum_and_remainder(spark):
+    """The exact-sum money contract: per conversion, credits sum to
+    the conversion's cents EXACTLY; the remainder lands on the
+    LATEST touch (ties to the largest id); out-of-window and
+    after-conversion touches get nothing."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.operators.allocation import attribute_linear
+
+    conv = spark.createDataFrame(
+        [(1, 10, 1000, 1004)],  # user 1, conv 10, ts 1000, 10.04
+        "user_id long, conv_id long, conv_ts_us long, value_cents long",
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, 100, 400),   # in window
+            (1, 101, 900),   # in window, latest -> remainder
+            (1, 102, 1500),  # AFTER the conversion -> excluded
+            (1, 103, 1),     # before the window -> excluded
+            (2, 104, 950),   # other user -> excluded
+        ],
+        "user_id long, touch_id long, touch_ts_us long",
+    )
+    out = {
+        r.touch_id: (r.n_touches, r.credit_cents)
+        for r in attribute_linear(
+            conv, touches, "user_id", window_us=999
+        ).collect()
+    }
+    assert out == {100: (2, 502), 101: (2, 502)}
+    # odd split: 1005 across 2 -> 502 + 503, remainder on touch 101
+    conv2 = spark.createDataFrame(
+        [(1, 11, 1000, 1005)],
+        "user_id long, conv_id long, conv_ts_us long, value_cents long",
+    )
+    out2 = {
+        r.touch_id: r.credit_cents
+        for r in attribute_linear(
+            conv2, touches, "user_id", window_us=999
+        ).collect()
+    }
+    assert out2 == {100: 502, 101: 503}
+
+
+def test_purchase_attribution_sums_exactly_on_fixture(spark):
+    """Fixture-wide invariant: for every attributed purchase the
+    credit cents sum to the purchase's rounded cents exactly."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.core.catalog import Catalog
+    from realtime0523_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    detail = REGISTRY["purchase_attribution"].fn(spark, SF_SMOKE)
+    sums = detail.groupBy("conv_id").agg(
+        F.sum("credit_cents").alias("got")
+    )
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    cents = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("want"),
+    )
+    bad = sums.join(cents, "conv_id").filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+    assert sums.count() > 0
