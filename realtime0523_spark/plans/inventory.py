@@ -103,7 +103,7 @@ _PRIORITY: list[str] = [
     "stream_event_funnel_windowed",
     "docs_unigram_vocab", "docs_unigram_encode",
     "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
-    "parts_kcore", "purchase_attribution",
+    "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",

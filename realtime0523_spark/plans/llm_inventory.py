@@ -4178,6 +4178,72 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_purchase_attribution",
+    REGISTRY["purchase_attribution"].oracle,
+    "Streaming twin of purchase_attribution — the ONLINE credit "
+    "tier: each micro-batch of purchases equi-joins the user-keyed "
+    "click table (the at-rest touch index; bucketed by user it "
+    "serves probes shuffle-free) with the lookback band predicate, "
+    "assigns the same exact-sum integer-cent credits, and lands "
+    "them in the idempotent parquet sink. Per-batch work is "
+    "batch-sized; credits for a purchase are final the moment its "
+    "batch commits (clicks precede their purchase by definition of "
+    "the lookback, so a purchase's touch set never changes after "
+    "its event time passes the watermark).",
+)
+def q_stream_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.operators.allocation import attribute_linear
+    from realtime0523_spark.streaming.runner import run_foreach_batch
+    from realtime0523_spark.streaming.sinks import (
+        detach_and_cleanup,
+        idempotent_batch_writer,
+    )
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = Catalog(spark, sf_dir).table("events")
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("touch_ts_us"),
+    ).persist()
+    stream = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_attrib_")
+    sink = idempotent_batch_writer(out_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def credit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        conv = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("conv_id"),
+            F.unix_micros("ts").alias("conv_ts_us"),
+            cents.alias("value_cents"),
+        )
+        sink(
+            attribute_linear(conv, touches, "user_id", _ATTRIB_WINDOW_US),
+            batch_id,
+        )
+
+    try:
+        run_foreach_batch(stream, credit, output_mode="append")
+    finally:
+        touches.unpersist()
+    return detach_and_cleanup(
+        spark.read.parquet(out_dir).select(
+            "conv_id", "touch_id", "n_touches", "credit_cents"
+        ),
+        out_dir,
+    )
+
+
+@register(
     "user_cohort_retention",
     """
     WITH firstw AS (

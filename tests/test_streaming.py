@@ -994,3 +994,60 @@ def test_stream_windowed_funnel_cross_batch_disqualification(
         r.stage: r.n_users for r in funnel_report(per_user, stages).collect()
     }
     assert report == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_stream_attribution_multi_batch_equals_batch(spark, tmp_path):
+    """Purchases split across micro-batches must produce exactly the
+    batch attribution detail: per-batch probes of the static touch
+    index are independent, so batch boundaries cannot change any
+    credit (each purchase's touch set is fixed at its event time)."""
+    from realtime0523_spark.operators.allocation import attribute_linear
+    from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+
+    in_dir = str(tmp_path / "pa_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, conv_id long, conv_ts_us long, value_cents long"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    touches = spark.createDataFrame(
+        [(1, 100, base - 50), (1, 101, base - 10), (2, 102, base - 5)],
+        "user_id long, touch_id long, touch_ts_us long",
+    )
+    write([(1, 10, base, 1001)])
+    time.sleep(1.1)
+    write([(1, 11, base + 1, 999), (2, 12, base, 500)])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, conv_id long, conv_ts_us long, value_cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "pa_out")
+    os.makedirs(out_dir)
+    sink = idempotent_batch_writer(out_dir)
+
+    def credit(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sink(attribute_linear(batch_df, touches, "user_id", 100), batch_id)
+
+    run_foreach_batch(stream, credit, output_mode="append")
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("conv_id", "touch_id", "credit_cents").collect())
+    )
+    conv_all = spark.createDataFrame(
+        [(1, 10, base, 1001), (1, 11, base + 1, 999), (2, 12, base, 500)],
+        "user_id long, conv_id long, conv_ts_us long, value_cents long",
+    )
+    want = sorted(
+        map(tuple, attribute_linear(conv_all, touches, "user_id", 100)
+            .select("conv_id", "touch_id", "credit_cents").collect())
+    )
+    assert got == want and len(got) == 5
