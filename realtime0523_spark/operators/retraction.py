@@ -1,0 +1,131 @@
+"""CDC retraction aggregates — the update/delete half the reference's
+insert-only fact path drops.
+
+Reference: scala/…/ods/KafkaToODS_M.scala:53-64 routes fact tables
+ONLY on type=='insert'; an order whose amount is corrected (update) or
+cancelled (delete) after ingestion permanently skews every downstream
+revenue total, and the reference has no mechanism to repair it.
+
+Ours: Flink-style retraction algebra expressed relationally. Each
+changelog row becomes a SIGNED delta —
+
+    insert → (+new_cents, +1)
+    update → (+new_cents − old_cents, 0)
+    delete → (−old_cents, −1)
+
+— and any distributive aggregate (sum, count) over the LATEST state
+equals the plain sum of deltas over the FULL changelog. No per-key
+"latest version wins" window, no per-key state: the delta map is
+stateless and the aggregate is one map-side-combined groupBy. Money
+rides as integer cents (bigint) so delta sums are exact and
+order-independent — change events may arrive late or reordered
+without changing the answer.
+
+At 100 TB: the usual latest-row formulation shuffles the whole
+changelog by primary key and window-sorts it; this plan shuffles
+|groups| partial rows and nothing else. Groups whose live row count
+returns to zero are dropped (the relational analog of Flink emitting
+a retraction for the group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHANGELOG_OPS = ("insert", "update", "delete")
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents of a 2-dp money double (half-up, the shared
+    round2 formula's integer core)."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def signed_deltas(
+    changelog: DataFrame,
+    op_col: str = "op",
+    new_col: str = "price_new",
+    old_col: str = "price_old",
+) -> DataFrame:
+    """Map each change event to its signed contribution:
+    ``delta_cents`` (money, integer cents) and ``delta_rows`` (live row
+    count). Unknown ops raise at execution time — a changelog with an
+    op outside {insert, update, delete} is corrupt, not ignorable.
+    Stateless; works on batch and streaming frames alike."""
+    op = F.col(op_col)
+    new_c = _cents(F.col(new_col))
+    old_c = _cents(F.col(old_col))
+    bad = F.raise_error(
+        F.concat(F.lit("unknown changelog op: "), F.coalesce(op, F.lit("NULL")))
+    )
+    delta_cents = (
+        F.when(op == "insert", new_c)
+        .when(op == "update", new_c - old_c)
+        .when(op == "delete", -old_c)
+        .otherwise(bad.cast("long"))
+    )
+    delta_rows = (
+        F.when(op == "insert", F.lit(1))
+        .when(op == "update", F.lit(0))
+        .when(op == "delete", F.lit(-1))
+        .otherwise(bad.cast("int"))
+    )
+    return changelog.withColumn("delta_cents", delta_cents).withColumn(
+        "delta_rows", delta_rows
+    )
+
+
+def retract_partials(
+    changelog: DataFrame,
+    group_cols: list[str],
+    op_col: str = "op",
+    new_col: str = "price_new",
+    old_col: str = "price_old",
+) -> DataFrame:
+    """Per-group signed partial sums — the associative intermediate
+    both the batch aggregate and the streaming per-batch commit share.
+    Output: group_cols + (delta_cents, delta_rows), one row per group
+    touched by the changelog slice."""
+    d = signed_deltas(changelog, op_col=op_col, new_col=new_col, old_col=old_col)
+    return d.groupBy(*group_cols).agg(
+        F.sum("delta_cents").alias("delta_cents"),
+        F.sum("delta_rows").cast("long").alias("delta_rows"),
+    )
+
+
+def finish_retract_aggregate(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold (possibly multi-slice) partials into the final state
+    aggregate: net_amount (2-dp money) + net_rows per group; groups
+    whose live row count is zero are dropped."""
+    return (
+        partials.groupBy(*group_cols)
+        .agg(
+            F.sum("delta_cents").alias("_cents"),
+            F.sum("delta_rows").alias("net_rows"),
+        )
+        .filter(F.col("net_rows") > 0)
+        .select(
+            *group_cols,
+            (F.col("_cents") / F.lit(100.0)).alias("net_amount"),
+            "net_rows",
+        )
+    )
+
+
+def retract_aggregate(
+    changelog: DataFrame,
+    group_cols: list[str],
+    op_col: str = "op",
+    new_col: str = "price_new",
+    old_col: str = "price_old",
+) -> DataFrame:
+    """One-pass retractable sum+count over a CDC changelog: equals the
+    aggregate a full latest-state recompute would produce (the oracle
+    checks exactly that), at the cost of one partial-agg'd shuffle."""
+    return finish_retract_aggregate(
+        retract_partials(
+            changelog, group_cols, op_col=op_col, new_col=new_col, old_col=old_col
+        ),
+        group_cols,
+    )

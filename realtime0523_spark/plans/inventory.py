@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "docs_unigram_vocab", "docs_unigram_encode",
     "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
+    "cdc_retract_agg", "stream_cdc_retract_agg", "segment_overlap_kmv",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
@@ -2752,3 +2753,196 @@ def q_parts_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(W.orderBy(F.desc("n_triangles"), F.col("part_id"))),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC retraction aggregate — the update/delete half of the changelog the
+# reference's insert-only fact routing (KafkaToODS_M.scala:53-64) drops.
+# The changelog fixture is derived deterministically from orders in BOTH
+# engines; the oracle aggregates a full latest-state RECOMPUTE, so the
+# match proves the signed-delta algebra equals state maintenance.
+
+
+def _orders_changelog(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC changelog derived from orders in ONE scan
+    (array-of-events + explode — no 3-way self-union): every order
+    inserts; o_orderkey % 7 == 3 later gets a +10%% price-correction
+    update; o_orderkey % 11 == 5 is cancelled, the delete carrying the
+    then-current price the way a real CDC delete carries the old row.
+    Stateless — applies to the batch table and the CDC stream alike."""
+    upd = F.col("o_orderkey") % 7 == 3
+    dele = F.col("o_orderkey") % 11 == 5
+    upd_price = round2(F.col("o_totalprice") * 1.1)
+    cur_price = F.when(upd, upd_price).otherwise(F.col("o_totalprice"))
+    null_d = F.lit(None).cast("double")
+    events = F.array(
+        F.struct(
+            F.lit("insert").alias("op"),
+            F.col("o_totalprice").alias("price_new"),
+            null_d.alias("price_old"),
+        ),
+        F.when(
+            upd,
+            F.struct(
+                F.lit("update").alias("op"),
+                upd_price.alias("price_new"),
+                F.col("o_totalprice").alias("price_old"),
+            ),
+        ),
+        F.when(
+            dele,
+            F.struct(
+                F.lit("delete").alias("op"),
+                null_d.alias("price_new"),
+                cur_price.alias("price_old"),
+            ),
+        ),
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.filter(events, lambda x: x.isNotNull())).alias("ev"),
+    ).select("o_orderkey", "o_orderpriority", "ev.op", "ev.price_new", "ev.price_old")
+
+
+_RETRACT_ORACLE = """
+    WITH live AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 3
+                  THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 11 <> 5)
+    SELECT o_orderpriority,
+           sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0 AS net_amount,
+           CAST(count(*) AS BIGINT) AS net_rows
+    FROM live
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "cdc_retract_agg",
+    _RETRACT_ORACLE,
+    "Retractable revenue aggregate over a full CDC changelog "
+    "(insert/update/delete) — the capability the reference's "
+    "insert-only fact routing (scala/…/ods/KafkaToODS_M.scala:53-64) "
+    "forfeits: a post-ingest price correction or cancellation there "
+    "skews every downstream total forever. Flink-style signed-delta "
+    "algebra: each change event maps statelessly to (±cents, ±1) and "
+    "one map-side-combined groupBy equals a full latest-state "
+    "recompute — which is exactly what the oracle computes, so the "
+    "hash match IS the equivalence proof. No per-key latest-version "
+    "window, no per-key state: at 100 TB the plan is one shuffle of "
+    "|groups| partial rows (operators/retraction.py).",
+)
+def q_cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.retraction import retract_aggregate
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    return retract_aggregate(_orders_changelog(orders), ["o_orderpriority"])
+
+
+@register(
+    "stream_cdc_retract_agg",
+    _RETRACT_ORACLE,
+    "Streaming twin of cdc_retract_agg — the online repair tier the "
+    "reference lacks: per micro-batch, change events map to signed "
+    "deltas and collapse to |groups| partial rows committed "
+    "idempotently by batchId (K5); the final state aggregate "
+    "re-aggregates committed partials. Signed-delta addition is "
+    "commutative+associative, so batch boundaries, replays, and "
+    "late/reordered change events cannot change the answer — drained "
+    "result equals the batch oracle's latest-state recompute "
+    "(streaming/retraction.py).",
+)
+def q_stream_cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.retraction import (
+        streaming_retract_aggregate,
+    )
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    changelog = _orders_changelog(stream_table(spark, sf_dir, "orders"))
+    work = tempfile.mkdtemp(prefix="stream_cdc_retract_")
+    return detach_and_cleanup(
+        streaming_retract_aggregate(
+            spark,
+            changelog,
+            ["o_orderpriority"],
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-overlap sketch — audience overlap without the distinct-
+# pair join. The 48-bit md5 hash replays exactly in DuckDB, so the
+# oracle re-derives the ENTIRE synopsis and estimator (the CMS
+# discipline: approximate answers, exact oracles).
+
+_KMV_K = 64
+_KMV_SPACE = "281474976710656.0"  # 2^48 as a double literal
+_KMV_UNION_EST = (
+    f"CASE WHEN st.ku < {_KMV_K} THEN CAST(st.ku AS DOUBLE) "
+    f"ELSE CAST(st.ku - 1 AS DOUBLE) / (CAST(st.hk AS DOUBLE) / {_KMV_SPACE}) END"
+)
+
+_KMV_ORACLE = f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type AS seg,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS v
+      FROM events),
+    rk AS (SELECT seg, v, row_number() OVER (PARTITION BY seg ORDER BY v) AS rn
+           FROM hv),
+    sk AS (SELECT seg, v FROM rk WHERE rn <= {_KMV_K}),
+    segs AS (SELECT DISTINCT seg FROM sk),
+    pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b
+           FROM segs a JOIN segs b ON a.seg < b.seg),
+    u0 AS (SELECT DISTINCT p.seg_a, p.seg_b, s.v
+           FROM pr p JOIN sk s ON s.seg = p.seg_a OR s.seg = p.seg_b),
+    ur AS (SELECT seg_a, seg_b, v,
+                  row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY v) AS rn
+           FROM u0),
+    L AS (SELECT seg_a, seg_b, v FROM ur WHERE rn <= {_KMV_K}),
+    st AS (SELECT seg_a, seg_b, count(*) AS ku, max(v) AS hk
+           FROM L GROUP BY 1, 2),
+    nc AS (SELECT l.seg_a, l.seg_b, count(*) AS n_common
+           FROM L l
+           JOIN sk sa ON sa.seg = l.seg_a AND sa.v = l.v
+           JOIN sk sb ON sb.seg = l.seg_b AND sb.v = l.v
+           GROUP BY 1, 2)
+    SELECT st.seg_a, st.seg_b, CAST(st.ku AS BIGINT) AS ku,
+           round({_KMV_UNION_EST}, 6) AS union_est,
+           round(CAST(COALESCE(nc.n_common, 0) AS DOUBLE)
+                 / CAST(st.ku AS DOUBLE), 9) AS jaccard_est,
+           round((CAST(COALESCE(nc.n_common, 0) AS DOUBLE)
+                 / CAST(st.ku AS DOUBLE)) * ({_KMV_UNION_EST}), 6) AS inter_est
+    FROM st LEFT JOIN nc
+      ON nc.seg_a = st.seg_a AND nc.seg_b = st.seg_b
+    """
+
+
+@register(
+    "segment_overlap_kmv",
+    _KMV_ORACLE,
+    "Audience overlap between every event-type segment pair from KMV "
+    "synopses (Beyer et al. SIGMOD 2007): k smallest distinct 48-bit "
+    "md5 hashes per segment, built in one Arrow pass with HARD-bounded "
+    "per-partition state (≤|segments|·k values regardless of input "
+    "size) + one shuffle of P·|segments|·k partial rows; union/Jaccard/"
+    "intersection estimated from the merged k-min, with exact fallback "
+    "when a segment is exhaustive. The distinct-pair join this "
+    "replaces shuffles every (segment,user) pair at 100 TB; the "
+    "synopsis is metadata-sized, mergeable across days, and the "
+    "oracle replays it EXACTLY (operators/kmv.py).",
+)
+def q_segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return kmv_overlap(kmv_sketch(ev, "event_type", "user_id", k=_KMV_K), k=_KMV_K)

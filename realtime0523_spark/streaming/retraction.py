@@ -1,0 +1,75 @@
+"""Streaming CDC retraction aggregate — the online form of
+operators/retraction.py.
+
+Reference gap: the reference's fact path is insert-only
+(scala/…/ods/KafkaToODS_M.scala:53-64), so a correction or
+cancellation arriving on the CDC stream after ingestion never reaches
+the ADS totals. Here the full changelog (insert/update/delete) flows
+through: per micro-batch, change events map to signed deltas and
+collapse to per-group partial sums (|groups| rows, map-side combined)
+committed idempotently by batchId (K5 exactly-once); the final state
+aggregate is a re-aggregation of committed partials. Signed-delta
+addition is commutative and associative, so batch boundaries, replays
+(no-op by batchId), and reordered change events cannot change the
+answer — the drained result equals the batch oracle's full
+latest-state recompute.
+
+At 100 TB: per-batch state is zero (the delta map is stateless); the
+commit is |groups| rows regardless of input rate; the rollup reads
+only committed partials.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from realtime0523_spark.operators.retraction import (
+    finish_retract_aggregate,
+    retract_partials,
+)
+from realtime0523_spark.streaming.runner import run_foreach_batch
+from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+
+
+def streaming_retract_aggregate(
+    spark: SparkSession,
+    changelog_stream: DataFrame,
+    group_cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    op_col: str = "op",
+    new_col: str = "price_new",
+    old_col: str = "price_old",
+) -> DataFrame:
+    """Drain `changelog_stream` through per-batch signed partial sums
+    with exactly-once commits, then return the final per-group state
+    aggregate as a batch DataFrame."""
+
+    commit = idempotent_batch_writer(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit(
+            retract_partials(
+                batch_df, group_cols, op_col=op_col, new_col=new_col, old_col=old_col
+            ),
+            batch_id,
+        )
+
+    run_foreach_batch(
+        changelog_stream,
+        process,
+        checkpoint_dir=checkpoint_dir,
+        output_mode="append",
+        no_data_batches=False,
+    )
+    if not os.path.exists(out_dir):  # no batches arrived
+        schema = ", ".join(f"{c} string" for c in group_cols)
+        return spark.createDataFrame(
+            [], f"{schema}, net_amount double, net_rows long"
+        )
+    partials = spark.read.parquet(out_dir).drop("batch_id")
+    return finish_retract_aggregate(partials, group_cols)

@@ -694,3 +694,103 @@ def test_purchase_attribution_sums_exactly_on_fixture(spark):
     bad = sums.join(cents, "conv_id").filter(F.col("got") != F.col("want"))
     assert bad.count() == 0
     assert sums.count() > 0
+
+
+class TestRetraction:
+    CL_SCHEMA = "grp string, op string, price_new double, price_old double"
+
+    def _changelog(self, spark):
+        # group a: 10.00 ins, corrected to 12.50, plus 5.00 ins
+        # group b: 7.25 ins then cancelled  -> group drops out entirely
+        # group c: 3.33 ins, 0.01 ins, 0.01 cancelled
+        rows = [
+            ("a", "insert", 10.00, None),
+            ("a", "update", 12.50, 10.00),
+            ("a", "insert", 5.00, None),
+            ("b", "insert", 7.25, None),
+            ("b", "delete", None, 7.25),
+            ("c", "insert", 3.33, None),
+            ("c", "insert", 0.01, None),
+            ("c", "delete", None, 0.01),
+        ]
+        return spark.createDataFrame(rows, self.CL_SCHEMA)
+
+    def test_retract_aggregate_equals_state_recompute(self, spark):
+        from realtime0523_spark.operators.retraction import retract_aggregate
+
+        got = {
+            r["grp"]: (r["net_amount"], r["net_rows"])
+            for r in retract_aggregate(self._changelog(spark), ["grp"]).collect()
+        }
+        # latest state: a -> {12.50, 5.00}, b -> {}, c -> {3.33}
+        assert got == {"a": (17.50, 2), "c": (3.33, 1)}
+        assert "b" not in got  # fully-cancelled group drops out
+
+    def test_retract_aggregate_is_order_invariant(self, spark):
+        from realtime0523_spark.operators.retraction import retract_aggregate
+
+        cl = self._changelog(spark)
+        reordered = cl.orderBy(F.desc("op"), F.desc("price_new"))
+        a = sorted(map(tuple, retract_aggregate(cl, ["grp"]).collect()))
+        b = sorted(map(tuple, retract_aggregate(reordered, ["grp"]).collect()))
+        assert a == b
+
+    def test_unknown_op_raises(self, spark):
+        from realtime0523_spark.operators.retraction import retract_aggregate
+
+        import pytest
+
+        bad = spark.createDataFrame(
+            [("a", "upsert", 1.0, None)], self.CL_SCHEMA
+        )
+        with pytest.raises(Exception, match="unknown changelog op"):
+            retract_aggregate(bad, ["grp"]).collect()
+
+
+class TestKMV:
+    def test_exhaustive_segments_are_exact(self, spark):
+        """Segments under k distinct members carry full membership:
+        the estimates ARE the exact counts."""
+        from realtime0523_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+        rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 20)]
+        df = spark.createDataFrame(rows * 3, "seg string, uid long")  # dups too
+        out = kmv_overlap(kmv_sketch(df, "seg", "uid", k=64), k=64).collect()[0]
+        # |a|=10, |b|=15, |a∪b|=20, |a∩b|=5
+        assert out["ku"] == 20
+        assert out["union_est"] == 20.0
+        assert out["jaccard_est"] == 0.25
+        assert out["inter_est"] == 5.0
+
+    def test_estimator_accuracy_on_large_overlap(self, spark):
+        """1000 vs 1000 with 500 shared, k=64: KMV error is ~1/sqrt(k)
+        (~12.5% stderr); assert the loose 3-sigma envelope."""
+        from realtime0523_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+        rows = [("a", i) for i in range(1000)] + [
+            ("b", i) for i in range(500, 1500)
+        ]
+        df = spark.createDataFrame(rows, "seg string, uid long")
+        out = kmv_overlap(kmv_sketch(df, "seg", "uid", k=64), k=64).collect()[0]
+        assert abs(out["union_est"] - 1500) / 1500 < 0.4
+        assert abs(out["jaccard_est"] - 1 / 3) < 0.2
+        assert abs(out["inter_est"] - 500) / 500 < 0.6
+
+    def test_sketch_bounded_at_k_per_segment(self, spark):
+        from realtime0523_spark.operators.kmv import kmv_sketch
+
+        rows = [("a", i) for i in range(5000)]
+        df = spark.createDataFrame(rows, "seg string, uid long").repartition(8)
+        sk = kmv_sketch(df, "seg", "uid", k=32)
+        assert sk.count() == 32
+        # and it is exactly the 32 globally-smallest hashes, partition
+        # layout notwithstanding (partial k-mins lose nothing)
+        from realtime0523_spark.operators.kmv import kmv_hash
+        want = sorted(
+            r["h"]
+            for r in df.select(
+                kmv_hash(F.col("uid").cast("string")).alias("h")
+            ).distinct().collect()
+        )[:32]
+        got = sorted(r["v"] for r in sk.collect())
+        assert got == want

@@ -285,3 +285,28 @@ def test_triangle_stats_materializes_graph_once(spark):
     plan = formatted_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_cdc_retract_agg_is_one_scan_one_shuffle(spark):
+    """The retraction aggregate's whole point vs the latest-row-wins
+    formulation: NO per-key shuffle/window of the changelog — one scan,
+    a stateless delta map, and a single map-side-combined exchange of
+    |groups| partial rows. Pin that shape."""
+    plan = formatted_plan(REGISTRY["cdc_retract_agg"].fn(spark, SF_SMOKE))
+    # count tree nodes ("(n) Op"), not the detail-section repeats
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+    # partial_sum before the exchange = map-side combine is in place
+    assert "partial_sum" in plan, plan
+
+
+def test_kmv_overlap_materializes_sketch_once(spark):
+    """kmv_overlap fans the sketch into four branches; the sketch must
+    be checkpoint-materialized first (the triangle_counts lesson) so
+    the Arrow build pass and the events scan run exactly once — the
+    final plan reads ExistingRDD and touches no parquet."""
+    df = REGISTRY["segment_overlap_kmv"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan

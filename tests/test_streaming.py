@@ -1051,3 +1051,47 @@ def test_stream_attribution_multi_batch_equals_batch(spark, tmp_path):
             .select("conv_id", "touch_id", "credit_cents").collect())
     )
     assert got == want and len(got) == 5
+
+
+def test_stream_retract_agg_multi_batch_equals_state_recompute(spark, tmp_path):
+    """A changelog split across micro-batches — inserts in one batch,
+    the corrections/cancellations for those SAME rows in a later one —
+    must still equal a full latest-state recompute: signed-delta
+    partials are associative, so batch boundaries cannot change the
+    final aggregate, and a fully-cancelled group disappears."""
+    from realtime0523_spark.streaming.retraction import (
+        streaming_retract_aggregate,
+    )
+
+    schema = "grp string, op string, price_new double, price_old double"
+    in_dir = str(tmp_path / "cl_in")
+    os.makedirs(in_dir)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    write([("a", "insert", 10.00, None), ("b", "insert", 7.25, None)])
+    time.sleep(1.1)  # mtime = processing order under maxFilesPerTrigger=1
+    write([("a", "update", 12.50, 10.00), ("b", "delete", None, 7.25),
+           ("c", "insert", 0.07, None)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_retract_aggregate(
+        spark,
+        stream,
+        ["grp"],
+        out_dir=str(tmp_path / "cl_out"),
+        checkpoint_dir=str(tmp_path / "cl_ckpt"),
+    )
+    got = {r["grp"]: (r["net_amount"], r["net_rows"]) for r in out.collect()}
+    assert got == {"a": (12.50, 1), "c": (0.07, 1)}
+    # two committed batch directories prove it actually ran multi-batch
+    committed = [d for d in os.listdir(str(tmp_path / "cl_out"))
+                 if d.startswith("batch_id=")]
+    assert len(committed) == 2

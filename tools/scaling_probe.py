@@ -107,6 +107,12 @@ PROBES = [
     "stream_event_funnel",  # keyed funnel state + per-user min reduce (r8)
     "stream_trending_anchored",  # per-batch partials + anchor rescale (r8)
     "emb_ann_opq",         # rotation map + PQ-ADC scan, twice (vs trained PQ) (r8)
+    "parts_kcore",         # iterative peel, per-round degree agg + semi join (r8)
+    "emb_ann_mmr",         # shortlist window + greedy re-rank over k rounds (r8)
+    "purchase_attribution",  # user-keyed band join + conv-id window (r8)
+    "event_funnel_windowed",  # anchored per-stage window joins (r8)
+    "cdc_retract_agg",     # stateless delta map + one |groups| partial agg (r8)
+    "segment_overlap_kmv", # bounded Arrow partial sketches + synopsis joins (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
