@@ -129,3 +129,70 @@ def retract_aggregate(
         ),
         group_cols,
     )
+
+
+def retract_minmax(
+    changelog: DataFrame,
+    group_cols: list[str],
+    op_col: str = "op",
+    new_col: str = "price_new",
+    old_col: str = "price_old",
+) -> DataFrame:
+    """Retractable MIN/MAX — the aggregate signed deltas canNOT carry.
+
+    A deleted maximum invalidates the old max and the replacement is
+    unknowable from a scalar accumulator; the standard IVM answer
+    (Flink's retractable min/max state) is a SUPPORT TABLE: per
+    (group, value) live multiplicities. A value's multiplicity is the
+    signed count of changelog events that introduce (+: insert new,
+    update new) or retire (−: delete old, update old) it; min/max =
+    extremes over values with multiplicity > 0.
+
+    Shape: each change event contributes ≤2 (value, ±1) entries via a
+    2-element array explode — still one scan; then one groupBy on
+    (group, value) and one |live-values| aggregate down to |groups|.
+    The support table is bounded by the LIVE distinct-value count per
+    group (not changelog length — retired values cancel to 0 and are
+    filtered), which is the minimum any exact retractable min/max can
+    hold. Groups whose live count hits zero disappear.
+    """
+    op = F.col(op_col)
+    bad = F.raise_error(
+        F.concat(F.lit("unknown changelog op: "), F.coalesce(op, F.lit("NULL")))
+    )
+    entry = lambda val, mult: F.struct(  # noqa: E731
+        _cents(val).alias("vc"), mult.cast("int").alias("mult")
+    )
+    null_entry = F.lit(None).cast("struct<vc:bigint,mult:int>")
+    contributions = (
+        F.when(
+            op == "insert",
+            F.array(entry(F.col(new_col), F.lit(1)), null_entry),
+        )
+        .when(
+            op == "update",
+            F.array(
+                entry(F.col(new_col), F.lit(1)),
+                entry(F.col(old_col), F.lit(-1)),
+            ),
+        )
+        .when(
+            op == "delete",
+            F.array(entry(F.col(old_col), F.lit(-1)), null_entry),
+        )
+        .otherwise(bad.cast("array<struct<vc:bigint,mult:int>>"))
+    )
+    support = (
+        changelog.select(
+            *group_cols,
+            F.explode(F.filter(contributions, lambda x: x.isNotNull())).alias("e"),
+        )
+        .groupBy(*group_cols, F.col("e.vc").alias("vc"))
+        .agg(F.sum("e.mult").alias("mult"))
+        .filter(F.col("mult") > 0)
+    )
+    return support.groupBy(*group_cols).agg(
+        (F.min("vc") / F.lit(100.0)).alias("min_price"),
+        (F.max("vc") / F.lit(100.0)).alias("max_price"),
+        F.sum("mult").cast("long").alias("net_rows"),
+    )

@@ -104,7 +104,8 @@ _PRIORITY: list[str] = [
     "docs_unigram_vocab", "docs_unigram_encode",
     "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
-    "cdc_retract_agg", "stream_cdc_retract_agg", "segment_overlap_kmv",
+    "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
+    "segment_overlap_kmv",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
@@ -2946,3 +2947,39 @@ def q_segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).table("events")
     return kmv_overlap(kmv_sketch(ev, "event_type", "user_id", k=_KMV_K), k=_KMV_K)
+
+
+@register(
+    "cdc_retract_minmax",
+    """
+    WITH live AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 3
+                  THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 11 <> 5)
+    SELECT o_orderpriority,
+           min(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0 AS min_price,
+           max(CAST(floor(price * 100 + 0.5) AS BIGINT)) / 100.0 AS max_price,
+           CAST(count(*) AS BIGINT) AS net_rows
+    FROM live
+    GROUP BY o_orderpriority
+    """,
+    "Retractable MIN/MAX over the CDC changelog — the aggregate a "
+    "signed scalar CANNOT maintain (a deleted maximum's replacement "
+    "is unknowable from an accumulator). The standard IVM design "
+    "(Flink's retractable min/max): a SUPPORT TABLE of per-"
+    "(group, value) live multiplicities — each change event "
+    "contributes ≤2 (value, ±1) entries in the same single scan, one "
+    "(group,value) groupBy builds the table, extremes over "
+    "multiplicity>0 finish it. State is bounded by LIVE distinct "
+    "values per group (retired values cancel to 0), the minimum any "
+    "exact retractable extreme can hold. Oracle = full latest-state "
+    "recompute (operators/retraction.py::retract_minmax).",
+)
+def q_cdc_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.retraction import retract_minmax
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    return retract_minmax(_orders_changelog(orders), ["o_orderpriority"])

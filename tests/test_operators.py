@@ -747,6 +747,44 @@ class TestRetraction:
             retract_aggregate(bad, ["grp"]).collect()
 
 
+    def test_retract_minmax_deleted_extreme_recovers_runner_up(self, spark):
+        """The case a scalar accumulator cannot handle: delete the
+        current max → the support table recovers the runner-up."""
+        from realtime0523_spark.operators.retraction import retract_minmax
+
+        rows = [
+            ("a", "insert", 10.00, None),
+            ("a", "insert", 99.99, None),   # the max...
+            ("a", "insert", 0.50, None),    # the min...
+            ("a", "delete", None, 99.99),   # ...max retired
+            ("a", "update", 7.00, 0.50),    # ...min revised upward
+        ]
+        out = retract_minmax(
+            spark.createDataFrame(rows, self.CL_SCHEMA), ["grp"]
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # live state: {10.00, 7.00}
+        assert (r["min_price"], r["max_price"], r["net_rows"]) == (7.00, 10.00, 2)
+
+    def test_retract_minmax_duplicate_values_need_multiplicity(self, spark):
+        """Two live rows share the max value; deleting ONE of them must
+        keep the max (multiplicity 2 → 1, still > 0) — the bug a
+        set-based (rather than multiset) support table would have."""
+        from realtime0523_spark.operators.retraction import retract_minmax
+
+        rows = [
+            ("a", "insert", 5.00, None),
+            ("a", "insert", 5.00, None),
+            ("a", "insert", 1.00, None),
+            ("a", "delete", None, 5.00),
+        ]
+        r = retract_minmax(
+            spark.createDataFrame(rows, self.CL_SCHEMA), ["grp"]
+        ).collect()[0]
+        assert (r["min_price"], r["max_price"], r["net_rows"]) == (1.00, 5.00, 2)
+
+
 class TestKMV:
     def test_exhaustive_segments_are_exact(self, spark):
         """Segments under k distinct members carry full membership:

@@ -113,6 +113,7 @@ PROBES = [
     "event_funnel_windowed",  # anchored per-stage window joins (r8)
     "cdc_retract_agg",     # stateless delta map + one |groups| partial agg (r8)
     "segment_overlap_kmv", # bounded Arrow partial sketches + synopsis joins (r8)
+    "cdc_retract_minmax",  # support-table IVM: (group,value) multiplicities (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
