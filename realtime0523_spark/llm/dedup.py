@@ -768,3 +768,106 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join at Jaccard >= num/den (default 4/5)
+    over word-n-gram SHINGLE sets — the same semantic domain as
+    `ngram_jaccard_pairs` — via prefix filtering (Xiao, Wang, Lin &
+    Yu, "Efficient similarity joins for near duplicate detection",
+    WWW 2008: the PPJoin prefix filter, without the positional
+    refinement).
+
+    Where `ngram_jaccard_pairs` is the quadratic baseline that
+    REFUSES large corpora and `minhash_lsh_pairs` trades recall for
+    scale, prefix filtering gives the exact answer without the
+    all-pairs shingle join: order each doc's shingles by ascending
+    document frequency (rare first, ties by shingle), keep only the
+    first n_sh - ceil(t·n_sh) + 1 as the PREFIX, and join docs on
+    shared prefix shingles — any pair with Jaccard >= t is guaranteed
+    to collide (pigeonhole: disjoint prefixes would already spend
+    more misses than 1-t allows). The registered oracle is the
+    brute-force all-pairs join, so the hash match IS the losslessness
+    proof. A length filter (den·min >= num·max, necessary for
+    J >= t) prunes candidates before verification.
+
+    Exactness discipline: the prefix length uses INTEGER ceiling
+    ((num·n_sh + den - 1) div den) — a float 0.8·n_sh lands above the
+    exact integer at n_sh=10 and would silently shorten the prefix —
+    and the threshold test is the integer cross-multiplication
+    den·inter >= num·(n_a + n_b - inter); no float compares anywhere.
+
+    At 100 TB: candidate volume is the sum over prefix shingles of
+    their prefix-occurrence-list squares — df-ascending ordering
+    concentrates prefixes on RARE shingles, keeping those lists
+    short; the verify join fans out |candidates| x doc shingles. One
+    equi-keyed, partial-agg'd shuffle each for df counts, prefix
+    ranks, the candidate join, and the verify count.
+    """
+    from pyspark.sql import Window as W
+
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ordered = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(cnt, "doc_id")
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.expr(
+            f"div({threshold_num} * n_sh + {threshold_den} - 1, {threshold_den})"
+        )
+        + F.lit(1)
+    ).select("doc_id", "sh", "n_sh")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "sh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(threshold_den) * F.least("n_a", "n_b")
+                >= F.lit(threshold_num) * F.greatest("n_a", "n_b")
+            )
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    keep = inter.filter(
+        F.lit(threshold_den) * F.col("inter")
+        >= F.lit(threshold_num) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    # file convention: floor-based 9-dp rounding, mirrored in the oracle
+    return keep.select(
+        "doc_a",
+        "doc_b",
+        (F.floor(jac * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("jaccard"),
+    )

@@ -105,7 +105,8 @@ _PRIORITY: list[str] = [
     "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
-    "segment_overlap_kmv",
+    "segment_overlap_kmv", "stream_segment_overlap_kmv",
+    "event_value_bootstrap_ci",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
@@ -2983,3 +2984,102 @@ def q_cdc_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = Catalog(spark, sf_dir).table("orders")
     return retract_minmax(_orders_changelog(orders), ["o_orderpriority"])
+
+
+@register(
+    "stream_segment_overlap_kmv",
+    _KMV_ORACLE,
+    "Streaming twin of segment_overlap_kmv — continuous audience-"
+    "overlap maintenance: each micro-batch commits one BOUNDED "
+    "partial synopsis (≤|segments|·k rows whatever the batch size, "
+    "K5-idempotent by batchId); the report folds committed partials "
+    "by the KMV merge (set-union then k-min — idempotent, "
+    "commutative, associative), so batch boundaries, replays, and "
+    "reordered events cannot change the sketch and the drained "
+    "result equals the batch oracle EXACTLY. At-rest state is "
+    "synopsis-sized and compactable by the same merge "
+    "(streaming/synopsis.py).",
+)
+def q_stream_segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.synopsis import streaming_kmv_overlap
+
+    events = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_kmv_")
+    return detach_and_cleanup(
+        streaming_kmv_overlap(
+            spark,
+            events,
+            "event_type",
+            "user_id",
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            k=_KMV_K,
+        ),
+        work,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap CI — deterministic Poisson resampling (Chamandy et al.).
+
+_POIS = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0 "
+    "WHEN u < 0.7357588823428847 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 "
+    "WHEN u < 0.9994058151824183 THEN 5 "
+    "WHEN u < 0.9999167588507119 THEN 6 ELSE 7 END"
+)
+
+
+@register(
+    "event_value_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT event_type AS grp, event_id AS id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    est AS (SELECT grp, CAST(sum(vc) AS DOUBLE) / count(*) AS est_mean,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM base GROUP BY grp),
+    reps AS (SELECT b.grp, b.vc, r.rep,
+                    CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR) || ':'
+                        || CAST(r.rep AS VARCHAR)), 1, 12)) AS BIGINT)
+                      / 281474976710656.0 AS u
+             FROM base b CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r),
+    wt AS (SELECT grp, rep, vc, {_POIS} AS w FROM reps),
+    rm AS (SELECT grp, rep, CAST(sum(w * vc) AS DOUBLE) / sum(w) AS mean_b
+           FROM wt GROUP BY grp, rep HAVING sum(w) > 0),
+    rk AS (SELECT grp, mean_b,
+                  row_number() OVER (PARTITION BY grp
+                                     ORDER BY mean_b, rep) AS rk
+           FROM rm),
+    ci AS (SELECT grp, min(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+                  min(CASE WHEN rk = 31 THEN mean_b END) AS ci_hi
+           FROM rk WHERE rk IN (2, 31) GROUP BY grp)
+    SELECT e.grp, round(e.est_mean / 100.0, 9) AS est_mean,
+           round(ci.ci_lo / 100.0, 9) AS ci_lo,
+           round(ci.ci_hi / 100.0, 9) AS ci_hi, e.n_rows
+    FROM est e JOIN ci USING (grp)
+    """,
+    "Bootstrap percentile CI of the mean event value per type, by "
+    "deterministic Poisson(1) resampling (Chamandy et al. 2012): "
+    "each row emits its B=32 replicate multiplicities locally "
+    "(inverse-CDF over a 48-bit md5(id:rep) uniform — exactly "
+    "SQL-replayable), so the whole uncertainty estimate is a B-fold "
+    "map-side fan-out into ONE partial-agg'd shuffle of B·|groups| "
+    "rows plus a 32-value-per-group finishing window — no resample "
+    "materialization, no driver loop. Values ride as integer cents "
+    "so weighted sums are association-order-free "
+    "(operators/bootstrap.py).",
+)
+def q_event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.bootstrap import bootstrap_mean_ci
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return bootstrap_mean_ci(ev, "event_type", "event_id", "value")

@@ -4446,3 +4446,38 @@ def q_lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_value", "max_value",
     )
+
+
+@register(
+    "docs_ppjoin_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           {_r9("CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i)")} AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE 5 * i.i >= 4 * (ca.n + cb.n - i.i)
+    """,
+    "EXACT Jaccard>=0.8 similarity join over word-3-gram shingle "
+    "sets — the same domain as docs_ngram_jaccard — via PPJoin "
+    "prefix filtering (Xiao et al. WWW 2008): shingles ordered by "
+    "ascending document frequency, only the first "
+    "n - ceil(0.8n) + 1 per doc join as candidates (any qualifying "
+    "pair MUST collide), plus the den*min>=num*max length filter and "
+    "an integer cross-multiplied threshold (no float compares; the "
+    "prefix length uses an integer ceiling — float 0.8n overshoots "
+    "at n=10 and would silently shorten the prefix). The oracle is "
+    "the brute-force all-pairs join, so the hash match IS the "
+    "losslessness proof; this is the exact-answer scale path the "
+    "quadratic ngram_jaccard_pairs baseline refuses — candidates "
+    "concentrate on RARE shingles by construction "
+    "(llm/dedup.py::ppjoin_pairs).",
+)
+def q_docs_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return D.ppjoin_pairs(docs, threshold_num=4, threshold_den=5)

@@ -1818,3 +1818,39 @@ def test_mmr_diversifies_over_pure_relevance(spark):
     assert picked[1] in (102, 103), picked  # diversity: cluster B second
     assert picked[2] in (100, 101), picked  # back to A
     _ = np
+
+
+class TestPPJoin:
+    def test_prefix_filter_is_lossless_vs_inrepo_brute_force(self, spark):
+        """PPJoin must reproduce ngram_jaccard_pairs (the quadratic
+        exact baseline, same shingle domain, same threshold) pair-for-
+        pair on the real sf0.001 corpus."""
+        from realtime0523_spark.core.catalog import Catalog
+        from realtime0523_spark.llm.dedup import ngram_jaccard_pairs, ppjoin_pairs
+        from tests.conftest import SF_SMOKE
+
+        docs = Catalog(spark, SF_SMOKE).table("documents")
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ppjoin_pairs(docs, 4, 5).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        """Two 11-token docs sharing their first 10 tokens have 9
+        shingles each, 8 shared: J = 8/10 = 0.8 exactly — the >= must
+        keep it (integer cross-multiplication, no float compare)."""
+        from realtime0523_spark.llm.dedup import ppjoin_pairs
+
+        common = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, common + " xx"), (2, common + " yy"), (3, "other words " * 4)],
+            "doc_id long, text string",
+        )
+        out = ppjoin_pairs(docs, 4, 5).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+        assert out[0]["jaccard"] == 0.8

@@ -832,3 +832,38 @@ class TestKMV:
         )[:32]
         got = sorted(r["v"] for r in sk.collect())
         assert got == want
+
+
+class TestBootstrap:
+    def test_ci_brackets_true_mean_and_is_deterministic(self, spark):
+        """500 draws around 50.00: the 2.5/97.5 percentile interval
+        must bracket the sample mean, sit within a few stderr of it,
+        and reproduce bit-for-bit across runs (hash-seeded weights)."""
+        from realtime0523_spark.operators.bootstrap import bootstrap_mean_ci
+
+        rows = [("g", i, 50.0 + (i % 21) - 10) for i in range(500)]
+        df = spark.createDataFrame(rows, "grp string, id long, value double")
+        a = bootstrap_mean_ci(df, "grp", "id", "value").collect()[0]
+        b = bootstrap_mean_ci(df, "grp", "id", "value").collect()[0]
+        assert a == b
+        assert a["n_rows"] == 500
+        assert a["ci_lo"] < a["est_mean"] < a["ci_hi"]
+        # sd of the 0..20 lattice is ~6.06; stderr ~0.27 — the 95% CI
+        # width is ~3.9x stderr ≈ 1.06 plus bootstrap-of-32 noise
+        assert a["ci_hi"] - a["ci_lo"] < 1.5
+
+    def test_weights_are_poisson1_ish(self, spark):
+        """Mean multiplicity over rows*reps must be ~1 and the zero
+        fraction ~e^-1 (sanity on the inverse-CDF thresholds)."""
+        from realtime0523_spark.operators.bootstrap import poisson1_weight
+
+        df = spark.range(2000).select(
+            F.col("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
+        )
+        w = df.select(poisson1_weight(F.col("id"), F.col("rep")).alias("w"))
+        stats = w.agg(
+            F.avg("w").alias("m"), F.avg((F.col("w") == 0).cast("int")).alias("z")
+        ).collect()[0]
+        assert abs(stats["m"] - 1.0) < 0.03
+        assert abs(stats["z"] - 0.36787944117144233) < 0.02

@@ -1095,3 +1095,51 @@ def test_stream_retract_agg_multi_batch_equals_state_recompute(spark, tmp_path):
     committed = [d for d in os.listdir(str(tmp_path / "cl_out"))
                  if d.startswith("batch_id=")]
     assert len(committed) == 2
+
+
+def test_stream_kmv_multi_batch_equals_single_pass(spark, tmp_path):
+    """KMV partials committed per batch must merge to EXACTLY the
+    single-pass sketch (k-min of a union = k-min of concatenated
+    k-mins), so the streaming overlap report equals the batch one
+    bit-for-bit — including when a batch re-delivers users already
+    sketched (set-union merge is idempotent)."""
+    from realtime0523_spark.operators.kmv import kmv_overlap, kmv_sketch
+    from realtime0523_spark.streaming.synopsis import streaming_kmv_overlap
+
+    schema = "seg string, uid long"
+    in_dir = str(tmp_path / "kmv_in")
+    os.makedirs(in_dir)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    b1 = [("a", i) for i in range(300)] + [("b", i) for i in range(200, 500)]
+    b2 = [("a", i) for i in range(250, 400)] + [("b", i) for i in range(650)]
+    write(b1)
+    time.sleep(1.1)
+    write(b2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    got = streaming_kmv_overlap(
+        spark,
+        stream,
+        "seg",
+        "uid",
+        out_dir=str(tmp_path / "kmv_out"),
+        checkpoint_dir=str(tmp_path / "kmv_ckpt"),
+        k=32,
+    ).collect()
+    want = kmv_overlap(
+        kmv_sketch(spark.createDataFrame(b1 + b2, schema), "seg", "uid", k=32),
+        k=32,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    committed = [d for d in os.listdir(str(tmp_path / "kmv_out"))
+                 if d.startswith("batch_id=")]
+    assert len(committed) == 2

@@ -114,6 +114,7 @@ PROBES = [
     "cdc_retract_agg",     # stateless delta map + one |groups| partial agg (r8)
     "segment_overlap_kmv", # bounded Arrow partial sketches + synopsis joins (r8)
     "cdc_retract_minmax",  # support-table IVM: (group,value) multiplicities (r8)
+    "event_value_bootstrap_ci",  # B-fold map fan-out + B·|groups| partial agg (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
