@@ -106,7 +106,7 @@ _PRIORITY: list[str] = [
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
-    "event_value_bootstrap_ci",
+    "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
@@ -3083,3 +3083,55 @@ def q_event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).table("events")
     return bootstrap_mean_ci(ev, "event_type", "event_id", "value")
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    p AS (SELECT prev_type AS src, event_type AS dst, count(*) AS n_trans
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, CAST(n_trans AS BIGINT) AS n_trans,
+           floor((CAST(n_trans AS DOUBLE)
+                  / sum(n_trans) OVER (PARTITION BY src))
+                 * 1000000000 + 0.5) / 1000000000 AS p_trans
+    FROM p
+    """,
+    "Markov transition matrix over per-user event paths (the "
+    "product-analytics path-analysis staple): one user-keyed lag "
+    "window pairs each event with its predecessor (deterministic "
+    "(ts, event_id) order), a partial-agg'd groupBy collapses to "
+    "|types|^2 transition counts, and the row-normalized transition "
+    "probability is a window over that metadata-sized matrix. At "
+    "100 TB the only data-sized cost is the one sessionize-shaped "
+    "user shuffle; everything after is |types|^2.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).table("events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    p = F.col("n_trans").cast("double") / F.sum("n_trans").over(
+        W.partitionBy("src")
+    )
+    return counts.select(
+        "src",
+        "dst",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        (F.floor(p * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("p_trans"),
+    )

@@ -360,3 +360,63 @@ def test_pagerank_fixed_point_tracks_float_reference(spark, pairs):
         r = {u: (1 - d) + d * contrib[u] for u in nodes}
     for u in nodes:
         assert abs(got[u] / PAGERANK_SCALE - r[u]) < 1e-9, (u, got[u], r[u])
+
+
+@st.composite
+def changelogs(draw):
+    """Well-formed CDC histories: per key, an insert, maybe updates,
+    maybe a trailing delete — old values always the then-current one
+    (what a real CDC extractor emits). Returns (changelog_rows,
+    live_state) with live_state = {key: (group, final_price)}."""
+    rows, live = [], {}
+    for key in range(draw(st.integers(1, 8))):
+        grp = draw(st.sampled_from(["g1", "g2", "g3"]))
+        price = draw(st.integers(1, 99999)) / 100.0
+        rows.append((grp, "insert", price, None))
+        for _ in range(draw(st.integers(0, 3))):
+            new = draw(st.integers(1, 99999)) / 100.0
+            rows.append((grp, "update", new, price))
+            price = new
+        if draw(st.booleans()):
+            rows.append((grp, "delete", None, price))
+        else:
+            live[key] = (grp, price)
+    return rows, live
+
+
+@given(changelogs())
+@settings(**PROP_SETTINGS)
+def test_retract_aggregate_equals_state_recompute_property(spark, data):
+    """For ANY well-formed changelog, the signed-delta aggregate must
+    equal a from-scratch aggregate over the live state — including
+    groups that vanish entirely."""
+    from realtime0523_spark.operators.retraction import (
+        retract_aggregate,
+        retract_minmax,
+    )
+
+    rows, live = data
+    cl = spark.createDataFrame(
+        rows, "grp string, op string, price_new double, price_old double"
+    )
+    got = {
+        r["grp"]: (round(r["net_amount"], 2), r["net_rows"])
+        for r in retract_aggregate(cl, ["grp"]).collect()
+    }
+    want: dict[str, list] = {}
+    for grp, price in live.values():
+        want.setdefault(grp, []).append(round(price * 100))
+    expect = {
+        g: (round(sum(cents) / 100.0, 2), len(cents))
+        for g, cents in want.items()
+    }
+    assert got == expect
+    got_mm = {
+        r["grp"]: (r["min_price"], r["max_price"], r["net_rows"])
+        for r in retract_minmax(cl, ["grp"]).collect()
+    }
+    expect_mm = {
+        g: (min(cents) / 100.0, max(cents) / 100.0, len(cents))
+        for g, cents in want.items()
+    }
+    assert got_mm == expect_mm

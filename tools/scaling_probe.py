@@ -115,6 +115,8 @@ PROBES = [
     "segment_overlap_kmv", # bounded Arrow partial sketches + synopsis joins (r8)
     "cdc_retract_minmax",  # support-table IVM: (group,value) multiplicities (r8)
     "event_value_bootstrap_ci",  # B-fold map fan-out + B·|groups| partial agg (r8)
+    "docs_ppjoin_pairs",   # df-ordered prefix candidates + bounded verify join (r8)
+    "event_transitions",   # user-keyed lag window + pair partial agg (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
