@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
+    "event_value_outliers",
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
@@ -3134,4 +3135,72 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         F.col("n_trans").cast("long").alias("n_trans"),
         (F.floor(p * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("p_trans"),
+    )
+
+
+@register(
+    "event_value_outliers",
+    """
+    WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(vc, 0.5) AS medc
+            FROM c GROUP BY 1),
+    dev AS (SELECT c.event_type, c.vc, m.medc, abs(c.vc - m.medc) AS ad
+            FROM c JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, medc, quantile_cont(ad, 0.5) AS madc
+            FROM dev GROUP BY 1, 2)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN d.ad > 3 * m.madc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           m.medc / 100.0 AS med_value,
+           m.madc / 100.0 AS mad_value
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.medc, m.madc
+    """,
+    "Robust per-group outlier screen (median/MAD — the estimator a "
+    "mean/stddev z-score can't give you under the very outliers it "
+    "hunts): per event type, events whose |value − median| exceeds "
+    "3×MAD. ALL arithmetic in integer cents — interpolated medians "
+    "land on exact .5/.25 multiples, so the cross-engine quantile "
+    "comparison is bit-exact rather than FP-lucky. Three passes "
+    "(median, MAD, flag), each a map + broadcast join of a "
+    "|types|-sized stat table; the documented 100 TB swap-in is "
+    "approx_percentile per pass, same shape.",
+)
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile("vc", F.lit(0.5)).alias("medc")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("vc") - F.col("medc"))
+    )
+    mad = dev.groupBy("event_type", "medc").agg(
+        F.percentile("ad", F.lit(0.5)).alias("madc")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad.select("event_type", "madc")), "event_type"
+        )
+        .groupBy("event_type", "medc", "madc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("madc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_outliers",
+            (F.col("medc") / F.lit(100.0)).alias("med_value"),
+            (F.col("madc") / F.lit(100.0)).alias("mad_value"),
+        )
     )

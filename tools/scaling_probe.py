@@ -117,6 +117,7 @@ PROBES = [
     "event_value_bootstrap_ci",  # B-fold map fan-out + B·|groups| partial agg (r8)
     "docs_ppjoin_pairs",   # df-ordered prefix candidates + bounded verify join (r8)
     "event_transitions",   # user-keyed lag window + pair partial agg (r8)
+    "event_value_outliers",  # 3 stat passes, each map + broadcast stat join (r8)
 ]
 
 # Library paths without their own registry entry, probed as callables:
