@@ -13,13 +13,16 @@ explode (map-side, feeding a partial agg of B·|groups| rows) and two
 tiny finishing steps.
 
 Determinism (the repo's approximate-answers/exact-oracles rule): the
-per-(row, replicate) uniform is the first 12 hex chars of
-md5(id:replicate) over 2^48 — bit-identical in DuckDB — and the
+per-(row, replicate) uniform is a 12-hex-char (48-bit) slice of
+md5(id:pair) over 2^48 — bit-identical in DuckDB — and the
 Poisson(1) draw is its inverse-CDF lookup against hard-coded
-cumulative thresholds (capped at 7; P(X>7) < 1e-5). Metric values
-ride as integer cents so weighted sums are exact and
-association-order-free; the replicate means and percentile ranks
-replay bit-for-bit.
+cumulative thresholds (capped at 7; P(X>7) < 1e-5). One digest seeds
+TWO replicates (rep = 2*pair + slice, slice 0 taking hex chars 1-12
+and slice 1 chars 13-24): md5 dominates the fan-out stage's CPU, so
+pairing halves the hash work for free — the two 48-bit halves of an
+md5 digest are independent uniforms. Metric values ride as integer
+cents so weighted sums are exact and association-order-free; the
+replicate means and percentile ranks replay bit-for-bit.
 
 At 100 TB: the explode is B× map-side fan-out into a partial-agg'd
 groupBy — the shuffle carries B·|groups| partial rows, not B corpora.
@@ -45,25 +48,36 @@ POISSON1_CDF = (
 _HASH_SPACE = float(2**48)
 
 
-def poisson1_weight(id_col: Column, rep: Column) -> Column:
-    """Deterministic Poisson(1) multiplicity of a row in replicate
-    `rep`: inverse-CDF over the 48-bit md5(id:rep) uniform."""
-    u = (
+def _pois_inverse_cdf(u: Column) -> Column:
+    """Poisson(1) inverse-CDF lookup of a [0,1) uniform."""
+    w = F.lit(len(POISSON1_CDF))  # cap
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _slice_uniform(digest: Column, slice_idx: Column) -> Column:
+    """48-bit uniform from hex chars [1+12*slice, 12+12*slice) of an
+    md5 digest (slice 0 or 1 — two independent uniforms per digest)."""
+    return (
         F.conv(
-            F.substring(
-                F.md5(F.concat(id_col.cast("string"), F.lit(":"), rep.cast("string"))),
-                1,
-                12,
-            ),
+            F.substring(digest, F.lit(1) + F.lit(12) * slice_idx, F.lit(12)),
             16,
             10,
         ).cast("bigint")
         / F.lit(_HASH_SPACE)
     )
-    w = F.lit(len(POISSON1_CDF))  # cap
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-    return w
+
+
+def poisson1_weight(id_col: Column, rep: Column) -> Column:
+    """Deterministic Poisson(1) multiplicity of a row in replicate
+    `rep`: inverse-CDF over the 48-bit uniform at slice (rep % 2) of
+    md5(id:rep div 2) — one digest seeds two consecutive replicates."""
+    pair = F.floor(rep / F.lit(2)).cast("long")
+    digest = F.md5(
+        F.concat(id_col.cast("string"), F.lit(":"), pair.cast("string"))
+    )
+    return _pois_inverse_cdf(_slice_uniform(digest, rep % F.lit(2)))
 
 
 def bootstrap_mean_ci(
@@ -90,13 +104,43 @@ def bootstrap_mean_ci(
         (F.sum("_vc").cast("double") / F.count(F.lit(1))).alias("est_mean"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
-    # B-fold map-side fan-out -> per-(group, replicate) weighted sums
-    reps = base.select(
+    # B-fold map-side fan-out -> per-(group, replicate) weighted sums.
+    # Explode by digest PAIR (b/2 md5 calls per row, not b): each
+    # digest's two 48-bit halves seed replicates 2*pair and 2*pair+1
+    # (whole-stage codegen CSE computes the shared md5 once).
+    if b % 2:
+        raise ValueError(f"b must be even (one md5 seeds 2 replicates): {b}")
+    pairs = base.select(
         "grp",
-        "_id",
         "_vc",
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
-    ).withColumn("w", poisson1_weight(F.col("_id"), F.col("rep")))
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(b // 2 - 1))).alias("pair"),
+    ).withColumn(
+        "dig",
+        F.md5(
+            F.concat(
+                F.col("_id").cast("string"),
+                F.lit(":"),
+                F.col("pair").cast("string"),
+            )
+        ),
+    )
+    reps = pairs.select(
+        "grp",
+        "_vc",
+        "pair",
+        F.posexplode(
+            F.array(
+                _pois_inverse_cdf(_slice_uniform(F.col("dig"), F.lit(0))),
+                _pois_inverse_cdf(_slice_uniform(F.col("dig"), F.lit(1))),
+            )
+        ).alias("slice", "w"),
+    ).select(
+        "grp",
+        "_vc",
+        (F.col("pair") * 2 + F.col("slice")).alias("rep"),
+        "w",
+    )
     rep_means = (
         reps.groupBy("grp", "rep")
         .agg(

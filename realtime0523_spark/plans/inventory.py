@@ -3048,11 +3048,14 @@ _POIS = (
     est AS (SELECT grp, CAST(sum(vc) AS DOUBLE) / count(*) AS est_mean,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM base GROUP BY grp),
-    reps AS (SELECT b.grp, b.vc, r.rep,
+    reps AS (SELECT b.grp, b.vc, 2 * r.pair + s.sl AS rep,
                     CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR) || ':'
-                        || CAST(r.rep AS VARCHAR)), 1, 12)) AS BIGINT)
+                        || CAST(r.pair AS VARCHAR)), 1 + 12 * s.sl, 12))
+                        AS BIGINT)
                       / 281474976710656.0 AS u
-             FROM base b CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r),
+             FROM base b
+             CROSS JOIN (SELECT unnest(range(0, 16)) AS pair) r
+             CROSS JOIN (SELECT unnest(range(0, 2)) AS sl) s),
     wt AS (SELECT grp, rep, vc, {_POIS} AS w FROM reps),
     rm AS (SELECT grp, rep, CAST(sum(w * vc) AS DOUBLE) / sum(w) AS mean_b
            FROM wt GROUP BY grp, rep HAVING sum(w) > 0),
@@ -3071,7 +3074,8 @@ _POIS = (
     "Bootstrap percentile CI of the mean event value per type, by "
     "deterministic Poisson(1) resampling (Chamandy et al. 2012): "
     "each row emits its B=32 replicate multiplicities locally "
-    "(inverse-CDF over a 48-bit md5(id:rep) uniform — exactly "
+    "(inverse-CDF over a 48-bit slice of md5(id:pair), each digest's "
+    "two halves seeding two replicates — half the hash work, exactly "
     "SQL-replayable), so the whole uncertainty estimate is a B-fold "
     "map-side fan-out into ONE partial-agg'd shuffle of B·|groups| "
     "rows plus a 32-value-per-group finishing window — no resample "

@@ -261,6 +261,47 @@ AUDITED: dict[str, str] = {
         "final round over the truncated checkpoint lineage); top-N "
         "plans TakeOrderedAndProject"
     ),
+    "cdc_retract_agg": (
+        "one scan, a stateless signed-delta map, ONE map-side-"
+        "combined exchange of |groups| partial rows — no per-key "
+        "latest-version window, no join (the latest-row-wins "
+        "formulation this replaces shuffles the whole changelog)"
+    ),
+    "cdc_retract_minmax": (
+        "same single scan; each change event contributes <=2 "
+        "(value, +-1) support entries, one (group,value) groupBy "
+        "builds the live multiset, one more |live-values| aggregate "
+        "finishes — both partial-agg'd"
+    ),
+    "segment_overlap_kmv": (
+        "the synopsis is checkpoint-materialized before its "
+        "four-way fan-out (ExistingRDD, zero rescans); downstream "
+        "joins are broadcast hash over <=|segments|*k rows — the "
+        "corpus appears in exactly one Arrow partial-sketch pass"
+    ),
+    "event_value_bootstrap_ci": (
+        "B-fold sequence-explode is map-side fan-out feeding a "
+        "partial-agg'd (group, replicate) groupBy — B*|groups| "
+        "partial rows cross the wire, never B resampled corpora; "
+        "the percentile window sorts 32 rows per group"
+    ),
+    "docs_ppjoin_pairs": (
+        "four equi-keyed partial-agg'd shuffles (df counts, prefix "
+        "ranks, candidate join, verify count); candidates "
+        "concentrate on RARE shingles by df-ascending ordering, "
+        "and the length filter prunes before verification"
+    ),
+    "event_transitions": (
+        "one sessionize-shaped user-keyed window (the only "
+        "data-sized exchange) then a partial-agg'd groupBy down to "
+        "|types|^2 rows; the normalizing window runs on that "
+        "metadata-sized matrix"
+    ),
+    "event_value_outliers": (
+        "three stat passes (median, MAD, flag), each a map over "
+        "the fact scan plus a BroadcastHashJoin of a |types|-sized "
+        "stat table; no Window over the fact table anywhere"
+    ),
 }
 
 
