@@ -131,6 +131,101 @@ def retract_aggregate(
     )
 
 
+def finish_retract_join(
+    fact_partials: DataFrame,
+    dim_partials: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+) -> DataFrame:
+    """Fold per-key signed partials from BOTH sides of a changelog
+    equi-join into aggregates over the live join result. Inputs are
+    (possibly multi-slice) `retract_partials` outputs: fact keyed by
+    `key_cols`, dim keyed by `key_cols + group_cols`. Output:
+    group_cols + (n_pairs, fact_amount, dim_amount)."""
+    f = (
+        fact_partials.groupBy(*key_cols)
+        .agg(
+            F.sum("delta_cents").alias("f_cents"),
+            F.sum("delta_rows").alias("f_rows"),
+        )
+        .filter(F.col("f_rows") > 0)
+    )
+    d = (
+        dim_partials.groupBy(*key_cols, *group_cols)
+        .agg(
+            F.sum("delta_cents").alias("d_cents"),
+            F.sum("delta_rows").alias("d_rows"),
+        )
+        .filter(F.col("d_rows") > 0)
+    )
+    return (
+        f.join(d, key_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("f_rows") * F.col("d_rows")).alias("n_pairs"),
+            (F.sum(F.col("f_cents") * F.col("d_rows")) / F.lit(100.0)).alias(
+                "fact_amount"
+            ),
+            (F.sum(F.col("d_cents") * F.col("f_rows")) / F.lit(100.0)).alias(
+                "dim_amount"
+            ),
+        )
+    )
+
+
+def retract_join_aggregate(
+    fact_changelog: DataFrame,
+    dim_changelog: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    fact_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    dim_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Aggregates over the equi-join of TWO CDC changelogs — without
+    materializing either side's latest state and without ever joining
+    changelog rows to changelog rows.
+
+    The identity (higher-order incremental view maintenance — Koch et
+    al.'s DBToaster line of work): for live multisets F_k (fact rows
+    with key k) and D_k (dim rows), any distributive aggregate of the
+    join factors through per-key signed partials —
+
+        |F_k ⋈ D_k|      = cnt(F_k) · cnt(D_k)
+        Σ_pairs fact_val = sum(F_k) · cnt(D_k)
+        Σ_pairs dim_val  = sum(D_k) · cnt(F_k)
+
+    — and cnt/sum are plain sums of signed deltas over each FULL
+    changelog (retract_partials). Deleting a dim row retracts every
+    joined fact row at once: the case an insert-only pipeline
+    (reference: scala/…/ods/KafkaToODS_M.scala:53-64) can never
+    repair, and the reason Flink keeps both-sides join state. Here
+    that \"state\" is the |keys|-sized partial table.
+
+    Shape at 100 TB: one scan + one partial-agg'd shuffle per
+    changelog (to |keys| rows), one equi-join of the two key
+    summaries, one rollup — the changelogs themselves never meet.
+    `group_cols` must be dim attributes that are immutable per key
+    (they ride in the dim partial's grouping); money rides as integer
+    cents so the products and sums are exact and order-independent.
+    """
+    fp = retract_partials(
+        fact_changelog,
+        key_cols,
+        op_col=op_col,
+        new_col=fact_value_cols[0],
+        old_col=fact_value_cols[1],
+    )
+    dp = retract_partials(
+        dim_changelog,
+        list(key_cols) + list(group_cols),
+        op_col=op_col,
+        new_col=dim_value_cols[0],
+        old_col=dim_value_cols[1],
+    )
+    return finish_retract_join(fp, dp, key_cols, group_cols)
+
+
 def retract_minmax(
     changelog: DataFrame,
     group_cols: list[str],

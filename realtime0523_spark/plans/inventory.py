@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
+    "cdc_retract_join", "stream_cdc_retract_join",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -2803,9 +2804,17 @@ def _orders_changelog(orders: DataFrame) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
+        "o_custkey",
         "o_orderpriority",
         F.explode(F.filter(events, lambda x: x.isNotNull())).alias("ev"),
-    ).select("o_orderkey", "o_orderpriority", "ev.op", "ev.price_new", "ev.price_old")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "ev.op",
+        "ev.price_new",
+        "ev.price_old",
+    )
 
 
 _RETRACT_ORACLE = """
@@ -2877,6 +2886,144 @@ def q_stream_cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderpriority"],
             out_dir=f"{work}/partials",
             checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
+    )
+
+
+def _customers_changelog(customer: DataFrame) -> DataFrame:
+    """Deterministic dim-side CDC changelog derived from customer in
+    one scan (same array-of-events shape as `_orders_changelog`):
+    every customer inserts with their balance; c_custkey % 5 == 2
+    later gets a +50.00 balance-correction update; c_custkey % 13 == 7
+    closes their account, the delete carrying the then-current
+    balance. `c_nationkey` rides as the immutable per-key attribute
+    the join rollup groups on."""
+    upd = F.col("c_custkey") % 5 == 2
+    dele = F.col("c_custkey") % 13 == 7
+    upd_bal = round2(F.col("c_acctbal") + 50.0)
+    cur_bal = F.when(upd, upd_bal).otherwise(F.col("c_acctbal"))
+    null_d = F.lit(None).cast("double")
+    events = F.array(
+        F.struct(
+            F.lit("insert").alias("op"),
+            F.col("c_acctbal").alias("price_new"),
+            null_d.alias("price_old"),
+        ),
+        F.when(
+            upd,
+            F.struct(
+                F.lit("update").alias("op"),
+                upd_bal.alias("price_new"),
+                F.col("c_acctbal").alias("price_old"),
+            ),
+        ),
+        F.when(
+            dele,
+            F.struct(
+                F.lit("delete").alias("op"),
+                null_d.alias("price_new"),
+                cur_bal.alias("price_old"),
+            ),
+        ),
+    )
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.explode(F.filter(events, lambda x: x.isNotNull())).alias("ev"),
+    ).select("custkey", "nationkey", "ev.op", "ev.price_new", "ev.price_old")
+
+
+_RETRACT_JOIN_ORACLE = """
+    WITH live_c AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+             CASE WHEN c_custkey % 5 = 2
+                  THEN floor((c_acctbal + 50.0) * 100 + 0.5) / 100
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_custkey % 13 <> 7),
+    live_o AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderkey % 7 = 3
+                  THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 11 <> 5)
+    SELECT c.nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(CAST(floor(o.price * 100 + 0.5) AS BIGINT)) / 100.0
+             AS fact_amount,
+           sum(CAST(floor(c.bal * 100 + 0.5) AS BIGINT)) / 100.0
+             AS dim_amount
+    FROM live_o o JOIN live_c c USING (custkey)
+    GROUP BY c.nationkey
+    """
+
+
+@register(
+    "cdc_retract_join",
+    _RETRACT_JOIN_ORACLE,
+    "Aggregates over the equi-join of TWO CDC changelogs (orders fact "
+    "x customer dim, rolled up to nation) computed from per-key "
+    "signed partials alone — higher-order IVM (Koch et al., "
+    "DBToaster): per-pair counts and value sums factor as products "
+    "of each side's per-key signed (sum, count), so a customer "
+    "delete retracts ALL their live orders from the join in one "
+    "algebraic step. The insert-only reference "
+    "(scala/…/ods/KafkaToODS_M.scala:53-64) can never repair this. "
+    "The oracle materializes both live states and actually joins "
+    "them, so the hash match proves the factorization. At 100 TB: "
+    "one scan + one |keys| partial-agg'd shuffle per changelog, a "
+    "key-summary equi-join, one rollup — changelog rows never join "
+    "changelog rows (operators/retraction.py::retract_join_aggregate).",
+)
+def q_cdc_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.retraction import retract_join_aggregate
+
+    cat = Catalog(spark, sf_dir)
+    orders = _orders_changelog(cat.table("orders")).select(
+        F.col("o_custkey").alias("custkey"), "op", "price_new", "price_old"
+    )
+    custs = _customers_changelog(cat.table("customer"))
+    return retract_join_aggregate(
+        orders, custs, ["custkey"], ["nationkey"]
+    )
+
+
+@register(
+    "stream_cdc_retract_join",
+    _RETRACT_JOIN_ORACLE,
+    "Streaming twin of cdc_retract_join — BOTH changelogs arrive as "
+    "streams, each draining through per-batch per-key signed-partial "
+    "commits (idempotent by batchId, K5); the key-summary join runs "
+    "over committed partials only. No stream-stream join state, no "
+    "watermark alignment: signed-delta addition commutes across "
+    "sides, batches, and replays, so drain order cannot change the "
+    "answer — the drained result equals the batch oracle's full "
+    "latest-state join (streaming/retraction.py::streaming_retract_join).",
+)
+def q_stream_cdc_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.retraction import streaming_retract_join
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    orders = _orders_changelog(stream_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("custkey"), "op", "price_new", "price_old"
+    )
+    custs = _customers_changelog(stream_table(spark, sf_dir, "customer"))
+    work = tempfile.mkdtemp(prefix="stream_cdc_join_")
+    return detach_and_cleanup(
+        streaming_retract_join(
+            spark,
+            orders,
+            custs,
+            ["custkey"],
+            ["nationkey"],
+            fact_dir=f"{work}/fact",
+            dim_dir=f"{work}/dim",
+            checkpoint_root=f"{work}/ckpt",
         ),
         work,
     )

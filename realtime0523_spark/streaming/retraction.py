@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from realtime0523_spark.operators.retraction import (
     finish_retract_aggregate,
+    finish_retract_join,
     retract_partials,
 )
 from realtime0523_spark.streaming.runner import run_foreach_batch
@@ -73,3 +74,66 @@ def streaming_retract_aggregate(
         )
     partials = spark.read.parquet(out_dir).drop("batch_id")
     return finish_retract_aggregate(partials, group_cols)
+
+
+def streaming_retract_join(
+    spark: SparkSession,
+    fact_stream: DataFrame,
+    dim_stream: DataFrame,
+    key_cols: list[str],
+    group_cols: list[str],
+    fact_dir: str,
+    dim_dir: str,
+    checkpoint_root: str,
+    fact_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    dim_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Online form of `retract_join_aggregate`: BOTH changelog streams
+    drain through per-batch per-key signed partial commits (each
+    |keys-touched| rows, idempotent by batchId), and the finishing
+    fold + key-summary join runs over committed partials only. The
+    two streams never stream-stream join — there is no join state to
+    bound, no watermark alignment problem: signed-delta addition is
+    commutative and associative across sides, batches, and replays,
+    so drain order cannot change the answer (the batch oracle's full
+    latest-state join is the equality check)."""
+
+    def drain(stream: DataFrame, keys: list[str], vals, out: str, ck: str) -> None:
+        commit = idempotent_batch_writer(out)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            commit(
+                retract_partials(
+                    batch_df, keys, op_col=op_col, new_col=vals[0], old_col=vals[1]
+                ),
+                batch_id,
+            )
+
+        run_foreach_batch(
+            stream,
+            process,
+            checkpoint_dir=ck,
+            output_mode="append",
+            no_data_batches=False,
+        )
+
+    drain(
+        fact_stream, list(key_cols), fact_value_cols,
+        fact_dir, f"{checkpoint_root}/fact",
+    )
+    drain(
+        dim_stream, list(key_cols) + list(group_cols), dim_value_cols,
+        dim_dir, f"{checkpoint_root}/dim",
+    )
+    if not (os.path.exists(fact_dir) and os.path.exists(dim_dir)):
+        schema = ", ".join(f"{c} string" for c in group_cols)
+        return spark.createDataFrame(
+            [],
+            f"{schema}, n_pairs long, fact_amount double, dim_amount double",
+        )
+    fp = spark.read.parquet(fact_dir).drop("batch_id")
+    dp = spark.read.parquet(dim_dir).drop("batch_id")
+    return finish_retract_join(fp, dp, key_cols, group_cols)

@@ -747,6 +747,46 @@ class TestRetraction:
             retract_aggregate(bad, ["grp"]).collect()
 
 
+    def test_retract_join_dim_delete_retracts_all_fact_rows(self, spark):
+        """A dim-side delete must retract every live fact partner from
+        the join result in one algebraic step — the insert-only
+        pipeline's unfixable case."""
+        from realtime0523_spark.operators.retraction import (
+            retract_join_aggregate,
+        )
+
+        fact_rows = [
+            (1, "insert", 10.00, None),
+            (1, "insert", 5.00, None),
+            (1, "update", 6.00, 5.00),   # k1 live: {10.00, 6.00}
+            (2, "insert", 7.00, None),   # k2 live: {7.00}
+            (3, "insert", 1.00, None),
+            (3, "delete", None, 1.00),   # k3 live: {}
+        ]
+        dim_rows = [
+            (1, "n1", "insert", 100.00, None),
+            (2, "n1", "insert", 200.00, None),
+            (2, "n1", "delete", None, 200.00),  # k2 dim closed
+            (3, "n2", "insert", 300.00, None),
+        ]
+        fact = spark.createDataFrame(
+            fact_rows, "k long, op string, price_new double, price_old double"
+        )
+        dim = spark.createDataFrame(
+            dim_rows,
+            "k long, attr string, op string, price_new double, "
+            "price_old double",
+        )
+        got = {
+            r["attr"]: (r["n_pairs"], r["fact_amount"], r["dim_amount"])
+            for r in retract_join_aggregate(
+                fact, dim, ["k"], ["attr"]
+            ).collect()
+        }
+        # live join: only k1 survives (k2's dim deleted, k3's facts
+        # deleted) -> 2 pairs, fact sum 16.00, dim 100.00 counted per pair
+        assert got == {"n1": (2, 16.00, 200.00)}
+
     def test_retract_minmax_deleted_extreme_recovers_runner_up(self, spark):
         """The case a scalar accumulator cannot handle: delete the
         current max → the support table recovers the runner-up."""

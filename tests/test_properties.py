@@ -420,3 +420,75 @@ def test_retract_aggregate_equals_state_recompute_property(spark, data):
         for g, cents in want.items()
     }
     assert got_mm == expect_mm
+
+
+@st.composite
+def join_changelogs(draw):
+    """Paired CDC histories over shared keys: a dim lifecycle (0/1
+    live row with an immutable attr) and several fact lifecycles per
+    key. Returns (fact_rows, dim_rows, fact_live, dim_live)."""
+    fact_rows, dim_rows = [], []
+    fact_live: dict[int, list] = {}
+    dim_live: dict[int, tuple] = {}
+    for key in range(draw(st.integers(1, 6))):
+        attr = draw(st.sampled_from(["g1", "g2"]))
+        bal = draw(st.integers(1, 9999)) / 100.0
+        dim_rows.append((key, attr, "insert", bal, None))
+        if draw(st.booleans()):
+            new = draw(st.integers(1, 9999)) / 100.0
+            dim_rows.append((key, attr, "update", new, bal))
+            bal = new
+        if draw(st.booleans()):
+            dim_rows.append((key, attr, "delete", None, bal))
+        else:
+            dim_live[key] = (attr, bal)
+        for _ in range(draw(st.integers(0, 3))):
+            price = draw(st.integers(1, 9999)) / 100.0
+            fact_rows.append((key, "insert", price, None))
+            if draw(st.booleans()):
+                new = draw(st.integers(1, 9999)) / 100.0
+                fact_rows.append((key, "update", new, price))
+                price = new
+            if draw(st.booleans()):
+                fact_rows.append((key, "delete", None, price))
+            else:
+                fact_live.setdefault(key, []).append(round(price * 100))
+    return fact_rows, dim_rows, fact_live, dim_live
+
+
+@given(join_changelogs())
+@settings(**PROP_SETTINGS)
+def test_retract_join_equals_live_state_join_property(spark, data):
+    """For ANY pair of well-formed changelogs, the per-key-partials
+    factorization must equal a brute-force join of the two live
+    states — including keys whose dim or fact side vanished."""
+    from realtime0523_spark.operators.retraction import (
+        retract_join_aggregate,
+    )
+
+    fact_rows, dim_rows, fact_live, dim_live = data
+    fact = spark.createDataFrame(
+        fact_rows, "k long, op string, price_new double, price_old double"
+    )
+    dim = spark.createDataFrame(
+        dim_rows,
+        "k long, attr string, op string, price_new double, price_old double",
+    )
+    got = {
+        r["attr"]: (r["n_pairs"], round(r["fact_amount"], 2),
+                    round(r["dim_amount"], 2))
+        for r in retract_join_aggregate(fact, dim, ["k"], ["attr"]).collect()
+    }
+    expect: dict[str, list] = {}
+    for k, (attr, bal) in dim_live.items():
+        for price_c in fact_live.get(k, []):
+            expect.setdefault(attr, []).append((price_c, round(bal * 100)))
+    expected = {
+        a: (
+            len(pairs),
+            round(sum(p for p, _ in pairs) / 100.0, 2),
+            round(sum(b for _, b in pairs) / 100.0, 2),
+        )
+        for a, pairs in expect.items()
+    }
+    assert got == expected

@@ -273,6 +273,12 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "cdc_retract_join": (
+        "neither changelog ever joins row-to-row: each side collapses "
+        "to |keys| signed partials in one partial-agg'd shuffle, the "
+        "join runs over the two key summaries, and a dim delete "
+        "retracts all fact partners algebraically"
+    ),
     "segment_overlap_kmv": (
         "the synopsis is checkpoint-materialized before its "
         "four-way fan-out (ExistingRDD, zero rescans); downstream "
