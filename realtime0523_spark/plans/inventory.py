@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
     "cdc_retract_join", "stream_cdc_retract_join",
+    "lineitem_equidepth_hist",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",

@@ -4448,6 +4448,46 @@ def q_lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_equidepth_hist",
+    """
+    WITH vc AS (SELECT l_extendedprice AS v, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM lineitem),
+    c AS (SELECT v, cnt,
+                 sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS cum0
+          FROM vc)
+    SELECT CAST((c.cum0 * 16) // t.n AS INT) AS bucket,
+           CAST(min(v) AS DOUBLE) AS lo,
+           CAST(max(v) AS DOUBLE) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM c, t
+    GROUP BY 1
+    """,
+    "EXACT 16-bucket equi-depth histogram of l_extendedprice — the "
+    "value-distribution half of the profiler family (selectivity "
+    "estimates for a CBO, drift floors for a quality monitor). The "
+    "naive ntile(k) OVER (ORDER BY v) is a single-task global sort; "
+    "here the corpus collapses to |NDV| value counts in one "
+    "partial-agg'd pass, exact exclusive prefix sums run by sampled "
+    "range exchange + broadcast per-partition offsets (the "
+    "global_positions discipline generalized to weighted sums — no "
+    "single-task stage), and bucket = (rows_before * k) div n in "
+    "pure integer arithmetic so boundaries replay exactly in any "
+    "engine. Value-atomic like Spark's ANALYZE equi-height "
+    "histogram: a heavy hitter overfilling its bucket is surfaced "
+    "skew, not error (operators/histogram.py).",
+)
+def q_lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.histogram import equidepth_histogram
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return equidepth_histogram(li, F.col("l_extendedprice"))
+
+
+@register(
     "docs_ppjoin_pairs",
     f"""
     WITH {_SHINGLES_CTE},

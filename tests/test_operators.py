@@ -467,6 +467,64 @@ def test_global_positions_matches_global_window(spark):
     assert sorted(got.values()) == list(range(1, 501))
 
 
+def test_prefix_sums_matches_global_window(spark):
+    """Exclusive prefix sums by range exchange must equal
+    sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) - current, on a
+    multi-partition frame, and the returned total must be the sum."""
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.operators.histogram import prefix_sums
+
+    rows = [((i * 37) % 101, i % 7 + 1) for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, "k long, w long")
+        .groupBy("k")
+        .agg(F.sum("w").alias("w"))
+        .repartition(9)
+    )
+    got_df, total = prefix_sums(df, [F.col("k")], "w", num_partitions=5)
+    got = {r.k: r.cum_before for r in got_df.collect()}
+    want = {
+        r.k: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum("w").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("w"),
+        ).collect()
+    }
+    assert got == want
+    assert total == sum(w for _, w in rows)
+
+
+def test_equidepth_histogram_depth_and_skew(spark):
+    """Uniform values split into near-equal buckets; a heavy hitter
+    stays value-atomic (one overfilled bucket, surfaced not split),
+    and bucket stats partition the input exactly."""
+    from realtime0523_spark.operators.histogram import equidepth_histogram
+
+    # 400 uniform distinct values -> 4 buckets of exactly 100 rows
+    uni = spark.createDataFrame([(float(i),) for i in range(400)], "v double")
+    h = {
+        r.bucket: (r.lo, r.hi, r.n_rows, r.n_distinct)
+        for r in equidepth_histogram(uni, F.col("v"), k=4).collect()
+    }
+    assert sorted(h) == [0, 1, 2, 3]
+    assert all(h[b][2] == 100 and h[b][3] == 100 for b in h)
+    assert h[0][:2] == (0.0, 99.0) and h[3][:2] == (300.0, 399.0)
+
+    # heavy hitter: value 5.0 is half the mass -> lands whole in one
+    # bucket; totals still partition the input
+    rows = [(5.0,)] * 500 + [(float(i),) for i in range(500)]
+    skew = spark.createDataFrame(rows, "v double")
+    hs = equidepth_histogram(skew, F.col("v"), k=4).collect()
+    assert sum(r.n_rows for r in hs) == 1000
+    assert sum(r.n_distinct for r in hs) == 500
+    big = [r for r in hs if r.lo <= 5.0 <= r.hi]
+    assert len(big) == 1 and big[0].n_rows >= 500
+
+
 def test_corpus_drift_zero_on_identical_and_positive_on_shifted(spark):
     from realtime0523_spark.llm.pipeline import corpus_drift
 

@@ -273,6 +273,12 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "lineitem_equidepth_hist": (
+        "the corpus collapses to |NDV| value counts in one partial-"
+        "agg'd pass; prefix sums run on the materialized NDV table "
+        "via sampled range exchange + broadcast offsets — no global "
+        "sort, no single-task stage, final rollup is k rows"
+    ),
     "cdc_retract_join": (
         "neither changelog ever joins row-to-row: each side collapses "
         "to |keys| signed partials in one partial-agg'd shuffle, the "
