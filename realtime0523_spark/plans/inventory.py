@@ -106,7 +106,8 @@ _PRIORITY: list[str] = [
     "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
     "cdc_retract_join", "stream_cdc_retract_join",
-    "lineitem_equidepth_hist",
+    "lineitem_equidepth_hist", "events_trend_slope",
+    "customers_record_linkage",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -3239,6 +3240,102 @@ def q_event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_record_linkage",
+    """
+    WITH twin AS (
+      SELECT c_custkey AS rec_key,
+             'CUST ' || substr(c_name, 10, 9) AS name,
+             c_nationkey AS nationkey,
+             CASE WHEN c_custkey % 16 = 9
+                  THEN (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 2
+                        + 17) / 100.0
+                  WHEN c_custkey % 8 = 1
+                  THEN (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 1)
+                       / 100.0
+                  ELSE c_acctbal END AS acctbal,
+             c_mktsegment AS mktsegment
+      FROM customer WHERE c_custkey % 4 = 1),
+    base AS (
+      SELECT c_custkey AS rec_key, c_name AS name,
+             c_nationkey AS nationkey, c_acctbal AS acctbal,
+             c_mktsegment AS mktsegment
+      FROM customer),
+    pairs AS (
+      SELECT a.rec_key AS lk, b.rec_key AS rk, a.nationkey,
+             (CASE WHEN regexp_extract(a.name, '(\\d+)\\s*$', 1)
+                        = regexp_extract(b.name, '(\\d+)\\s*$', 1)
+                   THEN 24 ELSE 0 END)
+             + (CASE WHEN abs(CAST(floor(a.acctbal * 100 + 0.5) AS BIGINT)
+                              - CAST(floor(b.acctbal * 100 + 0.5) AS BIGINT))
+                          <= 2 THEN 16 ELSE 0 END)
+             - (CASE WHEN a.mktsegment <> b.mktsegment THEN 8 ELSE 0 END)
+               AS score
+      FROM base a JOIN twin b
+        ON a.nationkey = b.nationkey
+       AND right(regexp_extract(a.name, '(\\d+)\\s*$', 1), 4)
+           = right(regexp_extract(b.name, '(\\d+)\\s*$', 1), 4))
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN score >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_links,
+           CAST(sum(CASE WHEN score >= 32 AND lk = rk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_links
+    FROM pairs
+    GROUP BY nationkey
+    """,
+    "Record linkage (entity resolution, Fellegi–Sunter 1969) between "
+    "the customer table and a deterministic dirty twin feed "
+    "(surface-mangled names, one-cent balance typos, and a "
+    "scrambled-balance tier the matcher MUST miss): BLOCKING on "
+    "(nation, last-4 of the name's digit tail) turns the n² record "
+    "cross-join into an equi-join whose cost is the sum of block-size "
+    "products — the same bucket-join discipline as the MinHash dedup "
+    "family, applied to structured records; then integer log-odds "
+    "agreement weights (full name tail 24, balance-within-2-cents 16, "
+    "segment-mismatch −8, threshold 32 — name alone does not clear "
+    "it) score each candidate in pure codegen arithmetic. "
+    "Ground-truth origin keys ride out-of-band, so the per-nation "
+    "report (candidates, links, true links) measures precision AND "
+    "the scrambled tier's false negatives honestly; integer weights "
+    "make every decision SQL-replayable (operators/linkage.py).",
+)
+def q_customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.linkage import (
+        dirty_twin,
+        link_candidates,
+    )
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    twin = dirty_twin(cust).withColumnRenamed("origin_key", "rec_key")
+    return (
+        link_candidates(base, twin)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("is_link"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_links"),
+            F.sum(
+                F.when(
+                    F.col("is_link")
+                    & (F.col("left_key") == F.col("right_key")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_true_links"),
+        )
+    )
+
+
+@register(
     "event_transitions",
     """
     WITH seq AS (
@@ -3355,4 +3452,69 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("medc") / F.lit(100.0)).alias("med_value"),
             (F.col("madc") / F.lit(100.0)).alias("mad_value"),
         )
+    )
+
+
+@register(
+    "events_trend_slope",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx
+          FROM b GROUP BY event_type)
+    SELECT event_type, n_rows,
+           round(((n_rows * sxy - sx * sy)
+                  / nullif(n_rows * sxx - sx * sx, 0.0)) / 100.0, 9)
+             AS slope_per_day,
+           round(((sy - ((n_rows * sxy - sx * sy)
+                         / nullif(n_rows * sxx - sx * sx, 0.0)) * sx)
+                  / n_rows) / 100.0, 9) AS intercept
+    FROM s
+    """,
+    "Per-type OLS daily trend of event value (the metric-monitoring "
+    "staple: is this KPI drifting, and how fast): closed-form slope "
+    "and intercept from the five classical sums (n, Σx, Σy, Σxy, "
+    "Σx²) — ONE map + one partial-agg'd shuffle of |types| rows, no "
+    "window, no second pass, embarrassingly scalable. x rides as "
+    "integer days since the corpus epoch and y as integer cents, so "
+    "the sums are exact longs and the only floating point is the "
+    "final per-group combination — identical IEEE expressions on "
+    "both engines. A zero-variance group (single day) yields NULL "
+    "slope via nullif, not a crash.",
+)
+def q_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_rows").cast("double")
+    den = F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    slope_c = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return s.select(
+        "event_type",
+        "n_rows",
+        F.round(slope_c / F.lit(100.0), 9).alias("slope_per_day"),
+        F.round(
+            ((F.col("sy") - slope_c * F.col("sx")) / n) / F.lit(100.0), 9
+        ).alias("intercept"),
     )

@@ -754,6 +754,52 @@ def test_purchase_attribution_sums_exactly_on_fixture(spark):
     assert sums.count() > 0
 
 
+class TestRecordLinkage:
+    def test_blocking_scoring_and_false_negative_tier(self, spark):
+        """True twins link when the balance corroborates; the
+        scrambled-balance twin is a deliberate miss (name alone does
+        not clear the threshold); unrelated records sharing a block
+        never link."""
+        from realtime0523_spark.operators.linkage import (
+            dirty_twin,
+            link_candidates,
+        )
+
+        cust = spark.createDataFrame(
+            [
+                # %4==1, %8!=1: clean twin -> links
+                (5, "Customer#000000005", 3, 100.00, "AUTO"),
+                # %16==9: scrambled balance -> candidate but NO link
+                (9, "Customer#000000009", 3, 200.00, "AUTO"),
+                # %8==1 (and %16!=9): one-cent typo -> still links
+                (17, "Customer#000000017", 3, 300.00, "AUTO"),
+                # not %4==1: no twin at all
+                (6, "Customer#000000006", 3, 400.00, "AUTO"),
+                # same nation, same last-4 tail as nobody: no pairs
+                (7, "Customer#000000007", 9, 100.00, "BUILDING"),
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        base = cust.select(
+            F.col("c_custkey").alias("rec_key"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        twin = dirty_twin(cust).withColumnRenamed("origin_key", "rec_key")
+        assert twin.count() == 3  # keys 5, 9, 17
+        rows = {
+            (r.left_key, r.right_key): (r.score, r.is_link)
+            for r in link_candidates(base, twin).collect()
+        }
+        assert rows[(5, 5)] == (40, True)    # name 24 + bal 16
+        assert rows[(9, 9)] == (24, False)   # scrambled bal: honest miss
+        assert rows[(17, 17)] == (40, True)  # 1-cent typo within tolerance
+        assert all(k[0] == k[1] for k in rows)  # no cross-record pairs here
+
+
 class TestRetraction:
     CL_SCHEMA = "grp string, op string, price_new double, price_old double"
 

@@ -273,6 +273,17 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "customers_record_linkage": (
+        "candidates come from a (nation, name-tail-suffix) equi-join "
+        "— cost is the sum of block-size products, never n²; scoring "
+        "is codegen'd integer arithmetic per candidate, the rollup "
+        "partial-aggs to |nations| rows"
+    ),
+    "events_trend_slope": (
+        "the whole regression is ONE map + one partial-agg'd shuffle "
+        "of |types| rows (five classical sums as exact longs); no "
+        "window, no second pass"
+    ),
     "lineitem_equidepth_hist": (
         "the corpus collapses to |NDV| value counts in one partial-"
         "agg'd pass; prefix sums run on the materialized NDV table "
