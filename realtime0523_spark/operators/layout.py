@@ -94,6 +94,88 @@ def zorder_boxes(
     )
 
 
+def pruning_report(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    predicates: list[tuple[int, int, int, int]],
+    bits: int = ZORDER_BITS,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Quantified zone-map pruning: for each 2-D range predicate
+    (x_lo, x_hi, y_lo, y_hi), how many of the 2^prefix_bits files
+    must be read — and how many rows they hold — under (a) Z-order
+    clustering vs (b) a plain x-sorted layout. A file is read iff its
+    bounding box intersects the predicate box, exactly the decision
+    parquet/Delta zone maps make from per-file min/max stats.
+
+    ONE corpus scan: GROUPING SETS over (zbucket) and (xbucket)
+    emits both layouts' zone maps in a single Expand + partial-agg'd
+    shuffle to ≤2^(prefix_bits+1) box rows; the predicate table is a
+    literal broadcast. Output per (predicate, layout): files_total,
+    files_read, rows_read — the x-sorted layout reads ~every file
+    the moment the filter touches y, the z-layout reads the
+    rectangle's cover, and the gap IS the OPTIMIZE ZORDER benefit."""
+    z = morton_interleave(x, y, bits)
+    base = df.select(
+        F.shiftright(z, 2 * bits - prefix_bits).alias("zbucket"),
+        F.shiftright(x.cast("bigint"), bits - prefix_bits).alias("xbucket"),
+        x.cast("bigint").alias("__x"),
+        y.cast("bigint").alias("__y"),
+    )
+    boxes = (
+        base.groupingSets(
+            [[F.col("zbucket")], [F.col("xbucket")]],
+            F.col("zbucket"),
+            F.col("xbucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+        .select(
+            F.when(F.col("zbucket").isNotNull(), F.lit("zorder"))
+            .otherwise(F.lit("xsorted"))
+            .alias("layout"),
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+        )
+    )
+    preds = df.sparkSession.createDataFrame(
+        [
+            (i, int(xl), int(xh), int(yl), int(yh))
+            for i, (xl, xh, yl, yh) in enumerate(predicates)
+        ],
+        "pred_id int, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    hit = (
+        F.col("x_min") <= F.col("x_hi")
+    ) & (
+        F.col("x_max") >= F.col("x_lo")
+    ) & (
+        F.col("y_min") <= F.col("y_hi")
+    ) & (
+        F.col("y_max") >= F.col("y_lo")
+    )
+    return (
+        boxes.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_read"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_read"),
+        )
+    )
+
+
 def global_positions(
     df: DataFrame,
     order_cols: list,

@@ -107,7 +107,7 @@ _PRIORITY: list[str] = [
     "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
     "cdc_retract_join", "stream_cdc_retract_join",
     "lineitem_equidepth_hist", "events_trend_slope",
-    "customers_record_linkage",
+    "customers_record_linkage", "events_zorder_pruning",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -1995,6 +1995,72 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bitwiseAND(F.lit(65535))
     )
     return zorder_boxes(events, x, y, bits=16, prefix_bits=ZORDER_PREFIX_BITS)
+
+
+_ZPRED_ROWS = [
+    (0, 10, 99, 10000, 14999),       # narrow x AND y: z-layout shines
+    (1, 0, 65535, 20000, 20999),     # y-only filter: x-sorted reads ALL
+    (2, 5, 9, 0, 65535),             # x-only filter: both layouts prune
+]
+_ZPRED_VALUES = ", ".join(f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in _ZPRED_ROWS)
+
+
+@register(
+    "events_zorder_pruning",
+    f"""
+    WITH b AS (
+      SELECT ({_morton_sql(_ZX_SQL, _ZY_SQL, 16)}) >> {32 - ZORDER_PREFIX_BITS}
+               AS zbucket,
+             {_ZX_SQL} >> {16 - ZORDER_PREFIX_BITS} AS xbucket,
+             {_ZX_SQL} AS x, {_ZY_SQL} AS y
+      FROM events),
+    boxes AS (
+      SELECT CASE WHEN zbucket IS NOT NULL THEN 'zorder'
+                  ELSE 'xsorted' END AS layout,
+             count(*) AS n_rows, min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM b GROUP BY GROUPING SETS ((zbucket), (xbucket))),
+    p(pred_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {_ZPRED_VALUES})
+    SELECT p.pred_id, boxes.layout,
+           CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                          AND y_min <= y_hi AND y_max >= y_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+           CAST(sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                          AND y_min <= y_hi AND y_max >= y_lo
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read
+    FROM boxes CROSS JOIN p
+    GROUP BY 1, 2
+    """,
+    "The Z-order family's MEASURED payoff: for three 2-D range "
+    "predicates, how many of the 256 clustered files a zone map must "
+    "read under Z-order vs a plain x-sorted layout (a file is read "
+    "iff its min/max box intersects the predicate box — exactly "
+    "parquet/Delta stats pruning). ONE corpus scan emits BOTH "
+    "layouts' zone maps via GROUPING SETS over (zbucket)/(xbucket) — "
+    "a single Expand + partial-agg'd shuffle to ≤512 box rows; "
+    "predicates ride as a literal broadcast. The y-only predicate is "
+    "the story: the x-sorted layout reads every file, the z-layout "
+    "reads the rectangle cover (operators/layout.py::pruning_report).",
+)
+def q_events_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.layout import pruning_report
+
+    events = Catalog(spark, sf_dir).table("events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = (
+        F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+    )
+    return pruning_report(
+        events,
+        x,
+        y,
+        [(a, b, c, d) for _, a, b, c, d in _ZPRED_ROWS],
+        bits=16,
+        prefix_bits=ZORDER_PREFIX_BITS,
+    )
 
 
 PAGERANK_TOPN = 50

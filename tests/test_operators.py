@@ -372,6 +372,35 @@ def test_zorder_boxes_are_tight_rectangles(spark):
         assert r.y_max - r.y_min <= 63, r
 
 
+def test_pruning_report_y_filter_favors_zorder(spark):
+    """On a uniform 2-D grid, a y-only range predicate forces the
+    x-sorted layout to read EVERY file (each x-file spans the full
+    y-range) while the z-layout reads only the rectangle cover; row
+    accounting stays exact against the grid density."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.operators.layout import pruning_report
+
+    rows = [(x, y) for x in range(0, 256, 4) for y in range(0, 256, 4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    rep = {
+        (r.pred_id, r.layout): r
+        for r in pruning_report(
+            df, F.col("x"), F.col("y"),
+            [(0, 255, 64, 79)],  # y-only band
+            bits=8, prefix_bits=4,
+        ).collect()
+    }
+    xs, zs = rep[(0, "xsorted")], rep[(0, "zorder")]
+    assert xs.files_read == xs.files_total          # every x-file read
+    assert zs.files_read < zs.files_total           # z prunes
+    assert zs.rows_read < xs.rows_read
+    # the z-files read must at least cover every qualifying row
+    qualifying = sum(1 for x, y in rows if 64 <= y <= 79)
+    assert zs.rows_read >= qualifying
+    assert xs.rows_read == len(rows)
+
+
 def test_pagerank_star_graph_center_wins(spark):
     """On a star (hub connected to k spokes, symmetric), the hub's
     rank strictly exceeds every spoke's, spokes tie exactly (integer

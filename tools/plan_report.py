@@ -273,6 +273,12 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "events_zorder_pruning": (
+        "ONE corpus scan emits both layouts' zone maps (GROUPING "
+        "SETS Expand into a partial-agg'd shuffle of <=512 box "
+        "rows); predicates are a literal broadcast and the verdict "
+        "rollup is metadata-sized"
+    ),
     "customers_record_linkage": (
         "candidates come from a (nation, name-tail-suffix) equi-join "
         "— cost is the sum of block-size products, never n²; scoring "
