@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "cdc_retract_join", "stream_cdc_retract_join",
     "lineitem_equidepth_hist", "events_trend_slope",
     "customers_record_linkage", "events_zorder_pruning",
+    "docs_wordpiece_merges",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",

@@ -2938,6 +2938,103 @@ def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, merges)
 
 
+WORDPIECE_MERGES = 8
+
+
+def _wordpiece_merges_sql(n_rounds: int) -> str:
+    """Generated n-round WordPiece oracle: the same vocab-state chain
+    and greedy merge fold as _bpe_ctes, with the round argmax ranked
+    by the likelihood-ratio score count(ab)/(count(a)·count(b)) — a
+    single IEEE double division of exact integer counts, plus the
+    shared lexicographic tiebreak. Each round adds a symbol-count CTE
+    (the score's denominator statistics)."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+      SELECT w,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS syms,
+             freq
+      FROM (SELECT w, count(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w))"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT u AS s, sum(freq) AS n
+      FROM (SELECT unnest(string_split(trim(syms), ' ')) AS u, freq
+            FROM v{r})
+      GROUP BY u)"""
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT ps[i] AS l, ps[i + 1] AS r, sum(freq) AS n
+      FROM (SELECT string_split(trim(syms), ' ') AS ps, freq FROM v{r}
+            WHERE len(string_split(trim(syms), ' ')) >= 2),
+           LATERAL (SELECT unnest(range(1, len(ps))) AS i)
+      GROUP BY ps[i], ps[i + 1])"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT p.l, p.r FROM p{r} p
+      JOIN s{r} sl ON sl.s = p.l
+      JOIN s{r} sr ON sr.s = p.r
+      ORDER BY CAST(p.n AS DOUBLE) / (sl.n * sr.n) DESC, p.l, p.r
+      LIMIT 1)"""
+        )
+        out = "split_part(acc, chr(1), 1)"
+        prev = "split_part(acc, chr(1), 2)"
+        emit = f"CASE WHEN {out} = '' THEN '' ELSE {out} || ' ' END"
+        parts.append(
+            f"""v{r + 1} AS MATERIALIZED (
+      SELECT w,
+             ' ' || CASE WHEN {prev} = '' THEN {out}
+                         WHEN {out} = '' THEN {prev}
+                         ELSE {out} || ' ' || {prev} END || ' ' AS syms,
+             freq
+      FROM (SELECT w, list_reduce(
+                     list_prepend(chr(1), string_split(trim(syms), ' ')),
+                     (acc, x) -> CASE
+                       WHEN {prev} = '' THEN {out} || chr(1) || x
+                       WHEN {prev} = m{r}.l AND x = m{r}.r
+                         THEN {emit} || m{r}.l || m{r}.r || chr(1)
+                       ELSE {emit} || {prev} || chr(1) || x
+                     END) AS acc, freq
+            FROM v{r}, m{r}))"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS left, r AS right FROM m{r}"
+        for r in range(n_rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+@register(
+    "docs_wordpiece_merges",
+    _wordpiece_merges_sql(WORDPIECE_MERGES),
+    f"WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the "
+    f"BERT trainer), completing the tokenizer trio beside BPE and "
+    f"the unigram LM: the first {WORDPIECE_MERGES} merges ranked by "
+    "the likelihood-ratio score count(ab)/(count(a)·count(b)) "
+    "instead of BPE's raw frequency — the merge that most increases "
+    "corpus likelihood, preferring pairs whose parts rarely occur "
+    "apart. All machinery (one corpus pass, |vocab|-row rounds, the "
+    "greedy left-to-right fold) is SHARED with llm/bpe.py — one "
+    "implementation, two selection rules; per round only a "
+    "|symbols|-sized count CTE and a two-way metadata join are new. "
+    "The score is one IEEE double division of exact integer counts "
+    "(bit-identical cross-engine); ties break lexicographically "
+    "(llm/wordpiece.py).",
+)
+def q_docs_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.wordpiece import train_wordpiece
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = train_wordpiece(docs, WORDPIECE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 # --- Unigram-LM (SentencePiece-style) tokenizer oracle ----------------
 # The trainer's fixed schedule (llm/unigram.py: seed → E → prune → M →
 # E → M) replayed as generated CTEs, like _bpe_ctes. The Viterbi

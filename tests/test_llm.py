@@ -941,6 +941,25 @@ def test_bpe_trainer_learns_canonical_merges(spark):
     assert segment_word("lowest", m) == ["low", "est"]
 
 
+def test_wordpiece_prefers_exclusive_pairs_over_frequent_ones(spark):
+    """The WordPiece/BPE divergence on one corpus: (t,o) is the most
+    FREQUENT pair (appears in 'to'×10 — but t and o also occur apart
+    everywhere), while q and u occur ONLY together. BPE merges (t,o)
+    first; WordPiece's likelihood ratio count(ab)/(count(a)count(b))
+    ranks (q,u) first."""
+    from realtime0523_spark.llm.bpe import train_bpe
+    from realtime0523_spark.llm.wordpiece import train_wordpiece
+
+    # 'in'x3 keeps i and z from being q/u-style exclusive pairs
+    text = " ".join(
+        ["to"] * 10 + ["tag"] * 6 + ["ox"] * 6 + ["quiz"] * 2 + ["in"] * 3
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    assert train_bpe(docs, 1) == [("t", "o")]
+    wp = train_wordpiece(docs, 2)
+    assert wp[0] == ("q", "u"), wp
+
+
 def test_bpe_merge_application_handles_adjacent_repeats(spark):
     """'aaaa' under merge (a,a) must become [aa, aa] — the greedy
     left-to-right fold merges every non-overlapping occurrence even
