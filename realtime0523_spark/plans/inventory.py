@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "lineitem_equidepth_hist", "events_trend_slope",
     "customers_record_linkage", "events_zorder_pruning",
     "docs_wordpiece_merges",
+    "event_value_ddsketch", "stream_event_value_ddsketch",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -3399,6 +3400,108 @@ def q_customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_true_links"),
         )
+    )
+
+
+def _ddsketch_sql() -> str:
+    import math
+
+    from realtime0523_spark.operators.ddsketch import DD_GAMMA, ZERO_BUCKET
+
+    lg = round(math.log(DD_GAMMA), 9)
+    g1 = DD_GAMMA + 1.0
+    return f"""
+    WITH base AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    sk AS (
+      SELECT grp,
+             CASE WHEN vc <= 0 THEN {ZERO_BUCKET}
+                  ELSE CAST(floor(round(ln(CAST(vc AS DOUBLE)), 9) / {lg!r})
+                       AS BIGINT) END AS bucket,
+             count(*) AS n
+      FROM base GROUP BY 1, 2),
+    c AS (
+      SELECT grp, bucket, n,
+             sum(n) OVER (PARTITION BY grp ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY grp) AS total
+      FROM sk),
+    q(quantile, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20),
+                                     ('p99', 99, 100)),
+    hit AS (
+      SELECT grp, quantile, total, min(bucket) AS bucket
+      FROM c CROSS JOIN q
+      WHERE cum >= ((total - 1) * num) // den + 1
+      GROUP BY 1, 2, 3)
+    SELECT grp, quantile, CAST(total AS BIGINT) AS n_rows,
+           round(CASE WHEN bucket = {ZERO_BUCKET} THEN 0.0
+                      ELSE round(2.0 * pow({DD_GAMMA!r},
+                                           CAST(bucket + 1 AS DOUBLE)) / {g1!r},
+                                 9) END / 100.0, 9) AS est_value
+    FROM hit
+    """
+
+
+@register(
+    "event_value_ddsketch",
+    _ddsketch_sql(),
+    "DDSketch relative-error quantiles (Masson et al. VLDB 2019 — "
+    "the production metrics sketch): per event type, p50/p95/p99 "
+    "within ~1% relative error from BUCKET COUNTS alone — the sketch "
+    "is groupBy(group, floor(log_γ cents)).count(), ONE partial-"
+    "agg'd shuffle of |groups|·|buckets| rows, and it MERGES by "
+    "plain addition (across partitions, time slices, micro-batches). "
+    "This is the quantile the exact family cannot give at 100 TB "
+    "without a per-group sort. Bucket index divides two 9-dp-"
+    "quantized logarithms (the BM25-idf discipline) so the oracle "
+    "replays the ENTIRE sketch and estimator exactly; the accuracy "
+    "contract (rel err ≤ (γ−1)/(γ+1)) is test-asserted against exact "
+    "quantiles (operators/ddsketch.py).",
+)
+def q_event_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.ddsketch import dd_quantiles, dd_sketch
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return dd_quantiles(
+        dd_sketch(ev, "event_type", "value"),
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
+    )
+
+
+@register(
+    "stream_event_value_ddsketch",
+    _ddsketch_sql(),
+    "Streaming twin of event_value_ddsketch — continuous latency/"
+    "value percentiles, the monitoring staple: each micro-batch "
+    "commits one bounded partial sketch (≤|groups|·|buckets| rows "
+    "whatever the batch size, idempotent by batchId); the reader "
+    "folds partials by plain addition — DDSketch merge IS bucket-"
+    "count addition, so batch boundaries, replays, and late events "
+    "cannot change the sketch — and the drained quantiles equal the "
+    "batch oracle bit-for-bit (streaming/synopsis.py).",
+)
+def q_stream_event_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.synopsis import streaming_dd_quantiles
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_ddsketch_")
+    return detach_and_cleanup(
+        streaming_dd_quantiles(
+            spark,
+            ev,
+            "event_type",
+            "value",
+            [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
+            out_dir=f"{work}/sketch",
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
     )
 
 

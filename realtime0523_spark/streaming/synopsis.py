@@ -77,3 +77,43 @@ def streaming_kmv_overlap(
         )
     partials = spark.read.parquet(out_dir).drop("batch_id")
     return kmv_overlap(merge_kmv_partials(partials, k=k), k=k)
+
+
+def streaming_dd_quantiles(
+    spark: SparkSession,
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Online DDSketch (operators/ddsketch.py): per micro-batch, one
+    bounded partial sketch — (group, bucket, n), ≤|groups|·|buckets|
+    rows regardless of batch size — committed idempotently by batchId;
+    the reader folds committed partials by plain addition (DDSketch
+    merge IS bucket-count addition: commutative, associative, replay-
+    safe) into bit-for-bit the single-pass sketch, then answers
+    quantiles from the synopsis alone."""
+    from realtime0523_spark.operators.ddsketch import dd_quantiles, dd_sketch
+
+    commit = idempotent_batch_writer(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit(dd_sketch(batch_df, group_col, value_col), batch_id)
+
+    run_foreach_batch(
+        stream,
+        process,
+        checkpoint_dir=checkpoint_dir,
+        output_mode="append",
+        no_data_batches=False,
+    )
+    if not os.path.exists(out_dir):  # no batches arrived
+        return spark.createDataFrame(
+            [], "grp string, quantile string, n_rows long, est_value double"
+        )
+    partials = spark.read.parquet(out_dir).drop("batch_id")
+    return dd_quantiles(partials, quantiles)

@@ -1007,6 +1007,61 @@ class TestKMV:
         assert got == want
 
 
+class TestDDSketch:
+    QS = [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+
+    def test_relative_error_contract_against_exact(self, spark):
+        """Every estimate must sit within the DDSketch guarantee
+        α = (γ−1)/(γ+1) of the exact quantile (same rank rule),
+        on a long-tailed value set including zeros."""
+        from realtime0523_spark.operators.ddsketch import (
+            DD_GAMMA,
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        vals = [0.0] * 5 + [((i * 7919) % 100003) / 100.0 for i in range(2000)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, value double"
+        )
+        est = {
+            r.quantile: r.est_value
+            for r in dd_quantiles(dd_sketch(df, "grp", "value"), self.QS).collect()
+        }
+        cents = sorted(round(v * 100) for v in vals)
+        n = len(cents)
+        alpha = (DD_GAMMA - 1) / (DD_GAMMA + 1)
+        for label, num, den in self.QS:
+            exact = cents[(n - 1) * num // den] / 100.0
+            assert abs(est[label] - exact) <= alpha * exact + 0.01, (
+                label, est[label], exact,
+            )
+
+    def test_merged_partials_equal_one_pass(self, spark):
+        """DDSketch merge is bucket-count addition: quantiles from the
+        union of per-slice sketches must equal the one-pass answer
+        bit-for-bit (the property the streaming twin rides on)."""
+        from realtime0523_spark.operators.ddsketch import (
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        rows = [("g", ((i * 31) % 997) / 10.0) for i in range(900)]
+        df = spark.createDataFrame(rows, "grp string, value double")
+        one = sorted(
+            map(tuple, dd_quantiles(dd_sketch(df, "grp", "value"), self.QS).collect())
+        )
+        slices = [
+            spark.createDataFrame(rows[i::3], "grp string, value double")
+            for i in range(3)
+        ]
+        partials = slices[0].sparkSession.createDataFrame([], "grp string, bucket long, n long")
+        for s in slices:
+            partials = partials.unionAll(dd_sketch(s, "grp", "value"))
+        merged = sorted(map(tuple, dd_quantiles(partials, self.QS).collect()))
+        assert one == merged
+
+
 class TestBootstrap:
     def test_ci_brackets_true_mean_and_is_deterministic(self, spark):
         """500 draws around 50.00: the 2.5/97.5 percentile interval

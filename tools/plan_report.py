@@ -273,6 +273,12 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "event_value_ddsketch": (
+        "the corpus appears in exactly one partial-agg'd shuffle of "
+        "|groups|*|buckets| sketch rows; every window and the "
+        "quantile join run on the synopsis, never the data; merge is "
+        "bucket-count addition"
+    ),
     "events_zorder_pruning": (
         "ONE corpus scan emits both layouts' zone maps (GROUPING "
         "SETS Expand into a partial-agg'd shuffle of <=512 box "
