@@ -118,6 +118,13 @@ PROBES = [
     "docs_ppjoin_pairs",   # df-ordered prefix candidates + bounded verify join (r8)
     "event_transitions",   # user-keyed lag window + pair partial agg (r8)
     "event_value_outliers",  # 3 stat passes, each map + broadcast stat join (r8)
+    "cdc_retract_join",    # two |keys| partial aggs + key-summary join (r8 w2)
+    "lineitem_equidepth_hist",  # NDV collapse + range-exchange prefix sums (r8 w2)
+    "events_trend_slope",  # five exact sums in ONE |types| partial agg (r8 w2)
+    "customers_record_linkage",  # blocked candidate equi-join + codegen score (r8 w2)
+    "events_zorder_pruning",  # GROUPING SETS zone maps, one corpus scan (r8 w2)
+    "docs_wordpiece_merges",  # vocab-sized rounds + symbol-count broadcast (r8 w2)
+    "event_value_ddsketch",  # one |groups|*|buckets| sketch shuffle (r8 w2)
 ]
 
 # Library paths without their own registry entry, probed as callables:
