@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "customers_record_linkage", "events_zorder_pruning",
     "docs_wordpiece_merges",
     "event_value_ddsketch", "stream_event_value_ddsketch",
+    "stream_customers_record_linkage",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -3307,9 +3308,7 @@ def q_event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(ev, "event_type", "event_id", "value")
 
 
-@register(
-    "customers_record_linkage",
-    """
+_LINKAGE_ORACLE = """
     WITH twin AS (
       SELECT c_custkey AS rec_key,
              'CUST ' || substr(c_name, 10, 9) AS name,
@@ -3350,7 +3349,12 @@ def q_event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_true_links
     FROM pairs
     GROUP BY nationkey
-    """,
+    """
+
+
+@register(
+    "customers_record_linkage",
+    _LINKAGE_ORACLE,
     "Record linkage (entity resolution, Fellegi–Sunter 1969) between "
     "the customer table and a deterministic dirty twin feed "
     "(surface-mangled names, one-cent balance typos, and a "
@@ -3400,6 +3404,53 @@ def q_customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_true_links"),
         )
+    )
+
+
+@register(
+    "stream_customers_record_linkage",
+    _LINKAGE_ORACLE,
+    "Streaming twin of customers_record_linkage — the deployment "
+    "shape entity resolution actually runs in: the base registry is "
+    "at rest, the dirty feed ARRIVES, and every new record is "
+    "block-matched as it lands (per-batch cost ∝ batch-side blocking "
+    "fan-out, never |base|·batch). Per-nation partial counts commit "
+    "idempotently by batchId; counts are additive and each feed "
+    "record lands in exactly one batch, so the drained fold equals "
+    "the all-at-once batch report — the oracle is the same full "
+    "latest-state match (streaming/linkage.py).",
+)
+def q_stream_customers_record_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.operators.linkage import dirty_twin
+    from realtime0523_spark.streaming.linkage import streaming_record_linkage
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    cat = Catalog(spark, sf_dir)
+    base = cat.table("customer").select(
+        F.col("c_custkey").alias("rec_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    feed = dirty_twin(stream_table(spark, sf_dir, "customer")).withColumnRenamed(
+        "origin_key", "rec_key"
+    )
+    work = tempfile.mkdtemp(prefix="stream_linkage_")
+    return detach_and_cleanup(
+        streaming_record_linkage(
+            spark,
+            base,
+            feed,
+            out_dir=f"{work}/links",
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
     )
 
 
