@@ -1317,6 +1317,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(with_media).select("doc_id", "n_bytes", "sha256")
 
 
+@register(
+    "media_audio_energy",
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    s AS (SELECT doc_id, i AS sidx,
+                 CAST('0x' || substr(hx, 4 * i + 3, 2) AS INT) * 256
+                 + CAST('0x' || substr(hx, 4 * i + 1, 2) AS INT) AS raw
+          FROM m, LATERAL (SELECT unnest(range(0, nb // 2)) AS i)),
+    v AS (SELECT doc_id, sidx,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+          FROM s)
+    SELECT doc_id, CAST(sidx // 256 AS INT) AS frame_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(CAST(val AS BIGINT) * val) AS BIGINT) AS energy
+    FROM v GROUP BY 1, 2
+    """,
+    "Windowed audio energy — the VAD precursor every speech pipeline "
+    "runs first: payload as 16-bit LE PCM, 256-sample frames, EXACT "
+    "integer Σ sample² per frame (the PCM is the deterministic "
+    "text-bytes stand-in like the rest of the media family; the real "
+    "content is the plumbing — vectorized numpy frombuffer + "
+    "segment-sum inside an Arrow batch, variable frame fan-out per "
+    "row, integer-exact output). The oracle re-derives every sample "
+    "from the hex expansion of the same bytes, so the match proves "
+    "the kernel byte-for-byte. Map-only: payloads never shuffle "
+    "(llm/multimodal.py::audio_frame_energy).",
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return M.audio_frame_energy(M.attach_media(docs))
+
+
 # ----------------------------------------------------------------------
 # Training-data pipeline: splits, sampling, contamination, PII,
 # packing, mixture stats (llm/pipeline.py)

@@ -555,6 +555,34 @@ def test_sample_frames_fanout_and_slices(spark):
     assert sample_frames(attach_media(empty), 300).count() == 0
 
 
+def test_audio_frame_energy_exact_int16_framing(spark):
+    """Hand-checked PCM: 'AB' is bytes 0x41 0x42 -> one LE sample
+    0x4241 = 16961; framing splits at frame_samples; a trailing odd
+    byte is dropped; high-bit samples go negative."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.llm.multimodal import audio_frame_energy
+
+    # 'ABABAB' -> samples [16961, 16961, 16961]; frame_samples=2 ->
+    # frame 0: 2 samples, frame 1: 1 sample
+    docs = spark.createDataFrame([(1, "ABABAB")], "doc_id long, text string")
+    media = docs.withColumn("media", F.encode("text", "UTF-8"))
+    rows = sorted(
+        audio_frame_energy(media, frame_samples=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    e = 16961 * 16961
+    assert [(r.frame_idx, r.n_samples, r.energy) for r in rows] == [
+        (0, 2, 2 * e), (1, 1, e),
+    ]
+    # odd byte count: last byte dropped -> one sample; and a sample
+    # with the high bit set decodes negative (energy of its square)
+    odd = spark.createDataFrame([(2, bytearray([0x00, 0x80, 0x07]))],
+                                "doc_id long, media binary")
+    [r] = audio_frame_energy(odd).collect()
+    assert (r.n_samples, r.energy) == (1, (-32768) ** 2)
+
+
 def test_bpe_ish_tokens_split_contractions_digits_punct(spark):
     from realtime0523_spark.llm.text import bpe_ish_tokens
     import pyspark.sql.functions as F
