@@ -110,7 +110,7 @@ _PRIORITY: list[str] = [
     "customers_record_linkage", "events_zorder_pruning",
     "docs_wordpiece_merges",
     "event_value_ddsketch", "stream_event_value_ddsketch",
-    "stream_customers_record_linkage",
+    "stream_customers_record_linkage", "media_audio_energy",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
