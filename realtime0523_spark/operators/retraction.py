@@ -226,6 +226,90 @@ def retract_join_aggregate(
     return finish_retract_join(fp, dp, key_cols, group_cols)
 
 
+def retract_join3_aggregate(
+    fact_changelog: DataFrame,
+    dim_a: DataFrame,
+    dim_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    group_cols: list[str],
+    fact_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    dim_a_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    dim_b_value_cols: tuple[str, str] = ("price_new", "price_old"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Three-changelog factorization — the snowflake extension of
+    `retract_join_aggregate`: a fact changelog carrying TWO foreign
+    keys joined to two dim changelogs. The same per-key-partials
+    identity holds with one more factor —
+
+        |F_{k1,k2} ⋈ A_{k1} ⋈ B_{k2}| = cntF(k1,k2)·cntA(k1)·cntB(k2)
+        Σ_triples fact_val            = sumF(k1,k2)·cntA(k1)·cntB(k2)
+        Σ_triples dimA_val            = sumA(k1)·cntF(k1,k2)·cntB(k2)
+
+    — so deleting one part (dim A) or one supplier (dim B) retracts
+    every surviving fact triple algebraically; no changelog ever
+    joins another row-to-row. Shape: one scan + one partial-agg'd
+    shuffle per changelog (fact to |key pairs|, dims to |keys|), two
+    key-summary equi-joins, one rollup. `group_cols` are immutable
+    dim-A attributes. Output: group_cols + (n_triples, fact_amount,
+    dim_a_amount)."""
+    fp = (
+        retract_partials(
+            fact_changelog,
+            [key_a, key_b],
+            op_col=op_col,
+            new_col=fact_value_cols[0],
+            old_col=fact_value_cols[1],
+        )
+        .withColumnRenamed("delta_cents", "f_cents")
+        .withColumnRenamed("delta_rows", "f_rows")
+        .filter(F.col("f_rows") > 0)
+    )
+    da = (
+        retract_partials(
+            dim_a,
+            [key_a] + list(group_cols),
+            op_col=op_col,
+            new_col=dim_a_value_cols[0],
+            old_col=dim_a_value_cols[1],
+        )
+        .withColumnRenamed("delta_cents", "a_cents")
+        .withColumnRenamed("delta_rows", "a_rows")
+        .filter(F.col("a_rows") > 0)
+    )
+    db = (
+        retract_partials(
+            dim_b,
+            [key_b],
+            op_col=op_col,
+            new_col=dim_b_value_cols[0],
+            old_col=dim_b_value_cols[1],
+        )
+        .withColumnRenamed("delta_cents", "b_cents")
+        .withColumnRenamed("delta_rows", "b_rows")
+        .filter(F.col("b_rows") > 0)
+    )
+    return (
+        fp.join(da, key_a)
+        .join(db, key_b)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("f_rows") * F.col("a_rows") * F.col("b_rows")
+            ).alias("n_triples"),
+            (
+                F.sum(F.col("f_cents") * F.col("a_rows") * F.col("b_rows"))
+                / F.lit(100.0)
+            ).alias("fact_amount"),
+            (
+                F.sum(F.col("a_cents") * F.col("f_rows") * F.col("b_rows"))
+                / F.lit(100.0)
+            ).alias("dim_a_amount"),
+        )
+    )
+
+
 def retract_minmax(
     changelog: DataFrame,
     group_cols: list[str],

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime0523_spark.core.catalog import Catalog
@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "docs_wordpiece_merges",
     "event_value_ddsketch", "stream_event_value_ddsketch",
     "stream_customers_record_linkage", "media_audio_energy",
+    "cdc_retract_join3",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -3097,6 +3098,132 @@ def q_stream_cdc_retract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_root=f"{work}/ckpt",
         ),
         work,
+    )
+
+
+def _simple_changelog(
+    src: DataFrame,
+    keep_cols: list[str],
+    value_col: str,
+    upd: Column,
+    dele: Column,
+    upd_value: Column,
+) -> DataFrame:
+    """Shared array-of-events CDC derivation (one scan, like
+    `_orders_changelog`): every row inserts `value_col`; rows matching
+    `upd` later get a correction to `upd_value`; rows matching `dele`
+    are deleted carrying the then-current value."""
+    cur = F.when(upd, upd_value).otherwise(F.col(value_col))
+    null_d = F.lit(None).cast("double")
+    events = F.array(
+        F.struct(
+            F.lit("insert").alias("op"),
+            F.col(value_col).alias("price_new"),
+            null_d.alias("price_old"),
+        ),
+        F.when(
+            upd,
+            F.struct(
+                F.lit("update").alias("op"),
+                upd_value.alias("price_new"),
+                F.col(value_col).alias("price_old"),
+            ),
+        ),
+        F.when(
+            dele,
+            F.struct(
+                F.lit("delete").alias("op"),
+                null_d.alias("price_new"),
+                cur.alias("price_old"),
+            ),
+        ),
+    )
+    return src.select(
+        *keep_cols,
+        F.explode(F.filter(events, lambda x: x.isNotNull())).alias("ev"),
+    ).select(*keep_cols, "ev.op", "ev.price_new", "ev.price_old")
+
+
+_RETRACT_JOIN3_ORACLE = """
+    WITH live_l AS (
+      SELECT l_partkey, l_suppkey,
+             CASE WHEN (l_orderkey * 7 + l_linenumber) % 9 = 4
+                  THEN floor((l_extendedprice * 1.1) * 100 + 0.5) / 100
+                  ELSE l_extendedprice END AS price
+      FROM lineitem
+      WHERE (l_orderkey * 7 + l_linenumber) % 13 <> 6),
+    live_p AS (
+      SELECT p_partkey, p_brand,
+             CASE WHEN p_partkey % 5 = 2
+                  THEN floor((p_retailprice + 50.0) * 100 + 0.5) / 100
+                  ELSE p_retailprice END AS retail
+      FROM part WHERE p_partkey % 11 <> 3),
+    live_s AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 5)
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           sum(CAST(floor(l.price * 100 + 0.5) AS BIGINT)) / 100.0
+             AS fact_amount,
+           sum(CAST(floor(p.retail * 100 + 0.5) AS BIGINT)) / 100.0
+             AS dim_a_amount
+    FROM live_l l
+    JOIN live_p p ON l.l_partkey = p.p_partkey
+    JOIN live_s s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """
+
+
+@register(
+    "cdc_retract_join3",
+    _RETRACT_JOIN3_ORACLE,
+    "Three-changelog retraction join (the snowflake extension of "
+    "cdc_retract_join, closing the multi-way factorization rung): a "
+    "lineitem fact changelog carrying TWO foreign keys joins part and "
+    "supplier dim changelogs, per-brand triple counts and value sums "
+    "factoring as products of per-key signed partials — a "
+    "discontinued part or a dropped supplier retracts every "
+    "surviving fact triple in one algebraic step, with no "
+    "row-to-row changelog join anywhere. One scan + one "
+    "partial-agg'd shuffle per changelog (fact to |key pairs|, dims "
+    "to |keys|), two key-summary equi-joins, one rollup; the oracle "
+    "materializes all three live states and runs the real 3-way "
+    "join, so the hash match proves the factorization "
+    "(operators/retraction.py::retract_join3_aggregate).",
+)
+def q_cdc_retract_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.retraction import (
+        retract_join3_aggregate,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    m = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    li = _simple_changelog(
+        cat.table("lineitem"),
+        ["l_partkey", "l_suppkey"],
+        "l_extendedprice",
+        upd=m % 9 == 4,
+        dele=m % 13 == 6,
+        upd_value=round2(F.col("l_extendedprice") * 1.1),
+    )
+    pt = _simple_changelog(
+        cat.table("part"),
+        ["p_partkey", "p_brand"],
+        "p_retailprice",
+        upd=F.col("p_partkey") % 5 == 2,
+        dele=F.col("p_partkey") % 11 == 3,
+        upd_value=round2(F.col("p_retailprice") + 50.0),
+    ).withColumnRenamed("p_partkey", "l_partkey").withColumnRenamed(
+        "p_brand", "brand"
+    )
+    sp = _simple_changelog(
+        cat.table("supplier"),
+        ["s_suppkey"],
+        "s_acctbal",
+        upd=F.col("s_suppkey") % 4 == 1,
+        dele=F.col("s_suppkey") % 7 == 5,
+        upd_value=round2(F.col("s_acctbal") + 25.0),
+    ).withColumnRenamed("s_suppkey", "l_suppkey")
+    return retract_join3_aggregate(
+        li, pt, sp, "l_partkey", "l_suppkey", ["brand"]
     )
 
 

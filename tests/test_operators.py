@@ -920,6 +920,48 @@ class TestRetraction:
         # deleted) -> 2 pairs, fact sum 16.00, dim 100.00 counted per pair
         assert got == {"n1": (2, 16.00, 200.00)}
 
+    def test_retract_join3_either_dim_delete_retracts_triples(self, spark):
+        """Snowflake form: a fact row survives only while BOTH its
+        dims are live — deleting the part or the supplier retracts
+        the triple algebraically."""
+        from realtime0523_spark.operators.retraction import (
+            retract_join3_aggregate,
+        )
+
+        cl = "op string, price_new double, price_old double"
+        fact = spark.createDataFrame(
+            [
+                (1, 10, "insert", 5.00, None),   # part 1 + supp 10: lives
+                (1, 20, "insert", 7.00, None),   # supp 20 deleted below
+                (2, 10, "insert", 9.00, None),   # part 2 deleted below
+            ],
+            f"pk long, sk long, {cl}",
+        )
+        parts = spark.createDataFrame(
+            [
+                (1, "b1", "insert", 100.00, None),
+                (2, "b1", "insert", 200.00, None),
+                (2, "b1", "delete", None, 200.00),
+            ],
+            f"pk long, brand string, {cl}",
+        )
+        supps = spark.createDataFrame(
+            [
+                (10, "insert", 1.00, None),
+                (20, "insert", 2.00, None),
+                (20, "delete", None, 2.00),
+            ],
+            f"sk long, {cl}",
+        )
+        got = {
+            r["brand"]: (r["n_triples"], r["fact_amount"], r["dim_a_amount"])
+            for r in retract_join3_aggregate(
+                fact, parts, supps, "pk", "sk", ["brand"]
+            ).collect()
+        }
+        # only (part 1, supp 10) survives -> 1 triple, 5.00, part 100.00
+        assert got == {"b1": (1, 5.00, 100.00)}
+
     def test_retract_minmax_deleted_extreme_recovers_runner_up(self, spark):
         """The case a scalar accumulator cannot handle: delete the
         current max → the support table recovers the runner-up."""

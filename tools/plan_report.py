@@ -308,6 +308,12 @@ AUDITED: dict[str, str] = {
         "join runs over the two key summaries, and a dim delete "
         "retracts all fact partners algebraically"
     ),
+    "cdc_retract_join3": (
+        "snowflake form of the same factorization: fact partials "
+        "keyed by the (part, supplier) key pair, two dim key "
+        "summaries, two equi-joins, one rollup — three changelogs, "
+        "zero row-to-row joins"
+    ),
     "segment_overlap_kmv": (
         "the synopsis is checkpoint-materialized before its "
         "four-way fan-out (ExistingRDD, zero rescans); downstream "
