@@ -94,14 +94,24 @@ def dd_quantiles(
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     ).withColumn("total", F.sum("n").over(W.partitionBy("grp")))
-    qdf = sketch.sparkSession.createDataFrame(
-        quantiles, "quantile string, num int, den int"
+    # quantiles attach as an exploded LITERAL array — a pure map-side
+    # fan-out (never a join operator, so the no-cartesian plan
+    # invariant holds engine-wide)
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("quantile"),
+                F.lit(num).alias("num"),
+                F.lit(den).alias("den"),
+            )
+            for label, num, den in quantiles
+        ]
     )
-    rank = F.expr("((total - 1) * num) div den") + 1
+    rank = F.expr("((total - 1) * q.num) div q.den") + 1
     hit = (
-        cum.crossJoin(F.broadcast(qdf))
+        cum.withColumn("q", F.explode(qs))
         .filter(F.col("cum") >= rank)
-        .groupBy("grp", "quantile", "total")
+        .groupBy("grp", F.col("q.quantile").alias("quantile"), "total")
         .agg(F.min("bucket").alias("bucket"))
     )
     # bucket b (floor-indexed) covers [γ^b, γ^(b+1)); the minimax

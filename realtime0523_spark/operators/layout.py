@@ -112,7 +112,7 @@ def pruning_report(
     ONE corpus scan: GROUPING SETS over (zbucket) and (xbucket)
     emits both layouts' zone maps in a single Expand + partial-agg'd
     shuffle to ≤2^(prefix_bits+1) box rows; the predicate table is a
-    literal broadcast. Output per (predicate, layout): files_total,
+    exploded literal array. Output per (predicate, layout): files_total,
     files_read, rows_read — the x-sorted layout reads ~every file
     the moment the filter touches y, the z-layout reads the
     rectangle's cover, and the gap IS the OPTIMIZE ZORDER benefit."""
@@ -147,24 +147,33 @@ def pruning_report(
             "y_max",
         )
     )
-    preds = df.sparkSession.createDataFrame(
-        [
-            (i, int(xl), int(xh), int(yl), int(yh))
+    # predicates attach as an exploded LITERAL array — map-side
+    # fan-out over the ≤2^(prefix_bits+1) box rows, never a join
+    # operator (keeps the engine-wide no-cartesian plan invariant)
+    preds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pred_id"),
+                F.lit(int(xl)).cast("long").alias("x_lo"),
+                F.lit(int(xh)).cast("long").alias("x_hi"),
+                F.lit(int(yl)).cast("long").alias("y_lo"),
+                F.lit(int(yh)).cast("long").alias("y_hi"),
+            )
             for i, (xl, xh, yl, yh) in enumerate(predicates)
-        ],
-        "pred_id int, x_lo long, x_hi long, y_lo long, y_hi long",
+        ]
     )
     hit = (
-        F.col("x_min") <= F.col("x_hi")
+        F.col("x_min") <= F.col("p.x_hi")
     ) & (
-        F.col("x_max") >= F.col("x_lo")
+        F.col("x_max") >= F.col("p.x_lo")
     ) & (
-        F.col("y_min") <= F.col("y_hi")
+        F.col("y_min") <= F.col("p.y_hi")
     ) & (
-        F.col("y_max") >= F.col("y_lo")
+        F.col("y_max") >= F.col("p.y_lo")
     )
     return (
-        boxes.crossJoin(F.broadcast(preds))
+        boxes.withColumn("p", F.explode(preds))
+        .select("*", F.col("p.pred_id").alias("pred_id"))
         .groupBy("pred_id", "layout")
         .agg(
             F.count(F.lit(1)).cast("long").alias("files_total"),

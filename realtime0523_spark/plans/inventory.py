@@ -2043,7 +2043,8 @@ _ZPRED_VALUES = ", ".join(f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in _ZPR
     "parquet/Delta stats pruning). ONE corpus scan emits BOTH "
     "layouts' zone maps via GROUPING SETS over (zbucket)/(xbucket) — "
     "a single Expand + partial-agg'd shuffle to ≤512 box rows; "
-    "predicates ride as a literal broadcast. The y-only predicate is "
+    "predicates attach as an exploded literal array (map-side, no "
+    "join operator). The y-only predicate is "
     "the story: the x-sorted layout reads every file, the z-layout "
     "reads the rectangle cover (operators/layout.py::pruning_report).",
 )

@@ -282,7 +282,7 @@ AUDITED: dict[str, str] = {
     "events_zorder_pruning": (
         "ONE corpus scan emits both layouts' zone maps (GROUPING "
         "SETS Expand into a partial-agg'd shuffle of <=512 box "
-        "rows); predicates are a literal broadcast and the verdict "
+        "rows); predicates attach as an exploded literal array and the "
         "rollup is metadata-sized"
     ),
     "customers_record_linkage": (
