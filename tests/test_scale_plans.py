@@ -310,3 +310,64 @@ def test_kmv_overlap_materializes_sketch_once(spark):
     plan = formatted_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_retract_join_never_joins_changelog_rows(spark):
+    """The join factorization's whole point: each changelog collapses
+    to key summaries BEFORE any join — exactly one scan per changelog
+    and every aggregate partial-agg'd ahead of its exchange; a
+    regression to latest-state materialization would join row-level
+    tables here."""
+    plan = formatted_plan(REGISTRY["cdc_retract_join"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "partial_sum" in plan, plan
+    p3 = formatted_plan(REGISTRY["cdc_retract_join3"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p3)) == 3, p3
+
+
+def test_equidepth_hist_has_no_single_partition_stage(spark):
+    """The equi-depth histogram replaces ntile-over-global-sort; the
+    plan must contain no SinglePartition exchange (the NDV table is
+    checkpoint-materialized, so the visible plan reads ExistingRDD)."""
+    plan = formatted_plan(
+        REGISTRY["lineitem_equidepth_hist"].fn(spark, SF_SMOKE)
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_trend_slope_is_one_scan_one_exchange_no_window(spark):
+    """The whole regression is five sums in one partial-agg'd pass:
+    one scan, one exchange, no Window anywhere."""
+    plan = formatted_plan(REGISTRY["events_trend_slope"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_zorder_pruning_is_single_scan_grouping_sets(spark):
+    """Both layouts' zone maps must come from ONE corpus scan (the
+    GROUPING SETS Expand), not one scan per layout."""
+    plan = formatted_plan(
+        REGISTRY["events_zorder_pruning"].fn(spark, SF_SMOKE)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_ddsketch_windows_run_on_synopsis_only(spark):
+    """One corpus scan builds the sketch; the quantile windows and
+    fan-out run over |groups|x|buckets| rows — and the literal
+    quantile table attaches by explode, never a join operator."""
+    plan = formatted_plan(REGISTRY["event_value_ddsketch"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_audio_energy_is_map_only(spark):
+    """Payloads never shuffle: the PCM framing plan is scan ->
+    Arrow kernel with zero exchanges."""
+    plan = formatted_plan(REGISTRY["media_audio_energy"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
