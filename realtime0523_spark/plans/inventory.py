@@ -3684,6 +3684,108 @@ def q_stream_event_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+VALUE_DRIFT_BUCKETS = 640  # log-bucket universe (zero-bin at 0)
+
+
+def _value_drift_sql() -> str:
+    import math
+
+    from realtime0523_spark.operators.ddsketch import DD_GAMMA
+
+    B = VALUE_DRIFT_BUCKETS
+    lg = round(math.log(DD_GAMMA), 9)
+    pa = f"(CAST(coalesce(n_a, 0) + 1 AS DOUBLE) / CAST(coalesce(t_a, 0) + {B} AS DOUBLE))"
+    pb = f"(CAST(coalesce(n_b, 0) + 1 AS DOUBLE) / CAST(coalesce(t_b, 0) + {B} AS DOUBLE))"
+    r9s = lambda x: f"round({x}, 9)"  # noqa: E731
+    lna, lnb = r9s(f"ln({pa})"), r9s(f"ln({pb})")
+    return f"""
+    WITH base AS (
+      SELECT event_type AS domain,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half
+      FROM events),
+    bk AS (
+      SELECT domain, half,
+             CASE WHEN vc <= 0 THEN 0
+                  ELSE 1 + least(CAST(floor(round(ln(CAST(vc AS DOUBLE)), 9)
+                                             / {lg!r}) AS BIGINT), {B - 2})
+             END AS bucket
+      FROM base),
+    csa AS (SELECT domain, bucket, count(*) AS n_a FROM bk
+            WHERE half = 0 GROUP BY 1, 2),
+    csb AS (SELECT domain, bucket, count(*) AS n_b FROM bk
+            WHERE half = 1 GROUP BY 1, 2),
+    ta AS (SELECT domain, sum(n_a) AS t_a FROM csa GROUP BY domain),
+    tb AS (SELECT domain, sum(n_b) AS t_b FROM csb GROUP BY domain),
+    grid AS (SELECT domain, bucket
+             FROM (SELECT domain FROM ta UNION SELECT domain FROM tb)
+             CROSS JOIN range(0, {B}) r(bucket)),
+    g AS (SELECT gr.domain,
+                 coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+                 coalesce(ta.t_a, 0) AS t_a, coalesce(tb.t_b, 0) AS t_b
+          FROM grid gr
+          LEFT JOIN csa a ON a.domain = gr.domain AND a.bucket = gr.bucket
+          LEFT JOIN csb b ON b.domain = gr.domain AND b.bucket = gr.bucket
+          LEFT JOIN ta ON ta.domain = gr.domain
+          LEFT JOIN tb ON tb.domain = gr.domain),
+    kl AS (SELECT domain,
+                  CAST(max(t_a) AS BIGINT) AS n_terms_a,
+                  CAST(max(t_b) AS BIGINT) AS n_terms_b,
+                  {r9s(f'sum({pa} * ({lna} - {lnb}))')} AS kl_ab,
+                  {r9s(f'sum({pb} * ({lnb} - {lna}))')} AS kl_ba
+           FROM g GROUP BY domain)
+    SELECT domain, n_terms_a, n_terms_b, kl_ab, kl_ba,
+           round(kl_ab + kl_ba, 9) AS jeffreys
+    FROM kl
+    """
+
+
+@register(
+    "events_value_drift",
+    _value_drift_sql(),
+    "VALUE-distribution drift per event type between the month's two "
+    "halves — the PSI-style alarm a metric monitor fires when a KPI's "
+    "distribution (not just its mean) shifts: values land in DDSketch "
+    "log buckets (≈1% relative width, zero-bin at 0), and the two "
+    "profiles feed the SAME smoothed-KL core as the corpus drift "
+    "monitor (llm/pipeline.py::drift_from_counts) — composition, not "
+    "reimplementation. Emits both KL directions plus their sum "
+    "(Jeffreys divergence, the symmetric PSI analog). Two "
+    "partial-agg'd bucket-count shuffles; everything after runs on "
+    "|types|×buckets meta-sized rows.",
+)
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.pipeline import drift_from_counts
+    from realtime0523_spark.operators.ddsketch import ZERO_BUCKET, dd_bucket
+
+    B = VALUE_DRIFT_BUCKETS
+    ev = Catalog(spark, sf_dir).table("events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    raw = dd_bucket(cents)
+    shifted = F.when(raw == ZERO_BUCKET, F.lit(0)).otherwise(
+        F.least(raw, F.lit(B - 2)) + 1
+    )
+    base = ev.select(
+        F.col("event_type").alias("domain"),
+        shifted.alias("bucket"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+
+    def profile(side):
+        return side.groupBy("domain", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    drift = drift_from_counts(
+        profile(base.filter(F.col("dom") <= 15).drop("dom")),
+        profile(base.filter(F.col("dom") > 15).drop("dom")),
+        n_buckets=B,
+    )
+    return drift.withColumn(
+        "jeffreys", F.round(F.col("kl_ab") + F.col("kl_ba"), 9)
+    )
+
+
 @register(
     "event_transitions",
     """
