@@ -111,7 +111,8 @@ _PRIORITY: list[str] = [
     "docs_wordpiece_merges",
     "event_value_ddsketch", "stream_event_value_ddsketch",
     "stream_customers_record_linkage", "media_audio_energy",
-    "cdc_retract_join3",
+    "cdc_retract_join3", "events_value_drift",
+    "stream_events_trend_slope",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -3906,9 +3907,7 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_trend_slope",
-    """
+_TREND_ORACLE = """
     WITH b AS (
       SELECT event_type,
              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -3930,7 +3929,12 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / nullif(n_rows * sxx - sx * sx, 0.0)) * sx)
                   / n_rows) / 100.0, 9) AS intercept
     FROM s
-    """,
+    """
+
+
+@register(
+    "events_trend_slope",
+    _TREND_ORACLE,
     "Per-type OLS daily trend of event value (the metric-monitoring "
     "staple: is this KPI drifting, and how fast): closed-form slope "
     "and intercept from the five classical sums (n, Σx, Σy, Σxy, "
@@ -3968,4 +3972,43 @@ def q_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             ((F.col("sy") - slope_c * F.col("sx")) / n) / F.lit(100.0), 9
         ).alias("intercept"),
+    )
+
+
+@register(
+    "stream_events_trend_slope",
+    _TREND_ORACLE,
+    "Streaming twin of events_trend_slope — the continuously-updated "
+    "KPI slope a metric monitor actually wants: the five OLS sums are "
+    "associative exact longs, so each micro-batch commits |types| "
+    "partial rows (map-side combined, idempotent by batchId) and the "
+    "drained fold finishes the identical IEEE slope/intercept "
+    "combination on identical integer sums — bit-for-bit the batch "
+    "answer, immune to batch boundaries, replays, and late events "
+    "(streaming/regression.py).",
+)
+def q_stream_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.regression import streaming_trend_slope
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    work = tempfile.mkdtemp(prefix="stream_trend_")
+    return detach_and_cleanup(
+        streaming_trend_slope(
+            spark,
+            ev,
+            "event_type",
+            x,
+            y,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
     )
