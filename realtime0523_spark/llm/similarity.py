@@ -956,6 +956,63 @@ def ann_topk_opq(
     )
 
 
+def ann_topk_ivfopq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    rotation: "np.ndarray" = None,
+    codebooks: "np.ndarray" = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_SUBSPACES,
+    retrieve: int = PQ_RETRIEVE,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """IVF-OPQ — the full FAISS `OPQm,IVFn,PQm` recipe and the last
+    rung of the ANN family: the learned orthonormal rotation (OPQ)
+    composed with the coarse-quantizer + PQ-ADC index (IVFADC). The
+    rotation aligns the PQ subspace split with the data's principal
+    structure; IVF cuts the scan to nprobe cells; PQ cuts the bytes —
+    all three savings compose because each is a map-only pass.
+
+    Execution adds exactly ONE Arrow rotation map per side over
+    ann_topk_ivfpq's shape (cell assignment, coded scan, broadcast
+    probe join, exact re-rank — the corpus never shuffles); IVF
+    centroids are trained in ROTATED space so cells partition the
+    geometry the codes actually live in. Same oracle stance as OPQ:
+    the SVD is not SQL-replayable, so the registered row is a
+    recall-contract, not a value hash."""
+    if rotation is None or codebooks is None:
+        rotation, codebooks = opq_train(
+            corpus, m=m, id_col=id_col, vec_col=vec_col
+        )
+    rc = rotate_vectors(corpus, rotation, id_col, vec_col)
+    rq = rotate_vectors(queries, rotation, query_id_col, query_vec_col)
+    cents = ivf_train_centroids(
+        rc, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    return ann_topk_ivfpq(
+        rc,
+        rq,
+        centroids=cents,
+        codebooks=codebooks,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        m=m,
+        retrieve=retrieve,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=score_transform,
+    )
+
+
 def pq_encode_udf(codebooks: np.ndarray, m: int = PQ_SUBSPACES):
     """Arrow-batched encoder: per subspace, the ascending-label index
     of the L2-nearest codeword (9-dp-quantized distances, ties to the

@@ -1253,6 +1253,44 @@ def q_emb_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ann_ivfopq",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOPK_K} AS INT) AS k,
+           true AS ivfopq_within_contract
+    FROM embeddings WHERE vec_id < {TOPK_QUERIES}
+    """,
+    "IVF-OPQ — the full FAISS `OPQm,IVFn,PQm` recipe closing the ANN "
+    "matrix: the learned orthonormal rotation composed with the "
+    "coarse-quantizer + PQ-ADC index, centroids trained in ROTATED "
+    "space so cells partition the geometry the codes live in. One "
+    "extra Arrow rotation map per side over IVFADC's shape; the "
+    "corpus never shuffles. CONTRACT ROW (the OPQ stance — SVD is "
+    "not SQL-replayable): recall@5 must stay within 20% of the "
+    "unrotated IVFADC index AND clear an absolute 5% floor — the "
+    "honest claim, since the rotation provably improves CODE quality "
+    "but also moves IVF cell boundaries, so probe recall can wobble "
+    "either way (measured: 0.50 vs 0.38 at sf0.01, 0.24 vs 0.26 at "
+    "sf0.1). A collapse flips the boolean and fails the hash.",
+)
+def q_emb_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = S.cosine_topk(
+        emb, queries, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id")
+    ivfpq = S.ann_topk_ivfpq(emb, queries, k=TOPK_K).select("qid", "vec_id")
+    ivfopq = S.ann_topk_ivfopq(emb, queries, k=TOPK_K).select("qid", "vec_id")
+    n_q = queries.count()
+    hits_base = ivfpq.join(exact, ["qid", "vec_id"]).count()
+    hits_opq = ivfopq.join(exact, ["qid", "vec_id"]).count()
+    ok = (5 * hits_opq >= 4 * hits_base) and (20 * hits_opq >= n_q * TOPK_K)
+    return spark.createDataFrame(
+        [(n_q, TOPK_K, ok)],
+        "n_queries long, k int, ivfopq_within_contract boolean",
+    )
+
+
+@register(
     "emb_ann_sq",
     f"""
     WITH {_SQ_ANN_CTES}
