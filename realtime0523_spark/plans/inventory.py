@@ -112,7 +112,7 @@ _PRIORITY: list[str] = [
     "event_value_ddsketch", "stream_event_value_ddsketch",
     "stream_customers_record_linkage", "media_audio_energy",
     "cdc_retract_join3", "events_value_drift",
-    "stream_events_trend_slope",
+    "stream_events_trend_slope", "emb_ann_ivfopq",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",

@@ -273,6 +273,16 @@ AUDITED: dict[str, str] = {
         "builds the live multiset, one more |live-values| aggregate "
         "finishes — both partial-agg'd"
     ),
+    "events_value_drift": (
+        "two partial-agg'd bucket-count shuffles (one per half-month "
+        "profile); the smoothed-KL core runs on |types|*buckets "
+        "meta-sized rows via a sequence-explode grid, never a "
+        "cartesian"
+    ),
+    "media_audio_energy": (
+        "map-only: scan -> Arrow PCM-framing kernel, zero exchanges "
+        "— payloads never shuffle"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

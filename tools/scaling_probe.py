@@ -125,6 +125,10 @@ PROBES = [
     "events_zorder_pruning",  # GROUPING SETS zone maps, one corpus scan (r8 w2)
     "docs_wordpiece_merges",  # vocab-sized rounds + symbol-count broadcast (r8 w2)
     "event_value_ddsketch",  # one |groups|*|buckets| sketch shuffle (r8 w2)
+    "cdc_retract_join3",   # three changelogs to key summaries, two joins (r8 w2)
+    "events_value_drift",  # two bucket-count shuffles + meta-sized KL (r8 w2)
+    "media_audio_energy",  # map-only Arrow PCM framing, zero exchanges (r8 w2)
+    "emb_ann_ivfopq",      # rotation map + IVFADC, recall-contract row (r8 w2)
 ]
 
 # Library paths without their own registry entry, probed as callables:
