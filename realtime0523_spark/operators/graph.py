@@ -386,3 +386,74 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     finally:
         release(d_ids | e_ids)
     return out
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over an undirected
+    graph — "how many co-purchase hops from the seed set is every
+    item?", the graph-proximity feature (seed-distance labeling for
+    crawl frontier prioritization, recommendation radius, influence
+    neighborhoods). GraphX's Pregel ShortestPaths reduces to the same
+    per-superstep join+min-agg; this is that shape on DataFrames.
+
+    Input is canonicalized exactly like kcore/triangle_counts (least,
+    greatest + distinct, then both directions), so any edge-list
+    convention works. `seeds` is a 1-column node frame; seeds absent
+    from the graph still appear at hop 0. Runs EXACTLY `rounds`
+    frontier expansions — like the R-round kcore peel, a fixed-round
+    BFS is a deterministic function of the data, which is what the
+    generated SQL oracle replays round by round; nodes unreached
+    within `rounds` are absent (hop > R is unknowable from R rounds).
+
+    Scale shape: the directed edge table materializes ONCE
+    (localCheckpoint — the triangle lesson; never recompute the
+    upstream self-join per round). Each round joins ONLY THE NEW
+    FRONTIER (nodes first discovered last round) against the edges —
+    per-round cost is |frontier|-proportional, the textbook BFS
+    bound, not |reached|. One equi-join + one partial-agg'd min
+    groupBy per round, checkpointed with eager release of the
+    superseded distance snapshot: plan depth and executor memory stay
+    O(1) in rounds.
+
+    Returns (node, hop) for every node reached within `rounds`.
+    """
+    if rounds < 0:
+        raise ValueError(f"bfs_hops: rounds must be ≥ 0, got {rounds}")
+    ckpt, release = _ckpt_tools(edges)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e, e_ids = ckpt(
+        und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionByName(
+            und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+    )
+    dist, held = ckpt(
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    try:
+        for r in range(1, rounds + 1):
+            frontier = dist.filter(F.col("hop") == r - 1)
+            reached = frontier.join(
+                e, frontier["node"] == e["src"]
+            ).select(F.col("dst").alias("node"), F.lit(r).cast("long").alias("hop"))
+            nxt = (
+                dist.unionByName(reached)
+                .groupBy("node")
+                .agg(F.min("hop").alias("hop"))
+            )
+            nxt, ids = ckpt(nxt)
+            release(held)
+            dist, held = nxt, ids
+    finally:
+        release(e_ids)
+    return dist

@@ -113,6 +113,8 @@ _PRIORITY: list[str] = [
     "stream_customers_record_linkage", "media_audio_energy",
     "cdc_retract_join3", "events_value_drift",
     "stream_events_trend_slope", "emb_ann_ivfopq",
+    "parts_association_rules", "lineitem_corr_matrix",
+    "events_resample_ffill", "parts_bfs_hops",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -4011,4 +4013,368 @@ def q_stream_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=f"{work}/ckpt",
         ),
         work,
+    )
+
+
+_CORR_COLS = [
+    ("l_quantity", "q"),
+    ("l_extendedprice", "p"),
+    ("l_discount", "d"),
+    ("l_tax", "t"),
+]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_sql() -> str:
+    scaled = ", ".join(
+        f"CAST(floor({col} * 100 + 0.5) AS BIGINT) AS {al}"
+        for col, al in _CORR_COLS
+    )
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for _, al in _CORR_COLS:
+        sums.append(f"CAST(sum(CAST({al} AS HUGEINT)) AS DOUBLE) AS s_{al}")
+    for (_, a) in _CORR_COLS:
+        sums.append(
+            f"CAST(sum(CAST({a} AS HUGEINT) * {a}) AS DOUBLE) AS s_{a}{a}"
+        )
+    for (_, a), (_, b) in _CORR_PAIRS:
+        sums.append(
+            f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS s_{a}{b}"
+        )
+    rows = []
+    for (ca, a), (cb, b) in _CORR_PAIRS:
+        num = f"(CAST(n AS DOUBLE) * s_{a}{b} - s_{a} * s_{b})"
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * s_{a}{a} - s_{a} * s_{a})"
+            f" * (CAST(n AS DOUBLE) * s_{b}{b} - s_{b} * s_{b}))"
+        )
+        rows.append(
+            f"SELECT '{ca}' AS col_x, '{cb}' AS col_y, n AS n_rows, "
+            f"round({num} / nullif({den}, 0.0), 9) AS corr FROM s"
+        )
+    return (
+        f"WITH b AS (SELECT {scaled} FROM lineitem), "
+        f"s AS (SELECT {', '.join(sums)} FROM b) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    _corr_matrix_sql(),
+    "Pearson correlation matrix across the four lineitem measures "
+    "(quantity, extendedprice, discount, tax) — the feature-"
+    "redundancy screen every profiling pass wants next to the "
+    "per-column stats. ONE scan, ONE partial-agg'd reduce to a "
+    "single 15-value row (n + 4 sums + 4 sum-of-squares + 6 cross "
+    "sums), then the 6 pairwise correlations unpivot from that row "
+    "with a stack projection — never a branch per pair, never a "
+    "second pass (the lineitem_column_stats discipline applied to "
+    "co-moments). Inputs ride as integer cents so every sum is "
+    "EXACT (decimal(38) on Spark, HUGEINT in the oracle — the int64 "
+    "overflow at petabyte row counts is designed out); the only "
+    "floating point is the final closed-form combination, the "
+    "identical IEEE expression in both engines, rounded to 9 dp. "
+    "Pearson r is scale-invariant so the cents scaling is exact-"
+    "equivalent. A zero-variance column yields NULL via nullif, "
+    "not a crash.",
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    b = li.select(
+        *[
+            F.floor(F.col(col) * 100 + F.lit(0.5))
+            .cast("decimal(20,0)")
+            .alias(al)
+            for col, al in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for _, al in _CORR_COLS:
+        aggs.append(F.sum(F.col(al)).cast("double").alias(f"s_{al}"))
+        aggs.append(
+            F.sum(F.col(al) * F.col(al)).cast("double").alias(f"s_{al}{al}")
+        )
+    for (_, a), (_, bb) in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a) * F.col(bb)).cast("double").alias(f"s_{a}{bb}")
+        )
+    one = b.agg(*aggs)
+    nd = F.col("n").cast("double")
+    corr_cols = []
+    for (_, a), (_, bb) in _CORR_PAIRS:
+        num = nd * F.col(f"s_{a}{bb}") - F.col(f"s_{a}") * F.col(f"s_{bb}")
+        den = F.sqrt(
+            (nd * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (nd * F.col(f"s_{bb}{bb}") - F.col(f"s_{bb}") * F.col(f"s_{bb}"))
+        )
+        corr_cols.append(
+            F.round(num / F.nullif(den, F.lit(0.0)), 9).alias(f"c_{a}{bb}")
+        )
+    scored = one.select(F.col("n").alias("n_rows"), *corr_cols)
+    stack_args = ", ".join(
+        f"'{ca}', '{cb}', c_{a}{b}" for (ca, a), (cb, b) in _CORR_PAIRS
+    )
+    return scored.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) as (col_x, col_y, corr)"
+        ),
+        "n_rows",
+    ).select("col_x", "col_y", "n_rows", "corr")
+
+
+_RESAMPLE_START = "2024-01-01 00:00:00"
+_RESAMPLE_END = "2024-01-30 23:00:00"
+
+_RESAMPLE_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT t.event_type, gs.hour
+      FROM (SELECT DISTINCT event_type FROM h) t,
+           (SELECT unnest(generate_series(
+                     TIMESTAMP '{_RESAMPLE_START}',
+                     TIMESTAMP '{_RESAMPLE_END}',
+                     INTERVAL 1 HOUR)) AS hour) gs),
+    j AS (
+      SELECT g.event_type, g.hour,
+             coalesce(h.n_events, 0) AS n_events,
+             round(CAST(h.cents AS DOUBLE)
+                   / CAST(h.n_events AS DOUBLE) / 100.0, 9) AS avg_value
+      FROM g LEFT JOIN h USING (event_type, hour))
+    SELECT event_type, hour, n_events, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_avg
+    FROM j
+    """
+
+
+@register(
+    "events_resample_ffill",
+    _RESAMPLE_ORACLE,
+    "Calendar-aligned hourly resample of the event stream with "
+    "forward-filled gaps — the time-series regularization every "
+    "downstream model and dashboard needs (a missing hour must be an "
+    "explicit zero-count row carrying the last observed average, not "
+    "an absent row silently skipped). The corpus collapses to "
+    "|types|x|hours| aggregate rows in ONE partial-agg'd pass and is "
+    "checkpoint-materialized before its two-way reuse (type list + "
+    "join probe — the triangle lesson); the dense hour grid is "
+    "GENERATED per type by exploding a sequence() literal — never a "
+    "cross join (nested-loop is banned repo-wide) and never a scan "
+    "of anything corpus-sized. The forward-fill window runs on the "
+    "metadata-sized grid (720 rows per type regardless of corpus "
+    "size), partitioned by type — no single-task stage. Averages "
+    "ride as exact integer cents until the final 9-dp division; "
+    "hours before a type's first observation keep NULL filled_avg "
+    "(there is nothing to carry), matching IGNORE NULLS semantics "
+    "in both engines.",
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
+    ev = Catalog(spark, sf_dir).table("events")
+    ckpt, release = _ckpt_tools(ev)
+    hourly, _ = ckpt(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(_RESAMPLE_START).cast("timestamp"),
+                    F.lit(_RESAMPLE_END).cast("timestamp"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("hour"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.col("n_events").cast("double")
+            / F.lit(100.0),
+            9,
+        ).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+ASSOC_MIN_SUPPORT = 2
+ASSOC_TOP_N = 100
+
+_ASSOC_ORACLE = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    supp AS (SELECT it, CAST(count(*) AS BIGINT) AS supp
+             FROM b GROUP BY it),
+    freq AS (SELECT * FROM supp WHERE supp >= {ASSOC_MIN_SUPPORT}),
+    n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+    bf AS (SELECT b.* FROM b WHERE b.it IN (SELECT it FROM freq)),
+    pairs AS (
+      SELECT a.it AS ia, c.it AS ib,
+             CAST(count(*) AS BIGINT) AS support_pairs
+      FROM bf a JOIN bf c USING (bk) WHERE a.it < c.it
+      GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_SUPPORT}),
+    rules AS (
+      SELECT ia AS antecedent, ib AS consequent, support_pairs FROM pairs
+      UNION ALL
+      SELECT ib AS antecedent, ia AS consequent, support_pairs FROM pairs)
+    SELECT r.antecedent, r.consequent, r.support_pairs,
+           round(CAST(r.support_pairs AS DOUBLE)
+                 / CAST(fa.supp AS DOUBLE), 9) AS confidence,
+           round((CAST(r.support_pairs AS DOUBLE)
+                  * CAST(n.n_baskets AS DOUBLE))
+                 / (CAST(fa.supp AS DOUBLE) * CAST(fb.supp AS DOUBLE)),
+                 9) AS lift
+    FROM rules r
+    JOIN freq fa ON fa.it = r.antecedent
+    JOIN freq fb ON fb.it = r.consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {ASSOC_TOP_N}
+    """
+
+
+@register(
+    "parts_association_rules",
+    _ASSOC_ORACLE,
+    "Market-basket association rules over order baskets (Agrawal & "
+    "Srikant apriori support/confidence; lift per Brin et al.) — "
+    "'what sells together beyond chance', the cross-sell primitive "
+    "the reference's hot-goods SPU sums only hint at. The distinct "
+    "basket table materializes ONCE and feeds both the support "
+    "aggregate and the pair join (the triangle lesson); items below "
+    f"min_support={ASSOC_MIN_SUPPORT} are semi-joined out BEFORE the "
+    "quadratic step (apriori pruning), so the per-basket fan-out "
+    "runs on frequent sub-baskets only and is bounded by basket "
+    "size squared — never |items|². Supports re-attach by broadcast "
+    "hash equi-joins and the scalar basket count by a literal-key "
+    "broadcast join (nested-loop is banned repo-wide). Counts are "
+    "exact longs; confidence and lift are the identical IEEE "
+    "division in both engines, 9-dp rounded, and the top-"
+    f"{ASSOC_TOP_N} ranking is totally ordered (lift desc, "
+    "antecedent, consequent) so the limit boundary is deterministic "
+    "(operators/association.py).",
+)
+def q_parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.association import association_rules
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return association_rules(
+        li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").alias("item"),
+        ),
+        min_support=ASSOC_MIN_SUPPORT,
+        top_n=ASSOC_TOP_N,
+    )
+
+
+BFS_ROUNDS = 3
+BFS_SEED_BRAND = "Brand#13"
+
+
+def _bfs_sql(rounds: int, brand: str) -> str:
+    ctes = [
+        """und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+             greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey)""",
+        """e AS (SELECT lo AS src, hi AS dst FROM und
+         UNION ALL SELECT hi AS src, lo AS dst FROM und)""",
+        f"""d0 AS (SELECT DISTINCT p_partkey AS node,
+                CAST(0 AS BIGINT) AS hop
+         FROM part WHERE p_brand = '{brand}')""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.hop + 1 AS hop
+        FROM d{r - 1} d JOIN e ON e.src = d.node
+        WHERE d.hop = {r - 1}) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS part_id, hop FROM d{rounds}"
+    )
+
+
+@register(
+    "parts_bfs_hops",
+    _bfs_sql(BFS_ROUNDS, BFS_SEED_BRAND),
+    f"Multi-source BFS hop distances from the {BFS_SEED_BRAND} seed "
+    "set over the part co-purchase graph — the graph-proximity "
+    "label (seed-distance features for crawl prioritization, "
+    "recommendation radius, influence neighborhoods); GraphX's "
+    "Pregel ShortestPaths reduces to the same per-superstep "
+    "join+min-agg. The directed edge table materializes ONCE "
+    "(localCheckpoint — the triangle lesson), then EXACTLY "
+    f"{BFS_ROUNDS} frontier expansions: each round joins ONLY the "
+    "newly-discovered frontier against the edges (per-round cost is "
+    "|frontier|-proportional, the textbook BFS bound) into one "
+    "partial-agg'd min groupBy, checkpointed with eager release of "
+    "the superseded snapshot — plan depth and memory O(1) in "
+    "rounds. A fixed-round BFS is a deterministic function of the "
+    "data whether or not the graph is exhausted, so the oracle "
+    "replays the identical rounds as generated CTEs (the kcore "
+    "discipline); hops are exact integers, no floating point "
+    "anywhere (operators/graph.py::bfs_hops).",
+)
+def q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.graph import bfs_hops
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    part = cat.table("part")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    seeds = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select("p_partkey")
+    return bfs_hops(pairs, seeds, BFS_ROUNDS).select(
+        F.col("node").alias("part_id"), F.col("hop").cast("long").alias("hop")
     )

@@ -1137,3 +1137,94 @@ class TestBootstrap:
         ).collect()[0]
         assert abs(stats["m"] - 1.0) < 0.03
         assert abs(stats["z"] - 0.36787944117144233) < 0.02
+
+
+def test_bfs_hops_layers_on_a_path(spark):
+    """Chain 1-2-3-4-5 with seed {1}: 2 rounds reach exactly
+    {1:0, 2:1, 3:2}; nodes beyond the round horizon are absent (hop
+    > R is unknowable from R rounds). A cross-edge cannot lower an
+    already-assigned hop (min keeps first discovery)."""
+    from realtime0523_spark.operators.graph import bfs_hops
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hop for r in bfs_hops(edges, seeds, 2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+
+    # triangle closes a shorter path: 1-3 edge makes hop(3)=1, and the
+    # longer 1-2-3 route must not overwrite it
+    tri = spark.createDataFrame(chain + [(1, 3)], "src long, dst long")
+    out2 = {r.node: r.hop for r in bfs_hops(tri, seeds, 2).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_multi_source_and_isolated_seed(spark):
+    """Two seeds race toward the middle of a path — each node takes
+    the NEARER seed's distance; a seed absent from the edge table
+    still reports hop 0."""
+    from realtime0523_spark.operators.graph import bfs_hops
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (5,), (99,)], "node long")
+    out = {r.node: r.hop for r in bfs_hops(edges, seeds, 3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 99: 0}
+
+
+def test_association_rules_exact_metrics(spark):
+    """Hand-checkable baskets: {A,B}, {A,B}, {A,C}, {B}, {D}.
+    supp(A)=3, supp(B)=3, supp(AB)=2, N=5 →
+    conf(A→B)=2/3, lift=2·5/(3·3)=10/9. Items/pairs below
+    min_support=2 (C, D, AC) must produce no rules; duplicate
+    (basket, item) rows must not inflate supports."""
+    from realtime0523_spark.operators.association import association_rules
+
+    rows = [
+        (1, "A"), (1, "B"), (1, "B"),  # duplicate item row
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+        (5, "D"),
+    ]
+    baskets = spark.createDataFrame(rows, "basket_id long, item string")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(baskets, min_support=2).collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A")}
+    ab = out[("A", "B")]
+    assert ab.support_pairs == 2
+    assert abs(ab.confidence - 2 / 3) < 1e-9
+    assert abs(ab.lift - 10 / 9) < 1e-9
+    # lift is symmetric; confidence is not
+    ba = out[("B", "A")]
+    assert abs(ba.confidence - 2 / 3) < 1e-9
+    assert abs(ba.lift - ab.lift) < 1e-12
+
+
+def test_resample_ffill_fills_gaps_with_last_observation(spark):
+    """The registered query must emit an explicit row for every grid
+    hour: gap hours carry n_events=0 and the LAST observed average;
+    hours before a type's first observation stay NULL."""
+    from realtime0523_spark.plans import REGISTRY
+
+    df = REGISTRY["events_resample_ffill"].fn(spark, SF_SMOKE).toPandas()
+    by_type = dict(tuple(df.groupby("event_type", sort=False)))
+    assert all(len(g) == 720 for g in by_type.values())
+    import pandas as pd
+
+    for g in by_type.values():
+        g = g.sort_values("hour").reset_index(drop=True)
+        observed = g["avg_value"].notna()
+        if not observed.any():
+            continue
+        first = observed.idxmax()
+        # before first observation: nothing to carry
+        assert g.loc[: first - 1, "filled_avg"].isna().all()
+        # after: filled equals the most recent observed average
+        expect = g["avg_value"].ffill()
+        after = g.loc[first:]
+        pd.testing.assert_series_equal(
+            after["filled_avg"], expect.loc[first:], check_names=False
+        )
