@@ -371,3 +371,60 @@ def test_audio_energy_is_map_only(spark):
     Arrow kernel with zero exchanges."""
     plan = formatted_plan(REGISTRY["media_audio_energy"].fn(spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_association_rules_materializes_baskets_once(spark):
+    """The basket table feeds BOTH the support aggregate and the pair
+    self-join; it must checkpoint-materialize before that fan-out (the
+    triangle_counts lesson) and the result is itself checkpointed, so
+    the final plan reads ExistingRDD with zero parquet scans — and the
+    scalar basket count must attach by a hash equi-join on a literal
+    key, never a nested-loop cross join."""
+    df = REGISTRY["parts_association_rules"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_corr_matrix_is_one_scan_one_exchange_no_join(spark):
+    """The whole design: n + 4 sums + 4 sum-of-squares + 6 cross sums
+    in ONE partial-agg'd reduce over ONE fact scan, then the pairwise
+    correlations unpivot from that single row — no join, no window,
+    no second pass."""
+    plan = formatted_plan(REGISTRY["lineitem_corr_matrix"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_resample_ffill_grid_is_generated_not_cross_joined(spark):
+    """The hourly synopsis checkpoints before its two-way reuse (type
+    list + join probe), so the final plan reads ExistingRDD and never
+    re-touches parquet; the dense hour grid comes from a sequence
+    explode joined by broadcast hash — a cross-join grid would plan
+    nested-loop here. The ffill window runs on the metadata-sized
+    grid only."""
+    plan = formatted_plan(REGISTRY["events_resample_ffill"].fn(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # explode(sequence(...))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_bfs_hops_final_plan_reads_checkpoint_only(spark):
+    """Each BFS round checkpoints its distance snapshot and releases
+    the superseded one; the returned frame must be the final
+    checkpoint — ExistingRDD, zero parquet scans, zero joins — so plan
+    depth stays O(1) in rounds and the upstream co-purchase self-join
+    is never re-derived."""
+    df = REGISTRY["parts_bfs_hops"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan

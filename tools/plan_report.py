@@ -353,6 +353,31 @@ AUDITED: dict[str, str] = {
         "the fact scan plus a BroadcastHashJoin of a |types|-sized "
         "stat table; no Window over the fact table anywhere"
     ),
+    "parts_association_rules": (
+        "the distinct basket table checkpoint-materializes once "
+        "(ExistingRDD) and feeds support agg + pair join; infrequent "
+        "items semi-join out BEFORE the quadratic step (apriori); "
+        "supports re-attach by BroadcastHashJoin, the scalar basket "
+        "count by a literal-key broadcast — no nested loop"
+    ),
+    "lineitem_corr_matrix": (
+        "one fact scan into one partial-agg'd reduce producing a "
+        "single 15-value co-moment row (exact decimal sums); the 6 "
+        "pairwise correlations unpivot from that row via stack — "
+        "never a branch or rescan per pair"
+    ),
+    "events_resample_ffill": (
+        "the corpus collapses to |types|x|hours| rows in one "
+        "partial-agg'd pass and checkpoints before its two-way reuse; "
+        "the dense grid is a generated sequence explode (no cross "
+        "join); the ffill window sorts only the metadata-sized grid"
+    ),
+    "parts_bfs_hops": (
+        "directed edges materialize once; each round joins only the "
+        "new frontier (|frontier|-proportional, the textbook BFS "
+        "bound) into a partial-agg'd min groupBy with released "
+        "checkpoints — plan depth O(1) in rounds"
+    ),
 }
 
 

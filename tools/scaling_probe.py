@@ -129,6 +129,10 @@ PROBES = [
     "events_value_drift",  # two bucket-count shuffles + meta-sized KL (r8 w2)
     "media_audio_energy",  # map-only Arrow PCM framing, zero exchanges (r8 w2)
     "emb_ann_ivfopq",      # rotation map + IVFADC, recall-contract row (r8 w2)
+    "parts_association_rules",  # apriori semi-prune before the pair join (r8 w3)
+    "lineitem_corr_matrix",  # one scan to a single 15-value co-moment row (r8 w3)
+    "events_resample_ffill",  # one corpus pass; ffill on the generated grid (r8 w3)
+    "parts_bfs_hops",      # frontier-only per-round join, ckpt'd graph (r8 w3)
 ]
 
 # Library paths without their own registry entry, probed as callables:
