@@ -1,0 +1,247 @@
+"""Sequential and distributional monitoring statistics: CUSUM
+changepoint alarms (Page, Biometrika 1954), the exact two-sample
+Kolmogorov-Smirnov test (the nonparametric complement to the
+bucketed PSI/KL monitors in llm/pipeline.py), and the chi-square
+test of independence — the three screens a KPI/feature monitor runs
+that the sketch family cannot answer:
+
+- CUSUM asks WHEN a series' level shifted (the drift monitors ask
+  whether two snapshots differ; CUSUM localizes the change point and
+  fires online);
+- KS asks whether two samples come from the same CONTINUOUS
+  distribution with zero binning decisions (PSI/KL depend on a bucket
+  layout; KS is the exact, assumption-free referee);
+- chi-square asks whether two CATEGORICAL columns are independent
+  (the feature-redundancy screen for discrete features, beside the
+  Pearson matrix for numeric ones).
+
+Scale discipline shared by all three: the corpus collapses to a
+synopsis in ONE partial-agg'd pass (hourly cells, per-value cells,
+contingency cells) and every window/join after runs on that synopsis.
+None of these operators ever sorts or re-scans the fact table.
+
+Exactness discipline: all series/count arithmetic is integer. CUSUM
+deviations are scaled by the per-key point count (d_i = n·x_i − Σx, a
+zero-sum integer sequence) so no mean is ever a float; the CUSUM
+recursion collapses to the prefix-sum identity
+    C⁺_i = P_i − min(0, min_{j≤i} P_j)
+    C⁻_i = max(0, max_{j≤i} P_j) − P_i
+(P = inclusive prefix sum of d), which any SQL engine replays with
+two running windows — no recursive CTE, no per-row state. KS distances
+are cross-multiplied integers |F₁n₁n₂ − F₂n₁n₂| so the max is decided
+on exact integers; only the final normalization divides. Chi-square
+keeps (o·N − r·c) exact and divides once per cell, 9-dp rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# alarm when CUSUM exceeds ALARM_TOTAL_MULT × Σx — in the scaled units
+# (cents·n) that equals a cumulative excess of ALARM_TOTAL_MULT
+# full-series means; integer multiplier keeps the threshold exact
+ALARM_TOTAL_MULT = 1
+
+# two-sided KS critical coefficient at alpha = 0.05 (Smirnov):
+# reject when D > c(alpha) * sqrt((n1+n2)/(n1*n2))
+KS_CRIT_COEFF = 1.358
+
+
+def cusum_series(
+    series: DataFrame,
+    key_col: str = "k",
+    order_col: str = "t",
+    value_col: str = "x",
+    alarm_total_mult: int = ALARM_TOTAL_MULT,
+) -> DataFrame:
+    """Two-sided CUSUM over an integer-valued series per key.
+
+    `series` is an already-aggregated synopsis (one row per (key,
+    tick)) — the operator contract is that it is metadata-sized; the
+    corpus-to-series collapse is the caller's one partial-agg'd pass.
+    `value_col` must be an exact integer (cents, counts).
+
+    Deviations are target-free and exactly integer: with n points and
+    total T per key, d_i = n·x_i − T (Σd = 0 by construction), i.e.
+    the deviation from the per-key mean scaled by n. The classic
+    reset-at-zero recursions C⁺_i = max(0, C⁺_{i−1} + d_i) and
+    C⁻_i = max(0, C⁻_{i−1} − d_i) collapse to the prefix-sum/running-
+    extremum identity above — two ordered windows over the synopsis,
+    nothing sequential. Alarms fire when a CUSUM exceeds
+    alarm_total_mult · T (= that many full-series means of cumulative
+    excess, exact in the scaled units).
+
+    Returns one row per input point: (key, order, value, cusum_up,
+    cusum_dn, alarm_up, alarm_dn) with the CUSUMs in scaled units.
+    """
+    k, t, x = F.col(key_col), F.col(order_col), F.col(value_col)
+    wk = W.partitionBy(key_col)
+    d = series.select(
+        k.alias("k"),
+        t.alias("t"),
+        x.cast("long").alias("x"),
+        (F.count(F.lit(1)).over(wk) * x.cast("long")
+         - F.sum(x.cast("long")).over(wk)).alias("d"),
+        (F.sum(x.cast("long")).over(wk)
+         * F.lit(int(alarm_total_mult))).alias("h"),
+    )
+    # running extrema of P need P as a realized column (windows do not
+    # nest), so the prefix sum lands in its own projection first
+    wop = W.partitionBy("k").orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    d = d.withColumn("p", F.sum("d").over(wop))
+    out = d.select(
+        "k",
+        "t",
+        "x",
+        "h",
+        (F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wop)))
+        .alias("cusum_up"),
+        (F.greatest(F.lit(0).cast("long"), F.max("p").over(wop)) - F.col("p"))
+        .alias("cusum_dn"),
+    )
+    return out.select(
+        "k",
+        "t",
+        "x",
+        "cusum_up",
+        "cusum_dn",
+        (F.col("cusum_up") > F.col("h")).alias("alarm_up"),
+        (F.col("cusum_dn") > F.col("h")).alias("alarm_dn"),
+    )
+
+
+def ks_2sample(cells: DataFrame) -> DataFrame:
+    """Exact two-sample KS statistic per key from a per-value cell
+    table (key, v, c1, c2) — c1/c2 are the two samples' counts at
+    value v (zero when absent), already collapsed by the caller's one
+    partial-agg'd pass, so this runs on the |key|×NDV synopsis.
+
+    D = max_v |F1(v) − F2(v)| is decided on EXACT integers by cross-
+    multiplying the ECDF steps: |cum1·n2 − cum2·n1| (ties are handled
+    by the per-value collapse — both ECDFs step once per distinct
+    value). Only the final D and the Smirnov critical value divide.
+    The cross product stays within long until both samples exceed
+    ~3·10⁹ rows per key; past that, widen to decimal (documented
+    contract, asserted nowhere near at fixture scale).
+
+    Returns (key, n_a, n_b, ks_num, ks_d, ks_crit, drifted): ks_num
+    exact, ks_d = ks_num/(n_a·n_b) and the alpha=0.05 critical value
+    9-dp rounded.
+    """
+    wk = W.partitionBy("key")
+    wo = wk.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = cells.select(
+        F.col("key"),
+        F.col("v"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+    )
+    g = g.select(
+        "key",
+        F.sum("c1").over(wo).alias("cum1"),
+        F.sum("c2").over(wo).alias("cum2"),
+        F.sum("c1").over(wk).alias("n_a"),
+        F.sum("c2").over(wk).alias("n_b"),
+    )
+    num = F.abs(F.col("cum1") * F.col("n_b") - F.col("cum2") * F.col("n_a"))
+    agg = g.groupBy("key").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(num).alias("ks_num"),
+    )
+    prod = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    d_stat = F.round(F.col("ks_num").cast("double") / prod, 9)
+    crit = F.round(
+        F.lit(KS_CRIT_COEFF)
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double") / prod
+        ),
+        9,
+    )
+    return agg.select(
+        "key",
+        "n_a",
+        "n_b",
+        F.col("ks_num").cast("long").alias("ks_num"),
+        d_stat.alias("ks_d"),
+        crit.alias("ks_crit"),
+        (d_stat > crit).alias("drifted"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size.
+
+    One partial-agg'd pass collapses the corpus to the |A|×|B|
+    observed contingency cells; margins and the full zero-including
+    grid derive from those cells alone (the grid attaches B's value
+    LIST by explode onto the row-margin frame — never a cross join).
+    Each cell's term is (o·N − r·c)²/(N·r·c) with the numerator exact
+    in decimal; the 9-dp round on the final sum absorbs the float
+    summation order across engines (the events_value_drift
+    discipline).
+
+    Returns one row: (n_rows, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n")).withColumn("jk", F.lit(1))
+    bvals = cb.agg(F.collect_list("b").alias("bs")).withColumn(
+        "jk", F.lit(1)
+    )
+    grid = (
+        ra.withColumn("jk", F.lit(1))
+        .join(F.broadcast(bvals), "jk")
+        .select("a", "r", F.explode("bs").alias("b"))
+    )
+    g = (
+        grid.join(F.broadcast(cells), ["a", "b"], "left")
+        .join(F.broadcast(cb), "b")
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(tot), "jk")
+        .select(
+            "a",
+            "b",
+            F.coalesce("o", F.lit(0)).cast("decimal(38,0)").alias("o"),
+            F.col("r").cast("decimal(38,0)").alias("r"),
+            F.col("c").cast("decimal(38,0)").alias("c"),
+            F.col("n").cast("decimal(38,0)").alias("n"),
+        )
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = (
+        (dev * dev).cast("double")
+        / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    )
+    stats = g.agg(
+        F.max(F.col("n").cast("long")).alias("n_rows"),
+        F.count_distinct("a").alias("na"),
+        F.count_distinct("b").alias("nb"),
+        F.round(F.sum(term), 9).alias("chi2"),
+    )
+    return stats.select(
+        "n_rows",
+        ((F.col("na") - 1) * (F.col("nb") - 1)).cast("long").alias("dof"),
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.least(F.col("na") - 1, F.col("nb") - 1).cast("double")
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+    )

@@ -115,6 +115,8 @@ _PRIORITY: list[str] = [
     "stream_events_trend_slope", "emb_ann_ivfopq",
     "parts_association_rules", "lineitem_corr_matrix",
     "events_resample_ffill", "parts_bfs_hops",
+    "events_cusum_hourly", "events_ks_drift", "events_chi2",
+    "docs_keyphrases",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -123,7 +125,14 @@ _PRIORITY: list[str] = [
     "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
     "event_funnel",
     # Round 8 group 3 — stalest-green ascending. The 14 queries whose
-    # newest driver row is still r4 (three rounds old) land first:
+    # newest driver row is still r4 (three rounds old) land first.
+    # NOTE (window arithmetic, round 8): the round ADDED/CHANGED 46
+    # queries — group 1 alone nearly fills the 50-slot window, so only
+    # the first ~4 r4-stale rows fit this round. Rule 1 wins by policy
+    # (a shipped change without a driver row is worse than a stale
+    # green that the full-registry pytest gate re-verifies every run);
+    # the remaining r4/r5 rows below lead round 9's group 3, where the
+    # added/changed set will be far smaller:
     "first_order_flag", "follow_on_clicks", "hot_parts_topk",
     "media_features", "media_frames", "media_resize", "order_wide",
     "running_total", "scd2_history", "sessionize", "ship_priority_topk",
@@ -4377,4 +4386,234 @@ def q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select("p_partkey")
     return bfs_hops(pairs, seeds, BFS_ROUNDS).select(
         F.col("node").alias("part_id"), F.col("hop").cast("long").alias("hop")
+    )
+
+
+from realtime0523_spark.operators.stattests import (  # noqa: E402
+    ALARM_TOTAL_MULT,
+    KS_CRIT_COEFF,
+)
+
+_CUSUM_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, hr, cents,
+             CAST(count(*) OVER wk AS BIGINT) * cents
+               - CAST(sum(cents) OVER wk AS BIGINT) AS d,
+             CAST(sum(cents) OVER wk AS BIGINT) * {ALARM_TOTAL_MULT} AS hth
+      FROM h WINDOW wk AS (PARTITION BY event_type)),
+    p AS (
+      SELECT event_type, hr, hth, sum(d) OVER wo AS p
+      FROM s WINDOW wo AS (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+    c AS (
+      SELECT event_type, hr, hth,
+             p - least(CAST(0 AS BIGINT), min(p) OVER wo) AS cusum_up,
+             greatest(CAST(0 AS BIGINT), max(p) OVER wo) - p AS cusum_dn
+      FROM p WINDOW wo AS (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(cusum_up) AS BIGINT) AS max_cusum_up,
+           CAST(max(cusum_dn) AS BIGINT) AS max_cusum_dn,
+           CAST(count(*) FILTER (WHERE cusum_up > hth)
+                AS BIGINT) AS n_alarms_up,
+           CAST(count(*) FILTER (WHERE cusum_dn > hth)
+                AS BIGINT) AS n_alarms_dn,
+           min(hr) FILTER (WHERE cusum_up > hth OR cusum_dn > hth)
+             AS first_alarm_hr
+    FROM c GROUP BY event_type
+    """
+
+
+@register(
+    "events_cusum_hourly",
+    _CUSUM_ORACLE,
+    "CUSUM changepoint alarms over each event type's hourly revenue "
+    "series (Page 1954) — the monitor that answers WHEN a KPI's level "
+    "shifted, where the drift family only answers whether two "
+    "snapshots differ. The corpus collapses to |types|x|hours| cells "
+    "in ONE partial-agg'd pass; everything after runs on that "
+    "synopsis. Deviations are target-free exact integers (d_i = "
+    "n*x_i - total, zero-sum by construction — no float mean "
+    "anywhere), and the reset-at-zero CUSUM recursion collapses to "
+    "the prefix-sum/running-extremum identity C+ = P - min(0, "
+    "running_min P), C- = max(0, running_max P) - P — two ordered "
+    "windows over the synopsis, no recursion, no per-row state, "
+    "replayed verbatim by the oracle. Alarms fire when a CUSUM "
+    f"exceeds {ALARM_TOTAL_MULT}x the series total (= that many "
+    "full-series means of cumulative excess, an exact integer "
+    "threshold). Emits per type: point count, both max CUSUMs "
+    "(scaled units), alarm counts both sides, first alarm hour "
+    "(operators/stattests.py::cusum_series).",
+)
+def q_events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.stattests import cusum_series
+
+    ev = Catalog(spark, sf_dir).table("events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("hour", F.col("ts")).alias("t"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    c = cusum_series(hourly)
+    alarm = F.col("alarm_up") | F.col("alarm_dn")
+    return c.groupBy(F.col("k").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cusum_up").cast("long").alias("max_cusum_up"),
+        F.max("cusum_dn").cast("long").alias("max_cusum_dn"),
+        F.sum(F.when(F.col("alarm_up"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_up"),
+        F.sum(F.when(F.col("alarm_dn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_dn"),
+        F.min(F.when(alarm, F.col("t"))).alias("first_alarm_hr"),
+    )
+
+
+_KS_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type AS key,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) FILTER (WHERE day(ts) <= 15)
+                  AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE day(ts) > 15)
+                  AS BIGINT) AS c2
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT key,
+             sum(c1) OVER wo AS cum1, sum(c2) OVER wo AS cum2,
+             sum(c1) OVER wk AS n_a, sum(c2) OVER wk AS n_b
+      FROM c WINDOW
+        wo AS (PARTITION BY key ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wk AS (PARTITION BY key)),
+    a AS (
+      SELECT key, max(n_a) AS n_a, max(n_b) AS n_b,
+             max(abs(cum1 * n_b - cum2 * n_a)) AS ks_num
+      FROM g GROUP BY key),
+    f AS (
+      SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(ks_num AS BIGINT) AS ks_num,
+             round(CAST(ks_num AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+               AS ks_d,
+             round({KS_CRIT_COEFF!r} * sqrt(
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9)
+               AS ks_crit
+      FROM a)
+    SELECT key, n_a, n_b, ks_num, ks_d, ks_crit,
+           (ks_d > ks_crit) AS drifted
+    FROM f
+    """
+
+
+@register(
+    "events_ks_drift",
+    _KS_ORACLE,
+    "Exact two-sample Kolmogorov-Smirnov test per event type between "
+    "the month's two halves — the assumption-free, binning-free "
+    "referee beside the bucketed PSI/KL monitors (events_value_drift "
+    "depends on a bucket layout; KS is exact on the raw values). One "
+    "partial-agg'd pass collapses the corpus to per-(type, cent) "
+    "cells with both halves' counts in one row; the ECDF windows run "
+    "on that NDV-sized synopsis (per-type NDV is bounded by value "
+    "granularity — for unbounded-precision values at 100 TB the "
+    "DDSketch drift monitor is the scale path and this is the exact "
+    "complement). D is decided on EXACT cross-multiplied integers "
+    "|cum1*n2 - cum2*n1| — no float comparison picks the max; only "
+    "the final normalization and the Smirnov alpha=0.05 critical "
+    "value divide, both 9-dp rounded so the drifted verdict compares "
+    "identical quantized values in both engines "
+    "(operators/stattests.py::ks_2sample).",
+)
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.stattests import ks_2sample
+
+    ev = Catalog(spark, sf_dir).table("events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    return ks_2sample(cells)
+
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+    nn AS (SELECT sum(o) AS n FROM cells),
+    g AS (
+      SELECT coalesce(cells.o, 0) AS o, ra.r, cb.c, nn.n
+      FROM ra CROSS JOIN cb
+      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+      CROSS JOIN nn),
+    s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_rows,
+             (SELECT count(*) FROM ra) AS na,
+             (SELECT count(*) FROM cb) AS nb,
+             round(sum(
+               CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)), 9) AS chi2
+      FROM g)
+    SELECT n_rows,
+           CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+           chi2,
+           round(sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+                              * CAST(least(na - 1, nb - 1) AS DOUBLE))), 9)
+             AS cramers_v
+    FROM s
+    """
+
+
+@register(
+    "events_chi2",
+    _CHI2_ORACLE,
+    "Chi-square test of independence between event type and "
+    "hour-of-day, with Cramer's V effect size — the categorical "
+    "dependence screen beside the Pearson matrix for numeric "
+    "features (is traffic mix time-of-day dependent?). ONE "
+    "partial-agg'd pass collapses the corpus to the |types|x24 "
+    "contingency cells; margins, the total, and the zero-including "
+    "grid all derive from those cells (B's value list attaches by "
+    "explode onto the row-margin frame — never a cross join, which "
+    "would plan the banned nested loop). Each cell's term keeps "
+    "(o*N - r*c) exact in decimal — exact through N ~ 1e9, past "
+    "which the squaring must drop to double (documented contract) — "
+    "and the 9-dp round on the final sum absorbs float summation "
+    "order across engines; Cramer's V derives from the ROUNDED chi2 "
+    "so both engines transform identical quantized values "
+    "(operators/stattests.py::chi2_independence).",
+)
+def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.stattests import chi2_independence
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return chi2_independence(
+        ev.select("event_type", F.hour("ts").cast("long").alias("hr")),
+        "event_type",
+        "hr",
     )

@@ -4689,3 +4689,87 @@ def q_lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return D.ppjoin_pairs(docs, threshold_num=4, threshold_den=5)
+
+
+KEYPHRASE_TOP_K = 3
+
+
+@register(
+    "docs_keyphrases",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY tok),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             round(CAST(tf.tf AS DOUBLE)
+                   * round(ln((CAST(nn.n AS DOUBLE) + 1.0)
+                              / (CAST(dfq.df AS DOUBLE) + 1.0)), 9),
+                   9) AS score
+      FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+    r AS (SELECT doc_id, tok, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok) AS rk
+          FROM sc)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, score
+    FROM r WHERE rk <= {KEYPHRASE_TOP_K}
+    """,
+    f"Per-document TF-IDF keyphrases (top-{KEYPHRASE_TOP_K}) — the "
+    "document-level feature extraction every corpus index, tagger, "
+    "and dedup-explainer wants (sparse_search/BM25 answer queries; "
+    "this labels each DOC with its most distinctive terms). Token "
+    "counts and document frequencies are two partial-agg'd passes "
+    "over the exploded token stream (|doc x vocab| then |vocab| "
+    "rows — the corpus text is scanned once); tf rejoins df by a "
+    "plain equi-join on the term (both sides pre-aggregated, AQE "
+    "broadcasts when the vocab side is small); the doc count "
+    "attaches by a literal-key broadcast join, never a nested loop. "
+    "idf = ln((N+1)/(df+1)) is 9-dp-quantized BEFORE the multiply "
+    "(the BM25 discipline) and the product re-rounded, so both "
+    "engines rank identical quantized scores; ties break by token "
+    "asc for a fully deterministic top-k. The per-doc window "
+    "partitions on doc_id — millions of small partitions, no skew "
+    "(llm/text.py tokenization contract, shared with top_tokens).",
+)
+def q_docs_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nn = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("jk", F.lit(1))
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        ),
+        9,
+    )
+    sc = (
+        tf.join(dfq, "tok")
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(nn), "jk")
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KEYPHRASE_TOP_K)
+        .select("doc_id", "rk", "tok", "tf", "score")
+    )

@@ -1228,3 +1228,98 @@ def test_resample_ffill_fills_gaps_with_last_observation(spark):
         pd.testing.assert_series_equal(
             after["filled_avg"], expect.loc[first:], check_names=False
         )
+
+
+class TestStatTests:
+    def test_cusum_detects_injected_level_shift(self, spark):
+        """A flat series (x=100) with a +50 step from t=20 on: the
+        upward CUSUM must stay quiet before the shift, fire after it,
+        and the downward side must never fire. The prefix identity
+        must equal the textbook recursion C+_i = max(0, C+_{i-1}+d_i)
+        computed in plain Python."""
+        from realtime0523_spark.operators.stattests import cusum_series
+
+        xs = [100] * 20 + [150] * 10
+        rows = [("a", t, x) for t, x in enumerate(xs)]
+        out = (
+            cusum_series(spark.createDataFrame(rows, "k string, t long, x long"))
+            .orderBy("t")
+            .collect()
+        )
+        n, tot = len(xs), sum(xs)
+        c_up, c_dn, exp_up, exp_dn = 0, 0, [], []
+        for x in xs:
+            d = n * x - tot
+            c_up = max(0, c_up + d)
+            c_dn = max(0, c_dn - d)
+            exp_up.append(c_up)
+            exp_dn.append(c_dn)
+        assert [r.cusum_up for r in out] == exp_up
+        assert [r.cusum_dn for r in out] == exp_dn
+        # alarms are exactly cusum > 1x total in both engines' units
+        assert [r.alarm_up for r in out] == [c > tot for c in exp_up]
+        assert [r.alarm_dn for r in out] == [c > tot for c in exp_dn]
+        # the post-shift (above-mean) run fires the upward side, and
+        # only there; the downward side fires during the PRE-shift
+        # below-mean run — the two-sided signature of a level shift
+        # under a retrospective global-mean target
+        assert any(r.alarm_up for r in out if r.t >= 20)
+        assert not any(r.alarm_up for r in out if r.t < 20)
+        assert any(r.alarm_dn for r in out if r.t < 20)
+
+    def test_cusum_downward_shift_fires_other_side(self, spark):
+        from realtime0523_spark.operators.stattests import cusum_series
+
+        xs = [100] * 20 + [40] * 10
+        rows = [("a", t, x) for t, x in enumerate(xs)]
+        out = cusum_series(
+            spark.createDataFrame(rows, "k string, t long, x long")
+        ).collect()
+        # the below-mean post-shift run fires the downward side
+        assert any(r.alarm_dn for r in out if r.t >= 20)
+        assert not any(r.alarm_dn for r in out if r.t < 7)
+
+    def test_ks_hand_example_exact(self, spark):
+        """Samples A={1,2,3}, B={3,4,5}: D = max|F1-F2| = 2/3 at v=2
+        (F1=2/3, F2=0). ks_num must be the exact integer
+        |cum1*n2 - cum2*n1| = 6."""
+        from realtime0523_spark.operators.stattests import ks_2sample
+
+        cells = spark.createDataFrame(
+            [("t", 1, 1, 0), ("t", 2, 1, 0), ("t", 3, 1, 1),
+             ("t", 4, 0, 1), ("t", 5, 0, 1)],
+            "key string, v long, c1 long, c2 long",
+        )
+        r = ks_2sample(cells).collect()[0]
+        assert (r.n_a, r.n_b, r.ks_num) == (3, 3, 6)
+        assert abs(r.ks_d - 2 / 3) < 1e-9
+        # identical samples: D = 0, not drifted
+        same = spark.createDataFrame(
+            [("t", 1, 2, 2), ("t", 2, 3, 3)],
+            "key string, v long, c1 long, c2 long",
+        )
+        r0 = ks_2sample(same).collect()[0]
+        assert r0.ks_num == 0 and not r0.drifted
+
+    def test_chi2_hand_contingency(self, spark):
+        """2x2 table [[10, 20], [20, 10]]: chi2 = N*(ad-bc)^2 /
+        (r1*r2*c1*c2) = 60*(100-400)^2/30^4 = 20/3. dof=1, and a
+        zero-observed cell contributes its expected count."""
+        from realtime0523_spark.operators.stattests import chi2_independence
+
+        rows = (
+            [("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 20 + [("y", "q")] * 10
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert r.dof == 1 and r.n_rows == 60
+        assert abs(r.chi2 - 20 / 3) < 1e-6
+        assert abs(r.cramers_v - (20 / 3 / 60) ** 0.5) < 1e-6
+        # independence: uniform table -> chi2 = 0
+        uni = spark.createDataFrame(
+            [("x", "p")] * 5 + [("x", "q")] * 5
+            + [("y", "p")] * 5 + [("y", "q")] * 5,
+            "a string, b string",
+        )
+        assert chi2_independence(uni, "a", "b").collect()[0].chi2 == 0.0
