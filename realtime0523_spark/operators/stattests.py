@@ -113,6 +113,28 @@ def cusum_series(
     )
 
 
+def cusum_summary(series: DataFrame, key_out: str = "event_type") -> DataFrame:
+    """Per-key alarm report over a (k, t, x) integer series: point
+    count, both max CUSUMs (scaled units), alarm counts per side, and
+    the first alarming tick. Shared by the batch query and the
+    streaming twin so both finish identical algebra on the identical
+    synopsis (the finish_trend discipline)."""
+    c = cusum_series(series)
+    alarm = F.col("alarm_up") | F.col("alarm_dn")
+    return c.groupBy(F.col("k").alias(key_out)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cusum_up").cast("long").alias("max_cusum_up"),
+        F.max("cusum_dn").cast("long").alias("max_cusum_dn"),
+        F.sum(F.when(F.col("alarm_up"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_up"),
+        F.sum(F.when(F.col("alarm_dn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_dn"),
+        F.min(F.when(alarm, F.col("t"))).alias("first_alarm_hr"),
+    )
+
+
 def ks_2sample(cells: DataFrame) -> DataFrame:
     """Exact two-sample KS statistic per key from a per-value cell
     table (key, v, c1, c2) — c1/c2 are the two samples' counts at

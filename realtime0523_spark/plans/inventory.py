@@ -116,7 +116,7 @@ _PRIORITY: list[str] = [
     "parts_association_rules", "lineitem_corr_matrix",
     "events_resample_ffill", "parts_bfs_hops",
     "events_cusum_hourly", "events_ks_drift", "events_chi2",
-    "docs_keyphrases",
+    "docs_keyphrases", "stream_events_cusum",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -4454,31 +4454,11 @@ _CUSUM_ORACLE = f"""
     "(operators/stattests.py::cusum_series).",
 )
 def q_events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.operators.stattests import cusum_series
+    from realtime0523_spark.operators.stattests import cusum_summary
+    from realtime0523_spark.streaming.changepoint import hourly_cents_partials
 
     ev = Catalog(spark, sf_dir).table("events")
-    hourly = ev.groupBy(
-        F.col("event_type").alias("k"),
-        F.date_trunc("hour", F.col("ts")).alias("t"),
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("x")
-    )
-    c = cusum_series(hourly)
-    alarm = F.col("alarm_up") | F.col("alarm_dn")
-    return c.groupBy(F.col("k").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_points"),
-        F.max("cusum_up").cast("long").alias("max_cusum_up"),
-        F.max("cusum_dn").cast("long").alias("max_cusum_dn"),
-        F.sum(F.when(F.col("alarm_up"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_alarms_up"),
-        F.sum(F.when(F.col("alarm_dn"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_alarms_dn"),
-        F.min(F.when(alarm, F.col("t"))).alias("first_alarm_hr"),
-    )
+    return cusum_summary(hourly_cents_partials(ev))
 
 
 _KS_ORACLE = f"""
@@ -4616,4 +4596,39 @@ def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.hour("ts").cast("long").alias("hr")),
         "event_type",
         "hr",
+    )
+
+
+@register(
+    "stream_events_cusum",
+    _CUSUM_ORACLE,
+    "Streaming twin of events_cusum_hourly — the online changepoint "
+    "monitor in its deployment shape. Hourly cell sums are ADDITIVE, "
+    "so each micro-batch commits |types|x|batch-hours| partial cells "
+    "(map-side combined, idempotent by batchId); the reader folds "
+    "committed partials into the exact hourly synopsis and runs THE "
+    "SAME prefix-sum CUSUM + summary code as the batch query "
+    "(operators/stattests.cusum_summary) — batch boundaries, "
+    "replays, and late events cannot change the answer, so the "
+    "drained stream matches the batch oracle bit-for-bit. Per-batch "
+    "state is zero; at-rest state is the cell synopsis "
+    "(streaming/changepoint.py).",
+)
+def q_stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.changepoint import streaming_cusum
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_cusum_")
+    return detach_and_cleanup(
+        streaming_cusum(
+            spark,
+            ev,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
     )

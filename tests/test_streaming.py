@@ -1143,3 +1143,62 @@ def test_stream_kmv_multi_batch_equals_single_pass(spark, tmp_path):
     committed = [d for d in os.listdir(str(tmp_path / "kmv_out"))
                  if d.startswith("batch_id=")]
     assert len(committed) == 2
+
+
+def test_stream_cusum_split_hour_equals_batch(spark, tmp_path):
+    """The SAME hour split across two micro-batches must fold to the
+    exact hourly cell (additivity is the twin's whole argument), and
+    the drained report must equal the batch summary bit-for-bit —
+    including an injected level shift both paths must alarm on."""
+    from realtime0523_spark.operators.stattests import cusum_summary
+    from realtime0523_spark.streaming.changepoint import (
+        hourly_cents_partials,
+        streaming_cusum,
+    )
+
+    in_dir = str(tmp_path / "cusum_in")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def rows(day_hours_vals):
+        out = []
+        for i, (d, h, v) in enumerate(day_hours_vals):
+            out.append((len(out) + i, f"2024-01-{d:02d} {h:02d}:30:00", 1, "kpi", v, "{}"))
+        return out
+
+    def write(rws):
+        spark.createDataFrame(rws, schema.replace("timestamp", "string")) \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    # 20 quiet hours at ~100.00 then 6 shifted hours at ~220.00;
+    # hour (1, 0) is split across BOTH batches (60 + 40 = the cell)
+    quiet = [(1, h, 100.0) for h in range(10)]
+    write(rows([(1, 0, 60.0)] + quiet[1:]))
+    time.sleep(1.1)
+    write(
+        rows(
+            [(1, 0, 40.0)]
+            + [(2, h, 100.0) for h in range(10)]
+            + [(3, h, 220.0) for h in range(6)]
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    got = streaming_cusum(
+        spark, stream, out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).collect()[0]
+
+    want = cusum_summary(
+        hourly_cents_partials(spark.read.parquet(in_dir))
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    # the shift is real: the upward side must have fired
+    assert got.n_alarms_up > 0 and got.first_alarm_hr is not None
+    # and the split hour folded exactly: 26 points, not 27
+    assert got.n_points == 26
