@@ -17,9 +17,11 @@ beyond-reference surface expressed in the shapes that survive 100 TB:
   the fan-out runs on the frequent-item sub-baskets only. The pair
   join itself is an equi-join on the basket key — cost bounded by
   Σ per-basket frequent-item-count², never |items|².
-- Supports and the basket count are aggregate outputs (|items| and 1
-  row): they re-attach by BROADCAST hash equi-joins (the scalar via
-  a literal join key — never a nested-loop cross join).
+- Supports (|items| rows) re-attach by BROADCAST hash equi-joins.
+  The scalar basket count is a 1-row collect off the checkpointed
+  basket table — the BM25 legality class for scalar attaches; a lazy
+  1-row join (literal-key or cross) constant-folds to the banned
+  BroadcastNestedLoopJoin.
 
 Exactness: supports and pair counts are exact longs; confidence and
 lift are the only floating point, computed by the identical IEEE
@@ -62,11 +64,10 @@ def association_rules(
     try:
         supp = b.groupBy("it").agg(F.count(F.lit(1)).alias("supp"))
         freq = supp.filter(F.col("supp") >= min_support)
-        # scalar basket count attaches via a literal-key broadcast
-        # equi-join (a cross join would plan nested-loop, banned)
-        n_baskets = b.select("bk").distinct().agg(
-            F.count(F.lit(1)).alias("n_baskets")
-        ).withColumn("jk", F.lit(1))
+        # scalar basket count: a 1-row exact-integer collect off the
+        # checkpointed basket table (a lazy 1-row join would
+        # constant-fold to the banned BroadcastNestedLoopJoin)
+        n_baskets = int(b.select("bk").distinct().count())
 
         # apriori: drop infrequent items BEFORE the quadratic step
         bf = b.join(freq.select("it"), "it", "left_semi")
@@ -96,8 +97,6 @@ def association_rules(
         out = (
             rules.join(F.broadcast(sa), "antecedent")
             .join(F.broadcast(sb), "consequent")
-            .withColumn("jk", F.lit(1))
-            .join(F.broadcast(n_baskets), "jk")
             .select(
                 "antecedent",
                 "consequent",
@@ -110,7 +109,7 @@ def association_rules(
                 F.round(
                     (
                         F.col("support_pairs").cast("double")
-                        * F.col("n_baskets").cast("double")
+                        * F.lit(float(n_baskets))
                     )
                     / (
                         F.col("supp_a").cast("double")

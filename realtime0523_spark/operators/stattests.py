@@ -30,7 +30,10 @@ recursion collapses to the prefix-sum identity
 two running windows — no recursive CTE, no per-row state. KS distances
 are cross-multiplied integers |F₁n₁n₂ − F₂n₁n₂| so the max is decided
 on exact integers; only the final normalization divides. Chi-square
-keeps (o·N − r·c) exact and divides once per cell, 9-dp rounded.
+uses the join-free identity χ² = N(Σ o²/(r·c) − 1), which absorbs
+zero-observed cells exactly — margins are window sums over the cell
+synopsis, every float is the identical IEEE expression in both
+engines, 9-dp rounded at the end.
 """
 
 from __future__ import annotations
@@ -201,13 +204,20 @@ def chi2_independence(
     columns, plus Cramér's V effect size.
 
     One partial-agg'd pass collapses the corpus to the |A|×|B|
-    observed contingency cells; margins and the full zero-including
-    grid derive from those cells alone (the grid attaches B's value
-    LIST by explode onto the row-margin frame — never a cross join).
-    Each cell's term is (o·N − r·c)²/(N·r·c) with the numerator exact
-    in decimal; the 9-dp round on the final sum absorbs the float
-    summation order across engines (the events_value_drift
-    discipline).
+    observed contingency cells, and everything after is JOIN-FREE via
+    the standard algebraic identity
+        Σ_{all cells} (o − e)²/e  =  N · (Σ_{observed} o²/(r·c) − 1)
+    (expand (o−e)²/e with e = r·c/N and note Σo = N, Σ_{a,b} r·c =
+    N²; cells with o = 0 contribute exactly their e, which the
+    identity absorbs — no zero-including grid, no margin joins, no
+    scalar attach). Margins arrive as two window sums OVER THE CELL
+    SYNOPSIS (partition by a, then by b); the one output row is a
+    plain global aggregate. Each term is (o/r)·(o/c) in double — the
+    identical IEEE expression in both engines — and the 9-dp round on
+    the final combination absorbs float summation order (the
+    events_value_drift discipline). Cramér's V derives from the
+    ROUNDED chi2 so both engines transform identical quantized
+    values.
 
     Returns one row: (n_rows, dof, chi2, cramers_v).
     """
@@ -216,53 +226,38 @@ def chi2_independence(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
-    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
-    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n")).withColumn("jk", F.lit(1))
-    bvals = cb.agg(F.collect_list("b").alias("bs")).withColumn(
-        "jk", F.lit(1)
+    w = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(W.partitionBy("a")).alias("r"),
+        F.sum("o").over(W.partitionBy("b")).alias("c"),
     )
-    grid = (
-        ra.withColumn("jk", F.lit(1))
-        .join(F.broadcast(bvals), "jk")
-        .select("a", "r", F.explode("bs").alias("b"))
-    )
-    g = (
-        grid.join(F.broadcast(cells), ["a", "b"], "left")
-        .join(F.broadcast(cb), "b")
-        .withColumn("jk", F.lit(1))
-        .join(F.broadcast(tot), "jk")
-        .select(
-            "a",
-            "b",
-            F.coalesce("o", F.lit(0)).cast("decimal(38,0)").alias("o"),
-            F.col("r").cast("decimal(38,0)").alias("r"),
-            F.col("c").cast("decimal(38,0)").alias("c"),
-            F.col("n").cast("decimal(38,0)").alias("n"),
-        )
-    )
-    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
-    term = (
-        (dev * dev).cast("double")
-        / (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    )
-    stats = g.agg(
-        F.max(F.col("n").cast("long")).alias("n_rows"),
+    od = F.col("o").cast("double")
+    s = w.agg(
+        F.sum("o").cast("long").alias("n_rows"),
         F.count_distinct("a").alias("na"),
         F.count_distinct("b").alias("nb"),
-        F.round(F.sum(term), 9).alias("chi2"),
+        F.sum(
+            (od / F.col("r").cast("double")) * (od / F.col("c").cast("double"))
+        ).alias("s1"),
     )
-    return stats.select(
+    chi2 = s.select(
         "n_rows",
         ((F.col("na") - 1) * (F.col("nb") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.col("n_rows").cast("double") * (F.col("s1") - F.lit(1.0)), 9
+        ).alias("chi2"),
+        F.least(F.col("na") - 1, F.col("nb") - 1).alias("mindim"),
+    )
+    return chi2.select(
+        "n_rows",
+        "dof",
         "chi2",
         F.round(
             F.sqrt(
                 F.col("chi2")
-                / (
-                    F.col("n_rows").cast("double")
-                    * F.least(F.col("na") - 1, F.col("nb") - 1).cast("double")
-                )
+                / (F.col("n_rows").cast("double") * F.col("mindim").cast("double"))
             ),
             9,
         ).alias("cramers_v"),

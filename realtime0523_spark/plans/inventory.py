@@ -4294,8 +4294,9 @@ _ASSOC_ORACLE = f"""
     "quadratic step (apriori pruning), so the per-basket fan-out "
     "runs on frequent sub-baskets only and is bounded by basket "
     "size squared — never |items|². Supports re-attach by broadcast "
-    "hash equi-joins and the scalar basket count by a literal-key "
-    "broadcast join (nested-loop is banned repo-wide). Counts are "
+    "hash equi-joins; the scalar basket count is a 1-row collect off "
+    "the checkpointed basket table (the BM25 legality class — a lazy "
+    "1-row join constant-folds to the banned nested loop). Counts are "
     "exact longs; confidence and lift are the identical IEEE "
     "division in both engines, 9-dp rounded, and the top-"
     f"{ASSOC_TOP_N} ranking is totally ordered (lift desc, "
@@ -4541,31 +4542,27 @@ _CHI2_ORACLE = """
       SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
              CAST(count(*) AS BIGINT) AS o
       FROM events GROUP BY 1, 2),
-    ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
-    cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
-    nn AS (SELECT sum(o) AS n FROM cells),
-    g AS (
-      SELECT coalesce(cells.o, 0) AS o, ra.r, cb.c, nn.n
-      FROM ra CROSS JOIN cb
-      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
-      CROSS JOIN nn),
+    w AS (
+      SELECT a, b, o,
+             sum(o) OVER (PARTITION BY a) AS r,
+             sum(o) OVER (PARTITION BY b) AS c
+      FROM cells),
     s AS (
-      SELECT CAST(max(n) AS BIGINT) AS n_rows,
-             (SELECT count(*) FROM ra) AS na,
-             (SELECT count(*) FROM cb) AS nb,
-             round(sum(
-               CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
-                    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
-                    AS DOUBLE)
-               / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)), 9) AS chi2
-      FROM g)
-    SELECT n_rows,
-           CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
-           chi2,
+      SELECT CAST(sum(o) AS BIGINT) AS n_rows,
+             count(DISTINCT a) AS na, count(DISTINCT b) AS nb,
+             sum((CAST(o AS DOUBLE) / CAST(r AS DOUBLE))
+                 * (CAST(o AS DOUBLE) / CAST(c AS DOUBLE))) AS s1
+      FROM w),
+    f AS (
+      SELECT n_rows,
+             CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+             round(CAST(n_rows AS DOUBLE) * (s1 - 1.0), 9) AS chi2,
+             least(na - 1, nb - 1) AS mindim
+      FROM s)
+    SELECT n_rows, dof, chi2,
            round(sqrt(chi2 / (CAST(n_rows AS DOUBLE)
-                              * CAST(least(na - 1, nb - 1) AS DOUBLE))), 9)
-             AS cramers_v
-    FROM s
+                              * CAST(mindim AS DOUBLE))), 9) AS cramers_v
+    FROM f
     """
 
 
@@ -4577,15 +4574,16 @@ _CHI2_ORACLE = """
     "dependence screen beside the Pearson matrix for numeric "
     "features (is traffic mix time-of-day dependent?). ONE "
     "partial-agg'd pass collapses the corpus to the |types|x24 "
-    "contingency cells; margins, the total, and the zero-including "
-    "grid all derive from those cells (B's value list attaches by "
-    "explode onto the row-margin frame — never a cross join, which "
-    "would plan the banned nested loop). Each cell's term keeps "
-    "(o*N - r*c) exact in decimal — exact through N ~ 1e9, past "
-    "which the squaring must drop to double (documented contract) — "
-    "and the 9-dp round on the final sum absorbs float summation "
-    "order across engines; Cramer's V derives from the ROUNDED chi2 "
-    "so both engines transform identical quantized values "
+    "contingency cells, and everything after is JOIN-FREE via the "
+    "identity chi2 = N*(sum over observed cells of o^2/(r*c) - 1), "
+    "which absorbs zero-observed cells exactly (each contributes its "
+    "expected count) — no grid, no margin joins, no scalar attach "
+    "(a literal-key 1-row join constant-folds to the banned nested "
+    "loop; this needs none). Margins are two window sums over the "
+    "cell synopsis; each term is the identical IEEE (o/r)*(o/c) in "
+    "both engines, 9-dp rounded at the final combination, and "
+    "Cramer's V derives from the ROUNDED chi2 so both engines "
+    "transform identical quantized values "
     "(operators/stattests.py::chi2_independence).",
 )
 def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4721,51 +4721,48 @@ KEYPHRASE_TOP_K = 3
     f"Per-document TF-IDF keyphrases (top-{KEYPHRASE_TOP_K}) — the "
     "document-level feature extraction every corpus index, tagger, "
     "and dedup-explainer wants (sparse_search/BM25 answer queries; "
-    "this labels each DOC with its most distinctive terms). Token "
-    "counts and document frequencies are two partial-agg'd passes "
-    "over the exploded token stream (|doc x vocab| then |vocab| "
-    "rows — the corpus text is scanned once); tf rejoins df by a "
-    "plain equi-join on the term (both sides pre-aggregated, AQE "
-    "broadcasts when the vocab side is small); the doc count "
-    "attaches by a literal-key broadcast join, never a nested loop. "
-    "idf = ln((N+1)/(df+1)) is 9-dp-quantized BEFORE the multiply "
-    "(the BM25 discipline) and the product re-rounded, so both "
-    "engines rank identical quantized scores; ties break by token "
-    "asc for a fully deterministic top-k. The per-doc window "
+    "this labels each DOC with its most distinctive terms). The "
+    "exploded token stream collapses to (doc, term, tf) in one "
+    "partial-agg'd pass and checkpoint-materializes BEFORE its "
+    "two-way reuse (df derives from it and rejoins it — the "
+    "triangle lesson); the df re-attach is a plain equi-join of two "
+    "pre-aggregated tables (AQE broadcasts when the vocab side is "
+    "small). The doc count is a 1-row scalar collect — the BM25 "
+    "legality class; a lazy 1-row join constant-folds to the banned "
+    "nested loop. idf = ln((N+1)/(df+1)) is 9-dp-quantized BEFORE "
+    "the multiply (the BM25 discipline) and the product re-rounded, "
+    "so both engines rank identical quantized scores; ties break by "
+    "token asc for a fully deterministic top-k. The per-doc window "
     "partitions on doc_id — millions of small partitions, no skew "
     "(llm/text.py tokenization contract, shared with top_tokens).",
 )
 def q_docs_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
     docs = Catalog(spark, sf_dir).table("documents")
-    tf = (
+    ckpt, _release = _ckpt_tools(docs)
+    tf, _ = ckpt(
         docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    nn = (
-        docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .withColumn("jk", F.lit(1))
-    )
+    # 1-row scalar collect, exact integer — the BM25 legality class
+    n_docs = int(docs.count())
     idf = F.round(
         F.log(
-            (F.col("n").cast("double") + F.lit(1.0))
+            (F.lit(float(n_docs)) + F.lit(1.0))
             / (F.col("df").cast("double") + F.lit(1.0))
         ),
         9,
     )
-    sc = (
-        tf.join(dfq, "tok")
-        .withColumn("jk", F.lit(1))
-        .join(F.broadcast(nn), "jk")
-        .select(
-            "doc_id",
-            "tok",
-            "tf",
-            F.round(F.col("tf").cast("double") * idf, 9).alias("score"),
-        )
+    sc = tf.join(dfq, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.round(F.col("tf").cast("double") * idf, 9).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
     return (

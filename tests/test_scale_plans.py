@@ -428,3 +428,50 @@ def test_bfs_hops_final_plan_reads_checkpoint_only(spark):
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_cusum_runs_on_synopsis_one_scan(spark):
+    """One corpus scan to hourly cells; the CUSUM prefix/extremum
+    windows and the alarm summary run on the synopsis — no join, no
+    second scan, partial aggregation ahead of the cell exchange."""
+    plan = formatted_plan(REGISTRY["events_cusum_hourly"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_ks_drift_is_one_scan_no_join_exact_max(spark):
+    """Both halves' counts land in ONE cell row (no per-half scans,
+    no join); the ECDF windows run on the cell synopsis."""
+    plan = formatted_plan(REGISTRY["events_ks_drift"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_chi2_is_join_free_single_scan(spark):
+    """The identity chi2 = N(sum o^2/(rc) - 1) needs no grid, no
+    margin joins, no scalar attach — the plan must contain NO join
+    operator of any kind and exactly one corpus scan. (The naive
+    literal-key scalar attach constant-folds to
+    BroadcastNestedLoopJoin — the regression this pins out.)"""
+    plan = formatted_plan(REGISTRY["events_chi2"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_keyphrases_materializes_tf_once_no_nested_loop(spark):
+    """The (doc, term, tf) table is reused twice (df derives from it
+    and rejoins it) — it must checkpoint first, so the visible plan
+    reads ExistingRDD for both branches and re-tokenizes nothing;
+    the df re-attach must be a hash join, never the nested loop a
+    1-row scalar join would fold to."""
+    plan = formatted_plan(REGISTRY["docs_keyphrases"].fn(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # tokenization (the Arrow-free JVM split+explode) happens zero
+    # times in the final plan — both branches read the checkpoint
+    assert "Generate" not in plan, plan

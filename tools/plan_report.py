@@ -372,6 +372,32 @@ AUDITED: dict[str, str] = {
         "the dense grid is a generated sequence explode (no cross "
         "join); the ffill window sorts only the metadata-sized grid"
     ),
+    "events_cusum_hourly": (
+        "one corpus scan collapses to |types|x|hours| cells in a "
+        "partial-agg'd pass; the CUSUM prefix/extremum windows and "
+        "the alarm summary run on that synopsis only — no recursion, "
+        "no join, no second scan"
+    ),
+    "events_ks_drift": (
+        "one corpus scan to per-(type, cent) cells holding BOTH "
+        "halves' counts; the ECDF windows and the exact integer "
+        "max-distance run on the NDV-sized synopsis — no join "
+        "anywhere, only the final normalization divides"
+    ),
+    "events_chi2": (
+        "one corpus scan to the |types|x24 contingency cells, then "
+        "JOIN-FREE: chi2 = N(sum o^2/(r*c) - 1) absorbs zero cells "
+        "exactly, margins are window sums over the cell synopsis, "
+        "and the output is one global-aggregate row — no grid, no "
+        "margin joins, no scalar attach"
+    ),
+    "docs_keyphrases": (
+        "the (doc, term, tf) table checkpoint-materializes before "
+        "its two-way reuse (df derives from it and rejoins it); the "
+        "doc count is a 1-row scalar collect (the BM25 legality "
+        "class); the top-k window partitions per doc — millions of "
+        "small partitions, no skew, no global sort"
+    ),
     "parts_bfs_hops": (
         "directed edges materialize once; each round joins only the "
         "new frontier (|frontier|-proportional, the textbook BFS "

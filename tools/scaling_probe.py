@@ -133,6 +133,10 @@ PROBES = [
     "lineitem_corr_matrix",  # one scan to a single 15-value co-moment row (r8 w3)
     "events_resample_ffill",  # one corpus pass; ffill on the generated grid (r8 w3)
     "parts_bfs_hops",      # frontier-only per-round join, ckpt'd graph (r8 w3)
+    "events_cusum_hourly",  # one corpus pass; CUSUM windows on synopsis (r8 w3)
+    "events_ks_drift",     # per-cent cells, exact integer ECDF max (r8 w3)
+    "events_chi2",         # one pass to 5x24 cells, broadcast algebra (r8 w3)
+    "docs_keyphrases",     # token-stream aggs + per-doc top-k window (r8 w3)
 ]
 
 # Library paths without their own registry entry, probed as callables:
