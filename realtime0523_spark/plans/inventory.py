@@ -117,6 +117,7 @@ _PRIORITY: list[str] = [
     "events_resample_ffill", "parts_bfs_hops",
     "events_cusum_hourly", "events_ks_drift", "events_chi2",
     "docs_keyphrases", "stream_events_cusum",
+    "customers_rfm", "events_rolling_dau",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -4629,4 +4630,189 @@ def q_stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=f"{work}/ckpt",
         ),
         work,
+    )
+
+
+RFM_BUCKETS = 5
+
+_RFM_SEG_SQL = """CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN f_score >= 4 THEN 'loyal'
+             WHEN m_score >= 4 THEN 'big_spender'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             WHEN r_score <= 2 THEN 'at_risk'
+             ELSE 'regular' END"""
+
+_RFM_ORACLE = f"""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) AS r_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM orders GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+    b AS (
+      SELECT ck, mon,
+             ((row_number() OVER (ORDER BY r_days, ck) - 1)
+              * {RFM_BUCKETS}) // nn.n AS rb,
+             ((row_number() OVER (ORDER BY freq, ck) - 1)
+              * {RFM_BUCKETS}) // nn.n AS fb,
+             ((row_number() OVER (ORDER BY mon, ck) - 1)
+              * {RFM_BUCKETS}) // nn.n AS mb
+      FROM cust CROSS JOIN nn),
+    s AS (
+      SELECT ck, mon,
+             CAST({RFM_BUCKETS} - rb AS BIGINT) AS r_score,
+             CAST(fb + 1 AS BIGINT) AS f_score,
+             CAST(mb + 1 AS BIGINT) AS m_score
+      FROM b)
+    SELECT r_score, f_score, m_score,
+           {_RFM_SEG_SQL} AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS total_cents
+    FROM s GROUP BY 1, 2, 3, 4
+    """
+
+
+@register(
+    "customers_rfm",
+    _RFM_ORACLE,
+    "RFM customer segmentation (Hughes 1994) — recency / frequency / "
+    "monetary quintile scores per customer, aggregated to labeled "
+    "segment cells (champion / loyal / big_spender / at_risk / "
+    "hibernating / regular): the customer-value report every CRM "
+    "and retention campaign starts from. One partial-agg'd pass "
+    "collapses orders to the |customers| metric table; each "
+    "dimension's EXACT quintile assignment reuses the equi-depth "
+    "machinery (operators/histogram.prefix_sums): sampled RANGE "
+    "exchange + partition-local running counts + broadcast offsets "
+    "— bucket = (rows_before * 5) div n in pure integer arithmetic, "
+    "NO ntile-over-global-sort anywhere (the single-task stage that "
+    "cannot run at 100 TB; the oracle's row_number replays the "
+    "identical total order (metric, custkey)). The recency anchor "
+    "is the corpus max order date (1-row exact collect, the BM25 "
+    "legality class); money rides as integer cents. Ties land in "
+    "the same bucket only when (metric, custkey) order says so — "
+    "fully deterministic in both engines.",
+)
+def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.histogram import prefix_sums
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("a")
+    ).first()["a"]
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.lit(anchor), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("mon"),
+    ).withColumn("one", F.lit(1).cast("long"))
+
+    d, n = prefix_sums(cust, [F.col("r_days"), F.col("ck")], "one", "cum_r")
+    d, _ = prefix_sums(d, [F.col("freq"), F.col("ck")], "one", "cum_f")
+    d, _ = prefix_sums(d, [F.col("mon"), F.col("ck")], "one", "cum_m")
+    s = d.select(
+        "mon",
+        (F.lit(RFM_BUCKETS) - F.expr(f"(cum_r * {RFM_BUCKETS}) div {n}"))
+        .cast("long")
+        .alias("r_score"),
+        (F.expr(f"(cum_f * {RFM_BUCKETS}) div {n}") + 1)
+        .cast("long")
+        .alias("f_score"),
+        (F.expr(f"(cum_m * {RFM_BUCKETS}) div {n}") + 1)
+        .cast("long")
+        .alias("m_score"),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("mon").cast("long").alias("total_cents"),
+    ).select(
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(_RFM_SEG_SQL).alias("segment"),
+        "n_customers",
+        "total_cents",
+    )
+
+
+ROLLING_DAU_DAYS = 7
+
+_ROLLING_DAU_ORACLE = f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    mx AS (SELECT max(d) AS mx FROM cells),
+    ex AS (
+      SELECT c.user_id, c.d, c.d + CAST(i.i AS INTEGER) AS wday
+      FROM cells c,
+           (SELECT unnest(range(0, {ROLLING_DAU_DAYS})) AS i) i
+      WHERE c.d + CAST(i.i AS INTEGER) <= (SELECT mx FROM mx))
+    SELECT wday AS day,
+           CAST(count(DISTINCT CASE WHEN d = wday THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_7d_dau
+    FROM ex GROUP BY wday
+    """
+
+
+@register(
+    "events_rolling_dau",
+    _ROLLING_DAU_ORACLE,
+    f"Exact {ROLLING_DAU_DAYS}-day rolling distinct active users per "
+    "day, beside the plain DAU — the stickiness denominator "
+    "(DAU/WAU) every engagement dashboard tracks. EXACT rolling "
+    "distinct is the shape naive SQL gets wrong at scale (a range "
+    "self-join of the activity table, or one COUNT DISTINCT subquery "
+    "per day): here the corpus collapses ONCE to distinct (user, "
+    "day) cells, and each cell map-side fans out to the at-most-"
+    f"{ROLLING_DAU_DAYS} window-end days it contributes to (explode "
+    "of a literal sequence — bounded fan-out, no join, no grid); one "
+    "partial-agg'd count_distinct per window-end day finishes both "
+    "metrics in the same pass (dau via the day==window-end filter). "
+    "Window ends past the last observed day are clipped against the "
+    "corpus max day (1-row exact collect, the BM25 legality class). "
+    "At 100 TB the cell table is |users|x|days| — the fan-out "
+    "multiplies the SYNOPSIS, never the corpus.",
+)
+def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
+    ev = Catalog(spark, sf_dir).table("events")
+    ckpt, _release = _ckpt_tools(ev)
+    # the cell synopsis feeds BOTH the max-day collect and the
+    # fan-out — materialize once (the triangle lesson)
+    cells, _ = ckpt(
+        ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    )
+    mx = cells.agg(F.max("d").alias("mx")).first()["mx"]
+    ex = (
+        cells.select(
+            "user_id",
+            "d",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAU_DAYS - 1))
+            ).alias("i"),
+        )
+        .select(
+            "user_id", "d", F.date_add(F.col("d"), F.col("i")).alias("day")
+        )
+        .filter(F.col("day") <= F.lit(mx))
+    )
+    return ex.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+        F.count_distinct("user_id").cast("long").alias("rolling_7d_dau"),
     )

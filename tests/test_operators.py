@@ -1323,3 +1323,90 @@ class TestStatTests:
             "a string, b string",
         )
         assert chi2_independence(uni, "a", "b").collect()[0].chi2 == 0.0
+
+
+class TestRfmAndRollingDau:
+    def test_rfm_quintiles_are_exact_rank_buckets(self, spark):
+        """Bucket sizes must follow the exact integer-division rank
+        rule (rows_before * 5) div n — recompute the expected per-
+        score population from the same total order in pandas and
+        match exactly; every cell's label must follow the CASE."""
+        import pandas as pd
+
+        from realtime0523_spark.plans import REGISTRY
+
+        out = REGISTRY["customers_rfm"].fn(spark, SF_SMOKE).toPandas()
+        orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+        orders["od"] = pd.to_datetime(orders["o_orderdate"]).dt.date
+        anchor = orders["od"].max()
+        cust = orders.groupby("o_custkey").agg(
+            last=("od", "max"),
+            freq=("od", "size"),
+            mon=("o_totalprice", lambda s: int(sum(int(v * 100 + 0.5) for v in s))),
+        )
+        cust["r_days"] = [(anchor - d).days for d in cust["last"]]
+        n = len(cust)
+
+        def scores(metric, best_high):
+            order = sorted(zip(cust[metric], cust.index))
+            b = {ck: (i * 5) // n for i, (_, ck) in enumerate(order)}
+            return {ck: (v + 1 if best_high else 5 - v) for ck, v in b.items()}
+
+        r = scores("r_days", best_high=False)
+        f = scores("freq", best_high=True)
+        m = scores("mon", best_high=True)
+        want = {}
+        for ck in cust.index:
+            key = (r[ck], f[ck], m[ck])
+            cnt, cents = want.get(key, (0, 0))
+            want[key] = (cnt + 1, cents + int(cust.loc[ck, "mon"]))
+        got = {
+            (row.r_score, row.f_score, row.m_score): (
+                row.n_customers,
+                row.total_cents,
+            )
+            for row in out.itertuples()
+        }
+        assert got == want
+        for row in out.itertuples():
+            rs, fs, ms = row.r_score, row.f_score, row.m_score
+            if rs >= 4 and fs >= 4 and ms >= 4:
+                lbl = "champion"
+            elif fs >= 4:
+                lbl = "loyal"
+            elif ms >= 4:
+                lbl = "big_spender"
+            elif rs <= 2 and fs <= 2:
+                lbl = "hibernating"
+            elif rs <= 2:
+                lbl = "at_risk"
+            else:
+                lbl = "regular"
+            assert row.segment == lbl, row
+
+    def test_rolling_dau_equals_window_replay(self, spark):
+        """rolling_7d_dau(day) must equal the distinct-user count of
+        the trailing 7-day window replayed in pandas, and dau must
+        equal the plain per-day distinct; rolling >= dau always."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from realtime0523_spark.plans import REGISTRY
+
+        out = (
+            REGISTRY["events_rolling_dau"].fn(spark, SF_SMOKE)
+            .toPandas()
+            .set_index("day")
+            .sort_index()
+        )
+        ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+        cells = ev[["user_id", "d"]].drop_duplicates()
+        for day, row in out.iterrows():
+            day = day if isinstance(day, dt.date) else day.date()
+            lo = day - dt.timedelta(days=6)
+            win = cells[(cells["d"] >= lo) & (cells["d"] <= day)]
+            assert row["rolling_7d_dau"] == win["user_id"].nunique()
+            assert row["dau"] == cells[cells["d"] == day]["user_id"].nunique()
+            assert row["rolling_7d_dau"] >= row["dau"]

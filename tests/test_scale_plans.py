@@ -475,3 +475,27 @@ def test_keyphrases_materializes_tf_once_no_nested_loop(spark):
     # tokenization (the Arrow-free JVM split+explode) happens zero
     # times in the final plan — both branches read the checkpoint
     assert "Generate" not in plan, plan
+
+
+def test_rfm_never_plans_ntile_or_single_partition(spark):
+    """The whole design: exact quintiles via sampled range exchange +
+    broadcast offsets, never ntile-over-global-sort. The plan must
+    contain no SinglePartition exchange and no parquet rescans (the
+    prefix passes read checkpoints)."""
+    plan = formatted_plan(REGISTRY["customers_rfm"].fn(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_rolling_dau_fans_out_synopsis_not_corpus(spark):
+    """The cell synopsis materializes once (feeds the max-day collect
+    and the fan-out); the window fan-out is a literal-sequence
+    explode over the checkpoint — no join, no grid, no parquet
+    rescan."""
+    plan = formatted_plan(REGISTRY["events_rolling_dau"].fn(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan  # explode(sequence(...))

@@ -398,6 +398,20 @@ AUDITED: dict[str, str] = {
         "class); the top-k window partitions per doc — millions of "
         "small partitions, no skew, no global sort"
     ),
+    "customers_rfm": (
+        "orders collapse to the |customers| metric table once; each "
+        "quintile is the sampled-range-exchange prefix-sum rank "
+        "(reading its checkpoint, no parquet rescans), bucket = "
+        "(rows_before*5) div n in integer arithmetic — no ntile, no "
+        "SinglePartition, no global sort"
+    ),
+    "events_rolling_dau": (
+        "one corpus pass to distinct (user, day) cells, checkpointed "
+        "before the max-day collect + fan-out reuse; each cell "
+        "explodes to its <=7 window-end days (bounded map-side "
+        "fan-out of the SYNOPSIS) into one partial-agg'd "
+        "count-distinct — no range join, no per-day subqueries"
+    ),
     "parts_bfs_hops": (
         "directed edges materialize once; each round joins only the "
         "new frontier (|frontier|-proportional, the textbook BFS "

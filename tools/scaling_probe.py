@@ -137,6 +137,8 @@ PROBES = [
     "events_ks_drift",     # per-cent cells, exact integer ECDF max (r8 w3)
     "events_chi2",         # one pass to 5x24 cells, broadcast algebra (r8 w3)
     "docs_keyphrases",     # token-stream aggs + per-doc top-k window (r8 w3)
+    "customers_rfm",       # 3 range-exchange quintile passes, no ntile (r8 w3)
+    "events_rolling_dau",  # bounded x7 synopsis fan-out, one count-distinct (r8 w3)
 ]
 
 # Library paths without their own registry entry, probed as callables:
