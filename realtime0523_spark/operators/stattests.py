@@ -221,11 +221,23 @@ def chi2_independence(
 
     Returns one row: (n_rows, dof, chi2, cramers_v).
     """
-    cells = (
+    return chi2_from_cells(chi2_cells(df, a_col, b_col))
+
+
+def chi2_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """The corpus-to-cells collapse: observed (a, b) counts — exact
+    longs, additive across any slicing (the streaming twin's whole
+    argument)."""
+    return (
         df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
     )
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """The synopsis-to-answer finisher — shared by the batch query
+    and the streaming twin so both finish identical algebra."""
     w = cells.select(
         "a",
         "b",

@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "events_cusum_hourly", "events_ks_drift", "events_chi2",
     "docs_keyphrases", "stream_events_cusum",
     "customers_rfm", "events_rolling_dau",
+    "stream_events_ks", "stream_events_chi2", "stream_events_rolling_dau",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -4463,6 +4464,23 @@ def q_events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_summary(hourly_cents_partials(ev))
 
 
+def _ks_cells(df: DataFrame) -> DataFrame:
+    """Corpus-to-cells collapse for the KS monitor: per-(type, cent)
+    counts of both month halves in one row — exact longs, additive
+    across any slicing (the streaming twin's whole argument)."""
+    return df.groupBy(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+
+
 _KS_ORACLE = f"""
     WITH c AS (
       SELECT event_type AS key,
@@ -4523,19 +4541,7 @@ _KS_ORACLE = f"""
 def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime0523_spark.operators.stattests import ks_2sample
 
-    ev = Catalog(spark, sf_dir).table("events")
-    cells = ev.groupBy(
-        F.col("event_type").alias("key"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-    ).agg(
-        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
-    )
-    return ks_2sample(cells)
+    return ks_2sample(_ks_cells(Catalog(spark, sf_dir).table("events")))
 
 
 _CHI2_ORACLE = """
@@ -4748,6 +4754,38 @@ def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_DAU_DAYS = 7
 
+def _rolling_dau_from_cells(cells: DataFrame) -> DataFrame:
+    """Synopsis-to-answer finisher for the rolling-DAU pair — shared
+    by the batch query and the streaming twin. Checkpoints the cell
+    set before its two-way reuse (max-day collect + fan-out)."""
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
+    ckpt, _release = _ckpt_tools(cells)
+    cells, _ = ckpt(cells)
+    mx = cells.agg(F.max("d").alias("mx")).first()["mx"]
+    ex = (
+        cells.select(
+            "user_id",
+            "d",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAU_DAYS - 1))
+            ).alias("i"),
+        )
+        .select(
+            "user_id", "d", F.date_add(F.col("d"), F.col("i")).alias("day")
+        )
+        .filter(F.col("day") <= F.lit(mx))
+    )
+    return ex.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+        F.count_distinct("user_id").cast("long").alias("rolling_7d_dau"),
+    )
+
+
 _ROLLING_DAU_ORACLE = f"""
     WITH cells AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -4785,34 +4823,133 @@ _ROLLING_DAU_ORACLE = f"""
     "multiplies the SYNOPSIS, never the corpus.",
 )
 def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.llm.clusters import _ckpt_tools
-
     ev = Catalog(spark, sf_dir).table("events")
-    ckpt, _release = _ckpt_tools(ev)
-    # the cell synopsis feeds BOTH the max-day collect and the
-    # fan-out — materialize once (the triangle lesson)
-    cells, _ = ckpt(
+    return _rolling_dau_from_cells(
         ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
     )
-    mx = cells.agg(F.max("d").alias("mx")).first()["mx"]
-    ex = (
-        cells.select(
-            "user_id",
-            "d",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(ROLLING_DAU_DAYS - 1))
-            ).alias("i"),
-        )
-        .select(
-            "user_id", "d", F.date_add(F.col("d"), F.col("i")).alias("day")
-        )
-        .filter(F.col("day") <= F.lit(mx))
+
+
+@register(
+    "stream_events_ks",
+    _KS_ORACLE,
+    "Streaming twin of events_ks_drift through the generalized "
+    "additive-synopsis machinery (streaming/cells.py): per-(type, "
+    "cent) half-counts are exact additive longs, so each micro-batch "
+    "commits its partial cells (map-side combined, idempotent by "
+    "batchId), the reader folds them into the exact at-rest cell "
+    "synopsis, and the SAME ks_2sample finisher decides D on the "
+    "identical cross-multiplied integers — drained equals batch "
+    "bit-for-bit; per-batch state zero, at-rest state NDV-bounded.",
+)
+def q_stream_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.operators.stattests import ks_2sample
+    from realtime0523_spark.streaming.cells import streaming_cells
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_ks_")
+    return detach_and_cleanup(
+        streaming_cells(
+            spark,
+            ev,
+            _ks_cells,
+            key_cols=["key", "v"],
+            sum_cols=["c1", "c2"],
+            finish_fn=ks_2sample,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            empty_schema=(
+                "key string, n_a long, n_b long, ks_num long, "
+                "ks_d double, ks_crit double, drifted boolean"
+            ),
+        ),
+        work,
     )
-    return ex.groupBy("day").agg(
-        F.count_distinct(
-            F.when(F.col("d") == F.col("day"), F.col("user_id"))
-        )
-        .cast("long")
-        .alias("dau"),
-        F.count_distinct("user_id").cast("long").alias("rolling_7d_dau"),
+
+
+@register(
+    "stream_events_chi2",
+    _CHI2_ORACLE,
+    "Streaming twin of events_chi2 through the same additive-"
+    "synopsis machinery (streaming/cells.py): contingency cell "
+    "counts merge by addition, so per-batch partial cells fold into "
+    "the exact at-rest |types|x24 table and the SAME join-free "
+    "chi2_from_cells identity finishes — drained equals batch "
+    "bit-for-bit; the continuously-updated independence screen.",
+)
+def q_stream_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.operators.stattests import (
+        chi2_cells,
+        chi2_from_cells,
+    )
+    from realtime0523_spark.streaming.cells import streaming_cells
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_chi2_")
+    return detach_and_cleanup(
+        streaming_cells(
+            spark,
+            ev,
+            lambda b: chi2_cells(
+                b.select("event_type", F.hour("ts").cast("long").alias("hr")),
+                "event_type",
+                "hr",
+            ),
+            key_cols=["a", "b"],
+            sum_cols=["o"],
+            finish_fn=chi2_from_cells,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            empty_schema=(
+                "n_rows long, dof long, chi2 double, cramers_v double"
+            ),
+        ),
+        work,
+    )
+
+
+@register(
+    "stream_events_rolling_dau",
+    _ROLLING_DAU_ORACLE,
+    "Streaming twin of events_rolling_dau: presence cells merge by "
+    "SET UNION (the distinct_cells mode of streaming/cells.py — "
+    "commit each batch's distinct (user, day) cells, re-distinct at "
+    "read; re-delivery and overlap are absorbed by idempotence of "
+    "union, the docs-novelty discipline), then the SAME "
+    "bounded-fan-out finisher computes both engagement metrics — "
+    "drained equals batch bit-for-bit; the continuously-updated "
+    "DAU/WAU stickiness pair.",
+)
+def q_stream_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.cells import streaming_cells
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_rdau_")
+    return detach_and_cleanup(
+        streaming_cells(
+            spark,
+            ev,
+            lambda b: b.select(
+                "user_id", F.col("ts").cast("date").alias("d")
+            ).distinct(),
+            key_cols=["user_id", "d"],
+            sum_cols=[],
+            finish_fn=_rolling_dau_from_cells,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            empty_schema="day date, dau long, rolling_7d_dau long",
+            distinct_cells=True,
+        ),
+        work,
     )

@@ -1202,3 +1202,83 @@ def test_stream_cusum_split_hour_equals_batch(spark, tmp_path):
     assert got.n_alarms_up > 0 and got.first_alarm_hr is not None
     # and the split hour folded exactly: 26 points, not 27
     assert got.n_points == 26
+
+
+def test_streaming_cells_additive_and_distinct_modes(spark, tmp_path):
+    """The generalized additive-synopsis machinery: (1) additive mode
+    — a (key, v) cell split across two micro-batches folds to the
+    exact sum; (2) distinct mode — the SAME (user, day) presence cell
+    re-delivered in both batches is absorbed by union idempotence.
+    Both drained results must equal the batch finisher on the union
+    of inputs, bit-for-bit."""
+    from realtime0523_spark.operators.stattests import ks_2sample
+    from realtime0523_spark.plans.inventory import (
+        _ks_cells,
+        _rolling_dau_from_cells,
+    )
+    from realtime0523_spark.streaming.cells import streaming_cells
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write(rws):
+        spark.createDataFrame(
+            rws, schema.replace("timestamp", "string")
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    # value 10.00 for type "a" lands in BOTH halves and BOTH batches;
+    # user 1 on Jan 3 appears in both batches (duplicate presence)
+    write([
+        (1, "2024-01-03 10:00:00", 1, "a", 10.0, "{}"),
+        (2, "2024-01-20 10:00:00", 1, "a", 10.0, "{}"),
+        (3, "2024-01-05 10:00:00", 2, "a", 7.5, "{}"),
+    ])
+    time.sleep(1.1)
+    write([
+        (4, "2024-01-04 11:00:00", 1, "a", 10.0, "{}"),
+        (5, "2024-01-03 12:00:00", 1, "a", 3.25, "{}"),
+        (6, "2024-01-22 09:00:00", 3, "a", 7.5, "{}"),
+    ])
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    got_ks = streaming_cells(
+        spark, stream(), _ks_cells, ["key", "v"], ["c1", "c2"],
+        ks_2sample, str(tmp_path / "ks_out"),
+        checkpoint_dir=str(tmp_path / "ks_ckpt"),
+    ).collect()
+    want_ks = ks_2sample(_ks_cells(spark.read.parquet(in_dir))).collect()
+    assert [r.asDict() for r in got_ks] == [r.asDict() for r in want_ks]
+    # the split cell really folded: type a, 1000 cents → c1=2 (batch 1
+    # + batch 2), c2=1
+    ks_cells = _ks_cells(spark.read.parquet(in_dir)).collect()
+    cell = {(r.key, r.v): (r.c1, r.c2) for r in ks_cells}[("a", 1000)]
+    assert cell == (2, 1)
+
+    def dau_cells(b):
+        return b.select(
+            "user_id", F.col("ts").cast("date").alias("d")
+        ).distinct()
+
+    got_dau = streaming_cells(
+        spark, stream(), dau_cells, ["user_id", "d"], [],
+        _rolling_dau_from_cells, str(tmp_path / "dau_out"),
+        checkpoint_dir=str(tmp_path / "dau_ckpt"),
+        distinct_cells=True,
+    ).orderBy("day").collect()
+    want_dau = _rolling_dau_from_cells(
+        dau_cells(spark.read.parquet(in_dir))
+    ).orderBy("day").collect()
+    assert [r.asDict() for r in got_dau] == [r.asDict() for r in want_dau]
+    # duplicate presence absorbed: Jan 3 dau is 1 (user 1 twice in
+    # two batches), and both batch dirs committed
+    by_day = {str(r.day): r.dau for r in got_dau}
+    assert by_day["2024-01-03"] == 1
+    assert len(os.listdir(str(tmp_path / "dau_out"))) >= 2
