@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "docs_keyphrases", "stream_events_cusum",
     "customers_rfm", "events_rolling_dau",
     "stream_events_ks", "stream_events_chi2", "stream_events_rolling_dau",
+    "events_monitor_report",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -4952,4 +4953,93 @@ def q_stream_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             distinct_cells=True,
         ),
         work,
+    )
+
+
+JEFFREYS_ALERT = 0.25
+
+
+def _monitor_report_sql() -> str:
+    return f"""
+    WITH mr_t AS (SELECT * FROM ({_TREND_ORACLE})),
+    mr_c AS (SELECT * FROM ({_CUSUM_ORACLE})),
+    mr_k AS (SELECT * FROM ({_KS_ORACLE})),
+    mr_d AS (SELECT * FROM ({_value_drift_sql()}))
+    SELECT t.event_type, t.n_rows, t.slope_per_day,
+           c.n_alarms_up, c.n_alarms_dn, c.first_alarm_hr,
+           k.ks_d, k.drifted AS ks_drifted, d.jeffreys,
+           CAST((CASE WHEN c.n_alarms_up + c.n_alarms_dn > 0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN k.drifted THEN 1 ELSE 0 END)
+              + (CASE WHEN d.jeffreys > {JEFFREYS_ALERT!r}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+    FROM mr_t t
+    JOIN mr_c c ON c.event_type = t.event_type
+    JOIN mr_k k ON k.key = t.event_type
+    JOIN mr_d d ON d.domain = t.event_type
+    """
+
+
+@register(
+    "events_monitor_report",
+    _monitor_report_sql(),
+    "The per-type KPI monitoring dashboard row — composition, not "
+    "reimplementation (the warehouse_quality_report discipline): OLS "
+    "trend slope, CUSUM changepoint alarms, exact KS drift verdict, "
+    "and the Jeffreys (PSI-style) distribution divergence, one row "
+    "per event type with a composite alert count (CUSUM fired / KS "
+    "rejected / Jeffreys above the "
+    f"{JEFFREYS_ALERT} convention threshold — each alert compares "
+    "the same 9-dp-quantized values in both engines). Four "
+    "independent one-pass corpus collapses (each registered and "
+    "oracle-checked on its own), then every join is a broadcast of "
+    "|types|-row synopses. The answer a data-quality on-call "
+    "actually reads.",
+)
+def q_events_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.operators.stattests import ks_2sample
+
+    trend = q_events_trend_slope(spark, sf_dir)
+    cusum = q_events_cusum_hourly(spark, sf_dir)
+    ks = ks_2sample(_ks_cells(Catalog(spark, sf_dir).table("events")))
+    drift = q_events_value_drift(spark, sf_dir)
+    alerts = (
+        F.when(F.col("n_alarms_up") + F.col("n_alarms_dn") > 0, 1)
+        .otherwise(0)
+        + F.when(F.col("ks_drifted"), 1).otherwise(0)
+        + F.when(F.col("jeffreys") > F.lit(JEFFREYS_ALERT), 1).otherwise(0)
+    )
+    return (
+        trend.join(
+            F.broadcast(cusum.withColumnRenamed("event_type", "et_c")),
+            F.col("et_c") == F.col("event_type"),
+        )
+        .join(
+            F.broadcast(
+                ks.select(
+                    F.col("key").alias("et_k"),
+                    "ks_d",
+                    F.col("drifted").alias("ks_drifted"),
+                )
+            ),
+            F.col("et_k") == F.col("event_type"),
+        )
+        .join(
+            F.broadcast(
+                drift.select(F.col("domain").alias("et_d"), "jeffreys")
+            ),
+            F.col("et_d") == F.col("event_type"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "slope_per_day",
+            "n_alarms_up",
+            "n_alarms_dn",
+            "first_alarm_hr",
+            "ks_d",
+            "ks_drifted",
+            "jeffreys",
+            alerts.cast("long").alias("n_alerts"),
+        )
     )

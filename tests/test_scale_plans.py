@@ -499,3 +499,16 @@ def test_rolling_dau_fans_out_synopsis_not_corpus(spark):
     assert "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
     assert "Generate" in plan, plan  # explode(sequence(...))
+
+
+def test_monitor_report_joins_are_all_broadcast(spark):
+    """Every component is a |types|-row synopsis; all three report
+    joins must be BroadcastHashJoin — no SortMergeJoin, no shuffle
+    of anything synopsis-sized."""
+    plan = formatted_plan(
+        REGISTRY["events_monitor_report"].fn(spark, SF_SMOKE)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
