@@ -412,6 +412,12 @@ AUDITED: dict[str, str] = {
         "fan-out of the SYNOPSIS) into one partial-agg'd "
         "count-distinct — no range join, no per-day subqueries"
     ),
+    "events_monitor_report": (
+        "four independent one-pass corpus collapses (trend sums, "
+        "hourly CUSUM cells, KS cells, drift buckets), then every "
+        "report join is a BroadcastHashJoin of |types|-row synopses "
+        "— composition adds zero new corpus passes beyond its parts"
+    ),
     "parts_bfs_hops": (
         "directed edges materialize once; each round joins only the "
         "new frontier (|frontier|-proportional, the textbook BFS "

@@ -139,6 +139,7 @@ PROBES = [
     "docs_keyphrases",     # token-stream aggs + per-doc top-k window (r8 w3)
     "customers_rfm",       # 3 range-exchange quintile passes, no ntile (r8 w3)
     "events_rolling_dau",  # bounded x7 synopsis fan-out, one count-distinct (r8 w3)
+    "events_monitor_report",  # 4 one-pass collapses + broadcast joins (r8 w3)
 ]
 
 # Library paths without their own registry entry, probed as callables:
