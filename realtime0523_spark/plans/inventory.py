@@ -119,7 +119,7 @@ _PRIORITY: list[str] = [
     "docs_keyphrases", "stream_events_cusum",
     "customers_rfm", "events_rolling_dau",
     "stream_events_ks", "stream_events_chi2", "stream_events_rolling_dau",
-    "events_monitor_report",
+    "events_monitor_report", "docs_minhash_eval", "event_funnel_latency",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
@@ -5041,5 +5041,102 @@ def q_events_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_drifted",
             "jeffreys",
             alerts.cast("long").alias("n_alerts"),
+        )
+    )
+
+
+_FUNNEL_LATENCY_ORACLE = """
+    WITH fs1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+    fs2 AS (SELECT e.user_id, fs1.t1, min(e.ts) AS t2
+            FROM events e JOIN fs1 ON fs1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > fs1.t1
+            GROUP BY e.user_id, fs1.t1),
+    fs3 AS (SELECT e.user_id, fs2.t2, min(e.ts) AS t3
+            FROM events e JOIN fs2 ON fs2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fs2.t2
+            GROUP BY e.user_id, fs2.t2),
+    d AS (
+      SELECT 'view->click' AS transition,
+             epoch_us(t2) - epoch_us(t1) AS d_us FROM fs2
+      UNION ALL
+      SELECT 'click->purchase', epoch_us(t3) - epoch_us(t2) FROM fs3)
+    SELECT transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(d_us) AS BIGINT) AS min_us,
+           CAST(max(d_us) AS BIGINT) AS max_us,
+           quantile_cont(d_us, 0.5) AS q50_us,
+           quantile_cont(d_us, 0.75) AS q75_us,
+           round(CAST(sum(d_us) AS DOUBLE) / count(*), 9) AS avg_us
+    FROM d GROUP BY transition
+    """
+
+
+@register(
+    "event_funnel_latency",
+    _FUNNEL_LATENCY_ORACLE,
+    "Time-to-convert distribution per funnel transition (view->click, "
+    "click->purchase) — the question the stage counts alone never "
+    "answer: not just HOW MANY users advance but HOW LONG they take "
+    "(the p75 is the re-engagement SLA every growth team tunes "
+    "against). Same decorrelated stage chain as event_funnel (one "
+    "user-keyed min-aggregate per stage, every shuffle on the same "
+    "user key, prior stage time carried through the group key); "
+    "latencies are EXACT integer microsecond deltas, min/max/count "
+    "exact longs, the mean an exact integer sum divided once, and "
+    "the quantiles exact linear interpolation at binary-exact "
+    "fractions (0.5, 0.75 — the qty_quantiles discipline, so the "
+    "interpolated values bit-match quantile_cont).",
+)
+def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = s2.select(
+        F.lit("view->click").alias("transition"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("d_us"),
+    ).unionAll(
+        s3.select(
+            F.lit("click->purchase").alias("transition"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("d_us"),
+        )
+    )
+    stats = d.groupBy("transition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("d_us").cast("long").alias("min_us"),
+        F.max("d_us").cast("long").alias("max_us"),
+        F.sum("d_us").alias("sum_us"),
+    )
+    q = exact_quantiles(d, ["transition"], "d_us", {"q50_us": 0.5, "q75_us": 0.75})
+    return (
+        stats.join(F.broadcast(q), "transition")
+        .select(
+            "transition",
+            "n_users",
+            "min_us",
+            "max_us",
+            "q50_us",
+            "q75_us",
+            F.round(
+                F.col("sum_us").cast("double") / F.col("n_users").cast("double"),
+                9,
+            ).alias("avg_us"),
         )
     )

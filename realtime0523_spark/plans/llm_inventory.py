@@ -4770,3 +4770,89 @@ def q_docs_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= KEYPHRASE_TOP_K)
         .select("doc_id", "rk", "tok", "tf", "score")
     )
+
+
+def _minhash_eval_sql() -> str:
+    truth = REGISTRY["docs_ngram_jaccard"].oracle
+    pred = REGISTRY["docs_minhash_lsh"].oracle
+    return f"""
+    WITH ev_t AS (SELECT doc_a, doc_b FROM ({truth})),
+    ev_p AS (SELECT doc_a, doc_b FROM ({pred})),
+    ev_h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+             FROM ev_t JOIN ev_p USING (doc_a, doc_b)),
+    ev_c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev_t) AS n_truth,
+                    (SELECT CAST(count(*) AS BIGINT) FROM ev_p) AS n_pred,
+                    (SELECT n_hit FROM ev_h) AS n_hit)
+    SELECT n_truth, n_pred, n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / nullif(CAST(n_pred AS DOUBLE), 0.0), 9) AS precision,
+           round(CAST(n_hit AS DOUBLE)
+                 / nullif(CAST(n_truth AS DOUBLE), 0.0), 9) AS recall,
+           round(2.0 * CAST(n_hit AS DOUBLE)
+                 / nullif(CAST(n_pred + n_truth AS DOUBLE), 0.0), 9) AS f1
+    FROM ev_c
+    """
+
+
+@register(
+    "docs_minhash_eval",
+    _minhash_eval_sql(),
+    "Dedup-recall report: MinHash+LSH candidate pairs measured "
+    "against the exact n-gram Jaccard ground truth — the honest-"
+    "measurement harness the ANN family already has (emb_ann_recall) "
+    "applied to the dedup family: precision, recall, and F1 of the "
+    f"production path (est_sim >= {MINHASH_EST_THRESHOLD}) against "
+    f"exact J >= {JACCARD_THRESHOLD} pairs, exact integer pair "
+    "counts, 9-dp-rounded ratios. Pure composition of two already-"
+    "oracle-checked queries; both pair sets checkpoint-materialize "
+    "before the three-way count reuse (the triangle lesson) so the "
+    "shingle/signature passes run once each. Inherits the exact "
+    "baseline's quadratic-scale refusal guard — this is the FIXTURE-"
+    "SCALE measurement that justifies trusting LSH alone at 100 TB "
+    "(where only the LSH path runs).",
+)
+def q_docs_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    ckpt, _release = _ckpt_tools(docs)
+    truth, _ = ckpt(
+        D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
+    )
+    pred, _ = ckpt(
+        D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD).select(
+            "doc_a", "doc_b"
+        )
+    )
+    n_truth = int(truth.count())
+    n_pred = int(pred.count())
+    n_hit = int(truth.join(pred, ["doc_a", "doc_b"]).count())
+
+    def ratio(num, den):
+        return float(num) / den if den else None
+
+    row = [
+        (
+            n_truth,
+            n_pred,
+            n_hit,
+            ratio(n_hit, n_pred),
+            ratio(n_hit, n_truth),
+            ratio(2 * n_hit, n_pred + n_truth),
+        )
+    ]
+    out = spark.createDataFrame(
+        row,
+        "n_truth long, n_pred long, n_hit long, precision double, "
+        "recall double, f1 double",
+    )
+    return out.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1"),
+    )

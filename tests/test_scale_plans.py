@@ -512,3 +512,15 @@ def test_monitor_report_joins_are_all_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_funnel_latency_shuffles_stay_on_user_key(spark):
+    """Same decorrelated chain as event_funnel: stage joins and
+    min-aggregates all keyed on user_id — no window over the raw
+    stream, no cartesian, and the tiny quantile table attaches by
+    broadcast."""
+    plan = formatted_plan(REGISTRY["event_funnel_latency"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
