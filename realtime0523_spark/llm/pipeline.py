@@ -607,6 +607,89 @@ def lm_bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (Kneser &
+    Ney, ICASSP 1995; the interpolated form and D=0.75 per Chen &
+    Goodman, 1999) — the canonical LM smoothing beside the add-k
+    scorer: absolute discounting plus a CONTINUATION-count backoff
+    (how many contexts a word follows, not how often it occurs), the
+    estimator that made "San Francisco" not inflate P(Francisco|·).
+
+        P_KN(w|v) = (c(v,w) − D)/c(v) + λ(v)·P_cont(w)
+        λ(v)      = D·N1+(v·)/c(v)
+        P_cont(w) = N1+(·w)/N1+(··)
+
+    Scoring the training corpus itself, every scored bigram has
+    c(v,w) ≥ 1 > D so the max(·,0) clamp never binds (asserted by
+    construction, not branched). D = 0.75 is binary-exact, counts
+    are exact longs, and the only floats are the final per-pair
+    probability and the doc mean, 9-dp-quantized like the add-k
+    scorer so both engines rank identical values.
+
+    Shape at scale: the corpus-sized pair table checkpoint-
+    materializes ONCE (five downstream uses: c2, c1, the two
+    continuation-count tables, and the scoring probe — the triangle
+    lesson; the add-k scorer has only two reuses and tolerates lazy
+    recompute). All four count tables are vocabulary-sized partial
+    aggs; N1+(··) is one scalar count. Zipf-skew note as in
+    lm_bigram_logprob (AQE skew-join splits the hot "of the"-class
+    keys)."""
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    base = docs.select(F.col(id_col), t.alias("__t")).filter(n > 1)
+    ckpt, _release = _ckpt_tools(docs)
+    pairs, _ = ckpt(
+        base.select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                )
+            ).alias("__bg"),
+        ).select(
+            id_col,
+            F.col("__bg").getField("0").alias("w1"),
+            F.col("__bg").getField("1").alias("w2"),
+        )
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count_distinct("w2").alias("n1l"),
+    )
+    n1r = pairs.groupBy("w2").agg(F.count_distinct("w1").alias("n1r"))
+    # N1+(··): total distinct bigram types — 1-row exact collect (the
+    # BM25 legality class), not a data collect
+    b_types = int(pairs.select("w1", "w2").distinct().count())
+    d = F.lit(float(discount))
+    p_kn = (
+        (F.col("n2").cast("double") - d) / F.col("n1").cast("double")
+        + (d * F.col("n1l").cast("double") / F.col("n1").cast("double"))
+        * (F.col("n1r").cast("double") / F.lit(float(b_types)))
+    )
+    logp = F.log(p_kn)
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(n1r, ["w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.avg(logp) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+                "avg_logp_kn"
+            ),
+        )
+    )
+
+
 def domain_mix(
     docs: DataFrame,
     domain_cols: tuple[str, ...] = ("source", "lang"),

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "customers_rfm", "events_rolling_dau",
     "stream_events_ks", "stream_events_chi2", "stream_events_rolling_dau",
     "events_monitor_report", "docs_minhash_eval", "event_funnel_latency",
+    "docs_kn_score",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",

@@ -4856,3 +4856,49 @@ def q_docs_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall", 9).alias("recall"),
         F.round("f1", 9).alias("f1"),
     )
+
+
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "docs_kn_score",
+    f"""
+    WITH kntoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    knpairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM kntoks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      WHERE len(t) > 1),
+    knc2 AS (SELECT w1, w2, count(*) AS n2 FROM knpairs GROUP BY 1, 2),
+    knc1 AS (SELECT w1, count(*) AS n1,
+                    count(DISTINCT w2) AS n1l FROM knpairs GROUP BY w1),
+    knr AS (SELECT w2, count(DISTINCT w1) AS n1r FROM knpairs GROUP BY w2),
+    knb AS (SELECT CAST(count(*) AS DOUBLE) AS b
+            FROM (SELECT DISTINCT w1, w2 FROM knpairs))
+    SELECT doc_id, count(*) AS n_bigrams,
+           {_r9(f'avg(ln((n2 - {KN_DISCOUNT}) / n1'
+                f' + ({KN_DISCOUNT} * n1l / n1) * (n1r / b)))')}
+             AS avg_logp_kn
+    FROM knpairs
+    JOIN knc2 USING (w1, w2) JOIN knc1 USING (w1) JOIN knr USING (w2)
+    CROSS JOIN knb
+    GROUP BY doc_id
+    """,
+    "Interpolated Kneser-Ney bigram score per doc (Kneser & Ney "
+    f"1995; D={KN_DISCOUNT} and the interpolated form per Chen & "
+    "Goodman 1999) — the canonical LM smoothing beside the add-k "
+    "scorer: absolute discounting plus CONTINUATION-count backoff "
+    "(how many contexts a word follows), the estimator that stops "
+    "'Francisco' free-riding on 'San Francisco'. The corpus-sized "
+    "pair table checkpoint-materializes once for its FIVE uses "
+    "(c2, c1+N1+(v.), N1+(.w), the distinct-bigram scalar, the "
+    "scoring probe — the triangle lesson); all count tables are "
+    "vocabulary-sized partial aggs; scoring the training corpus "
+    "itself keeps c(v,w) >= 1 > D so the max clamp never binds; "
+    "identical IEEE probability expression in both engines, doc "
+    "mean 9-dp-quantized (llm/pipeline.py::kn_bigram_logprob).",
+)
+def q_docs_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.kn_bigram_logprob(
+        Catalog(spark, sf_dir).table("documents"), discount=KN_DISCOUNT
+    )

@@ -1901,3 +1901,28 @@ class TestPPJoin:
         out = ppjoin_pairs(docs, 4, 5).collect()
         assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
         assert out[0]["jaccard"] == 0.8
+
+
+def test_kn_bigram_hand_computed(spark):
+    """Corpus 'a b a c a b' (one doc): every KN quantity is
+    hand-checkable — c(a·)=3, N1+(a·)=2, N1+(·b)=1, N1+(·a)=2,
+    N1+(··)=4 — and the doc mean must equal the hand-computed
+    average of the five pair log-probs. Also pins the KN identity
+    Σ_w P_KN(w|v) = 1 implicitly: P(b|a)+P(c|a) = 0.75, leaving
+    exactly λ(a)·P_cont(a) = 0.25 for the unseen (a,a)."""
+    import math
+
+    from realtime0523_spark.llm.pipeline import kn_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c a b")], "doc_id long, text string"
+    )
+    row = kn_bigram_logprob(docs).collect()[0]
+    p_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 4)
+    p_ba = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (2 / 4)
+    p_ac = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 4)
+    p_ca = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (2 / 4)
+    want = sum(map(math.log, [p_ab, p_ba, p_ac, p_ca, p_ab])) / 5
+    assert row.n_bigrams == 5
+    assert abs(row.avg_logp_kn - want) < 1e-8
+    assert abs((p_ab + p_ac) - 0.75) < 1e-12
