@@ -113,21 +113,35 @@ _PRIORITY: list[str] = [
     "stream_customers_record_linkage", "media_audio_energy",
     "cdc_retract_join3", "events_value_drift",
     "stream_events_trend_slope", "emb_ann_ivfopq",
-    "parts_association_rules", "lineitem_corr_matrix",
-    "events_resample_ffill", "parts_bfs_hops",
-    "events_cusum_hourly", "events_ks_drift", "events_chi2",
-    "docs_keyphrases", "stream_events_cusum",
-    "customers_rfm", "events_rolling_dau",
-    "stream_events_ks", "stream_events_chi2", "stream_events_rolling_dau",
-    "events_monitor_report", "docs_minhash_eval", "event_funnel_latency",
-    "docs_kn_score",
     "segment_overlap_kmv", "stream_segment_overlap_kmv",
     "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
     "event_value_outliers",
+    # CHANGED-code queries whose pre-change driver rows are stale
+    # greens — these must re-verify before any brand-new query takes
+    # a slot (a shipped change without re-verification is the
+    # round-7-verdict failure mode):
     "parts_triangle_stats",
     "events_trending_decayed", "stream_trending_decayed",
-    "lineitem_column_stats", "emb_ann_rp", "emb_ann_recall",
-    "event_funnel",
+    "lineitem_column_stats", "emb_ann_rp",
+    # Round-8 third wave (this session). WINDOW ARITHMETIC: the round
+    # added/changed 60 queries for 50 slots, so the third wave is
+    # ordered subtlest-cross-engine-arithmetic first; the entries
+    # past slot 50 (the four additive-cell stream twins — each
+    # bit-identical to its in-window batch twin by shared finisher
+    # code plus a drained-equals-batch pytest — the two pure
+    # compositions of already-verified parts, funnel latency, and
+    # rolling-DAU, both pandas-replay-tested) spill to LEAD round
+    # 9's group 1, where they are the stalest never-driver-verified
+    # rows:
+    "parts_association_rules", "lineitem_corr_matrix",
+    "events_resample_ffill", "parts_bfs_hops",
+    "events_cusum_hourly", "events_ks_drift", "events_chi2",
+    "docs_keyphrases", "customers_rfm", "docs_kn_score",
+    "event_funnel_latency", "events_rolling_dau", "docs_minhash_eval",
+    "events_monitor_report", "stream_events_cusum", "stream_events_ks",
+    "stream_events_chi2", "stream_events_rolling_dau",
+    # riders (unchanged code, defense in depth — fine to spill):
+    "emb_ann_recall", "event_funnel",
     # Round 8 group 3 — stalest-green ascending. The 14 queries whose
     # newest driver row is still r4 (three rounds old) land first.
     # NOTE (window arithmetic, round 8): the round ADDED/CHANGED 46
