@@ -418,6 +418,19 @@ AUDITED: dict[str, str] = {
         "report join is a BroadcastHashJoin of |types|-row synopses "
         "— composition adds zero new corpus passes beyond its parts"
     ),
+    "docs_kn_score": (
+        "the corpus-sized pair table checkpoint-materializes once "
+        "for its five uses; all KN count tables are vocabulary-sized "
+        "partial aggs rejoined by term keys; the distinct-bigram "
+        "total is a 1-row collect — Zipf skew handled by AQE "
+        "skew-join like the add-k scorer"
+    ),
+    "event_funnel_latency": (
+        "the decorrelated stage chain keeps every shuffle on the "
+        "user key (no window over the raw stream); latencies are "
+        "synopsis-sized and the exact-quantile table re-attaches by "
+        "broadcast"
+    ),
     "parts_bfs_hops": (
         "directed edges materialize once; each round joins only the "
         "new frontier (|frontier|-proportional, the textbook BFS "
