@@ -141,8 +141,13 @@ def cusum_summary(series: DataFrame, key_out: str = "event_type") -> DataFrame:
 def ks_2sample(cells: DataFrame) -> DataFrame:
     """Exact two-sample KS statistic per key from a per-value cell
     table (key, v, c1, c2) — c1/c2 are the two samples' counts at
-    value v (zero when absent), already collapsed by the caller's one
-    partial-agg'd pass, so this runs on the |key|×NDV synopsis.
+    value v (zero when absent), normally collapsed by the caller's
+    one partial-agg'd pass so this runs on the |key|×NDV synopsis;
+    duplicate (key, v) rows are folded defensively (the ECDF steps
+    once per distinct value — a property test caught the per-row
+    cumulative otherwise). A key with one sample empty (a type born
+    mid-month) yields NULL ks_d/ks_crit via nullif, never a
+    divide-by-zero.
 
     D = max_v |F1(v) − F2(v)| is decided on EXACT integers by cross-
     multiplying the ECDF steps: |cum1·n2 − cum2·n1| (ties are handled
@@ -158,11 +163,16 @@ def ks_2sample(cells: DataFrame) -> DataFrame:
     """
     wk = W.partitionBy("key")
     wo = wk.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    g = cells.select(
-        F.col("key"),
-        F.col("v"),
-        F.col("c1").cast("long").alias("c1"),
-        F.col("c2").cast("long").alias("c2"),
+    # defensive collapse: the ECDF steps once per DISTINCT value, so
+    # duplicate (key, v) rows must fold before the ROWS-frame windows
+    # (a property test caught the per-row cumulative otherwise); a
+    # no-op partial agg when the caller already collapsed
+    g = (
+        cells.groupBy("key", "v")
+        .agg(
+            F.sum(F.col("c1").cast("long")).alias("c1"),
+            F.sum(F.col("c2").cast("long")).alias("c2"),
+        )
     )
     g = g.select(
         "key",
@@ -177,7 +187,12 @@ def ks_2sample(cells: DataFrame) -> DataFrame:
         F.max("n_b").alias("n_b"),
         F.max(num).alias("ks_num"),
     )
-    prod = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    # one empty sample (a type born mid-month) → no test, NULL stats
+    # rather than a divide-by-zero (both engines via nullif)
+    prod = F.nullif(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+        F.lit(0.0),
+    )
     d_stat = F.round(F.col("ks_num").cast("double") / prod, 9)
     crit = F.round(
         F.lit(KS_CRIT_COEFF)
@@ -262,6 +277,8 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
         ).alias("chi2"),
         F.least(F.col("na") - 1, F.col("nb") - 1).alias("mindim"),
     )
+    # a degenerate table (one category on either axis) has dof 0 and
+    # no effect size — NULL via nullif, never a divide-by-zero
     return chi2.select(
         "n_rows",
         "dof",
@@ -269,7 +286,11 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
         F.round(
             F.sqrt(
                 F.col("chi2")
-                / (F.col("n_rows").cast("double") * F.col("mindim").cast("double"))
+                / F.nullif(
+                    F.col("n_rows").cast("double")
+                    * F.col("mindim").cast("double"),
+                    F.lit(0.0),
+                )
             ),
             9,
         ).alias("cramers_v"),

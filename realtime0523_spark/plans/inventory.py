@@ -4522,11 +4522,13 @@ _KS_ORACLE = f"""
       SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              CAST(ks_num AS BIGINT) AS ks_num,
              round(CAST(ks_num AS DOUBLE)
-                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+                   / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE),
+                            0.0), 9)
                AS ks_d,
              round({KS_CRIT_COEFF!r} * sqrt(
                      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 9)
+                     / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE),
+                              0.0)), 9)
                AS ks_crit
       FROM a)
     SELECT key, n_a, n_b, ks_num, ks_d, ks_crit,
@@ -4583,8 +4585,9 @@ _CHI2_ORACLE = """
              least(na - 1, nb - 1) AS mindim
       FROM s)
     SELECT n_rows, dof, chi2,
-           round(sqrt(chi2 / (CAST(n_rows AS DOUBLE)
-                              * CAST(mindim AS DOUBLE))), 9) AS cramers_v
+           round(sqrt(chi2 / nullif(CAST(n_rows AS DOUBLE)
+                                    * CAST(mindim AS DOUBLE), 0.0)), 9)
+             AS cramers_v
     FROM f
     """
 

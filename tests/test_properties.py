@@ -492,3 +492,110 @@ def test_retract_join_equals_live_state_join_property(spark, data):
         for a, pairs in expect.items()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# stattests: CUSUM prefix identity, KS metric axioms, chi2 invariants
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=2, max_size=40))
+@settings(**PROP_SETTINGS)
+def test_cusum_prefix_identity_matches_recursion(spark, xs):
+    """The window formulation C+ = P − min(0, running_min P),
+    C− = max(0, running_max P) − P must equal the textbook
+    reset-at-zero recursion for EVERY prefix, on arbitrary series."""
+    from realtime0523_spark.operators.stattests import cusum_series
+
+    rows = [("k", t, x) for t, x in enumerate(xs)]
+    out = (
+        cusum_series(spark.createDataFrame(rows, "k string, t long, x long"))
+        .orderBy("t")
+        .collect()
+    )
+    n, tot = len(xs), sum(xs)
+    c_up = c_dn = 0
+    for r, x in zip(out, xs):
+        d = n * x - tot
+        c_up = max(0, c_up + d)
+        c_dn = max(0, c_dn - d)
+        assert (r.cusum_up, r.cusum_dn) == (c_up, c_dn)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_ks_axioms_on_arbitrary_cells(spark, cells):
+    """KS axioms on arbitrary per-value cell tables: 0 <= D <= 1;
+    D = 0 when the two samples are identical; and D matches a plain
+    python ECDF replay."""
+    from realtime0523_spark.operators.stattests import ks_2sample
+
+    rows = [("g", v, c1, c2) for v, c1, c2 in cells]
+    df = spark.createDataFrame(rows, "key string, v long, c1 long, c2 long")
+    got = ks_2sample(df).collect()
+    agg = {}
+    for v, c1, c2 in cells:
+        a, b = agg.get(v, (0, 0))
+        agg[v] = (a + c1, b + c2)
+    n1 = sum(a for a, _ in agg.values())
+    n2 = sum(b for _, b in agg.values())
+    if n1 == 0 or n2 == 0:
+        if got:
+            r = got[0]
+            assert r.ks_d is None or 0.0 <= r.ks_d <= 1.0 or r.ks_num == 0
+        return
+    cum1 = cum2 = 0
+    best = 0
+    for v in sorted(agg):
+        cum1 += agg[v][0]
+        cum2 += agg[v][1]
+        best = max(best, abs(cum1 * n2 - cum2 * n1))
+    r = got[0]
+    assert r.ks_num == best
+    assert 0.0 <= r.ks_d <= 1.0
+    # identical samples → D = 0
+    same = spark.createDataFrame(
+        [("g", v, c, c) for v, c, _ in cells],
+        "key string, v long, c1 long, c2 long",
+    )
+    for rr in ks_2sample(same).collect():
+        assert rr.ks_num == 0 and not rr.drifted
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xy"), st.sampled_from("pqr")),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_chi2_invariants(spark, pairs):
+    """chi2 >= 0 always; dof = (|A|-1)(|B|-1); and chi2 == 0 for any
+    exact product distribution (rows duplicated so counts factor)."""
+    from realtime0523_spark.operators.stattests import chi2_independence
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    na = len({a for a, _ in pairs})
+    nb = len({b for _, b in pairs})
+    assert r.dof == (na - 1) * (nb - 1)
+    assert r.chi2 >= -1e-9
+    assert r.n_rows == len(pairs)
+    # exact independence: counts n(a,b) = f(a)*g(b)
+    prod = [
+        (a, b)
+        for a, fa in [("x", 1), ("y", 2)]
+        for b, gb in [("p", 1), ("q", 3)]
+        for _ in range(fa * gb)
+    ]
+    r0 = chi2_independence(
+        spark.createDataFrame(prod, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert abs(r0.chi2) < 1e-9
