@@ -5085,7 +5085,7 @@ _FUNNEL_LATENCY_ORACLE = """
            CAST(max(d_us) AS BIGINT) AS max_us,
            quantile_cont(d_us, 0.5) AS q50_us,
            quantile_cont(d_us, 0.75) AS q75_us,
-           round(CAST(sum(d_us) AS DOUBLE) / count(*), 9) AS avg_us
+           CAST(sum(d_us) // count(*) AS BIGINT) AS avg_us
     FROM d GROUP BY transition
     """
 
@@ -5101,10 +5101,13 @@ _FUNNEL_LATENCY_ORACLE = """
     "user-keyed min-aggregate per stage, every shuffle on the same "
     "user key, prior stage time carried through the group key); "
     "latencies are EXACT integer microsecond deltas, min/max/count "
-    "exact longs, the mean an exact integer sum divided once, and "
-    "the quantiles exact linear interpolation at binary-exact "
-    "fractions (0.5, 0.75 — the qty_quantiles discipline, so the "
-    "interpolated values bit-match quantile_cont).",
+    "exact longs, the mean an exact integer FLOOR DIVISION of the "
+    "exact sum (a 9-dp round of a ~2e11 double diverges across "
+    "engines — BigDecimal vs double rounding; the sf0.1 sweep "
+    "caught it), and the quantiles exact linear interpolation at "
+    "binary-exact fractions (0.5, 0.75 — the qty_quantiles "
+    "discipline, so the interpolated values bit-match "
+    "quantile_cont).",
 )
 def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events")
@@ -5152,9 +5155,11 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_us",
             "q50_us",
             "q75_us",
-            F.round(
-                F.col("sum_us").cast("double") / F.col("n_users").cast("double"),
-                9,
-            ).alias("avg_us"),
+            # EXACT integer mean (floor division of the exact sum):
+            # a 9-dp round of a ~2e11-microsecond double diverges
+            # across engines (BigDecimal vs double rounding) — the
+            # sf0.1 sweep caught it; sub-microsecond precision is
+            # noise here anyway
+            F.expr("sum_us div n_users").cast("long").alias("avg_us"),
         )
     )
