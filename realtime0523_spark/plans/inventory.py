@@ -138,7 +138,8 @@ _PRIORITY: list[str] = [
     "events_cusum_hourly", "events_ks_drift", "events_chi2",
     "docs_keyphrases", "customers_rfm", "docs_kn_score",
     "event_funnel_latency", "events_rolling_dau", "docs_minhash_eval",
-    "events_monitor_report", "stream_events_cusum", "stream_events_ks",
+    "events_monitor_report", "customers_rfm_migration",
+    "stream_events_cusum", "stream_events_ks",
     "stream_events_chi2", "stream_events_rolling_dau",
     # riders (unchanged code, defense in depth — fine to spill):
     "emb_ann_recall", "event_funnel",
@@ -4669,38 +4670,87 @@ _RFM_SEG_SQL = """CASE
              WHEN r_score <= 2 THEN 'at_risk'
              ELSE 'regular' END"""
 
-_RFM_ORACLE = f"""
-    WITH cust AS (
+def _rfm_scores_ctes(px: str, where: str) -> str:
+    """The per-customer RFM score CTE set, prefixed so two snapshots
+    compose in one statement (the migration oracle)."""
+    return f"""
+    {px}cust AS (
       SELECT o_custkey AS ck,
              CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
-                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders
+                     WHERE {where}))
                   AS BIGINT) AS r_days,
              CAST(count(*) AS BIGINT) AS freq,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS mon
-      FROM orders GROUP BY 1),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
-    b AS (
+      FROM orders WHERE {where} GROUP BY 1),
+    {px}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {px}cust),
+    {px}b AS (
       SELECT ck, mon,
              ((row_number() OVER (ORDER BY r_days, ck) - 1)
-              * {RFM_BUCKETS}) // nn.n AS rb,
+              * {RFM_BUCKETS}) // {px}nn.n AS rb,
              ((row_number() OVER (ORDER BY freq, ck) - 1)
-              * {RFM_BUCKETS}) // nn.n AS fb,
+              * {RFM_BUCKETS}) // {px}nn.n AS fb,
              ((row_number() OVER (ORDER BY mon, ck) - 1)
-              * {RFM_BUCKETS}) // nn.n AS mb
-      FROM cust CROSS JOIN nn),
-    s AS (
+              * {RFM_BUCKETS}) // {px}nn.n AS mb
+      FROM {px}cust CROSS JOIN {px}nn),
+    {px}s AS (
       SELECT ck, mon,
              CAST({RFM_BUCKETS} - rb AS BIGINT) AS r_score,
              CAST(fb + 1 AS BIGINT) AS f_score,
              CAST(mb + 1 AS BIGINT) AS m_score
-      FROM b)
+      FROM {px}b)"""
+
+
+_RFM_ORACLE = f"""
+    WITH {_rfm_scores_ctes("", "1 = 1")}
     SELECT r_score, f_score, m_score,
            {_RFM_SEG_SQL} AS segment,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS total_cents
     FROM s GROUP BY 1, 2, 3, 4
     """
+
+
+def _rfm_scores(orders: DataFrame) -> DataFrame:
+    """Per-customer RFM quintile scores + segment label — the shared
+    scorer behind customers_rfm and the migration matrix. Exact
+    rank-bucket quintiles via prefix_sums (never ntile); the recency
+    anchor is the SNAPSHOT max order date (1-row exact collect)."""
+    from realtime0523_spark.operators.histogram import prefix_sums
+
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("a")
+    ).first()["a"]
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.lit(anchor), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("mon"),
+    ).withColumn("one", F.lit(1).cast("long"))
+
+    d, n = prefix_sums(cust, [F.col("r_days"), F.col("ck")], "one", "cum_r")
+    d, _ = prefix_sums(d, [F.col("freq"), F.col("ck")], "one", "cum_f")
+    d, _ = prefix_sums(d, [F.col("mon"), F.col("ck")], "one", "cum_m")
+    s = d.select(
+        "ck",
+        "mon",
+        (F.lit(RFM_BUCKETS) - F.expr(f"(cum_r * {RFM_BUCKETS}) div {n}"))
+        .cast("long")
+        .alias("r_score"),
+        (F.expr(f"(cum_f * {RFM_BUCKETS}) div {n}") + 1)
+        .cast("long")
+        .alias("f_score"),
+        (F.expr(f"(cum_m * {RFM_BUCKETS}) div {n}") + 1)
+        .cast("long")
+        .alias("m_score"),
+    )
+    return s.withColumn("segment", F.expr(_RFM_SEG_SQL))
 
 
 @register(
@@ -4725,49 +4775,86 @@ _RFM_ORACLE = f"""
     "fully deterministic in both engines.",
 )
 def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.operators.histogram import prefix_sums
-
     orders = Catalog(spark, sf_dir).table("orders")
-    anchor = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("a")
-    ).first()["a"]
-    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.datediff(
-            F.lit(anchor), F.max(F.col("o_orderdate").cast("date"))
-        )
-        .cast("long")
-        .alias("r_days"),
-        F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("mon"),
-    ).withColumn("one", F.lit(1).cast("long"))
-
-    d, n = prefix_sums(cust, [F.col("r_days"), F.col("ck")], "one", "cum_r")
-    d, _ = prefix_sums(d, [F.col("freq"), F.col("ck")], "one", "cum_f")
-    d, _ = prefix_sums(d, [F.col("mon"), F.col("ck")], "one", "cum_m")
-    s = d.select(
-        "mon",
-        (F.lit(RFM_BUCKETS) - F.expr(f"(cum_r * {RFM_BUCKETS}) div {n}"))
-        .cast("long")
-        .alias("r_score"),
-        (F.expr(f"(cum_f * {RFM_BUCKETS}) div {n}") + 1)
-        .cast("long")
-        .alias("f_score"),
-        (F.expr(f"(cum_m * {RFM_BUCKETS}) div {n}") + 1)
-        .cast("long")
-        .alias("m_score"),
-    )
-    return s.groupBy("r_score", "f_score", "m_score").agg(
+    return _rfm_scores(orders).groupBy(
+        "r_score", "f_score", "m_score", "segment"
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("mon").cast("long").alias("total_cents"),
     ).select(
-        "r_score",
-        "f_score",
-        "m_score",
-        F.expr(_RFM_SEG_SQL).alias("segment"),
+        "r_score", "f_score", "m_score", "segment",
+        "n_customers", "total_cents",
+    )
+
+
+RFM_MIGRATION_CUTOFF = "2000-12-31 23:59:59"
+
+_RFM_MIGRATION_ORACLE = f"""
+    WITH {_rfm_scores_ctes("a_", f"o_orderdate <= TIMESTAMP '{RFM_MIGRATION_CUTOFF}'")},
+    {_rfm_scores_ctes("b_", "1 = 1")},
+    seg_a AS (SELECT ck, {_RFM_SEG_SQL} AS seg FROM a_s),
+    seg_b AS (SELECT ck, {_RFM_SEG_SQL} AS seg FROM b_s),
+    mig AS (
+      SELECT coalesce(a.seg, 'new') AS segment_from,
+             b.seg AS segment_to,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM seg_b b LEFT JOIN seg_a a USING (ck)
+      GROUP BY 1, 2)
+    SELECT segment_from, segment_to, n_customers,
+           round(CAST(n_customers AS DOUBLE)
+                 / CAST(sum(n_customers) OVER (PARTITION BY segment_from)
+                        AS DOUBLE), 9) AS share_of_from
+    FROM mig
+    """
+
+
+@register(
+    "customers_rfm_migration",
+    _RFM_MIGRATION_ORACLE,
+    "RFM segment MIGRATION matrix between two order snapshots (as of "
+    f"{RFM_MIGRATION_CUTOFF[:10]} vs today) — the CRM movement "
+    "report: who fell from champion to at_risk, which at_risk "
+    "customers a win-back campaign actually recovered, how many "
+    "customers are new since the cutoff ('new' pseudo-segment). "
+    "Composition of the shared _rfm_scores scorer run on each "
+    "snapshot (each with its OWN max-date anchor and its own exact "
+    "rank quintiles — scores are cohort-relative by design, so the "
+    "matrix measures RELATIVE standing shifts, documented); the two "
+    "|customers| score tables join on the customer key and collapse "
+    "to the <=36-cell matrix, with each cell's share-of-origin from "
+    "a window over that meta-sized matrix. Snapshot B is a superset "
+    "of A, so a LEFT join from B covers every customer; counts are "
+    "exact longs, shares one 9-dp division.",
+)
+def q_customers_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    a = _rfm_scores(
+        orders.filter(
+            F.col("o_orderdate") <= F.lit(RFM_MIGRATION_CUTOFF).cast("timestamp")
+        )
+    ).select("ck", F.col("segment").alias("seg_a"))
+    b = _rfm_scores(orders).select("ck", F.col("segment").alias("seg_b"))
+    mig = (
+        b.join(a, "ck", "left")
+        .select(
+            F.coalesce("seg_a", F.lit("new")).alias("segment_from"),
+            F.col("seg_b").alias("segment_to"),
+        )
+        .groupBy("segment_from", "segment_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    w = W.partitionBy("segment_from")
+    return mig.select(
+        "segment_from",
+        "segment_to",
         "n_customers",
-        "total_cents",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w).cast("double"),
+            9,
+        ).alias("share_of_from"),
     )
 
 

@@ -1410,3 +1410,27 @@ class TestRfmAndRollingDau:
             assert row["rolling_7d_dau"] == win["user_id"].nunique()
             assert row["dau"] == cells[cells["d"] == day]["user_id"].nunique()
             assert row["rolling_7d_dau"] >= row["dau"]
+
+
+def test_rfm_migration_matrix_is_consistent(spark):
+    """Matrix invariants: column sums over segment_to equal snapshot
+    B's segment populations (every customer lands exactly once);
+    'new' rows count exactly the customers absent from snapshot A;
+    per-origin shares sum to 1."""
+    import pandas as pd
+
+    from realtime0523_spark.plans import REGISTRY
+
+    mig = REGISTRY["customers_rfm_migration"].fn(spark, SF_SMOKE).toPandas()
+    rfm = REGISTRY["customers_rfm"].fn(spark, SF_SMOKE).toPandas()
+    to_pop = mig.groupby("segment_to")["n_customers"].sum()
+    full_pop = rfm.groupby("segment")["n_customers"].sum()
+    assert to_pop.sort_index().equals(full_pop.sort_index())
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cutoff = pd.Timestamp("2000-12-31 23:59:59")
+    pre = set(orders[orders["o_orderdate"] <= cutoff]["o_custkey"])
+    allc = set(orders["o_custkey"])
+    n_new = mig[mig["segment_from"] == "new"]["n_customers"].sum()
+    assert n_new == len(allc - pre)
+    shares = mig.groupby("segment_from")["share_of_from"].sum()
+    assert ((shares - 1.0).abs() < 1e-6).all()
