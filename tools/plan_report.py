@@ -418,6 +418,12 @@ AUDITED: dict[str, str] = {
         "report join is a BroadcastHashJoin of |types|-row synopses "
         "— composition adds zero new corpus passes beyond its parts"
     ),
+    "customers_rfm_migration": (
+        "the shared scorer runs once per snapshot (each a |customers| "
+        "range-exchange quintile pass reading its checkpoints); the "
+        "two score tables join on the customer key and collapse to "
+        "the <=36-cell matrix; the share window runs on that matrix"
+    ),
     "docs_kn_score": (
         "the corpus-sized pair table checkpoint-materializes once "
         "for its five uses; all KN count tables are vocabulary-sized "

@@ -142,6 +142,7 @@ PROBES = [
     "events_monitor_report",  # 4 one-pass collapses + broadcast joins (r8 w3)
     "event_funnel_latency",  # user-keyed stage chain + exact quantiles (r8 w3)
     "docs_kn_score",       # ckpt'd pair table, vocab-sized count aggs (r8 w3)
+    "customers_rfm_migration",  # shared scorer x2 snapshots + ck join (r8 w3)
 ]
 
 # Library paths without their own registry entry, probed as callables:
