@@ -5226,6 +5226,13 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("t3") - F.unix_micros("t2")).alias("d_us"),
         )
     )
+    return funnel_latency_stats(d)
+
+
+def funnel_latency_stats(d: DataFrame) -> DataFrame:
+    """Per-transition latency report over a (transition, d_us) delta
+    table — shared by the batch query and the streaming twin so both
+    finish identical algebra on identical exact deltas."""
     stats = d.groupBy("transition").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.min("d_us").cast("long").alias("min_us"),
