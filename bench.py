@@ -87,6 +87,33 @@ def _host_contention() -> dict[str, float]:
     return out
 
 
+# Contention guard (round-8 verdict item): BENCH_r08.json committed a
+# 2.17× total that was pure host contention (start load 10.7 on this
+# shared 32-core host vs ~3.0 every prior round; every outlier
+# re-measured at baseline on a quiet host). A gate artifact that can
+# read as failure must self-label validity — so before the measured
+# pass we settle-wait (bounded) for load to drop under the threshold,
+# and if it never clears we stamp ``"contended": true`` plus the final
+# load into the JSON line so readers know the number is weather, not
+# code.
+LOAD_THRESHOLD = 6.0  # ~load 6 on 32 cores = other tenants active
+SETTLE_MAX_SEC = 300.0  # bounded: never stall the driver > 5 min
+SETTLE_POLL_SEC = 15.0
+
+
+def _settle_wait() -> tuple[bool, float]:
+    """Wait (bounded) for 1-minute load average to fall below
+    LOAD_THRESHOLD. Returns (contended, final_load): contended=True
+    means the wait expired with load still high and the measurement
+    should be labeled as such."""
+    deadline = time.time() + SETTLE_MAX_SEC
+    load = os.getloadavg()[0]
+    while load > LOAD_THRESHOLD and time.time() < deadline:
+        time.sleep(min(SETTLE_POLL_SEC, max(0.0, deadline - time.time())))
+        load = os.getloadavg()[0]
+    return load > LOAD_THRESHOLD, round(load, 2)
+
+
 def _local_artifact_path() -> str:
     """Committed sidecar for the full per-query JSON. The driver's
     BENCH_r{N}.json artifact keeps only a 2000-char stdout tail, which
@@ -121,6 +148,10 @@ def main() -> None:
             pass
         _release_query_state(spark)
 
+    # settle AFTER warm-up (our own warm-up inflates load) and
+    # immediately before the measured pass.
+    contended, settled_load = _settle_wait()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
@@ -138,6 +169,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "contended": contended,
+            "load_at_measure_start": settled_load,
             "host_before": contention_before,
             "host_after": _host_contention(),
         }
@@ -148,7 +181,11 @@ def main() -> None:
             fh.write(full + "\n")
     except OSError:
         pass  # the stdout line is still the contract; the sidecar is best-effort
-    print(_stdout_line(total, timings, sf, os.path.basename(sidecar)))
+    print(
+        _stdout_line(
+            total, timings, sf, os.path.basename(sidecar), contended, settled_load
+        )
+    )
 
 
 # The driver records only the last STDOUT_BUDGET chars of stdout and
@@ -163,22 +200,30 @@ STDOUT_BUDGET = 1985
 
 
 def _stdout_line(
-    total: float, timings: dict[str, float], sf: str, sidecar: str
+    total: float,
+    timings: dict[str, float],
+    sf: str,
+    sidecar: str,
+    contended: bool = False,
+    settled_load: float | None = None,
 ) -> str:
     def render(q: dict[str, float], omitted: int) -> str:
-        return json.dumps(
-            {
-                "metric": "inventory_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": q,
-                "omitted": omitted,
-                "all_queries_in": sidecar,
-            },
-            separators=(",", ":"),
-        )
+        line: dict = {
+            "metric": "inventory_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": q,
+            "omitted": omitted,
+            "all_queries_in": sidecar,
+        }
+        if contended:
+            # measurement taken with other tenants active despite a
+            # bounded settle-wait — timings reflect weather, not code.
+            line["contended"] = True
+            line["load_at_measure_start"] = settled_load
+        return json.dumps(line, separators=(",", ":"))
     ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     kept: dict[str, float] = {}
     line = render(kept, len(ordered))

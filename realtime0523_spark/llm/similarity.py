@@ -1755,9 +1755,25 @@ def mmr_topk(
     scan (cosine_topk's map-only batch-local prune); everything
     after runs on |queries|·retrieve rows. The greedy itself is
     inherently sequential per query, so it runs driver-side on the
-    collected shortlist (|queries|·retrieve vectors, small by the
-    same contract as every ANN query-set collect) — at serving scale
-    this is the re-rank tier, not a cluster job."""
+    collected shortlist — at serving scale this is the re-rank tier,
+    not a cluster job.
+
+    DRIVER-MEMORY CONTRACT (hard, enforced): the two collects hold
+    |queries|·retrieve (id, rel) rows plus ≤ that many embedding
+    vectors in driver memory. That is the re-rank tier's working set
+    by definition; MMR over an unbounded candidate set is not this
+    operator. The |queries| cap below makes the contract loud instead
+    of an eventual driver OOM. Output id columns inherit the exact
+    input column types (round-8 advice: the schema was hardcoded
+    `long`, breaking string-id corpora at createDataFrame)."""
+    n_queries = queries.count()
+    if n_queries * retrieve > 1_000_000:
+        raise ValueError(
+            f"mmr_topk driver-memory contract: |queries|*retrieve = "
+            f"{n_queries}*{retrieve} > 1e6 shortlist rows. MMR is a "
+            "re-rank-tier operator over a bounded shortlist; split the "
+            "query set or lower `retrieve`."
+        )
     r9c = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     shortlist = cosine_topk(
         corpus,
@@ -1808,6 +1824,10 @@ def mmr_topk(
             chosen.add(best[0])
             out.append((qid, best[0], best[1], rank))
     spark = corpus.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"{query_id_col} long, {id_col} long, mmr_score double, mmr_rank int"
+        out,
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+        "mmr_score double, mmr_rank int",
     )

@@ -92,7 +92,18 @@ def bootstrap_mean_ci(
     """Per-group mean of `value_col` (2-dp money) with a bootstrap
     percentile interval: the lo_rank-th / hi_rank-th smallest of the b
     replicate means (1-indexed; defaults ≈ the 2.5/97.5 percentiles at
-    b=32). Output: group, est_mean, ci_lo, ci_hi, n_rows."""
+    b=32). Output: group, est_mean, ci_lo, ci_hi, n_rows.
+
+    Tiny-group contract: empty resamples (sum of Poisson weights = 0)
+    contribute no mean, so a group can have fewer than b replicate
+    means — for a 1-row group ~37% of Poisson(1) replicates are empty
+    and fewer than hi_rank means may exist. Both ranks are therefore
+    CLAMPED to the group's actual replicate count (least(rank, cnt)),
+    so ci_lo/ci_hi are always non-NULL for any non-empty group; for
+    very small groups the interval degenerates toward the extreme
+    replicate means rather than silently returning NULL (round-8
+    advice item). The interval is statistically meaningless below
+    ~30 rows per group either way — the caller owns that judgment."""
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     base = df.select(
         F.col(group_col).alias("grp"),
@@ -154,16 +165,25 @@ def bootstrap_mean_ci(
             (F.col("swv").cast("double") / F.col("sw")).alias("mean_b"),
         )
     )
-    # rep as tiebreaker: equal means must rank deterministically
-    ranked = rep_means.withColumn(
-        "rk", F.row_number().over(W.partitionBy("grp").orderBy("mean_b", "rep"))
+    # rep as tiebreaker: equal means must rank deterministically.
+    # cnt (non-empty replicate count) rides along so tiny groups clamp
+    # their ranks instead of losing a CI bound to NULL.
+    ranked = rep_means.select(
+        "grp",
+        "mean_b",
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy("mean_b", "rep"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("cnt"),
     )
+    lo = F.least(F.lit(lo_rank), F.col("cnt"))
+    hi = F.least(F.lit(hi_rank), F.col("cnt"))
     ci = (
-        ranked.filter(F.col("rk").isin(lo_rank, hi_rank))
+        ranked.filter((F.col("rk") == lo) | (F.col("rk") == hi))
         .groupBy("grp")
         .agg(
-            F.min(F.when(F.col("rk") == lo_rank, F.col("mean_b"))).alias("ci_lo"),
-            F.min(F.when(F.col("rk") == hi_rank, F.col("mean_b"))).alias("ci_hi"),
+            F.min(F.when(F.col("rk") == lo, F.col("mean_b"))).alias("ci_lo"),
+            F.min(F.when(F.col("rk") == hi, F.col("mean_b"))).alias("ci_hi"),
         )
     )
     return (

@@ -50,10 +50,28 @@ def _r9(c: Column) -> Column:
 
 def dd_bucket(cents: Column, gamma: float = DD_GAMMA) -> Column:
     """Logarithmic bucket index of a non-negative integer-cents value:
-    floor(r9(ln v) / r9(ln γ)); zero takes the dedicated zero-bin."""
+    floor(r9(ln v) / r9(ln γ)); zero takes the dedicated zero-bin.
+
+    Negative cents RAISE (executor-side, same discipline as
+    retraction's unknown-op guard): the one-sided sketch has no bucket
+    for them, and silently clamping a negative metric to estimate 0.0
+    (the round-8 advice finding) would corrupt quantiles without any
+    signal. Signed metrics need a two-sided sketch — not offered yet;
+    callers shift-or-split instead."""
     lg = round(math.log(gamma), 9)
-    return F.when(cents <= 0, F.lit(ZERO_BUCKET)).otherwise(
-        F.floor(_r9(F.log(cents.cast("double"))) / F.lit(lg)).cast("long")
+    bad = F.raise_error(
+        F.concat(
+            F.lit("dd_bucket: negative value (cents="),
+            cents.cast("string"),
+            F.lit("); the one-sided DDSketch accepts only >= 0"),
+        )
+    )
+    return (
+        F.when(cents < 0, bad.cast("long"))
+        .when(cents == 0, F.lit(ZERO_BUCKET))
+        .otherwise(
+            F.floor(_r9(F.log(cents.cast("double"))) / F.lit(lg)).cast("long")
+        )
     )
 
 

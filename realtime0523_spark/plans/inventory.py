@@ -82,82 +82,50 @@ def _ensure_full_registry() -> None:
 #      registered plan is unchanged (defense in depth);
 #   3. everything else STALEST-GREEN FIRST: ascending by the round of
 #      each query's newest committed CORRECTNESS row (r1 rows before
-#      r3 rows before r4 rows …), so no query's driver verification
-#      ages indefinitely — previously the window preferred
-#      newest-interesting and let qty_moving_stats/docs_fingerprint
-#      sit at r1 for four rounds.
-# Rotated-out queries remain covered every pytest run by the
-# full-registry repo gate (tests/test_inventory_oracle.py). Names
-# absent from the registry are skipped; names not listed keep
+#      r3 rows before r4 rows …), with never-driver-tested queries
+#      counting as infinitely stale (they outrank every dated row), so
+#      no query's driver verification ages indefinitely.
+#
+# ROTATION SLA (round-8 verdict item, codified): with ~196 registered
+# queries and 50 slots per round, a full rotation takes ceil(196/50) =
+# 4 rounds. The budget contract is therefore:
+#   - every registered query gets a driver CORRECTNESS row within 1
+#     round of registration when the round's added/changed set leaves
+#     slots, and within 2 rounds unconditionally (rule 1 may displace
+#     it exactly once);
+#   - no green query's newest driver row may be older than 4 rounds
+#     (one full rotation) — stalest-first (rule 3) guarantees this
+#     whenever the added/changed set stays under ~25/round;
+#   - when added/changed exceeds the budget and displaces rotation,
+#     the displaced names LEAD the next round's window (see the
+#     round-8→9 spill notes below), restoring the SLA the round after.
+# Changed-code always preempts staleness: a shipped change without a
+# driver row is worse than a stale green, because the full-registry
+# pytest oracle gate (tests/test_inventory_oracle.py) re-verifies every
+# rotated-out query on every pytest run — driver staleness is rotation
+# hygiene, never a correctness hole.
+# Names absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # Round 8 group 1 — ADDED this round (streaming funnel, unigram
-    # trainer + encode, anchor-advancing decayed trending) or CHANGED
-    # (triangle_counts checkpoint-materializes the derived graph and
-    # its query feeds the raw half-pair stream; trending-decayed pair
-    # moved to exact integer unix_micros ages; column stats collapsed
-    # to ONE aggregate pass + stack unpivot; the RP ANN sketch
-    # shortlist pinned to fixed 9-dp quantization — recall report and
-    # the funnel's batch twin re-verify as riders):
-    "stream_event_funnel", "event_funnel_windowed",
-    "stream_event_funnel_windowed",
-    "docs_unigram_vocab", "docs_unigram_encode",
-    "stream_trending_anchored", "emb_ann_opq", "emb_ann_mmr",
-    "parts_kcore", "purchase_attribution", "stream_purchase_attribution",
-    "cdc_retract_agg", "stream_cdc_retract_agg", "cdc_retract_minmax",
-    "cdc_retract_join", "stream_cdc_retract_join",
-    "lineitem_equidepth_hist", "events_trend_slope",
-    "customers_record_linkage", "events_zorder_pruning",
-    "docs_wordpiece_merges",
-    "event_value_ddsketch", "stream_event_value_ddsketch",
-    "stream_customers_record_linkage", "media_audio_energy",
-    "cdc_retract_join3", "events_value_drift",
-    "stream_events_trend_slope", "emb_ann_ivfopq",
-    "segment_overlap_kmv", "stream_segment_overlap_kmv",
-    "event_value_bootstrap_ci", "docs_ppjoin_pairs", "event_transitions",
-    "event_value_outliers",
-    # CHANGED-code queries whose pre-change driver rows are stale
-    # greens — these must re-verify before any brand-new query takes
-    # a slot (a shipped change without re-verification is the
-    # round-7-verdict failure mode):
-    "parts_triangle_stats",
-    "events_trending_decayed", "stream_trending_decayed",
-    "lineitem_column_stats", "emb_ann_rp",
-    # Round-8 third wave (this session). WINDOW ARITHMETIC: the round
-    # added/changed 60 queries for 50 slots, so the third wave is
-    # ordered subtlest-cross-engine-arithmetic first; the entries
-    # past slot 50 (the four additive-cell stream twins — each
-    # bit-identical to its in-window batch twin by shared finisher
-    # code plus a drained-equals-batch pytest — the two pure
-    # compositions of already-verified parts, funnel latency, and
-    # rolling-DAU, both pandas-replay-tested) spill to LEAD round
-    # 9's group 1, where they are the stalest never-driver-verified
-    # rows:
-    "parts_association_rules", "lineitem_corr_matrix",
-    "events_resample_ffill", "parts_bfs_hops",
-    "events_cusum_hourly", "events_ks_drift", "events_chi2",
-    "docs_keyphrases", "customers_rfm", "docs_kn_score",
+    # ---- ROUND 9 WINDOW (50 slots) ----
+    # Group 1 — ADDED this round (names appear here as they land):
+    "stream_ann_index_append",
+    # Group 2 — the 9 queries that have NEVER had a driver CORRECTNESS
+    # row (round-8 spill: they landed after the last window rotation;
+    # all are green in every pytest oracle run):
     "event_funnel_latency", "events_rolling_dau", "docs_minhash_eval",
     "events_monitor_report", "customers_rfm_migration",
     "stream_events_cusum", "stream_events_ks",
     "stream_events_chi2", "stream_events_rolling_dau",
-    # riders (unchanged code, defense in depth — fine to spill):
-    "emb_ann_recall", "event_funnel",
-    # Round 8 group 3 — stalest-green ascending. The 14 queries whose
-    # newest driver row is still r4 (three rounds old) land first.
-    # NOTE (window arithmetic, round 8): the round ADDED/CHANGED 46
-    # queries — group 1 alone nearly fills the 50-slot window, so only
-    # the first ~4 r4-stale rows fit this round. Rule 1 wins by policy
-    # (a shipped change without a driver row is worse than a stale
-    # green that the full-registry pytest gate re-verifies every run);
-    # the remaining r4/r5 rows below lead round 9's group 3, where the
-    # added/changed set will be far smaller:
+    # Group 3 — stalest-green ascending: the 14 queries whose newest
+    # driver row is r4 (four rounds = one full rotation old; the SLA
+    # boundary):
     "first_order_flag", "follow_on_clicks", "hot_parts_topk",
     "media_features", "media_frames", "media_resize", "order_wide",
     "running_total", "scd2_history", "sessionize", "ship_priority_topk",
     "spend_full_outer", "stream_session_counts", "windowed_event_counts",
-    # then the r5 rows, alphabetical; the first 25 complete the
-    # 50-slot window, the remainder lead the round-9 rotation:
+    # then the r5 rows, alphabetical; the first ~26 complete the
+    # 50-slot round-9 window, the remainder lead the round-10 rotation:
     "active_buyers_union", "churned_buyers", "docs_chunk_embed",
     "docs_lang_guess", "docs_pack_exact", "docs_quality",
     "docs_quality_approx_contract", "docs_quality_filter",
@@ -3438,11 +3406,13 @@ _POIS = (
            FROM wt GROUP BY grp, rep HAVING sum(w) > 0),
     rk AS (SELECT grp, mean_b,
                   row_number() OVER (PARTITION BY grp
-                                     ORDER BY mean_b, rep) AS rk
+                                     ORDER BY mean_b, rep) AS rk,
+                  count(*) OVER (PARTITION BY grp) AS cnt
            FROM rm),
-    ci AS (SELECT grp, min(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
-                  min(CASE WHEN rk = 31 THEN mean_b END) AS ci_hi
-           FROM rk WHERE rk IN (2, 31) GROUP BY grp)
+    ci AS (SELECT grp,
+                  min(CASE WHEN rk = least(2, cnt) THEN mean_b END) AS ci_lo,
+                  min(CASE WHEN rk = least(31, cnt) THEN mean_b END) AS ci_hi
+           FROM rk WHERE rk IN (least(2, cnt), least(31, cnt)) GROUP BY grp)
     SELECT e.grp, round(e.est_mean / 100.0, 9) AS est_mean,
            round(ci.ci_lo / 100.0, 9) AS ci_lo,
            round(ci.ci_hi / 100.0, 9) AS ci_hi, e.n_rows

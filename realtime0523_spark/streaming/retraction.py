@@ -34,6 +34,12 @@ from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 
 
+def _group_schema(stream: DataFrame, cols: list[str]) -> list[str]:
+    """DDL fragments for `cols` with the stream's actual types — the
+    empty-result fallback must match the non-empty path's schema."""
+    return [f"{c} {stream.schema[c].dataType.simpleString()}" for c in cols]
+
+
 def streaming_retract_aggregate(
     spark: SparkSession,
     changelog_stream: DataFrame,
@@ -68,7 +74,11 @@ def streaming_retract_aggregate(
         no_data_batches=False,
     )
     if not os.path.exists(out_dir):  # no batches arrived
-        schema = ", ".join(f"{c} string" for c in group_cols)
+        # group cols keep their INPUT types (round-8 advice: a
+        # hardcoded `string` gave the no-batches path a different
+        # schema from the non-empty path for non-string keys,
+        # breaking downstream unions only in that corner).
+        schema = ", ".join(_group_schema(changelog_stream, group_cols))
         return spark.createDataFrame(
             [], f"{schema}, net_amount double, net_rows long"
         )
@@ -129,7 +139,8 @@ def streaming_retract_join(
         dim_dir, f"{checkpoint_root}/dim",
     )
     if not (os.path.exists(fact_dir) and os.path.exists(dim_dir)):
-        schema = ", ".join(f"{c} string" for c in group_cols)
+        # group cols live on the DIM changelog; inherit its types.
+        schema = ", ".join(_group_schema(dim_stream, group_cols))
         return spark.createDataFrame(
             [],
             f"{schema}, n_pairs long, fact_amount double, dim_amount double",

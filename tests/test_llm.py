@@ -1867,6 +1867,48 @@ def test_mmr_diversifies_over_pure_relevance(spark):
     _ = np
 
 
+def test_mmr_string_ids_inherit_input_types(spark):
+    """Round-8 advice: the result schema was hardcoded `long`, so
+    string doc/query ids failed at createDataFrame. Id columns must
+    now inherit the exact input column types."""
+    from realtime0523_spark.llm.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0]),
+            ("doc-b", [0.9, 0.1]),
+            ("doc-c", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q-1", [1.0, 0.5])], "qid string, qv array<double>"
+    )
+    out = mmr_topk(corpus, queries, retrieve=3, k=2)
+    assert out.schema["qid"].dataType.simpleString() == "string"
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    rows = sorted(out.collect(), key=lambda r: r.mmr_rank)
+    assert len(rows) == 2 and rows[0].qid == "q-1"
+    assert {r.vec_id for r in rows} <= {"doc-a", "doc-b", "doc-c"}
+
+
+def test_mmr_driver_contract_raises_loudly(spark):
+    """|queries|*retrieve over the re-rank-tier bound must raise the
+    documented contract error, not drift toward a driver OOM."""
+    import pytest
+
+    from realtime0523_spark.llm.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)], "qid long, qv array<double>"
+    )
+    with pytest.raises(ValueError, match="driver-memory contract"):
+        mmr_topk(corpus, queries, retrieve=400_000, k=2)
+
+
 class TestPPJoin:
     def test_prefix_filter_is_lossless_vs_inrepo_brute_force(self, spark):
         """PPJoin must reproduce ngram_jaccard_pairs (the quadratic

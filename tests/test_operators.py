@@ -1079,6 +1079,24 @@ class TestDDSketch:
                 label, est[label], exact,
             )
 
+    def test_negative_values_raise_not_clamp(self, spark):
+        """The one-sided sketch must REFUSE negative values (round-8
+        advice: they silently collapsed into the zero bucket and came
+        back as estimate 0.0). Zero itself stays legal."""
+        import pytest
+
+        from realtime0523_spark.operators.ddsketch import dd_quantiles, dd_sketch
+
+        bad = spark.createDataFrame(
+            [("g", -1.25), ("g", 3.0)], "grp string, value double"
+        )
+        with pytest.raises(Exception, match="negative"):
+            dd_sketch(bad, "grp", "value").collect()
+        ok = spark.createDataFrame(
+            [("g", 0.0), ("g", 3.0)], "grp string, value double"
+        )
+        assert dd_sketch(ok, "grp", "value").count() == 2
+
     def test_merged_partials_equal_one_pass(self, spark):
         """DDSketch merge is bucket-count addition: quantiles from the
         union of per-slice sketches must equal the one-pass answer
@@ -1121,6 +1139,25 @@ class TestBootstrap:
         # sd of the 0..20 lattice is ~6.06; stderr ~0.27 — the 95% CI
         # width is ~3.9x stderr ≈ 1.06 plus bootstrap-of-32 noise
         assert a["ci_hi"] - a["ci_lo"] < 1.5
+
+    def test_tiny_group_ci_clamped_never_null(self, spark):
+        """A 1-row group has ~37% empty Poisson(1) resamples, so fewer
+        than hi_rank=31 replicate means exist; the ranks must clamp to
+        the actual count — ci_lo/ci_hi come back non-NULL and equal to
+        the single value (every non-empty resample of one row has that
+        mean). Round-8 advice: the unclamped rank silently NULLed
+        ci_hi."""
+        from realtime0523_spark.operators.bootstrap import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [("solo", 1, 42.0), ("big", 2, 10.0), ("big", 3, 20.0)],
+            "grp string, id long, value double",
+        )
+        got = {r["grp"]: r for r in bootstrap_mean_ci(df, "grp", "id", "value").collect()}
+        solo = got["solo"]
+        assert solo["ci_lo"] is not None and solo["ci_hi"] is not None
+        assert solo["ci_lo"] == solo["ci_hi"] == 42.0
+        assert got["big"]["ci_lo"] is not None and got["big"]["ci_hi"] is not None
 
     def test_weights_are_poisson1_ish(self, spark):
         """Mean multiplicity over rows*reps must be ~1 and the zero

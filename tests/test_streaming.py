@@ -1097,6 +1097,32 @@ def test_stream_retract_agg_multi_batch_equals_state_recompute(spark, tmp_path):
     assert len(committed) == 2
 
 
+def test_stream_retract_empty_stream_keeps_input_key_types(spark, tmp_path):
+    """Round-8 advice: the no-batches fallback hardcoded every group
+    column as string, so an int-keyed changelog got a different schema
+    in the empty case than the non-empty one. The fallback must now
+    inherit the input types."""
+    from realtime0523_spark.streaming.retraction import (
+        streaming_retract_aggregate,
+    )
+
+    schema = "grp bigint, op string, price_new double, price_old double"
+    in_dir = str(tmp_path / "empty_in")
+    os.makedirs(in_dir)
+    # a schema'd but file-less directory: the stream starts and drains
+    # zero batches, which is exactly the fallback path
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = streaming_retract_aggregate(
+        spark,
+        stream,
+        ["grp"],
+        out_dir=str(tmp_path / "empty_out"),
+        checkpoint_dir=str(tmp_path / "empty_ckpt"),
+    )
+    assert out.schema["grp"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
+
+
 def test_stream_kmv_multi_batch_equals_single_pass(spark, tmp_path):
     """KMV partials committed per batch must merge to EXACTLY the
     single-pass sketch (k-min of a union = k-min of concatenated
