@@ -1,0 +1,438 @@
+"""Five-layer CONCURRENT streaming topology — the reference's defining
+architecture run as one live pipeline.
+
+Reference: the gmall realtime warehouse is not five isolated jobs but a
+layered topology running concurrently, chained by Kafka topics
+(SURVEY §3): ODS router (scala/…/ods/KafkaToODS_M.scala) → DIM upserts
+(scala/…/dim/SkuInfoApp.scala et al.) → DWD enrich
+(scala/…/dwd/Ods_to_DWD_order_info.scala, dwd/OrderDetailApp.scala) →
+DWS order-wide join + allocation (scala/…/dws/OrderWiderApp.scala) →
+ADS aggregates (scala/…/ads/TradeMarkAmountApp.scala), every stage on a
+5 s micro-batch cadence. The test suite proves each stage individually;
+this module runs all five AS ONE LIVE TOPOLOGY — five Structured
+Streaming queries in one session, directories standing in for the
+inter-stage Kafka topics, each stage independently stoppable and
+restartable from its checkpoint mid-run.
+
+Inter-stage bus (`topic_append_writer`): each micro-batch commits as
+ONE atomically-renamed parquet file per topic (plus an underscore-
+prefixed marker that Spark's file listing ignores), so a downstream
+file stream can never observe half a batch — the visibility guarantee
+a Kafka transaction gives the reference. Replayed batches (restart
+recovery) are no-ops by marker, the K5 idempotence contract. The
+`coalesce(1)` is the sandbox stand-in for that transaction and is a
+deliberate NON-scale shape: on a cluster the bus is Kafka
+(streaming/sinks.kafka_sink — same per-record fan-out) or a
+transactional table format, and the single-file commit disappears;
+everything else in this module (stage shapes, watermarked join,
+per-batch dim snapshot, idempotent commits) is the 100 TB design.
+
+Dim store (`versioned_dim_upsert`): the K2 SCD-1 upsert re-done for
+CONCURRENT readers. `sinks.upsert_parquet_dim`'s rmtree+rename swap has
+a window where the directory is absent — fine for single-threaded
+stage tests, fatal in a live topology where the ADS stage snapshots the
+dim mid-upsert. Here every merge commits a NEW immutable version
+directory plus a marker; readers pick the highest committed version
+(the reference's Phoenix gives the same read-your-committed-writes
+behavior; a Delta/Iceberg MERGE is the cluster equivalent).
+
+Event-time contract: the CDC envelope `ts` (epoch ms) is the
+create_time both sides of a header/detail pair share in the
+reference's feed — DWD stamps it as the event-time column, so the DWS
+watermarked time-range join (tolerance 50 s, the reference's window
+span) keeps every pair while bounding state, across ANY batch
+boundary placement. Monotonically non-decreasing feed `ts` (what a CDC
+log delivers) keeps late-arriving waves inside the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from realtime0523_spark.functions.scalar import round2
+from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.streaming.router import route_cdc
+from realtime0523_spark.streaming.runner import _stream_shuffle
+from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+from realtime0523_spark.streaming.sources import cdc_json_stream
+
+TRIGGER_SECONDS = 5.0  # the reference cadence (Seconds(5) in every app)
+JOIN_TOLERANCE = "50 seconds"  # OrderWiderApp's window span
+
+# ODS topic record: the routed envelope with the payload re-serialized
+# (what the reference produces to each ods_* topic).
+ODS_RECORD_SCHEMA = "table string, type string, value string, ts long"
+
+DWD_ORDER_INFO_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_totalprice double, "
+    "order_dt string, o_commit_ts timestamp"
+)
+DWD_ORDER_DETAIL_SCHEMA = (
+    "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+    "l_quantity double, l_extendedprice double, l_commit_ts timestamp"
+)
+DWS_WIDE_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_totalprice double, order_dt string, "
+    "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+    "l_quantity double, l_extendedprice double"
+)
+
+_DETAIL_ORDER = [
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_extendedprice",
+    "l_quantity",
+]
+
+
+def topic_append_writer(out_dir: str):
+    """foreachBatch writer emulating a transactional Kafka topic on a
+    directory: one atomically-visible parquet file per batch, replays
+    no-ops by marker. Underscore-prefixed markers/scratch are invisible
+    to Spark's file listing, so downstream file streams only ever see
+    complete batch files."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_dir, f"_committed_{batch_id}")
+        if os.path.exists(marker):  # replayed batch → already committed
+            return
+        if batch_df.isEmpty():
+            return
+        tmp = os.path.join(out_dir, f"_tmp_{batch_id}")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        assert len(part) == 1, part  # coalesce(1) contract
+        os.replace(
+            os.path.join(tmp, part[0]),
+            os.path.join(out_dir, f"batch_{batch_id:09d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+        open(marker, "w").close()
+
+    return write
+
+
+def versioned_dim_upsert(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    commit_id: int,
+) -> None:
+    """Concurrent-reader-safe SCD-1 merge (K2): latest `version_col`
+    wins per key; each merge commits a NEW immutable `v_<commit_id>`
+    directory + marker. Readers (`latest_dim_version`) always see a
+    fully-committed snapshot — no absent-directory window."""
+    final = os.path.join(store_dir, f"v_{commit_id:09d}")
+    marker = os.path.join(store_dir, f"_ready_{commit_id:09d}")
+    if os.path.exists(marker):  # replayed batch → already committed
+        return
+    existing = latest_dim_version(spark, store_dir)
+    merged = (
+        existing.unionByName(batch_df, allowMissingColumns=True)
+        if existing is not None
+        else batch_df
+    )
+    w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = os.path.join(store_dir, f"_tmp_{commit_id:09d}")
+    latest.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
+    open(marker, "w").close()
+
+
+def latest_dim_version(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Highest committed snapshot of a versioned dim store, or None."""
+    if not os.path.isdir(store_dir):
+        return None
+    ready = sorted(
+        f.removeprefix("_ready_")
+        for f in os.listdir(store_dir)
+        if f.startswith("_ready_")
+    )
+    if not ready:
+        return None
+    return spark.read.parquet(os.path.join(store_dir, f"v_{ready[-1]}"))
+
+
+def _parse_payload(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """P1/P2 permissive payload parse: JSON → map<string,string>, then
+    explicit casts (absent keys → null, the reference's fastjson
+    leniency)."""
+    m = F.from_json(F.col("value"), "map<string,string>")
+    return df.select(
+        *[m.getItem(k).cast(t).alias(k) for k, t in casts.items()],
+        F.col("ts"),
+    )
+
+
+class FiveLayerTopology:
+    """The five concurrently-running stages, directory-chained.
+
+    Lifecycle: `start()` → feed CDC JSON into `in_dir` → `drain()`
+    (topological processAllAvailable — deterministic test barrier; a
+    production deployment just lets the triggers run) → `ads_result()`.
+    Any stage can be stopped and restarted mid-run via
+    `stop_stage`/`start_stage`; its checkpoint resumes it and the
+    idempotent topic commits make replays no-ops.
+    """
+
+    STAGES = ("ods", "dim", "dwd", "dws", "ads")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        trigger_seconds: float = TRIGGER_SECONDS,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.trigger = trigger_seconds
+        self.in_dir = os.path.join(root, "in")
+        self.ods_dirs = {
+            t: os.path.join(root, "ods", f"ods_{t}")
+            for t in ("order_info", "order_detail", "sku_info")
+        }
+        self.dwd_info_dir = os.path.join(root, "dwd_order_info")
+        self.dwd_detail_dir = os.path.join(root, "dwd_order_detail")
+        self.dws_dir = os.path.join(root, "dws_order_wide")
+        self.dim_store = os.path.join(root, "dim_sku")
+        self.ads_dir = os.path.join(root, "ads_partials")
+        for d in (
+            [self.in_dir, self.dwd_info_dir, self.dwd_detail_dir,
+             self.dws_dir, self.dim_store, self.ads_dir]
+            + list(self.ods_dirs.values())
+        ):
+            os.makedirs(d, exist_ok=True)
+        self._queries: dict = {}
+        self._conf_cm = None
+
+    # ---- stage definitions -------------------------------------------
+
+    def _start_ods(self):
+        """ODS router: CDC envelope in, per-table topic fan-out (P9/P10;
+        KafkaToODS_M.scala:45-71). One persist, three filtered commits
+        (T8 — each topic write reuses the cached routed batch)."""
+        writers = {t: topic_append_writer(d) for t, d in self.ods_dirs.items()}
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            routed = route_cdc(batch_df).select(
+                "topic", "table", "type",
+                F.to_json(F.col("data")).alias("value"), "ts",
+            )
+            routed.persist()
+            try:
+                for t, w in writers.items():
+                    w(routed.filter(F.col("topic") == f"ods_{t}")
+                           .drop("topic"), batch_id)
+            finally:
+                routed.unpersist()
+
+        return self._foreach_batch_query(
+            "ods", cdc_json_stream(self.spark, self.in_dir), process
+        )
+
+    def _start_dim(self):
+        """DIM upsert (K2; dim/SkuInfoApp.scala): sku CDC → versioned
+        SCD-1 store, latest envelope ts wins per key."""
+        src = self.spark.readStream.schema(ODS_RECORD_SCHEMA).parquet(
+            self.ods_dirs["sku_info"]
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            parsed = _parse_payload(
+                batch_df,
+                {"p_partkey": "long", "p_brand": "string", "p_name": "string"},
+            )
+            versioned_dim_upsert(
+                self.spark, parsed, self.dim_store,
+                key_cols=["p_partkey"], version_col="ts", commit_id=batch_id,
+            )
+
+        return self._foreach_batch_query("dim", src, process)
+
+    def _start_dwd(self):
+        """DWD typed enrich (P1-P4; dwd/Ods_to_DWD_order_info.scala +
+        dwd/OrderDetailApp.scala as one fan-out): parse both fact
+        topics, stamp the shared CDC create-time as the event-time
+        column, emit typed header/detail topics."""
+        src = self.spark.readStream.schema(ODS_RECORD_SCHEMA).parquet(
+            os.path.join(self.root, "ods", "ods_order_{info,detail}")
+        )
+        info_w = topic_append_writer(self.dwd_info_dir)
+        detail_w = topic_append_writer(self.dwd_detail_dir)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                info = _parse_payload(
+                    batch_df.filter(F.col("table") == "order_info"),
+                    {
+                        "o_orderkey": "long",
+                        "o_custkey": "long",
+                        "o_totalprice": "double",
+                    },
+                ).select(
+                    "o_orderkey", "o_custkey", "o_totalprice",
+                    F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
+                     .alias("order_dt"),
+                    F.timestamp_millis(F.col("ts")).alias("o_commit_ts"),
+                )
+                detail = _parse_payload(
+                    batch_df.filter(F.col("table") == "order_detail"),
+                    {
+                        "l_orderkey": "long",
+                        "l_linenumber": "int",
+                        "l_partkey": "long",
+                        "l_suppkey": "long",
+                        "l_quantity": "double",
+                        "l_extendedprice": "double",
+                    },
+                ).select(
+                    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                    "l_quantity", "l_extendedprice",
+                    F.timestamp_millis(F.col("ts")).alias("l_commit_ts"),
+                )
+                info_w(info, batch_id)
+                detail_w(detail, batch_id)
+            finally:
+                batch_df.unpersist()
+
+        return self._foreach_batch_query("dwd", src, process)
+
+    def _start_dws(self):
+        """DWS order-wide: watermarked stream-stream time-range join
+        (J1; OrderWiderApp.scala:117-199), state bounded to the 50 s
+        tolerance, every header×detail pair emitted exactly once."""
+        from realtime0523_spark.streaming.order_wide import streaming_order_wide
+
+        o = self.spark.readStream.schema(DWD_ORDER_INFO_SCHEMA).parquet(
+            self.dwd_info_dir
+        )
+        d = self.spark.readStream.schema(DWD_ORDER_DETAIL_SCHEMA).parquet(
+            self.dwd_detail_dir
+        )
+        wide = streaming_order_wide(
+            o, d,
+            order_ts="o_commit_ts",
+            detail_ts="l_commit_ts",
+            tolerance=JOIN_TOLERANCE,
+        ).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "order_dt",
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice",
+        )
+        writer = topic_append_writer(self.dws_dir)
+        return self._foreach_batch_query("dws", wide, writer)
+
+    def _start_ads(self):
+        """ADS brand revenue (F1+J5+K5; ads/TradeMarkAmountApp.scala):
+        per batch — exact-sum allocation over the complete order groups
+        the DWS bus delivers, brand enrich against the CURRENT committed
+        dim snapshot (the reference's per-batch dim read), partial sums
+        committed idempotently."""
+        src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
+        commit = idempotent_batch_writer(self.ads_dir)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            alloc = allocate_order_amount(
+                batch_df,
+                order_key="l_orderkey",
+                detail_order_by=_DETAIL_ORDER,
+                weight="l_extendedprice",
+                order_total="o_totalprice",
+            )
+            dim = latest_dim_version(self.spark, self.dim_store)
+            if dim is None:
+                raise RuntimeError(
+                    "ADS batch arrived before any committed dim snapshot — "
+                    "the topology contract (reference parity) is dims "
+                    "bootstrapped before facts flow; refusing to commit "
+                    "brand-less partials silently."
+                )
+            brand = F.broadcast(
+                dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+            )
+            partial = (
+                alloc.join(brand, "l_partkey", "left")
+                .groupBy("p_brand")
+                .agg(F.sum("final_detail_amount").alias("partial_amount"))
+            )
+            commit(partial, batch_id)
+
+        return self._foreach_batch_query("ads", src, process)
+
+    # ---- lifecycle ----------------------------------------------------
+
+    def _foreach_batch_query(self, name: str, stream: DataFrame, fn):
+        ckpt = os.path.join(self.root, "ckpt", name)
+        return (
+            stream.writeStream.foreachBatch(fn)
+            .queryName(f"topology_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{self.trigger} seconds")
+            .start()
+        )
+
+    def start(self) -> "FiveLayerTopology":
+        """Apply the streaming session confs (shuffle sizing, state
+        provider selection — same knobs as runner._stream_shuffle) and
+        start all five stages concurrently."""
+        self._conf_cm = _stream_shuffle(self.spark, no_data_batches=True)
+        self._conf_cm.__enter__()
+        for name in self.STAGES:
+            self.start_stage(name)
+        return self
+
+    def start_stage(self, name: str) -> None:
+        if name in self._queries:
+            raise ValueError(f"stage {name} already running")
+        self._queries[name] = getattr(self, f"_start_{name}")()
+
+    def stop_stage(self, name: str) -> None:
+        self._queries.pop(name).stop()
+
+    def drain(self) -> None:
+        """Deterministic barrier: processAllAvailable per stage in
+        topological order (each stage's commits are visible files
+        before the next stage's drain is asked). Stopped stages are
+        skipped — their data waits in the upstream topic dirs."""
+        for name in self.STAGES:
+            q = self._queries.get(name)
+            if q is not None:
+                q.processAllAvailable()
+
+    def stop(self) -> None:
+        for name in list(self._queries):
+            self.stop_stage(name)
+        if self._conf_cm is not None:
+            self._conf_cm.__exit__(None, None, None)
+            self._conf_cm = None
+
+    # ---- results ------------------------------------------------------
+
+    def ads_result(self) -> DataFrame:
+        """Final brand totals: re-aggregation of the committed partials
+        (associative — batch boundaries can't change it)."""
+        if not any(f.startswith("batch_id=") for f in os.listdir(self.ads_dir)):
+            return self.spark.createDataFrame([], "p_brand string, amount double")
+        partials = self.spark.read.parquet(self.ads_dir)
+        return partials.groupBy("p_brand").agg(
+            round2(F.sum("partial_amount")).alias("amount")
+        )
