@@ -485,21 +485,65 @@ def ann_topk_ivf(
         centroids = ivf_train_centroids(
             corpus, n_cells=n_cells, sample=sample, id_col=id_col, vec_col=vec_col
         )
-    assign1 = _nearest_cells_udf(centroids, 1)
-    probe = _nearest_cells_udf(centroids, nprobe)
-
-    c = corpus.select(
-        id_col, vec_col, F.element_at(assign1(F.col(vec_col)), 1).alias("__cell")
+    cells = assign_ivf_cells(corpus, centroids, vec_col=vec_col)
+    return ivf_query_cells(
+        cells,
+        queries,
+        centroids,
+        nprobe=nprobe,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=score_transform,
     )
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Map-only nearest-cell assignment: corpus columns + `cell_col`.
+    The materializable half of the IVF index — what a streaming
+    appender commits per batch and a compaction job rewrites."""
+    assign1 = _nearest_cells_udf(centroids, 1)
+    return corpus.withColumn(
+        cell_col, F.element_at(assign1(F.col(vec_col)), 1)
+    )
+
+
+def ivf_query_cells(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    cell_col: str = "__cell",
+    score_transform=None,
+) -> DataFrame:
+    """Serve top-k from a STORED (id, vector, cell) index — the probe
+    join + exact re-rank half of ann_topk_ivf, split out so an
+    at-rest index maintained incrementally (streaming/ann_index.py)
+    shares the exact batch query path. The corpus/index never
+    shuffles: the exploded query-probe set broadcasts onto the cell
+    equi-join."""
+    probe = _nearest_cells_udf(centroids, nprobe)
     q = queries.select(
         query_id_col,
         query_vec_col,
         F.explode(probe(F.col(query_vec_col))).alias("__qcell"),
     )
     cand = (
-        c.join(
+        cells.join(
             F.broadcast(q),
-            (F.col("__cell") == F.col("__qcell"))
+            (F.col(cell_col) == F.col("__qcell"))
             & (F.col(id_col) != F.col(query_id_col)),
         )
         .select(query_id_col, id_col, vec_col, query_vec_col)
@@ -620,6 +664,14 @@ def label_centroids(
         .agg(F.sum(F.col("v").cast("double")).alias("s"))
         .collect()
     )
+    return centroids_from_sums(rows)
+
+
+def centroids_from_sums(rows) -> np.ndarray:
+    """Normalized centroid matrix from (label, dim, sum) triples —
+    shared by label_centroids and the streaming index appender, whose
+    per-batch partial sums fold to the identical triples (per-dim SUM
+    is distributive, so incremental maintenance is exact)."""
     labels = sorted({r[0] for r in rows})
     dims = max(r[1] for r in rows) + 1
     cent = np.zeros((len(labels), dims))

@@ -4902,3 +4902,45 @@ def q_docs_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.kn_bigram_logprob(
         Catalog(spark, sf_dir).table("documents"), discount=KN_DISCOUNT
     )
+
+
+@register(
+    "stream_ann_index_append",
+    f"""
+    WITH {_IVF_ANN_CTES}
+    SELECT qid, vec_id, score, rk FROM ivfann WHERE rk <= {TOPK_K}
+    """,
+    "Streaming incremental IVF index maintenance "
+    "(streaming/ann_index.py): the embedding stream drains through "
+    "per-batch appends — vector-log commit, |labels|×dims centroid "
+    "partial-sum commit, live cell assignment under the "
+    "centroids-as-of-batch — all idempotent by batchId (K5); then "
+    "compact() folds the partials into the FINAL centroids (per-dim "
+    "sum is distributive, so the streamed quantizer equals batch "
+    "label_centroids exactly) and reassigns the log map-only. Serving "
+    "runs the identical batch query path (ivf_query_cells) over the "
+    "compacted index, so the drained result matches the emb_ann_ivf "
+    "oracle — the drained-equals-batch contract that closes the loop "
+    "between the ANN family and the ingest pipeline.",
+)
+def q_stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.ann_index import (
+        streaming_ivf_index_append,
+    )
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="stream_ann_index_")
+    idx = streaming_ivf_index_append(
+        spark,
+        stream_table(spark, sf_dir, "embeddings"),
+        work_dir=work,
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    _, queries = _ann_queries(spark, sf_dir)
+    out = idx.query(
+        queries, nprobe=IVF_NPROBE, k=TOPK_K, score_transform=r9
+    ).select("qid", "vec_id", "score", "rk")
+    return detach_and_cleanup(out, work)
