@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from realtime0523_spark.functions.scalar import round2
 from realtime0523_spark.operators.allocation import allocate_order_amount
 from realtime0523_spark.streaming.router import route_cdc
-from realtime0523_spark.streaming.runner import _stream_shuffle
+from realtime0523_spark.streaming.runner import _stream_shuffle, watermark_drops
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 from realtime0523_spark.streaming.sources import cdc_json_stream
 
@@ -406,7 +406,24 @@ class FiveLayerTopology:
         self._queries[name] = getattr(self, f"_start_{name}")()
 
     def stop_stage(self, name: str) -> None:
-        self._queries.pop(name).stop()
+        q = self._queries.pop(name)
+        try:
+            # completeness is a loud contract (same discipline as
+            # runner.run_to_memory's forbid_watermark_drops): the F1
+            # allocation downstream assumes every header×detail pair
+            # joined, so a DWS watermark drop must never pass silently.
+            if name == "dws":
+                dropped = watermark_drops(q)
+                if dropped:
+                    raise RuntimeError(
+                        f"DWS join dropped {dropped} row(s) at the "
+                        f"watermark — the topology's co-timed CDC feed "
+                        f"contract (monotone envelope ts, shared "
+                        f"header/detail create-time) was violated; the "
+                        f"ADS totals would be silently short."
+                    )
+        finally:
+            q.stop()
 
     def drain(self) -> None:
         """Deterministic barrier: processAllAvailable per stage in
