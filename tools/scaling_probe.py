@@ -143,6 +143,7 @@ PROBES = [
     "event_funnel_latency",  # user-keyed stage chain + exact quantiles (r8 w3)
     "docs_kn_score",       # ckpt'd pair table, vocab-sized count aggs (r8 w3)
     "customers_rfm_migration",  # shared scorer x2 snapshots + ck join (r8 w3)
+    "stream_ann_index_append",  # log append + synopsis partials + map-only compact (r9)
 ]
 
 # Library paths without their own registry entry, probed as callables:
