@@ -295,3 +295,117 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
             9,
         ).alias("cramers_v"),
     )
+
+
+# --- shared monitor-cell collapses and the report composition ---------
+# One corpus pass each, additive exact counts — the property that gives
+# every monitor a streaming twin for free (streaming/cells.py and
+# streaming/monitor.py commit these same cells per micro-batch).
+
+
+def ks_month_half_cells(df: DataFrame) -> DataFrame:
+    """Corpus-to-cells collapse for the KS monitor: per-(type, cent)
+    counts of both month halves in one row — exact longs, additive
+    across any slicing (the streaming twin's whole argument)."""
+    return df.groupBy(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    ).agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+
+
+def value_drift_cells(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Corpus-to-cells collapse for the value-drift (Jeffreys) monitor:
+    per-(type, DDSketch-log-bucket) counts of both month halves in one
+    row — same additive-cells shape as the KS collapse. The bucket
+    index is the shifted dd_bucket the batch drift query uses (zero-bin
+    at 0, tail clamped into the last bucket)."""
+    from realtime0523_spark.operators.ddsketch import ZERO_BUCKET, dd_bucket
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    raw = dd_bucket(cents)
+    shifted = F.when(raw == F.lit(ZERO_BUCKET), F.lit(0)).otherwise(
+        F.least(raw, F.lit(n_buckets - 2)) + 1
+    )
+    return df.groupBy(
+        F.col("event_type").alias("domain"), shifted.alias("bucket")
+    ).agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+
+
+def value_drift_from_cells(cells: DataFrame, n_buckets: int) -> DataFrame:
+    """Finish the Jeffreys drift report from folded half-count cells —
+    the identical smoothed-KL core as the batch query (composition:
+    llm/pipeline.drift_from_counts on the two unmerged profiles)."""
+    from realtime0523_spark.llm.pipeline import drift_from_counts
+
+    drift = drift_from_counts(
+        cells.select("domain", "bucket", F.col("cnt_a").alias("cnt")),
+        cells.select("domain", "bucket", F.col("cnt_b").alias("cnt")),
+        n_buckets=n_buckets,
+    )
+    return drift.withColumn(
+        "jeffreys", F.round(F.col("kl_ab") + F.col("kl_ba"), 9)
+    )
+
+
+def compose_monitor_report(
+    trend: DataFrame,
+    cusum: DataFrame,
+    ks: DataFrame,
+    drift: DataFrame,
+    jeffreys_alert: float,
+) -> DataFrame:
+    """The per-type KPI dashboard row: join the four |types|-row
+    synopsis reports broadcast and derive the composite alert count.
+    Shared by the batch query and the streaming twin so both finish
+    identical algebra on identical folded synopses."""
+    alerts = (
+        F.when(F.col("n_alarms_up") + F.col("n_alarms_dn") > 0, 1).otherwise(0)
+        + F.when(F.col("ks_drifted"), 1).otherwise(0)
+        + F.when(F.col("jeffreys") > F.lit(jeffreys_alert), 1).otherwise(0)
+    )
+    return (
+        trend.join(
+            F.broadcast(cusum.withColumnRenamed("event_type", "et_c")),
+            F.col("et_c") == F.col("event_type"),
+        )
+        .join(
+            F.broadcast(
+                ks.select(
+                    F.col("key").alias("et_k"),
+                    "ks_d",
+                    F.col("drifted").alias("ks_drifted"),
+                )
+            ),
+            F.col("et_k") == F.col("event_type"),
+        )
+        .join(
+            F.broadcast(drift.select(F.col("domain").alias("et_d"), "jeffreys")),
+            F.col("et_d") == F.col("event_type"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "slope_per_day",
+            "n_alarms_up",
+            "n_alarms_dn",
+            "first_alarm_hr",
+            "ks_d",
+            "ks_drifted",
+            "jeffreys",
+            alerts.cast("long").alias("n_alerts"),
+        )
+    )

@@ -108,8 +108,14 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 9 WINDOW (50 slots) ----
-    # Group 1 — ADDED this round (names appear here as they land):
-    "stream_ann_index_append",
+    # Group 1 — ADDED this round (names appear here as they land), then
+    # CHANGED-code riders re-verifying after the shared-helper refactor
+    # (monitor cells/composition moved into operators/stattests.py):
+    "stream_ann_index_append", "stream_events_monitor_report",
+    "events_value_drift",
+    # riders for the ann_topk_ivf/label_centroids delegation refactor
+    # (rule 2 — registered plans unchanged, adjacent code changed):
+    "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_ivfopq", "emb_ann_recall",
     # Group 2 — the 9 queries that have NEVER had a driver CORRECTNESS
     # row (round-8 spill: they landed after the last window rotation;
     # all are green in every pytest oracle run):
@@ -3756,34 +3762,14 @@ def _value_drift_sql() -> str:
     "|types|×buckets meta-sized rows.",
 )
 def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.llm.pipeline import drift_from_counts
-    from realtime0523_spark.operators.ddsketch import ZERO_BUCKET, dd_bucket
+    from realtime0523_spark.operators.stattests import (
+        value_drift_cells,
+        value_drift_from_cells,
+    )
 
-    B = VALUE_DRIFT_BUCKETS
     ev = Catalog(spark, sf_dir).table("events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    raw = dd_bucket(cents)
-    shifted = F.when(raw == ZERO_BUCKET, F.lit(0)).otherwise(
-        F.least(raw, F.lit(B - 2)) + 1
-    )
-    base = ev.select(
-        F.col("event_type").alias("domain"),
-        shifted.alias("bucket"),
-        F.dayofmonth("ts").alias("dom"),
-    )
-
-    def profile(side):
-        return side.groupBy("domain", "bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-
-    drift = drift_from_counts(
-        profile(base.filter(F.col("dom") <= 15).drop("dom")),
-        profile(base.filter(F.col("dom") > 15).drop("dom")),
-        n_buckets=B,
-    )
-    return drift.withColumn(
-        "jeffreys", F.round(F.col("kl_ab") + F.col("kl_ba"), 9)
+    return value_drift_from_cells(
+        value_drift_cells(ev, VALUE_DRIFT_BUCKETS), VALUE_DRIFT_BUCKETS
     )
 
 
@@ -4452,20 +4438,11 @@ def q_events_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ks_cells(df: DataFrame) -> DataFrame:
-    """Corpus-to-cells collapse for the KS monitor: per-(type, cent)
-    counts of both month halves in one row — exact longs, additive
-    across any slicing (the streaming twin's whole argument)."""
-    return df.groupBy(
-        F.col("event_type").alias("key"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
-    ).agg(
-        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
-    )
+    """Shared corpus-to-cells collapse for the KS monitor (moved to
+    operators/stattests.py so the streaming monitor composes it)."""
+    from realtime0523_spark.operators.stattests import ks_month_half_cells
+
+    return ks_month_half_cells(df)
 
 
 _KS_ORACLE = f"""
@@ -5072,51 +5049,53 @@ def _monitor_report_sql() -> str:
     "actually reads.",
 )
 def q_events_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.operators.stattests import ks_2sample
-
-    trend = q_events_trend_slope(spark, sf_dir)
-    cusum = q_events_cusum_hourly(spark, sf_dir)
-    ks = ks_2sample(_ks_cells(Catalog(spark, sf_dir).table("events")))
-    drift = q_events_value_drift(spark, sf_dir)
-    alerts = (
-        F.when(F.col("n_alarms_up") + F.col("n_alarms_dn") > 0, 1)
-        .otherwise(0)
-        + F.when(F.col("ks_drifted"), 1).otherwise(0)
-        + F.when(F.col("jeffreys") > F.lit(JEFFREYS_ALERT), 1).otherwise(0)
+    from realtime0523_spark.operators.stattests import (
+        compose_monitor_report,
+        ks_2sample,
     )
-    return (
-        trend.join(
-            F.broadcast(cusum.withColumnRenamed("event_type", "et_c")),
-            F.col("et_c") == F.col("event_type"),
-        )
-        .join(
-            F.broadcast(
-                ks.select(
-                    F.col("key").alias("et_k"),
-                    "ks_d",
-                    F.col("drifted").alias("ks_drifted"),
-                )
-            ),
-            F.col("et_k") == F.col("event_type"),
-        )
-        .join(
-            F.broadcast(
-                drift.select(F.col("domain").alias("et_d"), "jeffreys")
-            ),
-            F.col("et_d") == F.col("event_type"),
-        )
-        .select(
-            "event_type",
-            "n_rows",
-            "slope_per_day",
-            "n_alarms_up",
-            "n_alarms_dn",
-            "first_alarm_hr",
-            "ks_d",
-            "ks_drifted",
-            "jeffreys",
-            alerts.cast("long").alias("n_alerts"),
-        )
+
+    return compose_monitor_report(
+        q_events_trend_slope(spark, sf_dir),
+        q_events_cusum_hourly(spark, sf_dir),
+        ks_2sample(_ks_cells(Catalog(spark, sf_dir).table("events"))),
+        q_events_value_drift(spark, sf_dir),
+        JEFFREYS_ALERT,
+    )
+
+
+@register(
+    "stream_events_monitor_report",
+    _monitor_report_sql(),
+    "Streaming twin of events_monitor_report — the on-call dashboard "
+    "maintained ONLINE with one reader: a single foreachBatch scans "
+    "each micro-batch once (persisted, T8) and commits all FOUR "
+    "monitor synopses (OLS sums, hourly CUSUM cells, KS half-count "
+    "cells, Jeffreys log-bucket half-count cells) idempotently by "
+    "batchId — not four readers re-scanning the topic. All four cell "
+    "families are additive exact integers, so the folded partials "
+    "feed the IDENTICAL batch finishers and the IDENTICAL "
+    "compose_monitor_report join — drained equals batch bit-for-bit "
+    "(streaming/monitor.py).",
+)
+def q_stream_events_monitor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.monitor import streaming_monitor_report
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_monitor_")
+    return detach_and_cleanup(
+        streaming_monitor_report(
+            spark,
+            ev,
+            work_dir=work,
+            n_drift_buckets=VALUE_DRIFT_BUCKETS,
+            jeffreys_alert=JEFFREYS_ALERT,
+            checkpoint_dir=f"{work}/ckpt",
+        ),
+        work,
     )
 
 

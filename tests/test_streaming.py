@@ -1097,6 +1097,54 @@ def test_stream_retract_agg_multi_batch_equals_state_recompute(spark, tmp_path):
     assert len(committed) == 2
 
 
+def test_stream_monitor_report_multibatch_equals_batch(spark, tmp_path):
+    """The four-synopsis single-reader monitor must reproduce the batch
+    dashboard bit-for-bit when the events arrive in THREE micro-batches
+    — every cell family is additive exact integers, so batch boundaries
+    cannot move any alert."""
+    from realtime0523_spark.plans.inventory import (
+        JEFFREYS_ALERT,
+        VALUE_DRIFT_BUCKETS,
+        REGISTRY,
+    )
+    from realtime0523_spark.streaming.monitor import streaming_monitor_report
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    in_dir = str(tmp_path / "mon_in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    got = streaming_monitor_report(
+        spark,
+        stream,
+        work_dir=str(tmp_path / "mon_work"),
+        n_drift_buckets=VALUE_DRIFT_BUCKETS,
+        jeffreys_alert=JEFFREYS_ALERT,
+        checkpoint_dir=str(tmp_path / "mon_ckpt"),
+    )
+    # three committed batches in every family
+    for fam in ("trend", "cusum", "ks", "drift"):
+        committed = [
+            d
+            for d in os.listdir(str(tmp_path / "mon_work" / fam))
+            if d.startswith("batch_id=")
+        ]
+        assert len(committed) == 3, fam
+    want = REGISTRY["events_monitor_report"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_streamed_ivf_index_multibatch_equals_batch_built(spark, tmp_path):
     """The incrementally-maintained IVF index, drained over MULTIPLE
     micro-batches (vectors arriving in three waves, centroids

@@ -144,6 +144,7 @@ PROBES = [
     "docs_kn_score",       # ckpt'd pair table, vocab-sized count aggs (r8 w3)
     "customers_rfm_migration",  # shared scorer x2 snapshots + ck join (r8 w3)
     "stream_ann_index_append",  # log append + synopsis partials + map-only compact (r9)
+    "stream_events_monitor_report",  # one scan/batch -> four additive synopses (r9)
 ]
 
 # Library paths without their own registry entry, probed as callables:
