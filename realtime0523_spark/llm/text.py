@@ -413,3 +413,73 @@ def hashed_features(
         F.col("__b").alias("bucket"),
         (F.col("__cnt") / norm).alias("weight"),
     )
+
+
+# --- model-based quality scoring (the fastText-classifier slot) -------
+
+QUALITY_MODEL_DIM = 4096
+QUALITY_MODEL_MULT = 2654435761  # Knuth multiplicative hash constant
+QUALITY_MODEL_MOD = 2039  # prime; weight lattice size
+
+
+def model_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = QUALITY_MODEL_DIM,
+    mult: int = QUALITY_MODEL_MULT,
+    mod: int = QUALITY_MODEL_MOD,
+) -> DataFrame:
+    """Model-based quality score per doc — the classifier slot of a
+    CCNet/RedPajama/FineWeb-style pipeline (Wenzek et al., LREC 2020
+    score documents with a fastText linear classifier over hashed
+    bag-of-words features; Joulin et al. 2017): score =
+    sigmoid(mean per-token weight), keep = score >= 0.5.
+
+    Deterministic stand-in discipline (the interaction_score_pudf /
+    hashed_features pattern): token → md5 bucket in [0, dims), weight
+    index k = (bucket·mult) mod `mod` — a Knuth multiplicative hash
+    onto a [0, mod) integer lattice mapped affinely onto [-4, 4). A
+    TRAINED weight vector drops into the identical shape (a |dims|-row
+    broadcast table join, or a closure array like the ANN centroids);
+    the formula weights keep the whole operator exactly SQL-replayable.
+
+    Exactness: the per-doc sum of lattice indices Σk is an EXACT
+    integer (each term < 2^53/n), so the logit
+    x = 8·Σk/(n·mod) − 4 is ONE IEEE expression on two exact longs —
+    association-order-free across engines — and the keep decision is
+    the exact integer comparison 2·Σk >= n·mod (score >= 0.5 ⇔ x >= 0),
+    never a float threshold.
+
+    Scale shape: one explode into a per-doc partial-agg'd groupBy — no
+    vocabulary to broadcast (the hashing trick's point), no corpus
+    state, no shuffle beyond the doc key. Zero-token docs vanish (no
+    tokens → no rows), same as the SQL twin."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    from realtime0523_spark.llm.dedup import md5_int32
+
+    k = F.pmod(
+        F.pmod(md5_int32(F.col("__tok")), F.lit(dims)) * F.lit(mult), F.lit(mod)
+    )
+    agg = toks.select(id_col, k.alias("__k")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__k").cast("long").alias("__sk"),
+    )
+    x = (
+        F.lit(8.0) * F.col("__sk")
+        / (F.col("n_tokens") * F.lit(float(mod)))
+        - F.lit(4.0)
+    )
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-x))) * F.lit(1e9) + F.lit(0.5)
+    ) / F.lit(1e9)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        score.alias("model_score"),
+        (F.lit(2) * F.col("__sk") >= F.col("n_tokens") * F.lit(mod)).alias(
+            "keep"
+        ),
+    )

@@ -112,7 +112,7 @@ _PRIORITY: list[str] = [
     # CHANGED-code riders re-verifying after the shared-helper refactor
     # (monitor cells/composition moved into operators/stattests.py):
     "stream_ann_index_append", "stream_events_monitor_report",
-    "events_value_drift",
+    "docs_quality_model_score", "events_value_drift",
     # riders for the ann_topk_ivf/label_centroids delegation refactor
     # (rule 2 — registered plans unchanged, adjacent code changed):
     "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_ivfopq", "emb_ann_recall",

@@ -4944,3 +4944,35 @@ def q_stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, nprobe=IVF_NPROBE, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id", "score", "rk")
     return detach_and_cleanup(out, work)
+
+
+@register(
+    "docs_quality_model_score",
+    f"""
+    WITH qmt AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    qmk AS (SELECT doc_id,
+                   (({_MD5_INT32_SQL.format(col='tok')} % {X.QUALITY_MODEL_DIM})
+                    * {X.QUALITY_MODEL_MULT}) % {X.QUALITY_MODEL_MOD} AS k
+            FROM qmt),
+    qma AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(k) AS BIGINT) AS sk
+            FROM qmk GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           {_r9(f'1.0 / (1.0 + exp(-(8.0 * sk / (n_tokens * {float(X.QUALITY_MODEL_MOD)}) - 4.0)))')}
+             AS model_score,
+           2 * sk >= n_tokens * {X.QUALITY_MODEL_MOD} AS keep
+    FROM qma
+    """,
+    "Model-based quality score per doc — the fastText-classifier slot "
+    "of a CCNet/RedPajama/FineWeb-style pipeline (Wenzek et al. 2020; "
+    "Joulin et al. 2017): sigmoid of the mean hashed-token weight, "
+    "keep = score >= 0.5 decided as the EXACT integer comparison "
+    "2·Σk >= n·mod (never a float threshold). Deterministic "
+    "Knuth-lattice weights keep it SQL-replayable; a trained weight "
+    "vector drops into the identical broadcast-table/closure shape. "
+    "One explode into a per-doc partial agg — no vocabulary broadcast "
+    "(the hashing trick's point), no corpus state "
+    "(llm/text.py::model_quality_score).",
+)
+def q_docs_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.model_quality_score(Catalog(spark, sf_dir).table("documents"))

@@ -1867,6 +1867,36 @@ def test_mmr_diversifies_over_pure_relevance(spark):
     _ = np
 
 
+def test_model_quality_score_exact_keep_boundary(spark):
+    """keep must be the exact integer decision 2·Σk >= n·mod — always
+    consistent with model_score >= 0.5 — and the score deterministic
+    across runs; zero-token docs vanish like the SQL twin."""
+    from realtime0523_spark.llm.text import (
+        QUALITY_MODEL_MOD,
+        model_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "zzz qqq xxx"),
+            (3, "   "),  # whitespace-only → no tokens → no row
+            (4, "alpha alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r for r in model_quality_score(docs).collect()}
+    b = {r.doc_id: r for r in model_quality_score(docs).collect()}
+    assert 3 not in a and len(a) == 3
+    for did, r in a.items():
+        assert r == b[did]  # deterministic
+        assert r.keep == (r.model_score >= 0.5), r
+        assert 0.0 < r.model_score < 1.0
+    # single repeated token: mean weight = that token's lattice weight
+    assert a[4].n_tokens == 3
+    _ = QUALITY_MODEL_MOD
+
+
 def test_mmr_string_ids_inherit_input_types(spark):
     """Round-8 advice: the result schema was hardcoded `long`, so
     string doc/query ids failed at createDataFrame. Id columns must
