@@ -107,7 +107,12 @@ def topic_append_writer(out_dir: str):
         tmp = os.path.join(out_dir, f"_tmp_{batch_id}")
         batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        assert len(part) == 1, part  # coalesce(1) contract
+        if len(part) != 1:  # the coalesce(1) atomic-visibility contract
+            raise RuntimeError(
+                f"topic_append_writer: expected exactly one part file "
+                f"under {tmp}, found {part} — the single-file commit is "
+                f"what makes a batch atomically visible downstream"
+            )
         os.replace(
             os.path.join(tmp, part[0]),
             os.path.join(out_dir, f"batch_{batch_id:09d}.parquet"),

@@ -418,6 +418,12 @@ AUDITED: dict[str, str] = {
         "report join is a BroadcastHashJoin of |types|-row synopses "
         "— composition adds zero new corpus passes beyond its parts"
     ),
+    "docs_quality_model_score": (
+        "one explode into a per-doc partial-agg'd groupBy — the "
+        "hashing trick means NO vocabulary broadcast and no weight "
+        "table; the keep decision is exact integer arithmetic inside "
+        "the same projection"
+    ),
     "customers_rfm_migration": (
         "the shared scorer runs once per snapshot (each a |customers| "
         "range-exchange quintile pass reading its checkpoints); the "
