@@ -108,9 +108,15 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 9 WINDOW (50 slots) ----
-    # Group 1 — ADDED this round (names appear here as they land), then
-    # CHANGED-code riders re-verifying after the shared-helper refactor
-    # (monitor cells/composition moved into operators/stattests.py):
+    # WINDOW ARITHMETIC: group 1 = 8 (3 added + 1 changed + 4 riders),
+    # group 2 = 9 never-driver-tested, group 3 = 14 r4-stale, leaving
+    # 19 slots for the 41 r5-stale rows (alphabetical); the remaining
+    # 22 r5 rows lead the round-10 rotation per the SLA below.
+    # Group 1 — ADDED this round (stream_ann_index_append,
+    # stream_events_monitor_report, docs_quality_model_score) or
+    # CHANGED (events_value_drift now delegates to the shared
+    # stattests cell collapse), then riders re-verifying after the
+    # shared-helper refactors:
     "stream_ann_index_append", "stream_events_monitor_report",
     "docs_quality_model_score", "events_value_drift",
     # riders for the ann_topk_ivf/label_centroids delegation refactor
