@@ -142,6 +142,7 @@ def streaming_ivf_index_append(
     label_col: str = "label",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    refresh_every: int = 1,
 ) -> StreamedIVFIndex:
     """Drain an append stream of (id, label, vector) rows through
     incremental IVF maintenance; return the committed-state handle.
@@ -150,14 +151,29 @@ def streaming_ivf_index_append(
     idempotent by batchId, and the centroid fold is over committed
     partials only — a replayed batch can neither double-count a
     vector nor double-add its centroid contribution (same contract as
-    streaming/retraction.py, property-tested there)."""
+    streaming/retraction.py, property-tested there).
+
+    `refresh_every`: re-fold the quantizer from committed partials
+    every Nth non-empty batch (the periodic-refresh every production
+    vector store runs), reusing the driver-cached matrix in between.
+    The fold reads every committed partial file, so folding EVERY
+    batch is O(batches²) file reads over a long horizon — at an
+    unbounded-stream deployment set refresh_every to the reindex
+    cadence (and/or compact the partials directory with the same
+    fold, which any prefix of batches permits: the sum is
+    distributive). Correctness is unaffected either way: live
+    assignments are eventually consistent BY DESIGN (quantizer-as-of-
+    batch), and compact() always folds everything exactly."""
     vec_dir = os.path.join(work_dir, "vectors")
     cent_dir = os.path.join(work_dir, "cent_partials")
     live_dir = os.path.join(work_dir, "live_cells")
+    if refresh_every < 1:
+        raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
     commit_vec = idempotent_batch_writer(vec_dir)
     commit_cent = idempotent_batch_writer(cent_dir)
     commit_live = idempotent_batch_writer(live_dir)
     handle = StreamedIVFIndex(spark, vec_dir, cent_dir, live_dir, id_col, vec_col)
+    quantizer: dict = {"cent": None, "batches_since": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -174,14 +190,21 @@ def streaming_ivf_index_append(
                 .agg(F.sum(F.col("v").cast("double")).alias("s"))
             )
             commit_cent(partial, batch_id)
-            # live assignment under the centroid state as of THIS batch
-            # (committed partials now include this batch's — the
-            # freshest quantizer available at ingest time)
-            cent = handle.centroids()
+            # live assignment under the current quantizer: refreshed
+            # from committed partials (which now include this batch's)
+            # every `refresh_every`-th non-empty batch, cached between
+            if (
+                quantizer["cent"] is None
+                or quantizer["batches_since"] + 1 >= refresh_every
+            ):
+                quantizer["cent"] = handle.centroids()
+                quantizer["batches_since"] = 0
+            else:
+                quantizer["batches_since"] += 1
             commit_live(
-                assign_ivf_cells(batch_df, cent, vec_col=vec_col).select(
-                    id_col, F.col("__cell").alias("cell")
-                ),
+                assign_ivf_cells(
+                    batch_df, quantizer["cent"], vec_col=vec_col
+                ).select(id_col, F.col("__cell").alias("cell")),
                 batch_id,
             )
         finally:
