@@ -1145,14 +1145,19 @@ def test_stream_monitor_report_multibatch_equals_batch(spark, tmp_path):
     )
 
 
-def test_streamed_ivf_index_multibatch_equals_batch_built(spark, tmp_path):
+@pytest.mark.parametrize("refresh_every", [1, 2])
+def test_streamed_ivf_index_multibatch_equals_batch_built(
+    spark, tmp_path, refresh_every
+):
     """The incrementally-maintained IVF index, drained over MULTIPLE
-    micro-batches (vectors arriving in three waves, centroids
-    refreshed per batch) and then compacted, must answer queries
-    IDENTICALLY to an index built by the batch path on the same
-    corpus — the drained-equals-batch contract. Also pins the live
-    index's eventual-consistency shape: every ingested vector has
-    exactly one live cell row."""
+    micro-batches (vectors arriving in three waves) and then
+    compacted, must answer queries IDENTICALLY to an index built by
+    the batch path on the same corpus — the drained-equals-batch
+    contract — under BOTH quantizer cadences (refresh every batch and
+    the cached every-2nd-batch reindex path; live assignments differ,
+    the compacted answer cannot). Also pins the live index's
+    eventual-consistency shape: every ingested vector has exactly one
+    live cell row."""
     from realtime0523_spark.core.catalog import Catalog
     from realtime0523_spark.llm.similarity import ann_topk_ivf, label_centroids
     from realtime0523_spark.streaming.ann_index import streaming_ivf_index_append
@@ -1179,6 +1184,7 @@ def test_streamed_ivf_index_multibatch_equals_batch_built(spark, tmp_path):
     idx = streaming_ivf_index_append(
         spark, stream, work_dir=str(tmp_path / "ivf"),
         checkpoint_dir=str(tmp_path / "ivf_ckpt"),
+        refresh_every=refresh_every,
     )
     # it genuinely ran multi-batch
     committed = [d for d in os.listdir(idx.vec_dir) if d.startswith("batch_id=")]
