@@ -108,20 +108,23 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 9 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 8 (3 added + 1 changed + 4 riders),
+    # WINDOW ARITHMETIC: group 1 = 10 (4 added + 1 changed + 5 riders),
     # group 2 = 9 never-driver-tested, group 3 = 14 r4-stale, leaving
-    # 19 slots for the 41 r5-stale rows (alphabetical); the remaining
-    # 22 r5 rows lead the round-10 rotation per the SLA below.
+    # 17 slots for the 41 r5-stale rows (alphabetical); the remaining
+    # 24 r5 rows lead the round-10 rotation per the SLA below.
     # Group 1 — ADDED this round (stream_ann_index_append,
-    # stream_events_monitor_report, docs_quality_model_score) or
-    # CHANGED (events_value_drift now delegates to the shared
-    # stattests cell collapse), then riders re-verifying after the
-    # shared-helper refactors:
+    # stream_events_monitor_report, docs_quality_model_score,
+    # stream_customers_rfm) or CHANGED (events_value_drift now
+    # delegates to the shared stattests cell collapse), then riders
+    # re-verifying after the shared-helper refactors:
     "stream_ann_index_append", "stream_events_monitor_report",
-    "docs_quality_model_score", "events_value_drift",
-    # riders for the ann_topk_ivf/label_centroids delegation refactor
-    # (rule 2 — registered plans unchanged, adjacent code changed):
+    "docs_quality_model_score", "stream_customers_rfm",
+    "events_value_drift",
+    # riders (rule 2 — registered plans unchanged, adjacent code
+    # changed: the ann_topk_ivf/label_centroids delegation refactor,
+    # and the _rfm_scores metric-table split):
     "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_ivfopq", "emb_ann_recall",
+    "customers_rfm",
     # Group 2 — the 9 queries that have NEVER had a driver CORRECTNESS
     # row (round-8 spill: they landed after the last window rotation;
     # all are green in every pytest oracle run):
@@ -4665,26 +4668,40 @@ _RFM_ORACLE = f"""
     """
 
 
-def _rfm_scores(orders: DataFrame) -> DataFrame:
-    """Per-customer RFM quintile scores + segment label — the shared
-    scorer behind customers_rfm and the migration matrix. Exact
-    rank-bucket quintiles via prefix_sums (never ntile); the recency
-    anchor is the SNAPSHOT max order date (1-row exact collect)."""
-    from realtime0523_spark.operators.histogram import prefix_sums
-
-    anchor = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("a")
-    ).first()["a"]
-    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.datediff(
-            F.lit(anchor), F.max(F.col("o_orderdate").cast("date"))
-        )
-        .cast("long")
-        .alias("r_days"),
+def _customer_metrics(orders: DataFrame) -> DataFrame:
+    """Collapse orders to the |customers| metric table (ck, last_day,
+    freq, mon) — all three metrics fold by (max, sum, sum), which is
+    what gives RFM a streaming twin through the additive-cells
+    machinery."""
+    return orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("mon"),
+    )
+
+
+def _rfm_scores(orders: DataFrame) -> DataFrame:
+    """Per-customer RFM quintile scores + segment label — the shared
+    scorer behind customers_rfm, the migration matrix, and the
+    streaming twin. Exact rank-bucket quintiles via prefix_sums
+    (never ntile)."""
+    return _rfm_scores_from_metrics(_customer_metrics(orders))
+
+
+def _rfm_scores_from_metrics(cust: DataFrame) -> DataFrame:
+    """Score a (ck, last_day, freq, mon) metric table: the recency
+    anchor is the snapshot max last_day (1-row exact collect); the
+    rest is the exact rank-bucket quintile machinery."""
+    from realtime0523_spark.operators.histogram import prefix_sums
+
+    anchor = cust.agg(F.max("last_day").alias("a")).first()["a"]
+    cust = cust.select(
+        "ck",
+        F.datediff(F.lit(anchor), F.col("last_day")).cast("long").alias("r_days"),
+        "freq",
+        "mon",
     ).withColumn("one", F.lit(1).cast("long"))
 
     d, n = prefix_sums(cust, [F.col("r_days"), F.col("ck")], "one", "cum_r")
@@ -4729,7 +4746,13 @@ def _rfm_scores(orders: DataFrame) -> DataFrame:
 )
 def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = Catalog(spark, sf_dir).table("orders")
-    return _rfm_scores(orders).groupBy(
+    return _rfm_report(_rfm_scores(orders))
+
+
+def _rfm_report(scores: DataFrame) -> DataFrame:
+    """Aggregate per-customer scores to the labeled segment-cell
+    report — shared by the batch query and the streaming twin."""
+    return scores.groupBy(
         "r_score", "f_score", "m_score", "segment"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -4737,6 +4760,72 @@ def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "r_score", "f_score", "m_score", "segment",
         "n_customers", "total_cents",
+    )
+
+
+@register(
+    "stream_customers_rfm",
+    _RFM_ORACLE,
+    "Streaming twin of customers_rfm — continuously-updated customer "
+    "segmentation: each micro-batch commits per-(customer, day) "
+    "partial cells (count + cent sum; bounded by customers TOUCHED "
+    "in the batch, map-side combined, idempotent by batchId), the "
+    "reader folds cells by (sum, sum) and collapses to customer "
+    "metrics by (max day, sum, sum) — every fold a commutative "
+    "monoid, so batch boundaries, replays, and late orders cannot "
+    "change any score — then the IDENTICAL exact rank-bucket "
+    "quintile scorer and segment report run on the folded metrics "
+    "(shared _rfm_scores_from_metrics/_rfm_report code). Drained "
+    "equals batch bit-for-bit; at-rest state is the "
+    "|customers × active-days| cell synopsis (the rolling-DAU class).",
+)
+def q_stream_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.cells import streaming_cells
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    orders = stream_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="stream_rfm_")
+
+    def cell_fn(b: DataFrame) -> DataFrame:
+        return b.groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("mon"),
+        )
+
+    def finish(cells: DataFrame) -> DataFrame:
+        metrics = cells.groupBy("ck").agg(
+            F.max("d").alias("last_day"),
+            F.sum("freq").cast("long").alias("freq"),
+            F.sum("mon").cast("long").alias("mon"),
+        )
+        return _rfm_report(_rfm_scores_from_metrics(metrics))
+
+    return detach_and_cleanup(
+        streaming_cells(
+            spark,
+            orders,
+            cell_fn,
+            key_cols=["ck", "d"],
+            sum_cols=["freq", "mon"],
+            finish_fn=finish,
+            out_dir=f"{work}/partials",
+            checkpoint_dir=f"{work}/ckpt",
+            empty_schema=(
+                "r_score long, f_score long, m_score long, segment string, "
+                "n_customers long, total_cents long"
+            ),
+        ),
+        work,
     )
 
 

@@ -1097,6 +1097,70 @@ def test_stream_retract_agg_multi_batch_equals_state_recompute(spark, tmp_path):
     assert len(committed) == 2
 
 
+def test_stream_customers_rfm_multibatch_equals_batch(spark, tmp_path):
+    """Online RFM: orders arriving in three micro-batches must produce
+    the identical segment report as the batch scorer — every fold is a
+    commutative monoid (max last-day, sum count, sum cents), so batch
+    boundaries cannot move a quintile."""
+    from realtime0523_spark.plans.inventory import REGISTRY
+
+    orders = Catalog(spark, SF_SMOKE).table("orders")
+    in_dir = str(tmp_path / "rfm_in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(1.1)
+
+    from realtime0523_spark.plans.inventory import (
+        _rfm_report,
+        _rfm_scores_from_metrics,
+        q_stream_customers_rfm,
+    )
+    from realtime0523_spark.streaming.cells import streaming_cells
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def cell_fn(b):
+        return b.groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("mon"),
+        )
+
+    def finish(cells):
+        metrics = cells.groupBy("ck").agg(
+            F.max("d").alias("last_day"),
+            F.sum("freq").cast("long").alias("freq"),
+            F.sum("mon").cast("long").alias("mon"),
+        )
+        return _rfm_report(_rfm_scores_from_metrics(metrics))
+
+    got = streaming_cells(
+        spark, stream, cell_fn,
+        key_cols=["ck", "d"], sum_cols=["freq", "mon"], finish_fn=finish,
+        out_dir=str(tmp_path / "rfm_cells"),
+        checkpoint_dir=str(tmp_path / "rfm_ckpt"),
+    )
+    committed = [d for d in os.listdir(str(tmp_path / "rfm_cells"))
+                 if d.startswith("batch_id=")]
+    assert len(committed) == 3
+    want = REGISTRY["customers_rfm"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    _ = q_stream_customers_rfm
+
+
 def test_stream_monitor_report_multibatch_equals_batch(spark, tmp_path):
     """The four-synopsis single-reader monitor must reproduce the batch
     dashboard bit-for-bit when the events arrive in THREE micro-batches
