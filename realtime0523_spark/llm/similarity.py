@@ -1251,6 +1251,74 @@ def ann_topk_ivfpq(
         )
     if codebooks is None:
         codebooks = pq_train_codebooks(corpus, m=m, id_col=id_col, vec_col=vec_col)
+    indexed = assign_ivfpq_index(
+        corpus, centroids, codebooks, m=m, id_col=id_col, vec_col=vec_col
+    )
+    return ivfpq_query_index(
+        indexed,
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        nprobe=nprobe,
+        m=m,
+        retrieve=retrieve,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        score_transform=score_transform,
+    )
+
+
+def assign_ivfpq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The materializable IVFADC index: (id, __cell, __code) from one
+    map-only pass (cell assignment + PQ encoding, both
+    closure-broadcast) — what a streaming appender commits per batch
+    and a compaction rewrites."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    if cb.shape[1] % m:
+        raise ValueError(
+            f"PQ: codebook width {cb.shape[1]} is not divisible by m={m} subspaces"
+        )
+    assign1 = _nearest_cells_udf(centroids, 1)
+    enc = pq_encode_udf(cb, m)
+    return corpus.select(
+        id_col,
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
+        enc(F.col(vec_col)).alias("__code"),
+    )
+
+
+def ivfpq_query_index(
+    indexed: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 4,
+    m: int = PQ_SUBSPACES,
+    retrieve: int = PQ_RETRIEVE,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    score_transform=None,
+) -> DataFrame:
+    """Serve IVFADC top-k from a STORED (id, __cell, __code) index —
+    the probe-join + ADC + exact-rerank half of ann_topk_ivfpq, split
+    out so an incrementally-maintained at-rest index
+    (streaming/ann_index.py) shares the exact batch query path.
+    `corpus` supplies full vectors for the shortlist fetch only."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     n_codes, dims = cb.shape
     if dims % m:
@@ -1258,14 +1326,6 @@ def ann_topk_ivfpq(
             f"PQ: codebook width {dims} is not divisible by m={m} subspaces"
         )
     sd = dims // m
-
-    assign1 = _nearest_cells_udf(centroids, 1)
-    enc = pq_encode_udf(cb, m)
-    indexed = corpus.select(
-        id_col,
-        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
-        enc(F.col(vec_col)).alias("__code"),
-    )
     probe = _nearest_cells_udf(centroids, nprobe)
     qprobe = queries.select(
         query_id_col, F.explode(probe(F.col(query_vec_col))).alias("__qcell")

@@ -4976,3 +4976,63 @@ def q_stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.model_quality_score(Catalog(spark, sf_dir).table("documents"))
+
+
+@register(
+    "stream_ann_ivfpq_append",
+    f"""
+    WITH {_IVF_ANN_CTES},
+    {_PQ_ANN_CTES},
+    sadc AS (
+      SELECT ic.qid, ic.vec_id, sum(l.pd) AS adc
+      FROM ivfcand ic
+      JOIN pqcode c ON c.vec_id = ic.vec_id
+      JOIN pqlut l ON l.qid = ic.qid AND l.m = c.m AND l.label = c.code
+      GROUP BY ic.qid, ic.vec_id),
+    sshort AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_r9('adc')} DESC, vec_id) AS rn
+        FROM sadc) WHERE rn <= {S.PQ_RETRIEVE}),
+    {_rerank_cte('sshort', 'sann')}
+    SELECT qid, vec_id, score, rk FROM sann WHERE rk <= {TOPK_K}
+    """,
+    "Streaming IVFADC maintenance (streaming/ann_index.py): the "
+    "embedding stream drains through per-batch vector-log appends, "
+    "ONE (label, dim, sum, count) quantizer-partial family — sums "
+    "give the IVF centroids, means give the PQ codebooks, both "
+    "distributive so the streamed quantizer pair equals the batch "
+    "one exactly — and live (cell, code) assignment under the "
+    "quantizer-as-of-batch; compact_ivfpq() re-derives the final "
+    "pair and reassigns+re-encodes the log map-only. Serving runs "
+    "the identical batch IVFADC path (ivfpq_query_index: probe join "
+    "→ compressed-code ADC → exact re-rank), so the drained result "
+    "matches the emb_ann_ivfpq oracle — the billion-vector index "
+    "architecture maintained under continuous ingest.",
+)
+def q_stream_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.ann_index import (
+        streaming_ivf_index_append,
+    )
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+
+    work = tempfile.mkdtemp(prefix="stream_ann_ivfpq_")
+    idx = streaming_ivf_index_append(
+        spark,
+        stream_table(spark, sf_dir, "embeddings"),
+        work_dir=work,
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    _, queries = _ann_queries(spark, sf_dir)
+    out = idx.query_adc(
+        queries,
+        nprobe=IVF_NPROBE,
+        retrieve=S.PQ_RETRIEVE,
+        k=TOPK_K,
+        score_transform=r9,
+    ).select("qid", "vec_id", "score", "rk")
+    return detach_and_cleanup(out, work)

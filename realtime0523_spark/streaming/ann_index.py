@@ -22,21 +22,26 @@ rely on). Nothing here samples or decays.
 Per micro-batch (foreachBatch):
   1. append the batch's vectors to the at-rest vector log
      (idempotent-by-batchId commit);
-  2. commit the batch's (label, dim, partial_sum) centroid partials
-     — bounded at |labels|×dims rows whatever the batch size;
-  3. LIVE assignment: fold all committed partials into the current
-     centroid matrix (a |labels|×dims collect — legal at any corpus
-     size) and commit the batch's (vec_id, cell) rows. Earlier
-     batches keep the cells they were assigned under earlier centroid
-     states — the live index is eventually consistent, exactly like a
-     production ANN index between reindex runs.
+  2. commit the batch's (label, dim, sum, count) quantizer partials —
+     bounded at |labels|×dims rows whatever the batch size; ONE
+     partial family maintains BOTH quantizers, the IVF centroids
+     (normalized sums) and the PQ codebooks (means = sum/count);
+  3. LIVE assign + ENCODE: fold committed partials into the current
+     quantizer pair (a |labels|×dims collect — legal at any corpus
+     size) and commit the batch's (vec_id, cell, pq_code) rows.
+     Earlier batches keep the cells/codes they were assigned under
+     earlier quantizer states — the live index is eventually
+     consistent, exactly like a production ANN index between reindex
+     runs.
 
-`compact()` is the reindex: fold the FINAL partials (== batch
-label_centroids on everything ingested) and reassign the whole log in
-one map-only pass. The drained-compacted index answers queries
-IDENTICALLY to an index built by the batch path on the same corpus —
-the drained-equals-batch contract the inventory entry
-(`stream_ann_index_append`) verifies against the emb_ann_ivf oracle.
+`compact()` / `compact_ivfpq()` is the reindex: fold the FINAL
+partials (== batch label_centroids / pq_codebooks on everything
+ingested) and reassign+re-encode the whole log in one map-only pass.
+The drained-compacted index answers queries IDENTICALLY to an index
+built by the batch path on the same corpus — the drained-equals-batch
+contract the inventory entries (`stream_ann_index_append` against the
+emb_ann_ivf oracle, `stream_ann_ivfpq_append` against the
+emb_ann_ivfpq oracle) verify.
 
 At 100 TB: the vector log append shuffles nothing; centroid partials
 are synopsis-sized; the live-assign pass is map-only with the centroid
@@ -53,9 +58,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime0523_spark.llm.similarity import (
+    PQ_SUBSPACES,
     assign_ivf_cells,
+    assign_ivfpq_index,
     centroids_from_sums,
     ivf_query_cells,
+    ivfpq_query_index,
 )
 from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
@@ -91,13 +99,33 @@ class StreamedIVFIndex:
         )
         return centroids_from_sums(rows)
 
+    def codebooks(self) -> np.ndarray:
+        """PQ codebooks from the SAME committed partials: the
+        per-(label, dim) mean = sum(s)/sum(n) — AVG is sum/count, both
+        distributive, so the streamed codebooks equal batch
+        pq_codebooks over everything ingested. One partial family
+        maintains the whole quantizer pair."""
+        rows = (
+            self.spark.read.parquet(self.cent_dir)
+            .groupBy("label", "d")
+            .agg((F.sum("s") / F.sum("n")).alias("w"))
+            .collect()
+        )
+        labels = sorted({r[0] for r in rows})
+        dims = max(r[1] for r in rows) + 1
+        cent = np.zeros((len(labels), dims))
+        pos = {lb: i for i, lb in enumerate(labels)}
+        for r in rows:
+            cent[pos[r[0]], r[1]] = r[2]
+        return cent
+
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(self.vec_dir).drop("batch_id")
 
     def live_index(self) -> DataFrame:
-        """(vec_id, cell) as committed per batch — cells reflect the
-        centroid state at each vector's ingest batch (eventually
-        consistent until compact())."""
+        """(vec_id, cell, code) as committed per batch — cell and PQ
+        code reflect the quantizer state at each vector's ingest batch
+        (eventually consistent until compact())."""
         return self.spark.read.parquet(self.live_dir).drop("batch_id")
 
     def compact(self) -> tuple[np.ndarray, DataFrame]:
@@ -106,6 +134,19 @@ class StreamedIVFIndex:
         ivf_query_cells."""
         cent = self.centroids()
         return cent, assign_ivf_cells(self.vectors(), cent, vec_col=self.vec_col)
+
+    def compact_ivfpq(
+        self, m: int = PQ_SUBSPACES
+    ) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+        """IVFADC reindex: final (centroids, codebooks) from the folded
+        partials + ONE map-only pass rewriting (cell, code) for the
+        whole log. Ready for ivfpq_query_index."""
+        cent = self.centroids()
+        cb = self.codebooks()
+        return cent, cb, assign_ivfpq_index(
+            self.vectors(), cent, cb, m=m,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
 
     def query(
         self,
@@ -125,6 +166,39 @@ class StreamedIVFIndex:
             queries,
             cent,
             nprobe=nprobe,
+            k=k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            score_transform=score_transform,
+        )
+
+    def query_adc(
+        self,
+        queries: DataFrame,
+        nprobe: int = 4,
+        m: int = PQ_SUBSPACES,
+        retrieve: int = 20,
+        k: int = 5,
+        query_id_col: str = "qid",
+        query_vec_col: str = "qv",
+        score_transform=None,
+    ) -> DataFrame:
+        """Serve IVFADC top-k (probe → compressed-code ADC → exact
+        re-rank) from the compacted streamed index — the exact batch
+        query path (llm/similarity.ivfpq_query_index) over streamed
+        state."""
+        cent, cb, indexed = self.compact_ivfpq(m=m)
+        return ivfpq_query_index(
+            indexed,
+            self.vectors(),
+            queries,
+            cent,
+            cb,
+            nprobe=nprobe,
+            m=m,
+            retrieve=retrieve,
             k=k,
             id_col=self.id_col,
             vec_col=self.vec_col,
@@ -173,7 +247,7 @@ def streaming_ivf_index_append(
     commit_cent = idempotent_batch_writer(cent_dir)
     commit_live = idempotent_batch_writer(live_dir)
     handle = StreamedIVFIndex(spark, vec_dir, cent_dir, live_dir, id_col, vec_col)
-    quantizer: dict = {"cent": None, "batches_since": 0}
+    quantizer: dict = {"cent": None, "cb": None, "batches_since": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -181,30 +255,46 @@ def streaming_ivf_index_append(
         batch_df = batch_df.select(id_col, label_col, vec_col).persist()
         try:
             commit_vec(batch_df, batch_id)
+            # (label, dim) -> (sum, count): ONE partial family serves
+            # both quantizers — IVF centroids (normalized sums) and PQ
+            # codebooks (means) — since sum and count are distributive
             partial = (
                 batch_df.select(
                     F.col(label_col).alias("label"),
                     F.posexplode(F.col(vec_col)).alias("d", "v"),
                 )
                 .groupBy("label", "d")
-                .agg(F.sum(F.col("v").cast("double")).alias("s"))
+                .agg(
+                    F.sum(F.col("v").cast("double")).alias("s"),
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                )
             )
             commit_cent(partial, batch_id)
-            # live assignment under the current quantizer: refreshed
-            # from committed partials (which now include this batch's)
-            # every `refresh_every`-th non-empty batch, cached between
+            # live assignment + PQ encode under the current quantizer
+            # pair: refreshed from committed partials (which now
+            # include this batch's) every `refresh_every`-th non-empty
+            # batch, cached between
             if (
                 quantizer["cent"] is None
                 or quantizer["batches_since"] + 1 >= refresh_every
             ):
                 quantizer["cent"] = handle.centroids()
+                quantizer["cb"] = handle.codebooks()
                 quantizer["batches_since"] = 0
             else:
                 quantizer["batches_since"] += 1
             commit_live(
-                assign_ivf_cells(
-                    batch_df, quantizer["cent"], vec_col=vec_col
-                ).select(id_col, F.col("__cell").alias("cell")),
+                assign_ivfpq_index(
+                    batch_df,
+                    quantizer["cent"],
+                    quantizer["cb"],
+                    id_col=id_col,
+                    vec_col=vec_col,
+                ).select(
+                    id_col,
+                    F.col("__cell").alias("cell"),
+                    F.col("__code").alias("code"),
+                ),
                 batch_id,
             )
         finally:

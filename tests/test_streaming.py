@@ -1281,6 +1281,33 @@ def test_streamed_ivf_index_multibatch_equals_batch_built(
     want = [(q, v, round(s, 9), r) for q, v, s, r in want]
     assert got == want and len(got) == 30
 
+    # the IVFADC serving path over the SAME streamed state must equal
+    # the batch-built combined index too (quantizer pair from one
+    # partial family: centroids = normalized sums, codebooks = means)
+    from realtime0523_spark.llm.similarity import ann_topk_ivfpq, pq_codebooks
+
+    got_adc = sorted(
+        map(tuple, idx.query_adc(queries, nprobe=4, k=5).collect())
+    )
+    want_adc = sorted(
+        map(
+            tuple,
+            ann_topk_ivfpq(
+                emb,
+                queries,
+                centroids=label_centroids(emb),
+                codebooks=pq_codebooks(emb),
+                nprobe=4,
+                k=5,
+            )
+            .select("qid", "vec_id", "score", "rk")
+            .collect(),
+        )
+    )
+    got_adc = [(q, v, round(s, 9), r) for q, v, s, r in got_adc]
+    want_adc = [(q, v, round(s, 9), r) for q, v, s, r in want_adc]
+    assert got_adc == want_adc and len(got_adc) == 30
+
 
 # ---------------------------------------------------------------------------
 # Backfill/replay delivery contract (round-8 verdict item 5): ANY
