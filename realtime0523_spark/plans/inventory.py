@@ -108,17 +108,17 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 9 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 11 (5 added + 1 changed + 5 riders),
+    # WINDOW ARITHMETIC: group 1 = 12 (6 added + 1 changed + 5 riders),
     # group 2 = 9 never-driver-tested, group 3 = 14 r4-stale, leaving
-    # 16 slots for the 41 r5-stale rows (alphabetical); the remaining
-    # 25 r5 rows lead the round-10 rotation per the SLA below.
+    # 15 slots for the 41 r5-stale rows (alphabetical); the remaining
+    # 26 r5 rows lead the round-10 rotation per the SLA below.
     # Group 1 — ADDED this round (stream_ann_index_append,
     # stream_events_monitor_report, docs_quality_model_score,
     # stream_customers_rfm) or CHANGED (events_value_drift now
     # delegates to the shared stattests cell collapse), then riders
     # re-verifying after the shared-helper refactors:
     "stream_ann_index_append", "stream_ann_ivfpq_append",
-    "stream_events_monitor_report",
+    "stream_events_monitor_report", "stream_event_funnel_latency",
     "docs_quality_model_score", "stream_customers_rfm",
     "events_value_drift",
     # riders (rule 2 — registered plans unchanged, adjacent code

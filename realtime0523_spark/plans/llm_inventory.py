@@ -5036,3 +5036,55 @@ def q_stream_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_transform=r9,
     ).select("qid", "vec_id", "score", "rk")
     return detach_and_cleanup(out, work)
+
+
+def _funnel_latency_oracle() -> str:
+    from realtime0523_spark.plans.inventory import _FUNNEL_LATENCY_ORACLE
+
+    return _FUNNEL_LATENCY_ORACLE
+
+
+@register(
+    "stream_event_funnel_latency",
+    _funnel_latency_oracle(),
+    "Streaming twin of event_funnel_latency — time-to-convert "
+    "distribution maintained ONLINE from the cross-batch stateful "
+    "funnel (streaming/funnel.py): the per-user stage machine emits "
+    "exact (t1..tN) epoch-us rows per touched batch (each t_k "
+    "non-increasing, so the drained stream reduces by per-user min), "
+    "converted users yield exact integer-microsecond deltas, and the "
+    "IDENTICAL funnel_latency_stats finisher (exact longs, integer "
+    "floor-division mean, binary-exact-fraction quantiles) produces "
+    "the report — drained equals the batch oracle bit-for-bit. The "
+    "p75 re-engagement SLA, always one metadata-sized fold away from "
+    "the live state.",
+)
+def q_stream_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.plans.inventory import funnel_latency_stats
+    from realtime0523_spark.streaming.funnel import streaming_funnel_stages
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    per_user = run_to_memory(
+        streaming_funnel_stages(
+            stream_table(spark, sf_dir, "events"),
+            "user_id",
+            "event_type",
+            "ts",
+            stages=FUNNEL_STAGES,
+        ),
+        output_mode="update",
+    )
+    finals = per_user.groupBy("user").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    d = finals.filter(F.col("t2").isNotNull()).select(
+        F.lit("view->click").alias("transition"),
+        (F.col("t2") - F.col("t1")).cast("long").alias("d_us"),
+    ).unionAll(
+        finals.filter(F.col("t3").isNotNull()).select(
+            F.lit("click->purchase").alias("transition"),
+            (F.col("t3") - F.col("t2")).cast("long").alias("d_us"),
+        )
+    )
+    return funnel_latency_stats(d)

@@ -147,6 +147,7 @@ PROBES = [
     "stream_events_monitor_report",  # one scan/batch -> four additive synopses (r9)
     "stream_customers_rfm",  # (customer, day) additive cells -> quintile scorer (r9)
     "stream_ann_ivfpq_append",  # log + one quantizer-partial family + ADC serve (r9)
+    "stream_event_funnel_latency",  # stateful funnel emissions -> exact quantiles (r9)
     "docs_quality_model_score",  # explode -> per-doc partial agg, no vocab broadcast (r9)
 ]
 
