@@ -485,7 +485,7 @@ def ann_topk_ivf(
         centroids = ivf_train_centroids(
             corpus, n_cells=n_cells, sample=sample, id_col=id_col, vec_col=vec_col
         )
-    cells = assign_ivf_cells(corpus, centroids, vec_col=vec_col)
+    cells = assign_ivf_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     return ivf_query_cells(
         cells,
         queries,
@@ -503,15 +503,21 @@ def ann_topk_ivf(
 def assign_ivf_cells(
     corpus: DataFrame,
     centroids: np.ndarray,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "__cell",
 ) -> DataFrame:
-    """Map-only nearest-cell assignment: corpus columns + `cell_col`.
-    The materializable half of the IVF index — what a streaming
-    appender commits per batch and a compaction job rewrites."""
+    """Map-only nearest-cell assignment, PROJECTED to
+    (id, vector, cell). The materializable half of the IVF index —
+    what a streaming appender commits per batch and a compaction job
+    rewrites. Projecting (rather than withColumn on the full corpus)
+    keeps payload columns out of the probe join and makes the index
+    immune to corpus columns that collide with query-side names."""
     assign1 = _nearest_cells_udf(centroids, 1)
-    return corpus.withColumn(
-        cell_col, F.element_at(assign1(F.col(vec_col)), 1)
+    return corpus.select(
+        id_col,
+        vec_col,
+        F.element_at(assign1(F.col(vec_col)), 1).alias(cell_col),
     )
 
 
@@ -1878,13 +1884,16 @@ def mmr_topk(
     of an eventual driver OOM. Output id columns inherit the exact
     input column types (round-8 advice: the schema was hardcoded
     `long`, breaking string-id corpora at createDataFrame)."""
-    n_queries = queries.count()
-    if n_queries * retrieve > 1_000_000:
+    # bounded guard: count only up to the threshold + 1 (a full count
+    # of an expensive queries plan would itself be an extra Spark job)
+    max_q = 1_000_000 // max(retrieve, 1)
+    n_probe = queries.limit(max_q + 1).count()
+    if n_probe > max_q:
         raise ValueError(
-            f"mmr_topk driver-memory contract: |queries|*retrieve = "
-            f"{n_queries}*{retrieve} > 1e6 shortlist rows. MMR is a "
-            "re-rank-tier operator over a bounded shortlist; split the "
-            "query set or lower `retrieve`."
+            f"mmr_topk driver-memory contract: |queries|*retrieve exceeds "
+            f"1e6 shortlist rows (>{max_q} queries at retrieve={retrieve}). "
+            "MMR is a re-rank-tier operator over a bounded shortlist; "
+            "split the query set or lower `retrieve`."
         )
     r9c = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     shortlist = cosine_topk(

@@ -140,8 +140,9 @@ _PRIORITY: list[str] = [
     "media_features", "media_frames", "media_resize", "order_wide",
     "running_total", "scd2_history", "sessionize", "ship_priority_topk",
     "spend_full_outer", "stream_session_counts", "windowed_event_counts",
-    # then the r5 rows, alphabetical; the first ~26 complete the
-    # 50-slot round-9 window, the remainder lead the round-10 rotation:
+    # then the r5 rows, alphabetical; the leading 15 complete the
+    # 50-slot round-9 window (see the arithmetic in the header note),
+    # the remaining 26 lead the round-10 rotation:
     "active_buyers_union", "churned_buyers", "docs_chunk_embed",
     "docs_lang_guess", "docs_pack_exact", "docs_quality",
     "docs_quality_approx_contract", "docs_quality_filter",
@@ -168,7 +169,7 @@ _PRIORITY: list[str] = [
     "docs_pack_sequences", "docs_pii_redact", "docs_repetition",
     "docs_simhash", "docs_span_dedup", "docs_span_stats",
     "docs_stratified_sample", "docs_token_budget_sample",
-    "docs_token_stats", "docs_train_split", "emb_ann_ivf",
+    "docs_token_stats", "docs_train_split",
     "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
     "qty_moving_stats", "router_fanout", "router_filter",
     # r7 rows (newest — rotate last) keep registration order at the end.

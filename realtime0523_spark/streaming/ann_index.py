@@ -88,36 +88,33 @@ class StreamedIVFIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def centroids(self) -> np.ndarray:
-        """Fold ALL committed partials — equals batch label_centroids
-        over everything ingested (distributive sum)."""
+    def quantizer_pair(self) -> tuple[np.ndarray, np.ndarray]:
+        """BOTH quantizers from ONE scan + collect of the committed
+        partials: IVF centroids = normalized per-(label, dim) sums
+        (== batch label_centroids — distributive sum), PQ codebooks =
+        per-(label, dim) means = sum/count (== batch pq_codebooks).
+        A single aggregation serves both so the per-refresh fold cost
+        is one read, not two."""
         rows = (
             self.spark.read.parquet(self.cent_dir)
             .groupBy("label", "d")
-            .agg(F.sum("s").alias("s"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
-        return centroids_from_sums(rows)
-
-    def codebooks(self) -> np.ndarray:
-        """PQ codebooks from the SAME committed partials: the
-        per-(label, dim) mean = sum(s)/sum(n) — AVG is sum/count, both
-        distributive, so the streamed codebooks equal batch
-        pq_codebooks over everything ingested. One partial family
-        maintains the whole quantizer pair."""
-        rows = (
-            self.spark.read.parquet(self.cent_dir)
-            .groupBy("label", "d")
-            .agg((F.sum("s") / F.sum("n")).alias("w"))
-            .collect()
-        )
+        cent = centroids_from_sums([(r[0], r[1], r[2]) for r in rows])
         labels = sorted({r[0] for r in rows})
         dims = max(r[1] for r in rows) + 1
-        cent = np.zeros((len(labels), dims))
+        cb = np.zeros((len(labels), dims))
         pos = {lb: i for i, lb in enumerate(labels)}
         for r in rows:
-            cent[pos[r[0]], r[1]] = r[2]
-        return cent
+            cb[pos[r[0]], r[1]] = r[2] / r[3]
+        return cent, cb
+
+    def centroids(self) -> np.ndarray:
+        return self.quantizer_pair()[0]
+
+    def codebooks(self) -> np.ndarray:
+        return self.quantizer_pair()[1]
 
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(self.vec_dir).drop("batch_id")
@@ -133,7 +130,9 @@ class StreamedIVFIndex:
         the whole log. Returns (centroids, cells_df) ready for
         ivf_query_cells."""
         cent = self.centroids()
-        return cent, assign_ivf_cells(self.vectors(), cent, vec_col=self.vec_col)
+        return cent, assign_ivf_cells(
+            self.vectors(), cent, id_col=self.id_col, vec_col=self.vec_col
+        )
 
     def compact_ivfpq(
         self, m: int = PQ_SUBSPACES
@@ -141,8 +140,7 @@ class StreamedIVFIndex:
         """IVFADC reindex: final (centroids, codebooks) from the folded
         partials + ONE map-only pass rewriting (cell, code) for the
         whole log. Ready for ivfpq_query_index."""
-        cent = self.centroids()
-        cb = self.codebooks()
+        cent, cb = self.quantizer_pair()
         return cent, cb, assign_ivfpq_index(
             self.vectors(), cent, cb, m=m,
             id_col=self.id_col, vec_col=self.vec_col,
@@ -278,8 +276,7 @@ def streaming_ivf_index_append(
                 quantizer["cent"] is None
                 or quantizer["batches_since"] + 1 >= refresh_every
             ):
-                quantizer["cent"] = handle.centroids()
-                quantizer["cb"] = handle.codebooks()
+                quantizer["cent"], quantizer["cb"] = handle.quantizer_pair()
                 quantizer["batches_since"] = 0
             else:
                 quantizer["batches_since"] += 1

@@ -43,6 +43,22 @@ watermarked time-range join (tolerance 50 s, the reference's window
 span) keeps every pair while bounding state, across ANY batch
 boundary placement. Monotonically non-decreasing feed `ts` (what a CDC
 log delivers) keeps late-arriving waves inside the watermark horizon.
+
+ALLOCATION CO-ARRIVAL CONTRACT (explicit, load-bearing): the F1
+exact-sum allocation at ADS normalizes by the weight sum of the
+order's details PRESENT IN THE BATCH — so all of an order's detail
+rows must reach ODS in ONE input file (→ one batch end-to-end: the
+header may arrive in any batch, since the join emits every pair of an
+order together once the last side lands, and the single-file topic
+commits move atomically). This is the reference's own data contract —
+an order and its details are written in one DB transaction and arrive
+as one CDC batch (the same co-arrival assumption OrderWiderApp's 50 s
+window join + Redis allocation encode). A feed that splits one
+order's details across CDC files needs the reference's alternative:
+cross-batch running-sum allocation state (the Redis design,
+scala/…/dws/OrderWiderApp.scala:139-191), deliberately not
+implemented here — the totals would silently double-count, so don't
+feed that shape.
 """
 
 from __future__ import annotations
@@ -138,6 +154,14 @@ def versioned_dim_upsert(
     final = os.path.join(store_dir, f"v_{commit_id:09d}")
     marker = os.path.join(store_dir, f"_ready_{commit_id:09d}")
     if os.path.exists(marker):  # replayed batch → already committed
+        return
+    if os.path.exists(final):
+        # crashed between os.replace and the marker write: the atomic
+        # rename IS the commit (same rule as idempotent_batch_writer);
+        # re-running the merge would hit ENOTEMPTY on the existing
+        # directory and crash-loop the stage on every restart. Heal
+        # the marker and treat the batch as committed.
+        open(marker, "w").close()
         return
     existing = latest_dim_version(spark, store_dir)
     merged = (
@@ -348,7 +372,15 @@ class FiveLayerTopology:
         per batch — exact-sum allocation over the complete order groups
         the DWS bus delivers, brand enrich against the CURRENT committed
         dim snapshot (the reference's per-batch dim read), partial sums
-        committed idempotently."""
+        committed idempotently.
+
+        REQUIRES the module-level allocation co-arrival contract: all
+        of an order's details in one ODS input file. The per-batch
+        allocation normalizes by the batch-local weight sum, so a
+        split order would absorb the full o_totalprice in EACH
+        fragment (double-count). See the module docstring for why this
+        matches the reference's CDC-transaction feed and what the
+        alternative (cross-batch running-sum state) would be."""
         src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
         commit = idempotent_batch_writer(self.ads_dir)
 
@@ -441,11 +473,23 @@ class FiveLayerTopology:
                 q.processAllAvailable()
 
     def stop(self) -> None:
+        """Stop every stage and restore the session confs. A stage's
+        contract failure (e.g. the DWS watermark-drop check) is
+        re-raised AFTER all queries are stopped and the conf context
+        is exited — a raised check must never leak a running query or
+        leave the session's shuffle/state-store overrides behind."""
+        first_err: Exception | None = None
         for name in list(self._queries):
-            self.stop_stage(name)
+            try:
+                self.stop_stage(name)
+            except Exception as e:  # noqa: BLE001 — collected, re-raised below
+                if first_err is None:
+                    first_err = e
         if self._conf_cm is not None:
             self._conf_cm.__exit__(None, None, None)
             self._conf_cm = None
+        if first_err is not None:
+            raise first_err
 
     # ---- results ------------------------------------------------------
 

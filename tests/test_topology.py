@@ -124,6 +124,36 @@ def _expected_brand_totals(spark, waves: list[dict]):
     )
 
 
+def test_versioned_dim_upsert_heals_crash_between_rename_and_marker(
+    spark, tmp_path
+):
+    """Crash window regression (round-9 review finding): if the
+    process dies after the atomic os.replace but before the marker
+    write, the replayed batch must treat the existing version dir as
+    committed (heal the marker) instead of re-merging into ENOTEMPTY
+    and crash-looping the DIM stage."""
+    import pyspark.sql.functions as SF
+
+    from realtime0523_spark.streaming.topology import (
+        latest_dim_version,
+        versioned_dim_upsert,
+    )
+
+    store = str(tmp_path / "dim")
+    os.makedirs(store)
+    batch = spark.createDataFrame(
+        [(1, "Brand#A", "sku1", 100)], "p_partkey long, p_brand string, p_name string, ts long"
+    )
+    versioned_dim_upsert(spark, batch, store, ["p_partkey"], "ts", commit_id=0)
+    # simulate the crash: version dir exists, marker lost
+    os.remove(os.path.join(store, "_ready_000000000"))
+    assert latest_dim_version(spark, store) is None  # reader sees no commit
+    versioned_dim_upsert(spark, batch, store, ["p_partkey"], "ts", commit_id=0)
+    healed = latest_dim_version(spark, store)
+    assert healed is not None and healed.count() == 1
+    assert healed.filter(SF.col("p_partkey") == 1).collect()[0]["p_name"] == "sku1"
+
+
 def test_five_layer_topology_live_with_midrun_restart(
     spark, provider_and_trigger, tmp_path
 ):
