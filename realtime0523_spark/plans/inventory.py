@@ -534,6 +534,103 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_allocation_split",
+    _allocation_oracle(),
+    "F1 allocation under SPLIT ARRIVAL — the reference's Redis "
+    "running-sum accumulator design (scala/…/dws/OrderWiderApp.scala:"
+    "157-199, TTL 100 s at :189,191) as applyInPandasWithState keyed "
+    "by order: every order's detail rows are DELIBERATELY split "
+    "across three feed files (→ three micro-batches), each arriving "
+    "row is allocated as it arrives from (n_seen, Σweight, Σallocated) "
+    "state, the last row takes the exact remainder, and completed "
+    "orders free their state immediately. Drained output equals the "
+    "batch allocation oracle row for row — the co-arrival contract "
+    "the per-batch path requires is NOT needed here.",
+)
+def q_stream_allocation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window as W
+
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    by_order = W.partitionBy("l_orderkey")
+    # Feed prep (fixture scaffolding, not the operator): stamp the
+    # per-order weight total + detail count the reference's order_info
+    # row carries (original_total_amount analog), rank details in the
+    # batch operator's order, and split every order's details into 3
+    # contiguous chunks — chunk j of every order lands in feed file j,
+    # so each multi-detail order spans >= 2 micro-batches.
+    n_chunks = 3
+    staged = (
+        li.join(
+            o.select("o_orderkey", "o_totalprice"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn("o_weight_total", F.sum("l_extendedprice").over(by_order))
+        .withColumn(
+            "o_detail_count", F.count(F.lit(1)).over(by_order).cast("int")
+        )
+        .withColumn("__rn", F.row_number().over(by_order.orderBy(*_DETAIL_ORDER)))
+        .withColumn(
+            "__chunk", F.expr(f"((__rn - 1) * {n_chunks}) div o_detail_count")
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "o_totalprice",
+            "o_weight_total", "o_detail_count", "__chunk",
+            # co-timed CDC commit ts (one DB transaction per order in
+            # the reference feed): drives the watermark/TTL only —
+            # constant here, so nothing can evict mid-drain
+            F.lit("2025-06-15 00:00:00").cast("timestamp").alias("l_commit_ts"),
+        )
+        .persist()
+    )
+    work = tempfile.mkdtemp(prefix="stream_alloc_split_")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    t0 = time.time()
+    for j in range(n_chunks):
+        tmp = os.path.join(work, f"_tmp{j}")
+        staged.filter(F.col("__chunk") == j).drop("__chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"chunk_{j}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        # strictly ascending mtimes: FileStreamSource delivers oldest
+        # first, so chunk order IS arrival order (rank order per order)
+        os.utime(dst, (t0 + j, t0 + j))
+        shutil.rmtree(tmp)
+    staged.unpersist()
+    schema = (
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, o_totalprice double, "
+        "o_weight_total double, o_detail_count int, l_commit_ts timestamp"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    # bucketed map-state keying: one python/state crossing per order
+    # BUCKET per batch instead of per order — the scale shape (the
+    # per-order keying is parity-tested in tests/test_streaming.py)
+    out = run_to_memory(
+        streaming_allocation_split(src, _DETAIL_ORDER, n_buckets=64),
+        output_mode="update",
+    )
+    return detach_and_cleanup(out, work)
+
+
+@register(
     "brand_amount",
     f"""
     SELECT p.p_brand, {_r2("sum(a.final_detail_amount)")} AS amount

@@ -1,0 +1,333 @@
+"""Cross-batch running-sum allocation — SURVEY §2.10 F1 under
+SPLIT ARRIVAL.
+
+Reference: the Redis accumulator design in
+scala/…/dws/OrderWiderApp.scala:157-199 — per order, two running sums
+(`<order>:ori` = Σ weight seen, `<order>:split` = Σ amount allocated)
+with a 100 s TTL (OrderWiderApp.scala:189,191). Each detail row's
+share is computed AS IT ARRIVES: proportional for every row except the
+last, which takes the remainder (paid total − Σ allocated) so the
+shares sum exactly. Because the state survives micro-batch boundaries,
+an order whose detail rows are split across CDC files is still
+allocated correctly — the shape the engine's per-batch allocation
+(operators/allocation.allocate_order_amount) and the topology's
+co-arrival contract deliberately refuse.
+
+Ours: `applyInPandasWithState` with `EventTimeTimeout` (the Redis
+`expire` analog driven by EVENT time instead of wall clock, so replays
+are deterministic — the same argument as streaming/dau.py; a
+ProcessingTimeTimeout additionally schedules timer-evaluation batches
+forever, which never lets a drain-and-stop harness converge). Two
+keyings, same per-row arithmetic:
+
+- PER-ORDER state (``n_buckets=None``): key = l_orderkey, state =
+  (n_seen, Σ weight, Σ allocated). The literal rendering of the
+  reference's Redis keys. Right when the number of in-flight orders
+  per micro-batch is bounded (the streaming reality: a 5 s batch
+  carries thousands of orders). Its scale ceiling is the per-GROUP
+  python crossing of the Arrow state protocol (~0.5 ms/order/batch):
+  correct at any size, but a replay that pushes millions of orders
+  through one batch pays per-order overhead.
+- BUCKETED map state (``n_buckets=N``): key = hash(l_orderkey) % N,
+  state = parallel arrays over that bucket's IN-FLIGHT orders
+  (key, n_seen, Σ weight, Σ allocated, expiry). One python crossing
+  per BUCKET per batch and a single O(rows) pass inside — the 100 TB
+  shape (state rows = min(N, in-flight), python cost linear in batch
+  rows, never in order count). Completed orders leave the arrays
+  immediately, so the per-bucket payload is TTL-bounded.
+
+Last-row detection: the reference tests float equality of the running
+weight sum against `original_total_amount` (OrderWiderApp.scala:181) —
+arrival-order-dependent and fragile under IEEE association. We carry
+the order's detail COUNT instead (known at order creation exactly like
+the reference's original_total_amount, which the DB writes on the
+order_info row) and detect the last row by an exact integer compare —
+a documented divergence in mechanism, identical in semantics on the
+reference's own data contract (each detail arrives exactly once).
+
+Per-row share arithmetic is IDENTICAL to the batch operator:
+proportional rows get round2(total · w / Σw), the final row gets
+round2(total − Σ allocated) — so when details arrive in the batch
+operator's detail order, the drained output equals the batch
+`allocation` oracle row for row (the inventory's
+`stream_allocation_split` contract), and under ANY split Σ shares ==
+round2(total) (hypothesis-tested invariant).
+
+At 100 TB: one shuffle per micro-batch on the state key; state is
+TTL-bounded in-flight orders only; the Arrow state function touches
+only the batch's rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# The reference's Redis TTL on the :ori/:split accumulators
+# (scala/…/dws/OrderWiderApp.scala:189,191).
+STATE_TTL_MS = 100_000
+
+_OUT_SCHEMA = (
+    "l_orderkey long, l_linenumber int, l_partkey long, "
+    "final_detail_amount double"
+)
+_STATE_SCHEMA = "n_seen long, w_seen double, allocated double"
+_BUCKET_STATE_SCHEMA = (
+    "ks array<long>, ns array<long>, ws array<double>, "
+    "als array<double>, exp array<long>"
+)
+
+_PASS_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_extendedprice",
+    "o_totalprice",
+    "o_weight_total",
+    "o_detail_count",
+]
+
+
+def _round2(x: float) -> float:
+    """floor(x*100 + 0.5)/100 in IEEE doubles — bit-compatible with
+    functions.scalar.round2 (Java Math.round parity)."""
+    return math.floor(x * 100.0 + 0.5) / 100.0
+
+
+def _alloc_row(
+    n_seen: int,
+    allocated: float,
+    w: float,
+    total: float,
+    w_total: float,
+    n_details: int,
+) -> float:
+    """The single-arrival share rule BOTH keyings and the batch
+    operator share: proportional for every row except the order's
+    last, which takes the exact remainder. Raises on over-delivery —
+    a duplicate detail must be loud, never silently over-allocated."""
+    if n_seen > n_details:
+        raise ValueError(
+            f"allocation: order received {n_seen} detail rows but "
+            f"o_detail_count={n_details} — duplicate delivery would "
+            f"silently over-allocate; the append contract is each "
+            f"detail exactly once"
+        )
+    if n_seen == n_details:
+        return _round2(total - allocated)
+    return _round2(total * w / w_total)
+
+
+def fold_allocation_group(
+    pdf: pd.DataFrame,
+    state: tuple[int, float, float] | None,
+    detail_order_by: list[str],
+) -> tuple[pd.DataFrame, tuple[int, float, float] | None]:
+    """The pure per-(order, batch) fold — factored out of the state
+    functions so the exact-sum invariant is property-testable without
+    a streaming query (tests/test_properties.py).
+
+    `pdf` columns: l_orderkey, l_linenumber, l_partkey,
+    l_extendedprice, o_totalprice, o_weight_total, o_detail_count
+    (+ detail_order_by). Returns (emitted shares, new state or None
+    when the order completed)."""
+    n_seen, w_seen, allocated = state if state is not None else (0, 0.0, 0.0)
+    ordered = (
+        pdf
+        if len(pdf) <= 1
+        else pdf.sort_values(detail_order_by, kind="mergesort")
+    )
+    total = float(ordered["o_totalprice"].iat[0])
+    w_total = float(ordered["o_weight_total"].iat[0])
+    n_details = int(ordered["o_detail_count"].iat[0])
+    shares: list[float] = []
+    for w in ordered["l_extendedprice"].tolist():
+        n_seen += 1
+        share = _alloc_row(n_seen, allocated, w, total, w_total, n_details)
+        w_seen += w
+        allocated += share
+        shares.append(share)
+    out = pd.DataFrame(
+        {
+            "l_orderkey": ordered["l_orderkey"],
+            "l_linenumber": ordered["l_linenumber"],
+            "l_partkey": ordered["l_partkey"],
+            "final_detail_amount": shares,
+        }
+    )
+    if n_seen == n_details:
+        return out, None
+    return out, (n_seen, w_seen, allocated)
+
+
+def _per_order_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the Redis `expire`: an incomplete order's running sums
+            # are dropped; a straggler would restart from zero (the
+            # reference's own accepted failure mode past the TTL).
+            state.remove()
+            return
+        chunks = list(pdfs)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        prior = tuple(state.get) if state.exists else None
+        out, new_state = fold_allocation_group(batch, prior, detail_order_by)
+        if new_state is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(new_state)
+            max_ts_ms = int(pd.Timestamp(batch[ts_col].max()).value // 1_000_000)
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        yield out
+
+    return fn
+
+
+def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
+    def _shrink_or_remove(
+        state: GroupState, flight: dict, wm: int
+    ) -> None:
+        """Prune expired in-flight orders (event-time TTL), persist
+        the survivors, and keep one pending timeout at the earliest
+        remaining expiry."""
+        live = {k: v for k, v in flight.items() if v[3] > wm}
+        if not live:
+            if state.exists:
+                state.remove()
+            return
+        state.update(
+            (
+                list(live.keys()),
+                [v[0] for v in live.values()],
+                [v[1] for v in live.values()],
+                [v[2] for v in live.values()],
+                [v[3] for v in live.values()],
+            )
+        )
+        state.setTimeoutTimestamp(max(min(v[3] for v in live.values()), wm + 1))
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        flight: dict = {}
+        if state.exists:
+            ks, ns, ws, als, exp = state.get
+            flight = {
+                k: [n, w, a, e] for k, n, w, a, e in zip(ks, ns, ws, als, exp)
+            }
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            _shrink_or_remove(state, flight, wm)
+            return
+        chunks = list(pdfs)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(batch) > 1:
+            batch = batch.sort_values(
+                ["l_orderkey", *detail_order_by], kind="mergesort"
+            )
+        # ONE O(rows) pass — adjacent rows of an order share its
+        # running sums through the dict entry
+        oks = batch["l_orderkey"].tolist()
+        wgt = batch["l_extendedprice"].tolist()
+        tot = batch["o_totalprice"].tolist()
+        wtt = batch["o_weight_total"].tolist()
+        nds = batch["o_detail_count"].tolist()
+        # normalize any datetime64 unit (ns on the memory path, us on
+        # parquet) to epoch ms before TTL arithmetic
+        tss = batch[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
+        shares: list[float] = []
+        for i, ok in enumerate(oks):
+            st = flight.get(ok)
+            n_seen, allocated = (st[0] + 1, st[2]) if st else (1, 0.0)
+            share = _alloc_row(
+                n_seen, allocated, wgt[i], tot[i], wtt[i], int(nds[i])
+            )
+            shares.append(share)
+            if n_seen == int(nds[i]):
+                flight.pop(ok, None)
+            elif st is None:
+                flight[ok] = [1, wgt[i], share, tss[i] + ttl_ms]
+            else:
+                st[0] = n_seen
+                st[1] += wgt[i]
+                st[2] += share
+                st[3] = tss[i] + ttl_ms
+        _shrink_or_remove(state, flight, wm)
+        yield pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "l_partkey": batch["l_partkey"],
+                "final_detail_amount": shares,
+            }
+        )
+
+    return fn
+
+
+def streaming_allocation_split(
+    details: DataFrame,
+    detail_order_by: list[str],
+    ts_col: str = "l_commit_ts",
+    ttl_ms: int = STATE_TTL_MS,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """F1 allocation over a detail STREAM whose orders may split
+    across micro-batches.
+
+    `details` must carry: l_orderkey, l_linenumber, l_partkey,
+    l_extendedprice, o_totalprice (the paid total), o_weight_total
+    (Σ l_extendedprice over the order — the reference's
+    original_total_amount, stamped on order_info at creation),
+    o_detail_count (the order's detail-row count, same provenance),
+    and `ts_col` (timestamp — the CDC commit time; drives the
+    watermark and the TTL eviction). Emits one (l_orderkey,
+    l_linenumber, l_partkey, final_detail_amount) row per arriving
+    detail, update mode.
+
+    `n_buckets=None` keys state per order (the reference's literal
+    Redis-key shape); an integer keys it per order-hash bucket with
+    the bucket's in-flight orders as array state — one python
+    crossing per bucket per batch instead of per order (see module
+    docstring for when each wins). Identical emissions either way.
+
+    TTL semantics: an incomplete order's state times out once the
+    watermark (max event time − ttl) passes the order's last-arrival
+    time + ttl — the event-time rendering of the reference's 100 s
+    Redis expire. The watermark delay is the TTL itself, so same-
+    timestamp waves are never dropped as late.
+
+    Within a batch, a group's rows are processed in `detail_order_by`
+    (the batch operator's deterministic total order); across batches,
+    arrival order governs — so a feed delivering chunks in detail
+    order reproduces the batch `allocation` result exactly."""
+    carry = list(dict.fromkeys(_PASS_COLS + [ts_col] + detail_order_by))
+    watermarked = details.select(*carry).withWatermark(
+        ts_col, f"{ttl_ms // 1000} seconds"
+    )
+    if n_buckets is None:
+        return watermarked.groupBy("l_orderkey").applyInPandasWithState(
+            _per_order_fn(detail_order_by, ts_col, ttl_ms),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    bucketed = watermarked.withColumn(
+        "__bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandasWithState(
+        _bucketed_fn(detail_order_by, ts_col, ttl_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1668,3 +1668,176 @@ def test_streaming_cells_additive_and_distinct_modes(spark, tmp_path):
     by_day = {str(r.day): r.dau for r in got_dau}
     assert by_day["2024-01-03"] == 1
     assert len(os.listdir(str(tmp_path / "dau_out"))) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch running-sum allocation (F1 under split arrival; round-10
+# verdict item #1 — the reference's Redis accumulator design,
+# OrderWiderApp.scala:157-199)
+# ---------------------------------------------------------------------------
+
+_ALLOC_SCHEMA = (
+    "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+    "l_quantity double, l_extendedprice double, o_totalprice double, "
+    "o_weight_total double, o_detail_count int, l_commit_ts timestamp"
+)
+_ALLOC_ORDER = ["l_linenumber", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_quantity"]
+
+
+def _alloc_orders():
+    """(orderkey, totalprice, [(partkey, extendedprice), ...]) — mixed
+    detail counts incl. single-detail orders and 2-dp-awkward weights."""
+    return {
+        1: (100.00, [(10, 30.00), (11, 50.00)]),
+        2: (250.50, [(12, 80.25), (13, 99.99), (14, 20.01)]),
+        3: (77.77, [(15, 77.77)]),
+        4: (1000.00, [(10, 333.33), (10, 333.33), (11, 333.34)]),
+        5: (19.99, [(12, 3.33), (13, 3.33), (14, 3.33), (15, 3.34),
+                    (10, 6.66)]),
+    }
+
+
+def _alloc_rows(orders, ts):
+    rows = []
+    for ok, (total, details) in orders.items():
+        wtot = round(sum(w for _, w in details), 2)
+        for ln, (pk, w) in enumerate(details, start=1):
+            rows.append((ok, ln, pk, 100 + ln, 1.0, w, total, wtot,
+                         len(details), ts))
+    return rows
+
+
+def _write_split_feed(spark, feed_dir, waves):
+    """One parquet file per wave, strictly ascending mtimes so the
+    file source delivers them as separate ordered micro-batches."""
+    os.makedirs(feed_dir, exist_ok=True)
+    t0 = time.time()
+    for j, rows in enumerate(waves):
+        tmp = os.path.join(feed_dir, f"_tmp{j}")
+        spark.createDataFrame(rows, _ALLOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed_dir, f"wave_{j}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + j, t0 + j))
+        import shutil
+
+        shutil.rmtree(tmp)
+
+
+def _split_by_rank(orders, ts, n_chunks):
+    """Chunk c carries every order's c-th contiguous slice of details
+    (rank order) — every multi-detail order spans >= 2 waves."""
+    all_rows = _alloc_rows(orders, ts)
+    waves = [[] for _ in range(n_chunks)]
+    by_order: dict = {}
+    for r in all_rows:
+        by_order.setdefault(r[0], []).append(r)
+    for rows in by_order.values():
+        rows.sort(key=lambda r: (r[1], r[2], r[3], r[5], r[4]))
+        n = len(rows)
+        for i, r in enumerate(rows):
+            waves[(i * n_chunks) // n].append(r)
+    return waves
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4], ids=["per-order", "bucketed"])
+def test_stream_allocation_split_equals_batch(
+    spark, state_provider, tmp_path, n_buckets
+):
+    """Both keyings (per-order state and bucketed map state) must
+    reproduce the batch allocation operator exactly when an order's
+    details are split across micro-batches in detail order — the
+    semantics the per-batch path refuses (co-arrival contract)."""
+    import datetime
+
+    from realtime0523_spark.operators.allocation import allocate_order_amount
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    orders = _alloc_orders()
+    ts = datetime.datetime(2025, 6, 15)
+    feed = str(tmp_path / f"feed_{n_buckets}")
+    _write_split_feed(spark, feed, _split_by_rank(orders, ts, 3))
+    src = (
+        spark.readStream.schema(_ALLOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    got = run_to_memory(
+        streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=n_buckets),
+        output_mode="update",
+    )
+    batch = spark.createDataFrame(_alloc_rows(orders, ts), _ALLOC_SCHEMA)
+    want = allocate_order_amount(
+        batch,
+        order_key="l_orderkey",
+        detail_order_by=_ALLOC_ORDER,
+        weight="l_extendedprice",
+        order_total="o_totalprice",
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "final_detail_amount")
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    # exact-sum contract: per order the shares add to round2(total)
+    sums: dict = {}
+    for ok, _, _, amt in got_rows:
+        sums[ok] = round(sums.get(ok, 0.0) + amt, 2)
+    for ok, (total, _) in orders.items():
+        assert sums[ok] == round(total, 2)
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4], ids=["per-order", "bucketed"])
+def test_stream_allocation_ttl_evicts_incomplete_orders(
+    spark, tmp_path, n_buckets
+):
+    """Event-time TTL = the reference's Redis expire: an incomplete
+    order whose state aged past the TTL horizon restarts its running
+    sums (the reference's own accepted failure mode) — observable as a
+    proportional share where a live state would have emitted the
+    remainder."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    t0 = datetime.datetime(2025, 6, 15)
+    late = t0 + datetime.timedelta(seconds=400)
+    # order 1: 3 equal 30.00 weights, weight_total 90, total 100 —
+    # proportional share 33.33 vs last-row remainder 33.34, so the two
+    # behaviors are DISTINGUISHABLE. Lines 1-2 co-arrive; line 3 is a
+    # straggler past the TTL horizon.
+    w1 = [(1, 1, 10, 101, 1.0, 30.0, 100.0, 90.0, 3, t0),
+          (1, 2, 11, 102, 1.0, 30.0, 100.0, 90.0, 3, t0)]
+    # unrelated complete order advances the watermark past t0+ttl …
+    w2 = [(2, 1, 11, 102, 1.0, 50.0, 50.0, 50.0, 1,
+           t0 + datetime.timedelta(seconds=300))]
+    # … and a second unrelated wave gives the engine a batch in which
+    # order 1 has an EXPIRED timer but no data — the batch where the
+    # eviction actually runs (a timed-out group with fresh data in the
+    # same batch is served the data path instead)
+    w2b = [(3, 1, 12, 103, 1.0, 25.0, 25.0, 25.0, 1,
+            t0 + datetime.timedelta(seconds=310))]
+    w3 = [(1, 3, 12, 103, 1.0, 30.0, 100.0, 90.0, 3, late)]
+    feed = str(tmp_path / f"ttlfeed_{n_buckets}")
+    _write_split_feed(spark, feed, [w1, w2, w2b, w3])
+    src = (
+        spark.readStream.schema(_ALLOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    got = run_to_memory(
+        streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=n_buckets),
+        output_mode="update",
+    )
+    by_line = {
+        (r.l_orderkey, r.l_linenumber): r.final_detail_amount
+        for r in got.collect()
+    }
+    assert by_line[(1, 1)] == 33.33  # proportional: round2(100*30/90)
+    assert by_line[(1, 2)] == 33.33
+    assert by_line[(2, 1)] == 50.0  # single-detail remainder
+    # state evicted at the TTL horizon → the straggler RESTARTS the
+    # running sums (n_seen=1 of 3) and emits the PROPORTIONAL 33.33;
+    # surviving state would have emitted the remainder 100-66.66=33.34
+    assert by_line[(1, 3)] == 33.33
