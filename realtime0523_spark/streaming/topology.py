@@ -44,21 +44,41 @@ span) keeps every pair while bounding state, across ANY batch
 boundary placement. Monotonically non-decreasing feed `ts` (what a CDC
 log delivers) keeps late-arriving waves inside the watermark horizon.
 
-ALLOCATION CO-ARRIVAL CONTRACT (explicit, load-bearing): the F1
-exact-sum allocation at ADS normalizes by the weight sum of the
-order's details PRESENT IN THE BATCH — so all of an order's detail
-rows must reach ODS in ONE input file (→ one batch end-to-end: the
-header may arrive in any batch, since the join emits every pair of an
-order together once the last side lands, and the single-file topic
-commits move atomically). This is the reference's own data contract —
-an order and its details are written in one DB transaction and arrive
-as one CDC batch (the same co-arrival assumption OrderWiderApp's 50 s
-window join + Redis allocation encode). A feed that splits one
-order's details across CDC files needs the reference's alternative:
-cross-batch running-sum allocation state (the Redis design,
-scala/…/dws/OrderWiderApp.scala:139-191), deliberately not
-implemented here — the totals would silently double-count, so don't
-feed that shape.
+ALLOCATION MODES (round-10: the co-arrival contract is now both
+GUARDED and ESCAPABLE):
+
+- Default (``split_arrival=False``): the F1 exact-sum allocation at
+  ADS normalizes by the weight sum of the order's details PRESENT IN
+  THE BATCH — so all of an order's detail rows must reach ODS in ONE
+  input file (→ one batch end-to-end: the header may arrive in any
+  batch, since the join emits every pair of an order together once
+  the last side lands, and the single-file topic commits move
+  atomically). This is the reference's own data contract — an order
+  and its details are written in one DB transaction and arrive as one
+  CDC batch (the same co-arrival assumption OrderWiderApp's 50 s
+  window join + Redis allocation encode). The contract is now a
+  RUNTIME GUARD, not just a docstring: the ADS stage commits each
+  batch's order-key set (synopsis-sized) and RAISES when an order key
+  reappears in a later batch — a violating feed fails loudly instead
+  of silently double-counting o_totalprice.
+- ``split_arrival=True``: the ADS stage runs the reference's Redis
+  running-sum design instead (streaming/allocation.py —
+  applyInPandasWithState, 100 s event-time TTL,
+  OrderWiderApp.scala:157-199): each detail is allocated as it
+  arrives, the order's last detail takes the exact remainder, and a
+  feed that splits one order's details across CDC files is computed
+  CORRECTLY. Requires the order_info CDC payload to carry
+  original-total metadata (o_weight_total = Σ detail weights,
+  o_detail_count), exactly as the reference's order_info carries
+  original_total_amount.
+
+DAU STAGE (round-10): the reference runs Dau concurrently with the
+warehouse apps on a FASTER 3 s trigger against the start-log topic
+(scala/…/app/Dau.scala:42, local[4] Seconds(3)); the topology runs it
+as a sixth concurrent stage over its own `in_start` directory feed —
+watermarked (dt, mid) dropDuplicates (D1; the Redis SADD+TTL analog,
+streaming/dau.py) with each batch's NEW members committed
+idempotently, at 3/5 of the warehouse cadence.
 """
 
 from __future__ import annotations
@@ -77,6 +97,9 @@ from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 from realtime0523_spark.streaming.sources import cdc_json_stream
 
 TRIGGER_SECONDS = 5.0  # the reference cadence (Seconds(5) in every app)
+# Dau runs on a faster trigger than the warehouse apps
+# (scala/…/app/Dau.scala:42 — Seconds(3) vs Seconds(5) everywhere else)
+DAU_TRIGGER_RATIO = 3.0 / 5.0
 JOIN_TOLERANCE = "50 seconds"  # OrderWiderApp's window span
 
 # ODS topic record: the routed envelope with the payload re-serialized
@@ -87,6 +110,12 @@ DWD_ORDER_INFO_SCHEMA = (
     "o_orderkey long, o_custkey long, o_totalprice double, "
     "order_dt string, o_commit_ts timestamp"
 )
+# split-arrival mode: the header additionally carries the reference's
+# original-total metadata (original_total_amount analog) the running-
+# sum allocation needs per row
+DWD_ORDER_INFO_SCHEMA_SPLIT = (
+    DWD_ORDER_INFO_SCHEMA + ", o_weight_total double, o_detail_count int"
+)
 DWD_ORDER_DETAIL_SCHEMA = (
     "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
     "l_quantity double, l_extendedprice double, l_commit_ts timestamp"
@@ -96,6 +125,11 @@ DWS_WIDE_SCHEMA = (
     "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
     "l_quantity double, l_extendedprice double"
 )
+DWS_WIDE_SCHEMA_SPLIT = (
+    DWS_WIDE_SCHEMA
+    + ", o_weight_total double, o_detail_count int, l_commit_ts timestamp"
+)
+START_LOG_SCHEMA = "mid string, ts long"
 
 _DETAIL_ORDER = [
     "l_linenumber",
@@ -164,16 +198,23 @@ def versioned_dim_upsert(
         open(marker, "w").close()
         return
     existing = latest_dim_version(spark, store_dir)
+    # deterministic tiebreaker (round-9 advice): an update whose
+    # envelope ts EQUALS the stored row's ts must win consistently —
+    # prefer the incoming batch side, so equal-ts SCD-1 merges are
+    # last-writer-wins instead of partition-order roulette
+    incoming = batch_df.withColumn("__src", F.lit(1))
     merged = (
-        existing.unionByName(batch_df, allowMissingColumns=True)
+        existing.withColumn("__src", F.lit(0)).unionByName(
+            incoming, allowMissingColumns=True
+        )
         if existing is not None
-        else batch_df
+        else incoming
     )
-    w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    w = W.partitionBy(*key_cols).orderBy(F.desc(version_col), F.desc("__src"))
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )
     tmp = os.path.join(store_dir, f"_tmp_{commit_id:09d}")
     latest.write.mode("overwrite").parquet(tmp)
@@ -217,18 +258,21 @@ class FiveLayerTopology:
     idempotent topic commits make replays no-ops.
     """
 
-    STAGES = ("ods", "dim", "dwd", "dws", "ads")
+    STAGES = ("ods", "dim", "dwd", "dws", "ads", "dau")
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         trigger_seconds: float = TRIGGER_SECONDS,
+        split_arrival: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
         self.trigger = trigger_seconds
+        self.split_arrival = split_arrival
         self.in_dir = os.path.join(root, "in")
+        self.in_start_dir = os.path.join(root, "in_start")  # start-log topic
         self.ods_dirs = {
             t: os.path.join(root, "ods", f"ods_{t}")
             for t in ("order_info", "order_detail", "sku_info")
@@ -238,9 +282,12 @@ class FiveLayerTopology:
         self.dws_dir = os.path.join(root, "dws_order_wide")
         self.dim_store = os.path.join(root, "dim_sku")
         self.ads_dir = os.path.join(root, "ads_partials")
+        self.ads_keys_dir = os.path.join(root, "ads_seen_keys")
+        self.dau_dir = os.path.join(root, "dau_members")
         for d in (
-            [self.in_dir, self.dwd_info_dir, self.dwd_detail_dir,
-             self.dws_dir, self.dim_store, self.ads_dir]
+            [self.in_dir, self.in_start_dir, self.dwd_info_dir,
+             self.dwd_detail_dir, self.dws_dir, self.dim_store,
+             self.ads_dir, self.ads_keys_dir, self.dau_dir]
             + list(self.ods_dirs.values())
         ):
             os.makedirs(d, exist_ok=True)
@@ -307,18 +354,29 @@ class FiveLayerTopology:
         def process(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
             try:
+                info_casts = {
+                    "o_orderkey": "long",
+                    "o_custkey": "long",
+                    "o_totalprice": "double",
+                }
+                split_cols = []
+                if self.split_arrival:
+                    # original_total_amount analog: order_info carries
+                    # the detail-weight total + count at creation
+                    info_casts |= {
+                        "o_weight_total": "double",
+                        "o_detail_count": "int",
+                    }
+                    split_cols = ["o_weight_total", "o_detail_count"]
                 info = _parse_payload(
                     batch_df.filter(F.col("table") == "order_info"),
-                    {
-                        "o_orderkey": "long",
-                        "o_custkey": "long",
-                        "o_totalprice": "double",
-                    },
+                    info_casts,
                 ).select(
                     "o_orderkey", "o_custkey", "o_totalprice",
                     F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
                      .alias("order_dt"),
                     F.timestamp_millis(F.col("ts")).alias("o_commit_ts"),
+                    *split_cols,
                 )
                 detail = _parse_payload(
                     batch_df.filter(F.col("table") == "order_detail"),
@@ -348,11 +406,19 @@ class FiveLayerTopology:
         tolerance, every header×detail pair emitted exactly once."""
         from realtime0523_spark.streaming.order_wide import streaming_order_wide
 
-        o = self.spark.readStream.schema(DWD_ORDER_INFO_SCHEMA).parquet(
-            self.dwd_info_dir
+        info_schema = (
+            DWD_ORDER_INFO_SCHEMA_SPLIT
+            if self.split_arrival
+            else DWD_ORDER_INFO_SCHEMA
         )
+        o = self.spark.readStream.schema(info_schema).parquet(self.dwd_info_dir)
         d = self.spark.readStream.schema(DWD_ORDER_DETAIL_SCHEMA).parquet(
             self.dwd_detail_dir
+        )
+        extra = (
+            ["o_weight_total", "o_detail_count", "l_commit_ts"]
+            if self.split_arrival
+            else []
         )
         wide = streaming_order_wide(
             o, d,
@@ -362,31 +428,109 @@ class FiveLayerTopology:
         ).select(
             "o_orderkey", "o_custkey", "o_totalprice", "order_dt",
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-            "l_quantity", "l_extendedprice",
+            "l_quantity", "l_extendedprice", *extra,
         )
         writer = topic_append_writer(self.dws_dir)
         return self._foreach_batch_query("dws", wide, writer)
 
+    def _require_dim(self) -> DataFrame:
+        dim = latest_dim_version(self.spark, self.dim_store)
+        if dim is None:
+            raise RuntimeError(
+                "ADS batch arrived before any committed dim snapshot — "
+                "the topology contract (reference parity) is dims "
+                "bootstrapped before facts flow; refusing to commit "
+                "brand-less partials silently."
+            )
+        return dim
+
+    def _commit_brand_partial(
+        self, alloc: DataFrame, batch_id: int, commit
+    ) -> None:
+        brand = F.broadcast(
+            self._require_dim().select(
+                F.col("p_partkey").alias("l_partkey"), "p_brand"
+            )
+        )
+        partial = (
+            alloc.join(brand, "l_partkey", "left")
+            .groupBy("p_brand")
+            .agg(F.sum("final_detail_amount").alias("partial_amount"))
+        )
+        commit(partial, batch_id)
+
     def _start_ads(self):
         """ADS brand revenue (F1+J5+K5; ads/TradeMarkAmountApp.scala):
-        per batch — exact-sum allocation over the complete order groups
-        the DWS bus delivers, brand enrich against the CURRENT committed
-        dim snapshot (the reference's per-batch dim read), partial sums
-        committed idempotently.
+        brand enrich against the CURRENT committed dim snapshot (the
+        reference's per-batch dim read), partial sums committed
+        idempotently. Two allocation modes (module docstring):
 
-        REQUIRES the module-level allocation co-arrival contract: all
-        of an order's details in one ODS input file. The per-batch
-        allocation normalizes by the batch-local weight sum, so a
-        split order would absorb the full o_totalprice in EACH
-        fragment (double-count). See the module docstring for why this
-        matches the reference's CDC-transaction feed and what the
-        alternative (cross-batch running-sum state) would be."""
-        src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
+        - default: per-batch exact-sum allocation, REQUIRING the
+          co-arrival contract — now enforced at runtime: each batch's
+          order-key set is committed (synopsis-sized, idempotent) and
+          a key reappearing in a later batch RAISES, because the
+          per-batch allocation would absorb the full o_totalprice in
+          EACH fragment (silent double-count);
+        - split_arrival: the reference's cross-batch running-sum
+          state (streaming/allocation.py, bucketed keying) allocates
+          each detail as it arrives — split feeds are CORRECT, no
+          co-arrival needed."""
         commit = idempotent_batch_writer(self.ads_dir)
+
+        if self.split_arrival:
+            from realtime0523_spark.streaming.allocation import (
+                streaming_allocation_split,
+            )
+
+            src = self.spark.readStream.schema(DWS_WIDE_SCHEMA_SPLIT).parquet(
+                self.dws_dir
+            )
+            alloc_stream = streaming_allocation_split(
+                src, _DETAIL_ORDER, ts_col="l_commit_ts", n_buckets=32
+            )
+
+            def process_split(batch_df: DataFrame, batch_id: int) -> None:
+                if batch_df.isEmpty():
+                    return
+                self._commit_brand_partial(batch_df, batch_id, commit)
+
+            return self._foreach_batch_query("ads", alloc_stream, process_split)
+
+        src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
+        commit_keys = idempotent_batch_writer(self.ads_keys_dir)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
+            # CO-ARRIVAL GUARD (round-9 advice): the per-batch
+            # allocation silently double-counts a split order, so a
+            # reappearing order key is a loud contract failure. The
+            # key log is synopsis-sized (distinct keys only) and the
+            # check excludes this batch's own replayed commit.
+            keys = batch_df.select("l_orderkey").distinct()
+            if any(
+                f.startswith("batch_id=") for f in os.listdir(self.ads_keys_dir)
+            ):
+                prior = self.spark.read.parquet(self.ads_keys_dir).filter(
+                    F.col("batch_id") < batch_id
+                )
+                dupes = [
+                    r[0]
+                    for r in keys.join(prior, "l_orderkey", "semi")
+                    .limit(5)
+                    .collect()
+                ]
+                if dupes:
+                    raise RuntimeError(
+                        f"ADS co-arrival contract violated: order key(s) "
+                        f"{dupes} reappeared in batch {batch_id} after "
+                        f"being allocated in an earlier batch — the "
+                        f"per-batch allocation would double-count "
+                        f"o_totalprice. Feed all of an order's details "
+                        f"in one CDC file, or run the topology with "
+                        f"split_arrival=True (cross-batch running-sum "
+                        f"allocation)."
+                    )
             alloc = allocate_order_amount(
                 batch_df,
                 order_key="l_orderkey",
@@ -394,36 +538,61 @@ class FiveLayerTopology:
                 weight="l_extendedprice",
                 order_total="o_totalprice",
             )
-            dim = latest_dim_version(self.spark, self.dim_store)
-            if dim is None:
-                raise RuntimeError(
-                    "ADS batch arrived before any committed dim snapshot — "
-                    "the topology contract (reference parity) is dims "
-                    "bootstrapped before facts flow; refusing to commit "
-                    "brand-less partials silently."
-                )
-            brand = F.broadcast(
-                dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
-            )
-            partial = (
-                alloc.join(brand, "l_partkey", "left")
-                .groupBy("p_brand")
-                .agg(F.sum("final_detail_amount").alias("partial_amount"))
-            )
-            commit(partial, batch_id)
+            self._commit_brand_partial(alloc, batch_id, commit)
+            commit_keys(keys, batch_id)
 
         return self._foreach_batch_query("ads", src, process)
 
+    def _start_dau(self):
+        """Sixth concurrent stage — the reference's Dau app at its
+        faster cadence (scala/…/app/Dau.scala:42 Seconds(3);
+        :104-123 Redis SADD + 24 h TTL): watermarked (dt, mid)
+        dropDuplicates over the start-log feed, each batch's NEW
+        members committed idempotently. The final count is a groupBy
+        over committed members — associative, so batch boundaries,
+        replays, and the mid-run restart cannot change it."""
+        src = (
+            self.spark.readStream.schema(START_LOG_SCHEMA)
+            .json(self.in_start_dir)
+            .select(
+                F.col("mid"), F.timestamp_millis(F.col("ts")).alias("event_ts")
+            )
+            .withWatermark("event_ts", "24 hours")
+            .select(
+                F.date_format("event_ts", "yyyy-MM-dd").alias("dt"),
+                "mid",
+                "event_ts",
+            )
+            .dropDuplicates(["dt", "mid"])
+            .select("dt", "mid")
+        )
+        commit = idempotent_batch_writer(self.dau_dir)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            commit(batch_df, batch_id)
+
+        return self._foreach_batch_query(
+            "dau", src, process, trigger_ratio=DAU_TRIGGER_RATIO
+        )
+
     # ---- lifecycle ----------------------------------------------------
 
-    def _foreach_batch_query(self, name: str, stream: DataFrame, fn):
+    def _foreach_batch_query(
+        self, name: str, stream: DataFrame, fn, trigger_ratio: float = 1.0
+    ):
         ckpt = os.path.join(self.root, "ckpt", name)
+        # the split-arrival ADS stage carries a stateful operator whose
+        # emissions are per-arrival (update semantics); all other
+        # stages are stateless-per-batch appends
+        mode = "update" if (name == "ads" and self.split_arrival) else "append"
         return (
             stream.writeStream.foreachBatch(fn)
             .queryName(f"topology_{name}")
-            .outputMode("append")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime=f"{self.trigger} seconds")
+            .trigger(processingTime=f"{self.trigger * trigger_ratio} seconds")
             .start()
         )
 
@@ -502,3 +671,12 @@ class FiveLayerTopology:
         return partials.groupBy("p_brand").agg(
             round2(F.sum("partial_amount")).alias("amount")
         )
+
+    def dau_result(self) -> DataFrame:
+        """Per-day distinct device counts from the committed member
+        rows (each (dt, mid) committed at most once by the streaming
+        dedup + idempotent batch writer)."""
+        if not any(f.startswith("batch_id=") for f in os.listdir(self.dau_dir)):
+            return self.spark.createDataFrame([], "dt string, dau long")
+        members = self.spark.read.parquet(self.dau_dir)
+        return members.groupBy("dt").agg(F.count(F.lit(1)).alias("dau"))

@@ -74,6 +74,33 @@ def _order_lines(orderkey: int, totalprice: float, details: list[tuple], ts: int
     return out
 
 
+def _header_line_split(orderkey: int, totalprice: float, details: list[tuple],
+                       ts: int) -> str:
+    """Split-arrival header: carries the reference's original-total
+    metadata (o_weight_total/o_detail_count — the original_total_amount
+    analog order_info gets at creation)."""
+    return _env("order_info", "insert",
+                {"o_orderkey": orderkey, "o_custkey": 7000 + orderkey,
+                 "o_totalprice": totalprice,
+                 "o_weight_total": round(sum(p for _, _, p in details), 2),
+                 "o_detail_count": len(details)}, ts)
+
+
+def _detail_lines(orderkey: int, details: list[tuple], ts: int,
+                  lines: slice) -> list[str]:
+    out = []
+    for ln, (pk, qty, price) in list(enumerate(details, start=1))[lines]:
+        out.append(_env("order_detail", "insert",
+                        {"l_orderkey": orderkey, "l_linenumber": ln,
+                         "l_partkey": pk, "l_suppkey": 10 + ln,
+                         "l_quantity": qty, "l_extendedprice": price}, ts))
+    return out
+
+
+def _start_log(mid: str, ts: int) -> str:
+    return json.dumps({"mid": mid, "ts": ts})
+
+
 WAVE1 = {  # orderkey -> (totalprice, [(partkey, qty, extendedprice), ...])
     101: (100.00, [(1, 2.0, 30.00), (2, 1.0, 50.00)]),
     102: (250.50, [(3, 4.0, 80.25), (4, 1.0, 99.99), (5, 2.0, 20.01)]),
@@ -181,17 +208,27 @@ def test_five_layer_topology_live_with_midrun_restart(
         assert not [f for f in os.listdir(topo.ods_dirs["order_info"])
                     if f.endswith(".parquet")]
 
-        # ---- wave 1: facts flow through all five live stages -----------
+        # ---- wave 1: facts flow through all five live stages; the DAU
+        # stage (sixth, 3/5 cadence) consumes its own start-log topic
+        # concurrently, with an in-wave duplicate mid ------------------
         lines = []
         for i, (ok, (total, details)) in enumerate(sorted(WAVE1.items())):
             lines += _order_lines(ok, total, details, TS0 + i * 1000)
         _write_wave(topo.in_dir, "wave1", lines)
+        _write_wave(topo.in_start_dir, "start1",
+                    [_start_log("m1", TS0), _start_log("m2", TS0 + 500),
+                     _start_log("m1", TS0 + 900)])
         topo.drain()
         got1 = sorted(map(tuple, topo.ads_result().collect()))
         want1 = sorted(map(tuple, _expected_brand_totals(spark, [WAVE1]).collect()))
         assert got1 == want1 and len(got1) == 3
+        assert sorted(map(tuple, topo.dau_result().collect())) == [
+            ("2025-06-15", 2)
+        ]
 
-        # ---- mid-run restart of a MIDDLE stage --------------------------
+        # ---- mid-run restart of a MIDDLE stage (dwd) AND the dau
+        # stage: both must resume from their checkpoints ---------------
+        topo.stop_stage("dau")
         topo.stop_stage("dwd")
         lines = [
             # SCD-1 update: sku 1 renamed (brand unchanged → totals stable)
@@ -211,13 +248,29 @@ def test_five_layer_topology_live_with_midrun_restart(
             "sku1-renamed"
         )
 
+        # start-log wave 2 lands while the dau stage is DOWN: a
+        # cross-wave duplicate (m2) plus a fresh mid (m3)
+        _write_wave(topo.in_start_dir, "start2",
+                    [_start_log("m2", TS0 + 3_600_000),
+                     _start_log("m3", TS0 + 3_601_000)])
+        topo.drain()
+        assert sorted(map(tuple, topo.dau_result().collect())) == [
+            ("2025-06-15", 2)  # unchanged while the stage is down
+        ]
+
         topo.start_stage("dwd")  # resumes from its checkpoint
+        topo.start_stage("dau")  # dedup state resumes: m2 stays deduped
         topo.drain()
         got = sorted(map(tuple, topo.ads_result().collect()))
         want = sorted(
             map(tuple, _expected_brand_totals(spark, [WAVE1, WAVE2]).collect())
         )
         assert got == want and len(got) == 3
+        # DAU across both incarnations: {m1, m2, m3} on the single day
+        # — the cross-wave duplicate absorbed by the restored state
+        assert sorted(map(tuple, topo.dau_result().collect())) == [
+            ("2025-06-15", 3)
+        ]
 
         # the DWD stage processed batches across TWO query incarnations
         markers = [f for f in os.listdir(topo.dwd_info_dir)
@@ -225,3 +278,86 @@ def test_five_layer_topology_live_with_midrun_restart(
         assert len(markers) >= 2
     finally:
         topo.stop()
+
+
+SPLIT_WAVE = {  # orderkey -> (totalprice, [(partkey, qty, extendedprice), ...])
+    301: (100.00, [(1, 1.0, 30.00), (2, 1.0, 30.00), (3, 1.0, 30.00)]),
+    302: (250.50, [(3, 4.0, 80.25), (4, 1.0, 99.99), (5, 2.0, 20.01)]),
+    303: (77.77, [(6, 3.0, 77.77)]),
+    304: (19.99, [(1, 1.0, 3.33), (2, 1.0, 3.33), (4, 1.0, 3.34),
+                  (5, 1.0, 6.66)]),
+}
+
+
+def _dim_wave():
+    return [
+        _env("sku_info", "insert",
+             {"p_partkey": pk, "p_brand": _brand(pk), "p_name": f"sku{pk}"},
+             TS0 - 10_000 + pk)
+        for pk in range(1, 7)
+    ]
+
+
+def test_topology_split_arrival_allocation_correct(spark, tmp_path):
+    """split_arrival=True: every order's detail rows are DELIBERATELY
+    split across two CDC input files (headers + first detail, then the
+    rest) — the cross-batch running-sum ADS stage must still equal the
+    batch allocation+brand oracle exactly (the feed shape the default
+    per-batch mode refuses)."""
+    topo = FiveLayerTopology(
+        spark, str(tmp_path / "topo"), trigger_seconds=0.5, split_arrival=True
+    )
+    topo.start()
+    try:
+        _write_wave(topo.in_dir, "wave0", _dim_wave())
+        topo.drain()
+        # wave 1: headers (with original-total metadata) + FIRST detail
+        lines = []
+        for i, (ok, (total, details)) in enumerate(sorted(SPLIT_WAVE.items())):
+            ts = TS0 + i * 1000
+            lines.append(_header_line_split(ok, total, details, ts))
+            lines += _detail_lines(ok, details, ts, slice(0, 1))
+        _write_wave(topo.in_dir, "wave1", lines)
+        topo.drain()
+        # wave 2: the remaining details, co-timed with their order
+        lines = []
+        for i, (ok, (total, details)) in enumerate(sorted(SPLIT_WAVE.items())):
+            lines += _detail_lines(ok, details, TS0 + i * 1000, slice(1, None))
+        _write_wave(topo.in_dir, "wave2", lines)
+        topo.drain()
+        got = sorted(map(tuple, topo.ads_result().collect()))
+        want = sorted(
+            map(tuple, _expected_brand_totals(spark, [SPLIT_WAVE]).collect())
+        )
+        assert got == want
+    finally:
+        topo.stop()
+
+
+def test_topology_default_mode_guard_refuses_split_feed(spark, tmp_path):
+    """Default (per-batch) mode must RAISE on a split-arrival feed —
+    the round-9 advice item: the co-arrival contract is a runtime
+    guard now, not a docstring. Without the guard the totals would be
+    silently inflated (each fragment absorbs the full o_totalprice)."""
+    topo = FiveLayerTopology(spark, str(tmp_path / "topo"), trigger_seconds=0.5)
+    topo.start()
+    try:
+        _write_wave(topo.in_dir, "wave0", _dim_wave())
+        topo.drain()
+        ok, (total, details) = 301, SPLIT_WAVE[301]
+        lines = [_env("order_info", "insert",
+                      {"o_orderkey": ok, "o_custkey": 7301,
+                       "o_totalprice": total}, TS0)]
+        lines += _detail_lines(ok, details, TS0, slice(0, 1))
+        _write_wave(topo.in_dir, "wave1", lines)
+        topo.drain()
+        _write_wave(topo.in_dir, "wave2",
+                    _detail_lines(ok, details, TS0, slice(1, None)))
+        with pytest.raises(Exception, match="co-arrival contract violated"):
+            topo.drain()
+            topo.stop_stage("ads")
+    finally:
+        try:
+            topo.stop()
+        except Exception:
+            pass  # the guard failure is the asserted behavior
