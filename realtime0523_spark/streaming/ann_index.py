@@ -80,6 +80,7 @@ class StreamedIVFIndex:
         live_dir: str,
         id_col: str,
         vec_col: str,
+        base_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.vec_dir = vec_dir
@@ -87,16 +88,119 @@ class StreamedIVFIndex:
         self.live_dir = live_dir
         self.id_col = id_col
         self.vec_col = vec_col
+        self.base_dir = base_dir or (
+            os.path.join(os.path.dirname(cent_dir.rstrip("/")), "cent_base")
+        )
+
+    # ---- quantizer-partials state (base snapshot + fresh partials) ----
+
+    def _base_watermark(self) -> int:
+        """Highest committed base snapshot id, or -1. Marker-or-dir
+        heals the crash window exactly like versioned_dim_upsert: the
+        atomic rename IS the commit."""
+        if not os.path.isdir(self.base_dir):
+            return -1
+        ready = [
+            int(f.removeprefix("_ready_"))
+            for f in os.listdir(self.base_dir)
+            if f.startswith("_ready_")
+        ]
+        return max(ready, default=-1)
+
+    def _partial_ids(self) -> list[int]:
+        if not os.path.isdir(self.cent_dir):
+            return []
+        return sorted(
+            int(d.removeprefix("batch_id="))
+            for d in os.listdir(self.cent_dir)
+            if d.startswith("batch_id=")
+        )
+
+    def _cent_frames(self) -> DataFrame:
+        """The committed quantizer-partials relation: the newest base
+        snapshot (all history up to its watermark, pre-folded) plus
+        only the partial files committed AFTER it. This is what keeps
+        the per-refresh fold cost FLAT over an unbounded stream —
+        without the base, every fold re-reads every batch's partial
+        file (O(batches²) reads across the run)."""
+        wm = self._base_watermark()
+        frames = []
+        if wm >= 0:
+            frames.append(
+                self.spark.read.parquet(
+                    os.path.join(self.base_dir, f"v_{wm:09d}")
+                )
+            )
+        fresh = [i for i in self._partial_ids() if i > wm]
+        if fresh:
+            frames.append(
+                self.spark.read.parquet(self.cent_dir)
+                .filter(F.col("batch_id") > wm)
+                .drop("batch_id")
+            )
+        if not frames:
+            raise ValueError("no committed quantizer partials")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def compact_partials(self) -> int:
+        """Fold every committed partial (plus the previous base) into
+        ONE base snapshot — valid for any prefix of batches because
+        the (sum, count) cells are distributive — and garbage-collect
+        the consumed partial files. Idempotent by marker (same
+        protocol as the topology's versioned dim store); a crash
+        between rename and GC leaves stragglers that the watermark
+        excludes and the next compaction removes. Returns the number
+        of partial files consumed."""
+        ids = self._partial_ids()
+        wm = self._base_watermark()
+        fresh = [i for i in ids if i > wm]
+        if not fresh:
+            return 0
+        new_wm = max(fresh)
+        final = os.path.join(self.base_dir, f"v_{new_wm:09d}")
+        marker = os.path.join(self.base_dir, f"_ready_{new_wm:09d}")
+        os.makedirs(self.base_dir, exist_ok=True)
+        if not os.path.exists(marker):
+            if os.path.exists(final):  # crash between rename and marker
+                open(marker, "w").close()
+            else:
+                folded = self._cent_frames().groupBy("label", "d").agg(
+                    F.sum("s").alias("s"), F.sum("n").alias("n")
+                )
+                tmp = os.path.join(self.base_dir, f"_tmp_{new_wm:09d}")
+                folded.write.mode("overwrite").parquet(tmp)
+                os.replace(tmp, final)
+                open(marker, "w").close()
+        # GC: consumed partials and superseded bases (best-effort —
+        # correctness never depends on it, the watermark does the work)
+        import shutil
+
+        for i in fresh:
+            shutil.rmtree(
+                os.path.join(self.cent_dir, f"batch_id={i}"), ignore_errors=True
+            )
+        for f in os.listdir(self.base_dir):
+            for prefix in ("v_", "_ready_"):
+                if f.startswith(prefix) and int(f.removeprefix(prefix)) < new_wm:
+                    p = os.path.join(self.base_dir, f)
+                    shutil.rmtree(p, ignore_errors=True) if os.path.isdir(
+                        p
+                    ) else os.remove(p)
+        return len(fresh)
 
     def quantizer_pair(self) -> tuple[np.ndarray, np.ndarray]:
         """BOTH quantizers from ONE scan + collect of the committed
-        partials: IVF centroids = normalized per-(label, dim) sums
+        partials (base snapshot + fresh partials — see _cent_frames):
+        IVF centroids = normalized per-(label, dim) sums
         (== batch label_centroids — distributive sum), PQ codebooks =
         per-(label, dim) means = sum/count (== batch pq_codebooks).
         A single aggregation serves both so the per-refresh fold cost
         is one read, not two."""
         rows = (
-            self.spark.read.parquet(self.cent_dir)
+            self._cent_frames()
             .groupBy("label", "d")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
@@ -109,6 +213,28 @@ class StreamedIVFIndex:
         for r in rows:
             cb[pos[r[0]], r[1]] = r[2] / r[3]
         return cent, cb
+
+    def assert_unique_ids(self) -> None:
+        """Loud check of the unique-id append contract (see
+        streaming_ivf_index_append): a replayed upstream producer that
+        re-ingests a vec_id duplicates log rows and skews the
+        quantizer sums. Cost: one ids-only aggregation (the vectors
+        themselves never shuffle)."""
+        dup = (
+            self.spark.read.parquet(self.vec_dir)
+            .groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate vec_ids in the vector log: "
+                f"{[r[0] for r in dup]} — the append contract is each id "
+                f"exactly once; dedupe upstream or rebuild the index from "
+                f"a deduplicated log"
+            )
 
     def centroids(self) -> np.ndarray:
         return self.quantizer_pair()[0]
@@ -225,17 +351,32 @@ def streaming_ivf_index_append(
     vector nor double-add its centroid contribution (same contract as
     streaming/retraction.py, property-tested there).
 
+    UNIQUE-ID APPEND CONTRACT (explicit, load-bearing — round-9
+    advice): each vec_id must arrive EXACTLY ONCE across the stream's
+    lifetime. The engine's checkpoint guarantees a replayed micro-
+    batch is a no-op, but an upstream producer that re-emits an id in
+    a NEW batch would duplicate log rows, double-count its quantizer
+    partials, and make query()/query_adc() return duplicate
+    candidates. `assert_unique_ids()` verifies the contract with one
+    ids-only aggregation (schedulable on the reindex cadence); feeds
+    that cannot promise uniqueness must dedupe upstream (e.g. the
+    engine's streaming novelty gate) — silently keeping latest would
+    leave the earlier arrival's partial sums in the quantizer, so
+    there is deliberately no quiet repair path.
+
     `refresh_every`: re-fold the quantizer from committed partials
     every Nth non-empty batch (the periodic-refresh every production
     vector store runs), reusing the driver-cached matrix in between.
-    The fold reads every committed partial file, so folding EVERY
-    batch is O(batches²) file reads over a long horizon — at an
-    unbounded-stream deployment set refresh_every to the reindex
-    cadence (and/or compact the partials directory with the same
-    fold, which any prefix of batches permits: the sum is
-    distributive). Correctness is unaffected either way: live
-    assignments are eventually consistent BY DESIGN (quantizer-as-of-
-    batch), and compact() always folds everything exactly."""
+    Each refresh first runs `compact_partials()` — folding all
+    committed partial files into one base snapshot (legal at any
+    prefix: the (sum, count) cells are distributive) — so a refresh
+    reads ONE base + at most `refresh_every` fresh partials and the
+    per-refresh fold cost stays FLAT over an unbounded stream
+    (without compaction it is O(batches²) file reads across the run;
+    the long-horizon test pins the bound). Correctness is unaffected
+    either way: live assignments are eventually consistent BY DESIGN
+    (quantizer-as-of-batch), and compact() always folds everything
+    exactly."""
     vec_dir = os.path.join(work_dir, "vectors")
     cent_dir = os.path.join(work_dir, "cent_partials")
     live_dir = os.path.join(work_dir, "live_cells")
@@ -276,6 +417,9 @@ def streaming_ivf_index_append(
                 quantizer["cent"] is None
                 or quantizer["batches_since"] + 1 >= refresh_every
             ):
+                # compact first: the refresh then reads one base + the
+                # fresh partials instead of every file ever committed
+                handle.compact_partials()
                 quantizer["cent"], quantizer["cb"] = handle.quantizer_pair()
                 quantizer["batches_since"] = 0
             else:

@@ -1258,9 +1258,12 @@ def test_streamed_ivf_index_multibatch_equals_batch_built(
     assert idx.live_index().count() == n
     assert idx.live_index().select("vec_id").distinct().count() == n
     # centroid partials are synopsis-sized: ≤ |labels|×dims rows per
-    # batch regardless of batch row count (the 100 TB commit bound)
+    # batch regardless of batch row count (the 100 TB commit bound);
+    # compaction (round-10) folds consumed partial files into one base
+    # snapshot, so the live relation is ≤ base + refresh_every partials
     n_labels = emb.select("label").distinct().count()
-    assert spark.read.parquet(idx.cent_dir).count() <= 3 * n_labels * 64
+    assert idx._cent_frames().count() <= (1 + refresh_every) * n_labels * 64
+    assert len(idx._partial_ids()) < 3  # compaction consumed partials
 
     queries = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -1841,3 +1844,91 @@ def test_stream_allocation_ttl_evicts_incomplete_orders(
     # running sums (n_seen=1 of 3) and emits the PROPORTIONAL 33.33;
     # surviving state would have emitted the remainder 100-66.66=33.34
     assert by_line[(1, 3)] == 33.33
+
+
+def test_streamed_ivf_long_horizon_flat_fold_and_unique_ids(spark, tmp_path):
+    """Long-horizon contract (round-10 verdict item #4): 100+
+    micro-batches through the incremental IVF appender with a
+    10-batch reindex cadence. compact_partials() must keep the
+    at-rest partials BOUNDED (≤ one base + refresh_every fresh files
+    — never the 100 files an uncompacted run accretes, the
+    O(batches²) fold), the drained+compacted index must still equal
+    the batch-built oracle, and the unique-id append contract check
+    passes on a clean feed / fails loudly on a duplicated one."""
+    import numpy as np
+
+    from realtime0523_spark.llm.similarity import ann_topk_ivf, label_centroids
+    from realtime0523_spark.streaming.ann_index import streaming_ivf_index_append
+
+    n_batches, per_batch, dims = 100, 4, 8
+    rows = [
+        (
+            b * per_batch + i,
+            (b * per_batch + i) % 3,
+            [float(((b * per_batch + i) * 7 + d * 13) % 29) for d in range(dims)],
+        )
+        for b in range(n_batches)
+        for i in range(per_batch)
+    ]
+    in_dir = str(tmp_path / "vin")
+    os.makedirs(in_dir)
+    schema = "vec_id long, label int, embedding array<float>"
+    t0 = time.time()
+    for b in range(n_batches):
+        chunk = spark.createDataFrame(
+            rows[b * per_batch : (b + 1) * per_batch], schema
+        )
+        tmp = str(tmp_path / f"_t{b}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"b{b:04d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + b, t0 + b))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    refresh_every = 10
+    idx = streaming_ivf_index_append(
+        spark, stream, work_dir=str(tmp_path / "ivf"),
+        checkpoint_dir=str(tmp_path / "ckpt"), refresh_every=refresh_every,
+    )
+    committed = [d for d in os.listdir(idx.vec_dir) if d.startswith("batch_id=")]
+    assert len(committed) == n_batches  # genuinely 100 micro-batches
+    # FLAT fold cost, structurally: at most refresh_every partial files
+    # remain fresh and exactly one base snapshot holds the rest — a
+    # refresh reads ≤ 1 + refresh_every files whatever the horizon
+    assert len(idx._partial_ids()) <= refresh_every
+    assert idx._base_watermark() >= 0
+    bases = [f for f in os.listdir(idx.base_dir) if f.startswith("v_")]
+    assert len(bases) == 1  # superseded bases garbage-collected
+    # drained-equals-batch still holds after 10 compactions
+    emb = spark.createDataFrame(rows, schema)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = sorted(
+        (q, v, round(s, 9), r)
+        for q, v, s, r in map(tuple, idx.query(queries, nprobe=3, k=3).collect())
+    )
+    want = sorted(
+        (q, v, round(s, 9), r)
+        for q, v, s, r in map(
+            tuple,
+            ann_topk_ivf(
+                emb, queries, nprobe=3, k=3, centroids=label_centroids(emb)
+            )
+            .select("qid", "vec_id", "score", "rk")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 9
+    # unique-id contract: clean feed passes; a duplicated id raises
+    idx.assert_unique_ids()
+    emb.filter(F.col("vec_id") == 0).write.mode("append").parquet(
+        os.path.join(idx.vec_dir, f"batch_id={n_batches}")
+    )
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        idx.assert_unique_ids()
