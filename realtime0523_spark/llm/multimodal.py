@@ -2,12 +2,15 @@
 columns with a typed metadata struct, processed by Arrow-batched
 `mapInPandas` pipelines.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (`decode_image_stub` raises NotImplementedError;
-`media_features` computes real deterministic byte-level features).
-The Spark-side plumbing — schema, batch iteration, partitioning —
-is real and tested; swapping the stub for PIL/torchaudio is a
-function-body change only.
+The DECODE step is REAL for uncompressed containers: `decode_image`
+is a pure-NumPy binary P6 PPM decoder (the Netpbm interchange format
+— whitespace/comment-tolerant header, then h·w·3 raw bytes), so the
+decode → per-channel-statistics path runs end-to-end with no external
+codec and is oracle-checkable byte for byte (`media_decode`).
+Compressed formats (PNG/JPEG/…) raise NotImplementedError naming the
+production seam (PIL/cv2) — this container ships no codecs, and a
+fake JPEG decode would be dishonest. resize/frame-sample keep their
+clearly-marked deterministic fakes for the same reason.
 
 Scale: mapInPandas streams Arrow batches through Python workers —
 per-partition, no driver involvement; binary payloads never shuffle
@@ -19,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,18 +50,67 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> "object":
-    """STUB: decode an image payload to an array. The test container
-    ships no codecs (no PIL/cv2); a real deployment replaces this body
-    with e.g. PIL.Image.open(io.BytesIO(payload))."""
-    try:
-        import PIL.Image  # noqa: F401  (absent in this container)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires an imaging library not present in "
-            "this environment; media_features covers the byte-level path"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when available")
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Binary P6 PPM bytes for an (h, w, 3) uint8 array — the fixture
+    encoder for the decode path (and a valid interchange file any
+    Netpbm tool reads)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """Read `n` whitespace-separated integer tokens after the magic,
+    skipping `#` comments (the Netpbm header grammar). Returns
+    (tokens, offset of the first raster byte)."""
+    toks: list[int] = []
+    i = 2  # past the magic
+    cur = b""
+    while len(toks) < n:
+        if i >= len(payload):
+            raise ValueError("PPM: truncated header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c in b" \t\r\n":
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+        else:
+            cur += c
+        i += 1
+    return toks, i
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (h, w, 3) uint8 array.
+
+    REAL pure-NumPy path for binary P6 PPM (no codec dependency —
+    header parse + frombuffer reshape). Any other magic raises
+    NotImplementedError naming the production seam: compressed
+    formats need PIL/cv2, which this container does not ship, and a
+    deterministic fake here would silently masquerade as a decoder."""
+    raw = bytes(payload)
+    if raw[:2] == b"P6":
+        (w, h, maxval), off = _ppm_header_tokens(raw, 3)
+        if maxval != 255:
+            raise ValueError(f"PPM: only maxval 255 supported, got {maxval}")
+        need = w * h * 3
+        raster = raw[off : off + need]
+        if len(raster) < need:
+            raise ValueError(
+                f"PPM: raster truncated — header promises {need} bytes, "
+                f"payload carries {len(raster)}"
+            )
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    raise NotImplementedError(
+        f"image decode for magic {raw[:2]!r} requires an imaging library "
+        f"(PIL/cv2) not present in this environment; P6 PPM decodes "
+        f"natively"
+    )
 
 
 def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
@@ -238,3 +291,79 @@ def audio_frame_energy(
             )
 
     return df.select(id_col, media_col).mapInPandas(_energy, schema=AUDIO_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = "doc_id long, channel int, px_sum long, n_px long"
+
+
+def attach_ppm_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+) -> DataFrame:
+    """Testdata adapter for the REAL decode path: materialize a valid
+    binary P6 PPM per row whose raster is the row's UTF-8 text bytes
+    cycled to width·height·3 (zero bytes for empty text) — a
+    deterministic image the SQL oracle can replay byte for byte from
+    hex(encode(text))."""
+    cap = width * height * 3
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n%d %d\n255\n" % (width, height)
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if raw:
+                    raster = (raw * (cap // len(raw) + 1))[:cap]
+                else:
+                    raster = bytes(cap)
+                payloads.append(header + raster)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"doc_id long, {media_col} binary"
+    )
+
+
+def decode_channel_stats(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode → per-channel statistics, the first real kernel of any
+    image-quality pipeline (channel means feed brightness/colorcast
+    screens): run the REAL `decode_image` inside an Arrow batch and
+    emit each channel's EXACT integer pixel sum + count (means stay
+    oracle-exact as px_sum/n_px — no float in the contract).
+
+    Scale: map-only (payloads never shuffle); output is 3 rows per
+    image whatever the resolution."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, sums, counts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                arr = decode_image(payload)
+                per_channel = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = int(arr.shape[0] * arr.shape[1])
+                for c in range(3):
+                    ids.append(doc_id)
+                    chans.append(c)
+                    sums.append(int(per_channel[c]))
+                    counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chans, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _stats, schema=CHANNEL_STATS_SCHEMA
+    )

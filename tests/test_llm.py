@@ -13,7 +13,7 @@ from realtime0523_spark.llm.dedup import (
     simhash,
     simhash_pairs,
 )
-from realtime0523_spark.llm.multimodal import attach_media, decode_image_stub, media_features
+from realtime0523_spark.llm.multimodal import attach_media, decode_image, media_features
 from realtime0523_spark.llm.similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
 from realtime0523_spark.llm.text import lang_guess
 from tests.conftest import SF_SMOKE
@@ -157,9 +157,23 @@ def test_media_features_roundtrip(spark):
         assert r.sha256 == hashlib.sha256(text.encode()).hexdigest()
 
 
-def test_decode_stub_is_clearly_stubbed():
+def test_decode_image_ppm_roundtrip_and_unsupported_magic():
+    """decode_image is REAL for P6 PPM (pure NumPy: comment-tolerant
+    header + raster reshape) and loudly unimplemented for compressed
+    formats (no codec in the container — the PIL seam)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import encode_ppm
+
+    arr = (np.arange(5 * 4 * 3, dtype=np.uint8) * 7).reshape(4, 5, 3)
+    assert (decode_image(encode_ppm(arr)) == arr).all()
+    # header grammar: comments + arbitrary whitespace
+    fancy = b"P6 # comment\n# another\n 5\t4 # dims\n255\n" + arr.tobytes()
+    assert (decode_image(fancy) == arr).all()
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
+        decode_image(b"\x89PNG....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n5 4\n255\n\x00\x01")
 
 
 # --- training-data pipeline ops (llm/pipeline.py) ---------------------
