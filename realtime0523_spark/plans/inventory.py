@@ -3711,7 +3711,12 @@ def _ddsketch_sql() -> str:
       FROM events),
     sk AS (
       SELECT grp,
-             CASE WHEN vc <= 0 THEN {ZERO_BUCKET}
+             -- mirror dd_bucket's negative-raise (round-9 advice): the
+             -- one-sided sketch has no bucket for a negative metric,
+             -- and impl and oracle must share the full input domain
+             CASE WHEN vc < 0 THEN CAST(error('dd_bucket: negative cents '
+                                             || vc) AS BIGINT)
+                  WHEN vc = 0 THEN {ZERO_BUCKET}
                   ELSE CAST(floor(round(ln(CAST(vc AS DOUBLE)), 9) / {lg!r})
                        AS BIGINT) END AS bucket,
              count(*) AS n
@@ -3821,7 +3826,10 @@ def _value_drift_sql() -> str:
       FROM events),
     bk AS (
       SELECT domain, half,
-             CASE WHEN vc <= 0 THEN 0
+             -- negative-raise mirror of dd_bucket (round-9 advice)
+             CASE WHEN vc < 0 THEN CAST(error('dd_bucket: negative cents '
+                                              || vc) AS BIGINT)
+                  WHEN vc = 0 THEN 0
                   ELSE 1 + least(CAST(floor(round(ln(CAST(vc AS DOUBLE)), 9)
                                              / {lg!r}) AS BIGINT), {B - 2})
              END AS bucket

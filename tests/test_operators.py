@@ -1097,6 +1097,39 @@ class TestDDSketch:
         )
         assert dd_sketch(ok, "grp", "value").count() == 2
 
+    def test_oracle_mirrors_negative_raise(self):
+        """Twin contract over the FULL input domain (round-9 advice):
+        the committed SQL oracles must also RAISE on a negative value
+        — a clamped oracle beside a raising impl silently diverges the
+        moment a feed carries one."""
+        import duckdb
+        import pytest
+
+        from realtime0523_spark.plans.inventory import (
+            _ddsketch_sql,
+            _value_drift_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            "('click', -1.25, TIMESTAMP '2024-01-05'), "
+            "('click', 3.00, TIMESTAMP '2024-01-20')) "
+            "t(event_type, value, ts)"
+        )
+        for sql in (_ddsketch_sql(), _value_drift_sql()):
+            with pytest.raises(Exception, match="negative"):
+                con.execute(sql).fetchall()
+        con.execute("DROP VIEW events")
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            "('click', 0.00, TIMESTAMP '2024-01-05'), "
+            "('click', 3.00, TIMESTAMP '2024-01-20')) "
+            "t(event_type, value, ts)"
+        )
+        for sql in (_ddsketch_sql(), _value_drift_sql()):
+            assert con.execute(sql).fetchall()  # zero stays legal
+
     def test_merged_partials_equal_one_pass(self, spark):
         """DDSketch merge is bucket-count addition: quantiles from the
         union of per-slice sketches must equal the one-pass answer
