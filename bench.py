@@ -149,18 +149,24 @@ def main() -> None:
         _release_query_state(spark)
 
     # settle AFTER warm-up (our own warm-up inflates load) and
-    # immediately before the measured pass.
+    # immediately before the measured passes.
     contended, settled_load = _settle_wait()
 
+    # TWO measured passes, per-query MIN (round-9 verdict item #3):
+    # BASELINE.md rows are min-of-N estimates, so a single-run bench
+    # carries a systematic ~1.3x scheduler-noise bias that makes
+    # per-query ratios uninterpretable near the 2x gate; min-of-two
+    # matches the baseline estimator at ~+6 min runtime.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in REGISTRY.items():
-        t0 = time.time()
-        spec.fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        _release_query_state(spark)
+    for _pass in range(2):
+        for name, spec in REGISTRY.items():
+            t0 = time.time()
+            spec.fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            _release_query_state(spark)
+    total = sum(timings.values())
 
     full = json.dumps(
         {
@@ -169,6 +175,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "passes": 2,  # per-query min-of-two (baseline estimator match)
             "contended": contended,
             "load_at_measure_start": settled_load,
             "host_before": contention_before,

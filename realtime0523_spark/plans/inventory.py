@@ -104,51 +104,39 @@ def _ensure_full_registry() -> None:
 # pytest oracle gate (tests/test_inventory_oracle.py) re-verifies every
 # rotated-out query on every pytest run — driver staleness is rotation
 # hygiene, never a correctness hole.
+#
+# GROWTH RULE (round-9 verdict item #8, codified): new-query additions
+# per round stay ≤ 12 — the rotation headroom at the current registry
+# size (50 slots − ~38 needed to hold the 4-round SLA at ~204 queries).
+# If a round genuinely needs more, the SLA paragraph above must be
+# re-derived in the same commit (bigger window budget or longer
+# rotation), never silently violated.
 # Names absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # ---- ROUND 9 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 12 (6 added + 1 changed + 5 riders),
-    # group 2 = 9 never-driver-tested, group 3 = 14 r4-stale, leaving
-    # 15 slots for the 41 r5-stale rows (alphabetical); the remaining
-    # 26 r5 rows lead the round-10 rotation per the SLA below.
-    # Group 1 — ADDED this round (stream_ann_index_append,
-    # stream_events_monitor_report, docs_quality_model_score,
-    # stream_customers_rfm) or CHANGED (events_value_drift now
-    # delegates to the shared stattests cell collapse), then riders
-    # re-verifying after the shared-helper refactors:
+    # ---- ROUND 10 WINDOW (50 slots) ----
+    # WINDOW ARITHMETIC: group 1 = 16 (2 added + 7 oracle/impl changed
+    # + 7 riders), group 3 = the 26 r5-stale rows the round-9 window
+    # deferred (per its own spill note), leaving 8 slots for the r6
+    # cohort (alphabetical); the remaining r6 rows lead round 11.
+    # Group 1 — ADDED this round (stream_allocation_split,
+    # media_decode), or CHANGED: the five ddsketch-family queries
+    # whose ORACLES now mirror dd_bucket's negative-raise, and the two
+    # ANN appenders whose append loop gained partials compaction:
+    "stream_allocation_split", "media_decode",
+    "event_value_ddsketch", "stream_event_value_ddsketch",
+    "events_value_drift", "events_monitor_report",
+    "stream_events_monitor_report",
     "stream_ann_index_append", "stream_ann_ivfpq_append",
-    "stream_events_monitor_report", "stream_event_funnel_latency",
-    "docs_quality_model_score", "stream_customers_rfm",
-    "events_value_drift",
     # riders (rule 2 — registered plans unchanged, adjacent code
-    # changed: the ann_topk_ivf/label_centroids delegation refactor,
-    # and the _rfm_scores metric-table split):
-    "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_ivfopq", "emb_ann_recall",
-    "customers_rfm",
-    # Group 2 — the 9 queries that have NEVER had a driver CORRECTNESS
-    # row (round-8 spill: they landed after the last window rotation;
-    # all are green in every pytest oracle run):
-    "event_funnel_latency", "events_rolling_dau", "docs_minhash_eval",
-    "events_monitor_report", "customers_rfm_migration",
-    "stream_events_cusum", "stream_events_ks",
-    "stream_events_chi2", "stream_events_rolling_dau",
-    # Group 3 — stalest-green ascending: the 14 queries whose newest
-    # driver row is r4 (four rounds = one full rotation old; the SLA
-    # boundary):
-    "first_order_flag", "follow_on_clicks", "hot_parts_topk",
-    "media_features", "media_frames", "media_resize", "order_wide",
-    "running_total", "scd2_history", "sessionize", "ship_priority_topk",
-    "spend_full_outer", "stream_session_counts", "windowed_event_counts",
-    # then the r5 rows, alphabetical; the leading 15 complete the
-    # 50-slot round-9 window (see the arithmetic in the header note),
-    # the remaining 26 lead the round-10 rotation:
-    "active_buyers_union", "churned_buyers", "docs_chunk_embed",
-    "docs_lang_guess", "docs_pack_exact", "docs_quality",
-    "docs_quality_approx_contract", "docs_quality_filter",
-    "docs_sparse_search", "docs_winnow_pairs", "dormant_rich_customers",
-    "emb_ann_pq", "emb_ann_rerank", "emb_pq_codes",
-    "event_incident_join", "event_value_stats", "grouping_sets_revenue",
+    # changed: multimodal.py gained the real decoder; the allocation
+    # family neighbors the new split-arrival operator):
+    "media_features", "media_frames", "media_resize",
+    "media_audio_energy", "allocation", "brand_amount",
+    "stream_brand_amount",
+    # Group 3 — the 26 r5-stale rows deferred from round 9 (stalest
+    # on the board; the round-9 verdict names exactly this set):
+    "event_value_stats", "grouping_sets_revenue",
     "late_ship_priority_counts", "nation_year_pivot", "pricing_summary",
     "qty_quantiles", "regional_revenue", "repeat_buyers",
     "revenue_rollup", "salted_flag_agg", "salted_priority_revenue",
@@ -159,10 +147,13 @@ _PRIORITY: list[str] = [
     "stream_top_tokens_cms", "stream_windowed_counts",
     "stream_windowed_topk", "top_customers_per_nation", "top_tokens",
     "top_tokens_cms",
-    # r6 rows:
-    "acct_bucket", "allocation", "asof_last_click", "brand_amount",
-    "customers_never_ordered", "customers_with_orders", "date_derive",
-    "dau", "dau_approx", "dedup_first", "dim_enrich",
+    # …and the leading 8 of the r6 cohort fill the window:
+    "acct_bucket", "asof_last_click", "customers_never_ordered",
+    "customers_with_orders", "date_derive", "dau", "dau_approx",
+    "dedup_first",
+    # ---- post-window: the r6 remainder leads the round-11 rotation,
+    # then r7+ keep registration order at the end ----
+    "dim_enrich",
     "docs_bloom_contamination", "docs_bpe_tokens", "docs_chunk",
     "docs_contamination", "docs_domain_mix", "docs_exact_dedup",
     "docs_fingerprint", "docs_lm_score", "docs_ngram_jaccard",
@@ -172,7 +163,6 @@ _PRIORITY: list[str] = [
     "docs_token_stats", "docs_train_split",
     "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
     "qty_moving_stats", "router_fanout", "router_filter",
-    # r7 rows (newest — rotate last) keep registration order at the end.
 ]
 
 
