@@ -283,6 +283,11 @@ AUDITED: dict[str, str] = {
         "map-only: scan -> Arrow PCM-framing kernel, zero exchanges "
         "— payloads never shuffle"
     ),
+    "media_decode": (
+        "map-only: scan -> Arrow PPM-build kernel -> Arrow decode+"
+        "channel-sum kernel, zero exchanges — payloads never shuffle "
+        "and output is 3 rows per image whatever the resolution"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

@@ -149,6 +149,8 @@ PROBES = [
     "stream_ann_ivfpq_append",  # log + one quantizer-partial family + ADC serve (r9)
     "stream_event_funnel_latency",  # stateful funnel emissions -> exact quantiles (r9)
     "docs_quality_model_score",  # explode -> per-doc partial agg, no vocab broadcast (r9)
+    "stream_allocation_split",  # bucketed keyed state, O(rows) python pass (r10)
+    "media_decode",        # map-only Arrow PPM decode + 3-row-per-image agg (r10)
 ]
 
 # Library paths without their own registry entry, probed as callables:
