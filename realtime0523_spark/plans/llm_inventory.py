@@ -1392,6 +1392,58 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_channel_stats(M.attach_ppm_media(docs, MEDIA_W, MEDIA_H))
 
 
+THUMB_W, THUMB_H = 2, 2  # 4×4 → 2×2 nearest-neighbor thumbnail
+
+
+def _resize_pos_sql() -> str:
+    """Source byte position of resized-output index i: out pixel
+    (y, x, c) with y = i div (out_w·3), x = (i mod out_w·3) div 3,
+    c = i mod 3 maps to source pixel (floor(y·H/out_h),
+    floor(x·W/out_w)) — all exact integer arithmetic, replayed here
+    verbatim."""
+    ow3 = THUMB_W * 3
+    return (
+        f"(((i // {ow3}) * {MEDIA_H} // {THUMB_H}) * {MEDIA_W} "
+        f"+ ((i % {ow3}) // 3) * {MEDIA_W} // {THUMB_W}) * 3 + (i % 3)"
+    )
+
+
+@register(
+    "media_resize_decode",
+    f"""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    px AS (SELECT doc_id, i % 3 AS channel,
+                  CASE WHEN nb = 0 THEN 0
+                       ELSE CAST('0x' || substr(hx,
+                                 2 * (({_resize_pos_sql()}) % nb) + 1, 2)
+                            AS INT) END AS v
+           FROM m, LATERAL (SELECT unnest(range(0,
+                                {THUMB_W * THUMB_H * 3})) AS i))
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST({THUMB_W * THUMB_H} AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2
+    """,
+    "REAL resize (round-10): decode the P6 PPM, nearest-neighbor "
+    f"downscale {MEDIA_W}×{MEDIA_H} → {THUMB_W}×{THUMB_H} (floor "
+    "index map — pure integer arithmetic), per-channel exact integer "
+    "pixel sums of the THUMBNAIL — the decode→resize→stats pass of an "
+    "image pipeline, end-to-end real for decodable payloads (the "
+    "separate resize_media plumbing keeps its marked fake for opaque "
+    "ones). The oracle replays each output pixel's source byte "
+    "position from hex(encode(text)), so the match proves the NN "
+    "index map exactly. Map-only; 3 rows out per image "
+    "(llm/multimodal.py::resize_decode_stats).",
+)
+def q_media_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return M.resize_decode_stats(
+        M.attach_ppm_media(docs, MEDIA_W, MEDIA_H), THUMB_W, THUMB_H
+    )
+
+
 @register(
     "media_audio_energy",
     """

@@ -2017,3 +2017,23 @@ def test_kn_bigram_hand_computed(spark):
     assert row.n_bigrams == 5
     assert abs(row.avg_logp_kn - want) < 1e-8
     assert abs((p_ab + p_ac) - 0.75) < 1e-12
+
+
+def test_resize_image_nearest_neighbor_floor_map():
+    """The NN resize uses the floor index map src = out_idx*in/out per
+    axis — pinned against a hand-computed 4x4 -> 2x2 case (pixels
+    (0,0),(0,2),(2,0),(2,2)) and shape-checked on upscale."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import resize_image
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_image(arr, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == arr[0, 0]).all()
+    assert (small[0, 1] == arr[0, 2]).all()
+    assert (small[1, 0] == arr[2, 0]).all()
+    assert (small[1, 1] == arr[2, 2]).all()
+    up = resize_image(arr, 8, 6)
+    assert up.shape == (6, 8, 3)
+    assert (up[0, 0] == arr[0, 0]).all() and (up[5, 7] == arr[3, 3]).all()

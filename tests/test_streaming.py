@@ -1932,3 +1932,82 @@ def test_streamed_ivf_long_horizon_flat_fold_and_unique_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate vec_ids"):
         idx.assert_unique_ids()
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4], ids=["per-order", "bucketed"])
+def test_stream_allocation_split_restart_resumes_state(
+    spark, state_provider, tmp_path, n_buckets
+):
+    """T6 for the running-sum allocation state: the query is STOPPED
+    between an order's chunks; the second incarnation must resume the
+    (n_seen, Σweight, Σallocated) state from the checkpoint — the
+    straggler chunks then complete each order with the exact remainder,
+    and the union of both incarnations' idempotent commits equals the
+    batch operator. Both keyings, both state-store providers."""
+    import datetime
+
+    from realtime0523_spark.operators.allocation import allocate_order_amount
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    orders = _alloc_orders()
+    ts = datetime.datetime(2025, 6, 15)
+    waves = _split_by_rank(orders, ts, 3)
+    feed = str(tmp_path / "feed")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(out)
+    _write_split_feed(spark, feed, waves[:2])
+
+    def run_incarnation():
+        src = (
+            spark.readStream.schema(_ALLOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        run_foreach_batch(
+            streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=n_buckets),
+            idempotent_batch_writer(out),
+            checkpoint_dir=ckpt,
+            output_mode="update",
+        )
+
+    run_incarnation()  # chunks 0-1 drain; multi-detail orders in flight
+    import shutil
+    import time as _time
+
+    tmp = str(tmp_path / "_w2")
+    spark.createDataFrame(waves[2], _ALLOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(feed, "wave_2.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (_time.time() + 60, _time.time() + 60))
+    shutil.rmtree(tmp)
+    run_incarnation()  # resumes from the checkpoint; completes the orders
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "final_detail_amount")
+            .collect(),
+        )
+    )
+    batch = spark.createDataFrame(_alloc_rows(orders, ts), _ALLOC_SCHEMA)
+    want = sorted(
+        map(
+            tuple,
+            allocate_order_amount(
+                batch,
+                order_key="l_orderkey",
+                detail_order_by=_ALLOC_ORDER,
+                weight="l_extendedprice",
+                order_total="o_totalprice",
+            )
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "final_detail_amount")
+            .collect(),
+        )
+    )
+    assert got == want

@@ -288,6 +288,11 @@ AUDITED: dict[str, str] = {
         "channel-sum kernel, zero exchanges — payloads never shuffle "
         "and output is 3 rows per image whatever the resolution"
     ),
+    "media_resize_decode": (
+        "map-only like media_decode with the NN-resize folded into "
+        "the same Arrow kernel — the thumbnail never materializes "
+        "outside the worker"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

@@ -151,6 +151,7 @@ PROBES = [
     "docs_quality_model_score",  # explode -> per-doc partial agg, no vocab broadcast (r9)
     "stream_allocation_split",  # bucketed keyed state, O(rows) python pass (r10)
     "media_decode",        # map-only Arrow PPM decode + 3-row-per-image agg (r10)
+    "media_resize_decode", # decode + NN thumbnail, still map-only (r10)
 ]
 
 # Library paths without their own registry entry, probed as callables:
