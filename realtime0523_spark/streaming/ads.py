@@ -59,6 +59,8 @@ def streaming_brand_amount(
     co-arrival contract), so any numRowsDroppedByWatermark raises
     rather than committing a silently short total.
     """
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
     order_by = detail_order_by or [
         "l_linenumber",
         "l_partkey",
@@ -67,6 +69,10 @@ def streaming_brand_amount(
         "l_quantity",
     ]
     commit = idempotent_batch_writer(out_dir)
+    # co-arrival contract enforced at runtime (round-9 advice, shared
+    # with the topology's ADS stage): a split order would double-count
+    # o_totalprice, so a reappearing order key raises instead
+    guard = co_arrival_guard(spark, out_dir.rstrip("/") + "_seen_keys")
     brand_dim = F.broadcast(
         part_dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
     )
@@ -74,6 +80,7 @@ def streaming_brand_amount(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        guard(batch_df.select("l_orderkey").distinct(), batch_id)
         alloc = allocate_order_amount(
             batch_df,
             order_key="l_orderkey",

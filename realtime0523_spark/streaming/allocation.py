@@ -331,3 +331,46 @@ def streaming_allocation_split(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def co_arrival_guard(spark, keys_dir: str, key_col: str = "l_orderkey"):
+    """Runtime enforcement of the PER-BATCH allocation's co-arrival
+    contract (the alternative to this module's running-sum state): the
+    per-batch F1 normalizes by the batch-local weight sum, so an order
+    whose details span two batches absorbs the full order total in
+    EACH fragment — a silent double-count. The guard commits each
+    batch's order-key set (synopsis-sized, idempotent by batchId) and
+    RAISES when a key reappears in a LATER batch; replays of the same
+    batch are exempt because the check reads only batch_id < current.
+
+    Returns ``check(keys_df, batch_id)`` for use inside foreachBatch;
+    `keys_df` is the batch's distinct key column."""
+    import os
+
+    from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+
+    commit = idempotent_batch_writer(keys_dir)
+
+    def check(keys: "DataFrame", batch_id: int) -> None:
+        os.makedirs(keys_dir, exist_ok=True)
+        if any(f.startswith("batch_id=") for f in os.listdir(keys_dir)):
+            prior = spark.read.parquet(keys_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            dupes = [
+                r[0]
+                for r in keys.join(prior, key_col, "semi").limit(5).collect()
+            ]
+            if dupes:
+                raise RuntimeError(
+                    f"ADS co-arrival contract violated: order key(s) "
+                    f"{dupes} reappeared in batch {batch_id} after being "
+                    f"allocated in an earlier batch — the per-batch "
+                    f"allocation would double-count the order total. "
+                    f"Feed all of an order's details in one CDC file, or "
+                    f"use the cross-batch running-sum allocation "
+                    f"(streaming_allocation_split / split_arrival=True)."
+                )
+        commit(keys, batch_id)
+
+    return check

@@ -497,40 +497,19 @@ class FiveLayerTopology:
             return self._foreach_batch_query("ads", alloc_stream, process_split)
 
         src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
-        commit_keys = idempotent_batch_writer(self.ads_keys_dir)
+        # CO-ARRIVAL GUARD (round-9 advice): the per-batch allocation
+        # silently double-counts a split order, so a reappearing order
+        # key is a loud contract failure (shared helper — the
+        # registered streaming ADS query enforces the same contract).
+        from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+        guard = co_arrival_guard(self.spark, self.ads_keys_dir)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            # CO-ARRIVAL GUARD (round-9 advice): the per-batch
-            # allocation silently double-counts a split order, so a
-            # reappearing order key is a loud contract failure. The
-            # key log is synopsis-sized (distinct keys only) and the
-            # check excludes this batch's own replayed commit.
             keys = batch_df.select("l_orderkey").distinct()
-            if any(
-                f.startswith("batch_id=") for f in os.listdir(self.ads_keys_dir)
-            ):
-                prior = self.spark.read.parquet(self.ads_keys_dir).filter(
-                    F.col("batch_id") < batch_id
-                )
-                dupes = [
-                    r[0]
-                    for r in keys.join(prior, "l_orderkey", "semi")
-                    .limit(5)
-                    .collect()
-                ]
-                if dupes:
-                    raise RuntimeError(
-                        f"ADS co-arrival contract violated: order key(s) "
-                        f"{dupes} reappeared in batch {batch_id} after "
-                        f"being allocated in an earlier batch — the "
-                        f"per-batch allocation would double-count "
-                        f"o_totalprice. Feed all of an order's details "
-                        f"in one CDC file, or run the topology with "
-                        f"split_arrival=True (cross-batch running-sum "
-                        f"allocation)."
-                    )
+            guard(keys, batch_id)
             alloc = allocate_order_amount(
                 batch_df,
                 order_key="l_orderkey",
@@ -539,7 +518,6 @@ class FiveLayerTopology:
                 order_total="o_totalprice",
             )
             self._commit_brand_partial(alloc, batch_id, commit)
-            commit_keys(keys, batch_id)
 
         return self._foreach_batch_query("ads", src, process)
 
