@@ -418,3 +418,166 @@ def resize_decode_stats(
     return df.select(id_col, media_col).mapInPandas(
         _stats, schema=CHANNEL_STATS_SCHEMA
     )
+
+
+def encode_y4m(frames: "np.ndarray") -> bytes:
+    """YUV4MPEG2 (Y4M) bytes for an (n, 3, h, w) uint8 planar-frame
+    array — the standard UNCOMPRESSED video interchange container
+    (mjpegtools/ffmpeg `-f yuv4mpeg`), C444 = three full-resolution
+    planes per frame. The fixture encoder for the video decode path;
+    any ffmpeg reads the output."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[1] != 3:
+        raise ValueError(f"expected (n, 3, h, w) planar frames, got {a.shape}")
+    n, _, h, w = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[f].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> "np.ndarray":
+    """REAL pure-NumPy Y4M decode: parse the stream header (W/H/C
+    tags), then split FRAME sections into (n, 3, h, w) uint8 planar
+    arrays. Only the uncompressed C444 layout is supported — like
+    `decode_image`, anything else raises naming the production seam
+    (ffmpeg/PyAV) rather than faking a codec."""
+    raw = bytes(payload)
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"video decode for magic {raw[:9]!r} requires a codec library "
+            f"(ffmpeg/PyAV) not present in this environment; uncompressed "
+            f"YUV4MPEG2 decodes natively"
+        )
+    nl = raw.index(b"\n")
+    tags = raw[:nl].split(b" ")[1:]
+    w = h = None
+    colorspace = b"C420jpeg"  # the Y4M default when no C tag is present
+    for t in tags:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"C":
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("Y4M: header missing W/H tags")
+    if colorspace != b"C444":
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace!r}: only C444 (full-resolution "
+            f"planes) is supported; subsampled layouts need a real "
+            f"swscale path"
+        )
+    frame_bytes = 3 * w * h
+    frames = []
+    i = nl + 1
+    while i < len(raw):
+        fnl = raw.index(b"\n", i)
+        if raw[i : i + 5] != b"FRAME":
+            raise ValueError(f"Y4M: expected FRAME marker at offset {i}")
+        i = fnl + 1
+        plane = raw[i : i + frame_bytes]
+        if len(plane) < frame_bytes:
+            raise ValueError(
+                f"Y4M: frame truncated — need {frame_bytes} bytes, "
+                f"payload carries {len(plane)}"
+            )
+        frames.append(
+            np.frombuffer(plane, dtype=np.uint8).reshape(3, h, w)
+        )
+        i += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, 3, h, w), np.uint8)
+
+
+def attach_y4m_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    n_frames: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+) -> DataFrame:
+    """Testdata adapter for the REAL video path: a valid C444 Y4M per
+    row whose concatenated frame planes are the row's UTF-8 text bytes
+    cycled to n_frames·3·width·height (zero bytes for empty text) —
+    deterministic, so the SQL oracle replays every plane byte from
+    hex(encode(text))."""
+    cap = n_frames * 3 * width * height
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (width, height)
+        fb = 3 * width * height
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                raster = (
+                    (raw * (cap // len(raw) + 1))[:cap] if raw else bytes(cap)
+                )
+                parts = [header]
+                for f in range(n_frames):
+                    parts.append(b"FRAME\n")
+                    parts.append(raster[f * fb : (f + 1) * fb])
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"doc_id long, {media_col} binary"
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx int, channel int, px_sum long, n_px long"
+)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    every: int = 1,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL video decode → frame sampling → per-plane statistics in one
+    Arrow kernel: decode the Y4M, keep every `every`-th frame (the
+    keyframe-sampling stride every video pipeline runs), and emit each
+    sampled frame's per-plane EXACT integer pixel sum — the
+    brightness/scene-change screen. Replaces this family's last
+    deterministic fake with a real uncompressed-container path
+    (`sample_frames` keeps its marked fake for opaque payloads).
+
+    Scale: map-only — payloads never shuffle; output rows =
+    3 · ceil(frames/every) per video whatever the resolution."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, chans, sums, counts = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                frames = decode_y4m(payload)
+                n_px = int(frames.shape[2] * frames.shape[3])
+                for f in range(0, frames.shape[0], every):
+                    per_plane = frames[f].reshape(3, -1).sum(
+                        axis=1, dtype=np.int64
+                    )
+                    for c in range(3):
+                        ids.append(doc_id)
+                        fidx.append(f)
+                        chans.append(c)
+                        sums.append(int(per_plane[c]))
+                        counts.append(n_px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "channel": pd.Series(chans, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "n_px": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _stats, schema=FRAME_STATS_SCHEMA
+    )

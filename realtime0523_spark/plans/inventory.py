@@ -115,26 +115,29 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 10 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 16 (3 added + 7 oracle/impl changed
-    # + 6 riders), group 3 = the 26 r5-stale rows the round-9 window
+    # WINDOW ARITHMETIC: group 1 = 16 (4 added + 7 oracle/impl changed
+    # + 5 riders), group 3 = the 26 r5-stale rows the round-9 window
     # deferred (per its own spill note), leaving 8 slots for the r6
     # cohort (alphabetical); the remaining r6 rows lead round 11.
     # Group 1 — ADDED this round (stream_allocation_split,
-    # media_decode, media_resize_decode), or CHANGED: the five
-    # ddsketch-family queries whose ORACLES now mirror dd_bucket's
-    # negative-raise, and the two ANN appenders whose append loop
-    # gained partials compaction:
+    # media_decode, media_resize_decode, media_video_frames), or
+    # CHANGED: the five ddsketch-family queries whose ORACLES now
+    # mirror dd_bucket's negative-raise, and the two ANN appenders
+    # whose append loop gained partials compaction:
     "stream_allocation_split", "media_decode", "media_resize_decode",
+    "media_video_frames",
     "event_value_ddsketch", "stream_event_value_ddsketch",
     "events_value_drift", "events_monitor_report",
     "stream_events_monitor_report",
     "stream_ann_index_append", "stream_ann_ivfpq_append",
     # riders (rule 2 — registered plans unchanged, adjacent code
-    # changed: multimodal.py gained the real decoder; the allocation
-    # family neighbors the new split-arrival operator; media_frames
-    # yields its rider slot to the added query — its kernel is
-    # untouched and its r9 row is fresh):
-    "media_features", "media_resize",
+    # changed: multimodal.py gained the real decoders; the allocation
+    # family neighbors the new split-arrival operator; stream_brand_
+    # amount additionally gained the runtime co-arrival guard.
+    # media_frames/media_resize yield their rider slots to the added
+    # queries — their kernels are untouched, their r9 rows fresh, and
+    # the three new queries re-verify the shared module end-to-end):
+    "media_features",
     "media_audio_energy", "allocation", "brand_amount",
     "stream_brand_amount",
     # Group 3 — the 26 r5-stale rows deferred from round 9 (stalest

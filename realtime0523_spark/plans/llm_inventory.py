@@ -1444,6 +1444,62 @@ def q_media_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VID_W, VID_H, VID_FRAMES, VID_EVERY = 4, 4, 4, 2  # sample frames 0 and 2
+
+
+def _video_frames_sql() -> str:
+    wh = VID_W * VID_H
+    fb = 3 * wh
+    n_sampled = -(-VID_FRAMES // VID_EVERY)
+    # global raster index of sampled-output index i: sample slot
+    # s = i div fb → frame f = s·every; channel c = (i mod fb) div wh;
+    # pixel j = i mod wh; g = f·fb + c·wh + j
+    g = (
+        f"((i // {fb}) * {VID_EVERY}) * {fb} "
+        f"+ ((i % {fb}) // {wh}) * {wh} + (i % {wh})"
+    )
+    return f"""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    px AS (SELECT doc_id,
+                  (i // {fb}) * {VID_EVERY} AS frame_idx,
+                  (i % {fb}) // {wh} AS channel,
+                  CASE WHEN nb = 0 THEN 0
+                       ELSE CAST('0x' || substr(hx, 2 * (({g}) % nb) + 1, 2)
+                            AS INT) END AS v
+           FROM m, LATERAL (SELECT unnest(range(0, {n_sampled * fb})) AS i))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(channel AS INT) AS channel,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST({wh} AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "media_video_frames",
+    _video_frames_sql(),
+    "REAL video decode + frame sampling (round-10): each document "
+    f"becomes a valid uncompressed YUV4MPEG2 stream ({VID_FRAMES} "
+    f"C444 frames of {VID_W}×{VID_H}, planes = text bytes cycled), "
+    "decoded by the pure-NumPy Y4M parser (llm/multimodal.py::"
+    f"decode_y4m), sampled every {VID_EVERY}nd frame (the keyframe "
+    "stride), per-plane EXACT integer pixel sums — the brightness/"
+    "scene-change screen of a video pipeline, end-to-end real for the "
+    "standard uncompressed container (compressed codecs raise naming "
+    "the ffmpeg/PyAV seam; sample_frames keeps its marked fake for "
+    "opaque payloads). The oracle replays every sampled plane byte "
+    "from hex(encode(text)). Map-only: payloads never shuffle; "
+    "3·ceil(frames/stride) rows out per video.",
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return M.video_frame_stats(
+        M.attach_y4m_media(docs, VID_W, VID_H, VID_FRAMES), every=VID_EVERY
+    )
+
+
 @register(
     "media_audio_energy",
     """

@@ -2037,3 +2037,23 @@ def test_resize_image_nearest_neighbor_floor_map():
     up = resize_image(arr, 8, 6)
     assert up.shape == (6, 8, 3)
     assert (up[0, 0] == arr[0, 0]).all() and (up[5, 7] == arr[3, 3]).all()
+
+
+def test_y4m_roundtrip_sampling_and_unsupported():
+    """decode_y4m is REAL for uncompressed C444 Y4M (header tags +
+    FRAME sections); compressed magics and subsampled colorspaces
+    raise naming the ffmpeg seam; truncated frames raise."""
+    import numpy as np
+    import pytest
+
+    from realtime0523_spark.llm.multimodal import decode_y4m, encode_y4m
+
+    frames = (np.arange(2 * 3 * 4 * 5, dtype=np.uint8) * 3).reshape(2, 3, 4, 5)
+    out = decode_y4m(encode_y4m(frames))
+    assert out.shape == (2, 3, 4, 5) and (out == frames).all()
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_y4m(b"\x00\x00\x01\xba mpeg-ps")
+    with pytest.raises(NotImplementedError, match="C420"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(10))

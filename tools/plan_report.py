@@ -293,6 +293,11 @@ AUDITED: dict[str, str] = {
         "the same Arrow kernel — the thumbnail never materializes "
         "outside the worker"
     ),
+    "media_video_frames": (
+        "map-only: Y4M decode + frame-stride sampling + plane sums in "
+        "one Arrow kernel; 3*ceil(frames/stride) rows out per video, "
+        "payloads never shuffle"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

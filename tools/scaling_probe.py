@@ -152,6 +152,7 @@ PROBES = [
     "stream_allocation_split",  # bucketed keyed state, O(rows) python pass (r10)
     "media_decode",        # map-only Arrow PPM decode + 3-row-per-image agg (r10)
     "media_resize_decode", # decode + NN thumbnail, still map-only (r10)
+    "media_video_frames",  # Y4M decode + frame-stride sampling, map-only (r10)
 ]
 
 # Library paths without their own registry entry, probed as callables:
