@@ -2011,3 +2011,50 @@ def test_stream_allocation_split_restart_resumes_state(
         )
     )
     assert got == want
+
+
+def test_streaming_brand_amount_guard_refuses_split_feed(spark, tmp_path):
+    """The registered streaming ADS path (streaming_brand_amount) now
+    enforces the co-arrival contract at runtime: an order whose detail
+    rows land in two micro-batches must RAISE (the per-batch allocation
+    would double-count o_totalprice), naming the split-arrival
+    alternative."""
+    import time as _time
+
+    from realtime0523_spark.streaming.ads import streaming_brand_amount
+
+    wide_schema = (
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, o_totalprice double"
+    )
+    feed = str(tmp_path / "wide")
+    os.makedirs(feed)
+    t0 = _time.time()
+    waves = [
+        [(1, 1, 10, 100, 1.0, 30.0, 100.0)],
+        [(1, 2, 11, 101, 1.0, 70.0, 100.0)],  # same order, later batch
+    ]
+    for j, rows in enumerate(waves):
+        tmp = str(tmp_path / f"_t{j}")
+        spark.createDataFrame(rows, wide_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"w{j}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + j, t0 + j))
+    part_dim = spark.createDataFrame(
+        [(10, "Brand#A"), (11, "Brand#B")], "p_partkey long, p_brand string"
+    )
+    src = (
+        spark.readStream.schema(wide_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pytest.raises(Exception, match="co-arrival contract violated"):
+        streaming_brand_amount(
+            spark, src, part_dim,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            forbid_watermark_drops=False,
+        )
