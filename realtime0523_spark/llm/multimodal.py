@@ -2,15 +2,18 @@
 columns with a typed metadata struct, processed by Arrow-batched
 `mapInPandas` pipelines.
 
-The DECODE step is REAL for uncompressed containers: `decode_image`
-is a pure-NumPy binary P6 PPM decoder (the Netpbm interchange format
-— whitespace/comment-tolerant header, then h·w·3 raw bytes), so the
-decode → per-channel-statistics path runs end-to-end with no external
-codec and is oracle-checkable byte for byte (`media_decode`).
-Compressed formats (PNG/JPEG/…) raise NotImplementedError naming the
-production seam (PIL/cv2) — this container ships no codecs, and a
-fake JPEG decode would be dishonest. resize/frame-sample keep their
-clearly-marked deterministic fakes for the same reason.
+The DECODE/RESIZE/FRAME steps are REAL for uncompressed containers:
+`decode_image` (binary P6 PPM — Netpbm interchange format,
+whitespace/comment-tolerant header then h·w·3 raw bytes),
+`resize_image` (floor-map nearest-neighbor), and `decode_y4m`
+(YUV4MPEG2 C444 video, frame-stride sampling) run end-to-end with no
+external codec and are oracle-checkable byte for byte (`media_decode`,
+`media_resize_decode`, `media_video_frames`). Compressed formats
+(PNG/JPEG/H.264/…) raise NotImplementedError naming the production
+seam (PIL/cv2/ffmpeg) — this container ships no codecs, and a fake
+JPEG decode would be dishonest. Only the opaque-payload plumbing
+(`resize_media`, `sample_frames`) keeps clearly-marked deterministic
+fakes, for the same reason.
 
 Scale: mapInPandas streams Arrow batches through Python workers —
 per-partition, no driver involvement; binary payloads never shuffle
@@ -73,6 +76,18 @@ def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
             raise ValueError("PPM: truncated header")
         c = payload[i : i + 1]
         if c == b"#":
+            # a comment acts as whitespace in the Netpbm grammar, so a
+            # token abutting it ("255# c\n") must flush here — without
+            # this the raster bytes after the comment's newline would
+            # be appended to the pending token (round-10 review)
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+                if len(toks) == n:
+                    # the comment's newline is the raster delimiter
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
+                        i += 1
+                    return toks, i + 1
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
         elif c in b" \t\r\n":
@@ -323,11 +338,11 @@ def attach_ppm_media(
                     raster = bytes(cap)
                 payloads.append(header + raster)
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        _build, schema=f"doc_id long, {media_col} binary"
+        _build, schema=f"{id_col} long, {media_col} binary"
     )
 
 
@@ -522,11 +537,11 @@ def attach_y4m_media(
                     parts.append(raster[f * fb : (f + 1) * fb])
                 payloads.append(b"".join(parts))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        _build, schema=f"doc_id long, {media_col} binary"
+        _build, schema=f"{id_col} long, {media_col} binary"
     )
 
 

@@ -21,8 +21,10 @@ forever, which never lets a drain-and-stop harness converge). Two
 keyings, same per-row arithmetic:
 
 - PER-ORDER state (``n_buckets=None``): key = l_orderkey, state =
-  (n_seen, Σ weight, Σ allocated). The literal rendering of the
-  reference's Redis keys. Right when the number of in-flight orders
+  (n_seen, Σ allocated). The rendering of the reference's Redis keys —
+  its `:ori` weight sum exists only to serve the float-equality
+  last-row test, which the count detection below replaces, so only
+  `:split` (Σ allocated) survives as state. Right when the number of in-flight orders
   per micro-batch is bounded (the streaming reality: a 5 s batch
   carries thousands of orders). Its scale ceiling is the per-GROUP
   python crossing of the Arrow state protocol (~0.5 ms/order/batch):
@@ -30,7 +32,7 @@ keyings, same per-row arithmetic:
   through one batch pays per-order overhead.
 - BUCKETED map state (``n_buckets=N``): key = hash(l_orderkey) % N,
   state = parallel arrays over that bucket's IN-FLIGHT orders
-  (key, n_seen, Σ weight, Σ allocated, expiry). One python crossing
+  (key, n_seen, Σ allocated, expiry). One python crossing
   per BUCKET per batch and a single O(rows) pass inside — the 100 TB
   shape (state rows = min(N, in-flight), python cost linear in batch
   rows, never in order count). Completed orders leave the arrays
@@ -76,10 +78,9 @@ _OUT_SCHEMA = (
     "l_orderkey long, l_linenumber int, l_partkey long, "
     "final_detail_amount double"
 )
-_STATE_SCHEMA = "n_seen long, w_seen double, allocated double"
+_STATE_SCHEMA = "n_seen long, allocated double"
 _BUCKET_STATE_SCHEMA = (
-    "ks array<long>, ns array<long>, ws array<double>, "
-    "als array<double>, exp array<long>"
+    "ks array<long>, ns array<long>, als array<double>, exp array<long>"
 )
 
 _PASS_COLS = [
@@ -125,9 +126,9 @@ def _alloc_row(
 
 def fold_allocation_group(
     pdf: pd.DataFrame,
-    state: tuple[int, float, float] | None,
+    state: tuple[int, float] | None,
     detail_order_by: list[str],
-) -> tuple[pd.DataFrame, tuple[int, float, float] | None]:
+) -> tuple[pd.DataFrame, tuple[int, float] | None]:
     """The pure per-(order, batch) fold — factored out of the state
     functions so the exact-sum invariant is property-testable without
     a streaming query (tests/test_properties.py).
@@ -136,7 +137,7 @@ def fold_allocation_group(
     l_extendedprice, o_totalprice, o_weight_total, o_detail_count
     (+ detail_order_by). Returns (emitted shares, new state or None
     when the order completed)."""
-    n_seen, w_seen, allocated = state if state is not None else (0, 0.0, 0.0)
+    n_seen, allocated = state if state is not None else (0, 0.0)
     ordered = (
         pdf
         if len(pdf) <= 1
@@ -149,7 +150,6 @@ def fold_allocation_group(
     for w in ordered["l_extendedprice"].tolist():
         n_seen += 1
         share = _alloc_row(n_seen, allocated, w, total, w_total, n_details)
-        w_seen += w
         allocated += share
         shares.append(share)
     out = pd.DataFrame(
@@ -162,7 +162,7 @@ def fold_allocation_group(
     )
     if n_seen == n_details:
         return out, None
-    return out, (n_seen, w_seen, allocated)
+    return out, (n_seen, allocated)
 
 
 def _per_order_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
@@ -198,7 +198,7 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
         """Prune expired in-flight orders (event-time TTL), persist
         the survivors, and keep one pending timeout at the earliest
         remaining expiry."""
-        live = {k: v for k, v in flight.items() if v[3] > wm}
+        live = {k: v for k, v in flight.items() if v[2] > wm}
         if not live:
             if state.exists:
                 state.remove()
@@ -209,20 +209,17 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
                 [v[0] for v in live.values()],
                 [v[1] for v in live.values()],
                 [v[2] for v in live.values()],
-                [v[3] for v in live.values()],
             )
         )
-        state.setTimeoutTimestamp(max(min(v[3] for v in live.values()), wm + 1))
+        state.setTimeoutTimestamp(max(min(v[2] for v in live.values()), wm + 1))
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         flight: dict = {}
         if state.exists:
-            ks, ns, ws, als, exp = state.get
-            flight = {
-                k: [n, w, a, e] for k, n, w, a, e in zip(ks, ns, ws, als, exp)
-            }
+            ks, ns, als, exp = state.get
+            flight = {k: [n, a, e] for k, n, a, e in zip(ks, ns, als, exp)}
         wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
             _shrink_or_remove(state, flight, wm)
@@ -246,7 +243,7 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
         shares: list[float] = []
         for i, ok in enumerate(oks):
             st = flight.get(ok)
-            n_seen, allocated = (st[0] + 1, st[2]) if st else (1, 0.0)
+            n_seen, allocated = (st[0] + 1, st[1]) if st else (1, 0.0)
             share = _alloc_row(
                 n_seen, allocated, wgt[i], tot[i], wtt[i], int(nds[i])
             )
@@ -254,12 +251,11 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
             if n_seen == int(nds[i]):
                 flight.pop(ok, None)
             elif st is None:
-                flight[ok] = [1, wgt[i], share, tss[i] + ttl_ms]
+                flight[ok] = [1, share, tss[i] + ttl_ms]
             else:
                 st[0] = n_seen
-                st[1] += wgt[i]
-                st[2] += share
-                st[3] = tss[i] + ttl_ms
+                st[1] += share
+                st[2] = tss[i] + ttl_ms
         _shrink_or_remove(state, flight, wm)
         yield pd.DataFrame(
             {
@@ -299,8 +295,11 @@ def streaming_allocation_split(
     crossing per bucket per batch instead of per order (see module
     docstring for when each wins). Identical emissions either way.
 
-    TTL semantics: an incomplete order's state times out once the
-    watermark (max event time − ttl) passes the order's last-arrival
+    State per in-flight order is (n_seen, Σ allocated) — the weight
+    running sum the reference also keeps (`:ori`) exists only for its
+    float-equality last-row test, which the detail-count detection
+    replaces. TTL semantics: an incomplete order's state times out once
+    the watermark (max event time − ttl) passes the order's last-arrival
     time + ttl — the event-time rendering of the reference's 100 s
     Redis expire. The watermark delay is the TTL itself, so same-
     timestamp waves are never dropped as late.
@@ -333,7 +332,12 @@ def streaming_allocation_split(
     )
 
 
-def co_arrival_guard(spark, keys_dir: str, key_col: str = "l_orderkey"):
+def co_arrival_guard(
+    spark,
+    keys_dir: str,
+    key_col: str = "l_orderkey",
+    compact_every: int = 32,
+):
     """Runtime enforcement of the PER-BATCH allocation's co-arrival
     contract (the alternative to this module's running-sum state): the
     per-batch F1 normalizes by the batch-local weight sum, so an order
@@ -341,22 +345,98 @@ def co_arrival_guard(spark, keys_dir: str, key_col: str = "l_orderkey"):
     EACH fragment — a silent double-count. The guard commits each
     batch's order-key set (synopsis-sized, idempotent by batchId) and
     RAISES when a key reappears in a LATER batch; replays of the same
-    batch are exempt because the check reads only batch_id < current.
+    batch are exempt because every row (in the per-batch files AND the
+    compacted base) carries its committing batch_id and the check reads
+    only batch_id < current.
+
+    The key log COMPACTS on a cadence (same base-snapshot protocol as
+    the ANN partials: fold everything into one `(key, max batch_id)`
+    base, marker-committed, stragglers excluded by watermark) — an
+    always-on stage would otherwise re-read every batch's key file on
+    every batch, O(batches²) I/O over the run (round-10 review).
 
     Returns ``check(keys_df, batch_id)`` for use inside foreachBatch;
     `keys_df` is the batch's distinct key column."""
     import os
+    import shutil
 
     from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 
     commit = idempotent_batch_writer(keys_dir)
+    base_dir = keys_dir.rstrip("/") + "_base"
+
+    def _base_wm() -> int:
+        if not os.path.isdir(base_dir):
+            return -1
+        ready = [
+            int(f.removeprefix("_ready_"))
+            for f in os.listdir(base_dir)
+            if f.startswith("_ready_")
+        ]
+        return max(ready, default=-1)
+
+    def _partial_ids() -> list[int]:
+        if not os.path.isdir(keys_dir):
+            return []
+        return sorted(
+            int(d.removeprefix("batch_id="))
+            for d in os.listdir(keys_dir)
+            if d.startswith("batch_id=")
+        )
+
+    def _committed(wm: int, fresh: list[int]) -> "DataFrame | None":
+        frames = []
+        if wm >= 0:
+            frames.append(
+                spark.read.parquet(os.path.join(base_dir, f"v_{wm:09d}"))
+            )
+        if fresh:
+            frames.append(
+                spark.read.parquet(keys_dir).filter(F.col("batch_id") > wm)
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _compact(wm: int, fresh: list[int]) -> None:
+        new_wm = max(fresh)
+        final = os.path.join(base_dir, f"v_{new_wm:09d}")
+        marker = os.path.join(base_dir, f"_ready_{new_wm:09d}")
+        os.makedirs(base_dir, exist_ok=True)
+        if not os.path.exists(marker):
+            if os.path.exists(final):  # crash between rename and marker
+                open(marker, "w").close()
+            else:
+                folded = (
+                    _committed(wm, fresh)
+                    .groupBy(key_col)
+                    .agg(F.max("batch_id").alias("batch_id"))
+                )
+                tmp = os.path.join(base_dir, f"_tmp_{new_wm:09d}")
+                folded.write.mode("overwrite").parquet(tmp)
+                os.replace(tmp, final)
+                open(marker, "w").close()
+        for i in fresh:
+            shutil.rmtree(
+                os.path.join(keys_dir, f"batch_id={i}"), ignore_errors=True
+            )
+        for f in os.listdir(base_dir):
+            for prefix in ("v_", "_ready_"):
+                if f.startswith(prefix) and int(f.removeprefix(prefix)) < new_wm:
+                    p = os.path.join(base_dir, f)
+                    (shutil.rmtree(p, ignore_errors=True)
+                     if os.path.isdir(p) else os.remove(p))
 
     def check(keys: "DataFrame", batch_id: int) -> None:
         os.makedirs(keys_dir, exist_ok=True)
-        if any(f.startswith("batch_id=") for f in os.listdir(keys_dir)):
-            prior = spark.read.parquet(keys_dir).filter(
-                F.col("batch_id") < batch_id
-            )
+        wm = _base_wm()
+        fresh = [i for i in _partial_ids() if i > wm]
+        committed = _committed(wm, fresh)
+        if committed is not None:
+            prior = committed.filter(F.col("batch_id") < batch_id)
             dupes = [
                 r[0]
                 for r in keys.join(prior, key_col, "semi").limit(5).collect()
@@ -372,5 +452,8 @@ def co_arrival_guard(spark, keys_dir: str, key_col: str = "l_orderkey"):
                     f"(streaming_allocation_split / split_arrival=True)."
                 )
         commit(keys, batch_id)
+        fresh = [i for i in _partial_ids() if i > wm]
+        if len(fresh) >= compact_every:
+            _compact(wm, fresh)
 
     return check

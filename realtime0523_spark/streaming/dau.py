@@ -3,10 +3,15 @@
 Reference: scala/…/app/Dau.scala:104-123 — Redis `SADD <dt>dau mid`
 with a 24 h TTL; first insertion wins; downstream counts the set.
 
-Ours: event-time watermark + `dropDuplicates` on (dt, mid). The
-watermark IS the TTL (T4): state for a day's keys is evicted once the
-watermark passes, bounding state exactly like the Redis `expire` —
-but driven by event time, not wall clock, so replays are correct.
+Ours: event-time watermark + `dropDuplicatesWithinWatermark` on
+(dt, mid). The watermark IS the TTL (T4): a key's dedup state is
+evicted once the watermark passes its event time + the TTL, bounding
+state exactly like the Redis `expire` — but driven by event time, not
+wall clock, so replays are correct. (Plain `dropDuplicates` on a
+subset WITHOUT the event-time column never evicts — Spark only applies
+watermark eviction to dedup state when the time column is among the
+keys — so the TTL claim would be false and state would grow one entry
+per (day, device) forever; the round-10 review caught this.)
 """
 
 from __future__ import annotations
@@ -30,6 +35,6 @@ def streaming_dau(
             F.col(user_col).alias("mid"),
             F.col(ts_col),
         )
-        .dropDuplicates(["dt", "mid"])
+        .dropDuplicatesWithinWatermark(["dt", "mid"])
     )
     return deduped.groupBy("dt").agg(F.count(F.lit(1)).alias("dau"))

@@ -198,10 +198,11 @@ def versioned_dim_upsert(
         open(marker, "w").close()
         return
     existing = latest_dim_version(spark, store_dir)
-    # deterministic tiebreaker (round-9 advice): an update whose
+    # deterministic tiebreakers (round-9 advice): an update whose
     # envelope ts EQUALS the stored row's ts must win consistently —
-    # prefer the incoming batch side, so equal-ts SCD-1 merges are
-    # last-writer-wins instead of partition-order roulette
+    # prefer the incoming batch side; and two same-key same-ts updates
+    # INSIDE one batch resolve by a content hash (arbitrary but
+    # run-stable — never partition-order roulette)
     incoming = batch_df.withColumn("__src", F.lit(1))
     merged = (
         existing.withColumn("__src", F.lit(0)).unionByName(
@@ -210,7 +211,12 @@ def versioned_dim_upsert(
         if existing is not None
         else incoming
     )
-    w = W.partitionBy(*key_cols).orderBy(F.desc(version_col), F.desc("__src"))
+    payload_cols = [
+        c for c in merged.columns if c not in (*key_cols, version_col, "__src")
+    ]
+    w = W.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__src"), F.desc(F.xxhash64(*payload_cols))
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -494,7 +500,9 @@ class FiveLayerTopology:
                     return
                 self._commit_brand_partial(batch_df, batch_id, commit)
 
-            return self._foreach_batch_query("ads", alloc_stream, process_split)
+            return self._foreach_batch_query(
+                "ads", alloc_stream, process_split, output_mode="update"
+            )
 
         src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
         # CO-ARRIVAL GUARD (round-9 advice): the per-batch allocation
@@ -541,7 +549,13 @@ class FiveLayerTopology:
                 "mid",
                 "event_ts",
             )
-            .dropDuplicates(["dt", "mid"])
+            # WithinWatermark, not plain dropDuplicates: a subset
+            # without the event-time column never evicts its state
+            # (the 24 h TTL claim would be false and the always-on
+            # stage would grow unboundedly — round-10 review finding);
+            # eviction-at-TTL is also the reference's exact SADD+expire
+            # semantics (a revisit after the TTL counts again)
+            .dropDuplicatesWithinWatermark(["dt", "mid"])
             .select("dt", "mid")
         )
         commit = idempotent_batch_writer(self.dau_dir)
@@ -558,17 +572,21 @@ class FiveLayerTopology:
     # ---- lifecycle ----------------------------------------------------
 
     def _foreach_batch_query(
-        self, name: str, stream: DataFrame, fn, trigger_ratio: float = 1.0
+        self,
+        name: str,
+        stream: DataFrame,
+        fn,
+        trigger_ratio: float = 1.0,
+        output_mode: str = "append",
     ):
+        """Stages declare their own output mode (a stateful stage whose
+        emissions are per-arrival passes 'update') — the helper never
+        infers it from the stage name."""
         ckpt = os.path.join(self.root, "ckpt", name)
-        # the split-arrival ADS stage carries a stateful operator whose
-        # emissions are per-arrival (update semantics); all other
-        # stages are stateless-per-batch appends
-        mode = "update" if (name == "ads" and self.split_arrival) else "append"
         return (
             stream.writeStream.foreachBatch(fn)
             .queryName(f"topology_{name}")
-            .outputMode(mode)
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(processingTime=f"{self.trigger * trigger_ratio} seconds")
             .start()

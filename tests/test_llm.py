@@ -2057,3 +2057,23 @@ def test_y4m_roundtrip_sampling_and_unsupported():
         decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + bytes(24))
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(10))
+
+
+def test_ppm_comment_abutting_tokens():
+    """Netpbm grammar: a '#' comment acts as whitespace, so tokens
+    abutting comments ('5#c', '255# c') must flush — and when the
+    maxval's delimiter IS a comment, the raster starts right after the
+    comment's newline (round-10 review fix)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import decode_image
+
+    arr = (np.arange(5 * 4 * 3, dtype=np.uint8) * 7).reshape(4, 5, 3)
+    # token abutting a mid-header comment
+    assert (
+        decode_image(b"P6\n5#c\n4\n255\n" + arr.tobytes()) == arr
+    ).all()
+    # maxval delimited by a comment's newline
+    assert (
+        decode_image(b"P6\n5 4\n255# c\n" + arr.tobytes()) == arr
+    ).all()

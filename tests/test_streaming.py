@@ -2058,3 +2058,93 @@ def test_streaming_brand_amount_guard_refuses_split_feed(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ck"),
             forbid_watermark_drops=False,
         )
+
+
+def test_co_arrival_guard_compacts_key_log_and_stays_replay_exempt(
+    spark, tmp_path
+):
+    """The guard's key log must stay BOUNDED (base snapshot + at most
+    compact_every fresh files — an always-on stage re-reading every
+    batch's key file forever is the O(batches²) accretion the round-10
+    review flagged), keep raising on a key from a compacted-away
+    batch, and stay exempt on a replay of the latest batch even after
+    its keys were folded into the base."""
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys")
+    guard = co_arrival_guard(spark, keys_dir, compact_every=2)
+
+    def batch(*ks):
+        return spark.createDataFrame([(k,) for k in ks], "l_orderkey long")
+
+    for i in range(6):
+        guard(batch(100 + i), i)
+    # bounded: everything folded into one base, < compact_every fresh
+    partials = [d for d in os.listdir(keys_dir) if d.startswith("batch_id=")]
+    assert len(partials) < 2
+    base = keys_dir + "_base"
+    assert len([f for f in os.listdir(base) if f.startswith("v_")]) == 1
+    # a key committed in batch 0 (long since compacted) still raises
+    with pytest.raises(RuntimeError, match="co-arrival contract violated"):
+        guard(batch(100), 6)
+    # replaying the LAST batch is exempt even though its key sits in
+    # the base (the base carries per-key max batch_id)
+    guard(batch(105), 5)
+
+
+def test_streaming_dau_state_evicts_at_ttl(spark, tmp_path):
+    """The DAU dedup must use dropDuplicatesWithinWatermark so the 24 h
+    TTL actually EVICTS state (plain dropDuplicates on a subset without
+    the time column never does — the round-10 review finding): after a
+    wave 3 days later advances the watermark, day-1 keys must be gone
+    from the state store while counts stay correct."""
+    import time as _time
+
+    from realtime0523_spark.streaming.dau import streaming_dau
+    from realtime0523_spark.streaming.runner import _stream_shuffle
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    day1 = "2025-06-15 12:00:00"
+    day4 = "2025-06-18 12:00:00"
+    waves = [
+        [(1, day1), (2, day1), (1, day1)],  # 2 distinct day-1 keys
+        [(3, day4)],  # watermark → day4 - 24h, evicting day-1 state
+    ]
+    t0 = _time.time()
+    for j, rows in enumerate(waves):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        tmp = str(tmp_path / f"_t{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"w{j}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + j, t0 + j))
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    with _stream_shuffle(spark, no_data_batches=True):
+        q = (
+            streaming_dau(src)
+            .writeStream.format("memory")
+            .queryName("dau_ttl")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            dedup_state = next(
+                op
+                for op in q.lastProgress["stateOperators"]
+                if "dedupe" in op["operatorName"].lower()
+            )
+            rows = sorted(map(tuple, spark.table("dau_ttl").collect()))
+        finally:
+            q.stop()
+    assert rows == [("2025-06-15", 2), ("2025-06-18", 1)]
+    # day-1 keys evicted: only day-4's single key remains in state
+    assert dedup_state["numRowsTotal"] == 1
