@@ -465,7 +465,9 @@ def decode_y4m(payload: bytes) -> "np.ndarray":
             f"(ffmpeg/PyAV) not present in this environment; uncompressed "
             f"YUV4MPEG2 decodes natively"
         )
-    nl = raw.index(b"\n")
+    nl = raw.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M: truncated header (no newline)")
     tags = raw[:nl].split(b" ")[1:]
     w = h = None
     colorspace = b"C420jpeg"  # the Y4M default when no C tag is present
@@ -488,9 +490,11 @@ def decode_y4m(payload: bytes) -> "np.ndarray":
     frames = []
     i = nl + 1
     while i < len(raw):
-        fnl = raw.index(b"\n", i)
         if raw[i : i + 5] != b"FRAME":
             raise ValueError(f"Y4M: expected FRAME marker at offset {i}")
+        fnl = raw.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError(f"Y4M: truncated FRAME header at offset {i}")
         i = fnl + 1
         plane = raw[i : i + frame_bytes]
         if len(plane) < frame_bytes:
@@ -566,6 +570,8 @@ def video_frame_stats(
 
     Scale: map-only — payloads never shuffle; output rows =
     3 · ceil(frames/every) per video whatever the resolution."""
+    if every < 1:
+        raise ValueError(f"video_frame_stats: every must be >= 1, got {every}")
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

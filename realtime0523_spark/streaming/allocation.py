@@ -358,83 +358,28 @@ def co_arrival_guard(
     Returns ``check(keys_df, batch_id)`` for use inside foreachBatch;
     `keys_df` is the batch's distinct key column."""
     import os
-    import shutil
 
+    from realtime0523_spark.streaming.compaction import (
+        base_watermark,
+        committed_relation,
+        compact_to_base,
+        partial_ids,
+    )
     from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 
     commit = idempotent_batch_writer(keys_dir)
     base_dir = keys_dir.rstrip("/") + "_base"
 
-    def _base_wm() -> int:
-        if not os.path.isdir(base_dir):
-            return -1
-        ready = [
-            int(f.removeprefix("_ready_"))
-            for f in os.listdir(base_dir)
-            if f.startswith("_ready_")
-        ]
-        return max(ready, default=-1)
-
-    def _partial_ids() -> list[int]:
-        if not os.path.isdir(keys_dir):
-            return []
-        return sorted(
-            int(d.removeprefix("batch_id="))
-            for d in os.listdir(keys_dir)
-            if d.startswith("batch_id=")
-        )
-
-    def _committed(wm: int, fresh: list[int]) -> "DataFrame | None":
-        frames = []
-        if wm >= 0:
-            frames.append(
-                spark.read.parquet(os.path.join(base_dir, f"v_{wm:09d}"))
-            )
-        if fresh:
-            frames.append(
-                spark.read.parquet(keys_dir).filter(F.col("batch_id") > wm)
-            )
-        if not frames:
-            return None
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-
-    def _compact(wm: int, fresh: list[int]) -> None:
-        new_wm = max(fresh)
-        final = os.path.join(base_dir, f"v_{new_wm:09d}")
-        marker = os.path.join(base_dir, f"_ready_{new_wm:09d}")
-        os.makedirs(base_dir, exist_ok=True)
-        if not os.path.exists(marker):
-            if os.path.exists(final):  # crash between rename and marker
-                open(marker, "w").close()
-            else:
-                folded = (
-                    _committed(wm, fresh)
-                    .groupBy(key_col)
-                    .agg(F.max("batch_id").alias("batch_id"))
-                )
-                tmp = os.path.join(base_dir, f"_tmp_{new_wm:09d}")
-                folded.write.mode("overwrite").parquet(tmp)
-                os.replace(tmp, final)
-                open(marker, "w").close()
-        for i in fresh:
-            shutil.rmtree(
-                os.path.join(keys_dir, f"batch_id={i}"), ignore_errors=True
-            )
-        for f in os.listdir(base_dir):
-            for prefix in ("v_", "_ready_"):
-                if f.startswith(prefix) and int(f.removeprefix(prefix)) < new_wm:
-                    p = os.path.join(base_dir, f)
-                    (shutil.rmtree(p, ignore_errors=True)
-                     if os.path.isdir(p) else os.remove(p))
+    def _fold(df: "DataFrame") -> "DataFrame":
+        # per-key MAX batch_id: replays of a compacted-away batch stay
+        # exempt because the check below still sees their batch_id
+        return df.groupBy(key_col).agg(F.max("batch_id").alias("batch_id"))
 
     def check(keys: "DataFrame", batch_id: int) -> None:
         os.makedirs(keys_dir, exist_ok=True)
-        wm = _base_wm()
-        fresh = [i for i in _partial_ids() if i > wm]
-        committed = _committed(wm, fresh)
+        committed = committed_relation(
+            spark, keys_dir, base_dir, keep_batch_id=True
+        )
         if committed is not None:
             prior = committed.filter(F.col("batch_id") < batch_id)
             dupes = [
@@ -452,8 +397,8 @@ def co_arrival_guard(
                     f"(streaming_allocation_split / split_arrival=True)."
                 )
         commit(keys, batch_id)
-        fresh = [i for i in _partial_ids() if i > wm]
-        if len(fresh) >= compact_every:
-            _compact(wm, fresh)
+        wm = base_watermark(base_dir)
+        if len([i for i in partial_ids(keys_dir) if i > wm]) >= compact_every:
+            compact_to_base(spark, keys_dir, base_dir, _fold, keep_batch_id=True)
 
     return check

@@ -92,29 +92,19 @@ class StreamedIVFIndex:
             os.path.join(os.path.dirname(cent_dir.rstrip("/")), "cent_base")
         )
 
-    # ---- quantizer-partials state (base snapshot + fresh partials) ----
+    # ---- quantizer-partials state (base snapshot + fresh partials;
+    # the protocol itself lives in streaming/compaction.py and is
+    # shared with the co-arrival guard's key log) ----
 
     def _base_watermark(self) -> int:
-        """Highest committed base snapshot id, or -1. Marker-or-dir
-        heals the crash window exactly like versioned_dim_upsert: the
-        atomic rename IS the commit."""
-        if not os.path.isdir(self.base_dir):
-            return -1
-        ready = [
-            int(f.removeprefix("_ready_"))
-            for f in os.listdir(self.base_dir)
-            if f.startswith("_ready_")
-        ]
-        return max(ready, default=-1)
+        from realtime0523_spark.streaming.compaction import base_watermark
+
+        return base_watermark(self.base_dir)
 
     def _partial_ids(self) -> list[int]:
-        if not os.path.isdir(self.cent_dir):
-            return []
-        return sorted(
-            int(d.removeprefix("batch_id="))
-            for d in os.listdir(self.cent_dir)
-            if d.startswith("batch_id=")
-        )
+        from realtime0523_spark.streaming.compaction import partial_ids
+
+        return partial_ids(self.cent_dir)
 
     def _cent_frames(self) -> DataFrame:
         """The committed quantizer-partials relation: the newest base
@@ -123,73 +113,31 @@ class StreamedIVFIndex:
         the per-refresh fold cost FLAT over an unbounded stream —
         without the base, every fold re-reads every batch's partial
         file (O(batches²) reads across the run)."""
-        wm = self._base_watermark()
-        frames = []
-        if wm >= 0:
-            frames.append(
-                self.spark.read.parquet(
-                    os.path.join(self.base_dir, f"v_{wm:09d}")
-                )
-            )
-        fresh = [i for i in self._partial_ids() if i > wm]
-        if fresh:
-            frames.append(
-                self.spark.read.parquet(self.cent_dir)
-                .filter(F.col("batch_id") > wm)
-                .drop("batch_id")
-            )
-        if not frames:
+        from realtime0523_spark.streaming.compaction import committed_relation
+
+        out = committed_relation(self.spark, self.cent_dir, self.base_dir)
+        if out is None:
             raise ValueError("no committed quantizer partials")
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
         return out
 
     def compact_partials(self) -> int:
         """Fold every committed partial (plus the previous base) into
         ONE base snapshot — valid for any prefix of batches because
         the (sum, count) cells are distributive — and garbage-collect
-        the consumed partial files. Idempotent by marker (same
-        protocol as the topology's versioned dim store); a crash
-        between rename and GC leaves stragglers that the watermark
-        excludes and the next compaction removes. Returns the number
-        of partial files consumed."""
-        ids = self._partial_ids()
-        wm = self._base_watermark()
-        fresh = [i for i in ids if i > wm]
-        if not fresh:
-            return 0
-        new_wm = max(fresh)
-        final = os.path.join(self.base_dir, f"v_{new_wm:09d}")
-        marker = os.path.join(self.base_dir, f"_ready_{new_wm:09d}")
-        os.makedirs(self.base_dir, exist_ok=True)
-        if not os.path.exists(marker):
-            if os.path.exists(final):  # crash between rename and marker
-                open(marker, "w").close()
-            else:
-                folded = self._cent_frames().groupBy("label", "d").agg(
-                    F.sum("s").alias("s"), F.sum("n").alias("n")
-                )
-                tmp = os.path.join(self.base_dir, f"_tmp_{new_wm:09d}")
-                folded.write.mode("overwrite").parquet(tmp)
-                os.replace(tmp, final)
-                open(marker, "w").close()
-        # GC: consumed partials and superseded bases (best-effort —
-        # correctness never depends on it, the watermark does the work)
-        import shutil
+        everything at or below the new watermark (including partials a
+        post-compaction replay re-created). Idempotent by marker with
+        crash-heal; see streaming/compaction.py for the shared
+        protocol. Returns the number of fresh partials consumed."""
+        from realtime0523_spark.streaming.compaction import compact_to_base
 
-        for i in fresh:
-            shutil.rmtree(
-                os.path.join(self.cent_dir, f"batch_id={i}"), ignore_errors=True
-            )
-        for f in os.listdir(self.base_dir):
-            for prefix in ("v_", "_ready_"):
-                if f.startswith(prefix) and int(f.removeprefix(prefix)) < new_wm:
-                    p = os.path.join(self.base_dir, f)
-                    shutil.rmtree(p, ignore_errors=True) if os.path.isdir(
-                        p
-                    ) else os.remove(p)
-        return len(fresh)
+        return compact_to_base(
+            self.spark,
+            self.cent_dir,
+            self.base_dir,
+            lambda df: df.groupBy("label", "d").agg(
+                F.sum("s").alias("s"), F.sum("n").alias("n")
+            ),
+        )
 
     def quantizer_pair(self) -> tuple[np.ndarray, np.ndarray]:
         """BOTH quantizers from ONE scan + collect of the committed

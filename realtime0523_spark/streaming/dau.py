@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_TTL_UNITS_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
 def streaming_dau(
     events: DataFrame,
     ts_col: str = "ts",
@@ -27,7 +34,27 @@ def streaming_dau(
     state_ttl: str = "24 hours",
 ) -> DataFrame:
     """Per-day distinct-user counts over a stream. Output mode:
-    complete (per-dt counts updated as batches arrive)."""
+    complete (per-dt counts updated as batches arrive).
+
+    `state_ttl` must be ≥ 24 hours (validated): at-most-once per
+    (dt, mid) holds because by the time a key's dedup state evicts,
+    every same-day event is below the watermark and drops as late —
+    a TTL shorter than the day bucket would let an evicted key's
+    later same-day event re-emit and DOUBLE-COUNT the user (round-10
+    review finding)."""
+    parts = state_ttl.split()
+    if (
+        len(parts) != 2
+        or not parts[0].lstrip("-").isdigit()
+        or parts[1].lower() not in _TTL_UNITS_SECONDS
+        or int(parts[0]) * _TTL_UNITS_SECONDS[parts[1].lower()] < 86400
+    ):
+        raise ValueError(
+            f"streaming_dau: state_ttl {state_ttl!r} must be a "
+            f"'<n> <unit>' interval of at least 24 hours — a shorter "
+            f"TTL breaks the at-most-once-per-(dt, mid) invariant "
+            f"(an evicted key's later same-day event would re-count)"
+        )
     deduped = (
         events.withWatermark(ts_col, state_ttl)
         .select(

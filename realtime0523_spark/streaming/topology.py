@@ -214,9 +214,11 @@ def versioned_dim_upsert(
     payload_cols = [
         c for c in merged.columns if c not in (*key_cols, version_col, "__src")
     ]
-    w = W.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.desc("__src"), F.desc(F.xxhash64(*payload_cols))
-    )
+    order_cols = [F.desc(version_col), F.desc("__src")]
+    if payload_cols:  # xxhash64() with zero children fails analysis; a
+        # payload-less dim's ties are identical rows anyway
+        order_cols.append(F.desc(F.xxhash64(*payload_cols)))
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -552,9 +554,14 @@ class FiveLayerTopology:
             # WithinWatermark, not plain dropDuplicates: a subset
             # without the event-time column never evicts its state
             # (the 24 h TTL claim would be false and the always-on
-            # stage would grow unboundedly — round-10 review finding);
-            # eviction-at-TTL is also the reference's exact SADD+expire
-            # semantics (a revisit after the TTL counts again)
+            # stage would grow unboundedly — round-10 review finding).
+            # At-most-once per (dt, mid) still holds because the
+            # watermark delay equals the TTL: by the time a key's
+            # state evicts (watermark > first_ts + 24 h), every
+            # same-day event is below the watermark and drops as late
+            # — post-TTL revisits are silently dropped, never
+            # re-counted (requires TTL ≥ the day bucket width, which
+            # streaming_dau validates)
             .dropDuplicatesWithinWatermark(["dt", "mid"])
             .select("dt", "mid")
         )
