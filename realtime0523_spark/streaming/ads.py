@@ -46,6 +46,7 @@ def streaming_brand_amount(
     detail_order_by: list[str] | None = None,
     no_data_batches: bool = True,
     forbid_watermark_drops: bool = True,
+    compact_every: int = 32,
 ) -> DataFrame:
     """Run the joined order-wide STREAM through allocation + brand
     partial sums with exactly-once commits, drain it, and return the
@@ -60,6 +61,12 @@ def streaming_brand_amount(
     rather than committing a silently short total.
     """
     from realtime0523_spark.streaming.allocation import co_arrival_guard
+    from realtime0523_spark.streaming.compaction import (
+        base_watermark,
+        committed_relation,
+        compact_to_base,
+        partial_ids,
+    )
 
     order_by = detail_order_by or [
         "l_linenumber",
@@ -69,10 +76,23 @@ def streaming_brand_amount(
         "l_quantity",
     ]
     commit = idempotent_batch_writer(out_dir)
+    base_dir = out_dir.rstrip("/") + "_base"
+
+    def _fold(df: DataFrame) -> DataFrame:
+        # distributive per-brand sum — the same merge the final read
+        # applies, so compaction can't change the rollup
+        return df.groupBy("p_brand").agg(
+            F.sum("partial_amount").alias("partial_amount")
+        )
+
     # co-arrival contract enforced at runtime (round-9 advice, shared
     # with the topology's ADS stage): a split order would double-count
     # o_totalprice, so a reappearing order key raises instead
-    guard = co_arrival_guard(spark, out_dir.rstrip("/") + "_seen_keys")
+    guard = co_arrival_guard(
+        spark,
+        out_dir.rstrip("/") + "_seen_keys",
+        checkpoint_dir=checkpoint_dir,
+    )
     brand_dim = F.broadcast(
         part_dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
     )
@@ -94,6 +114,9 @@ def streaming_brand_amount(
             .agg(F.sum("final_detail_amount").alias("partial_amount"))
         )
         commit(partial, batch_id)
+        wm = base_watermark(base_dir)
+        if len([i for i in partial_ids(out_dir) if i > wm]) >= compact_every:
+            compact_to_base(spark, out_dir, base_dir, _fold)
 
     run_foreach_batch(
         wide_stream,
@@ -104,9 +127,9 @@ def streaming_brand_amount(
         forbid_watermark_drops=forbid_watermark_drops,
     )
 
-    if not os.path.exists(out_dir):  # no batches arrived
+    partials = committed_relation(spark, out_dir, base_dir)
+    if partials is None:  # no batches arrived
         return spark.createDataFrame([], "p_brand string, amount double")
-    partials = spark.read.parquet(out_dir)
     return partials.groupBy("p_brand").agg(
         round2(F.sum("partial_amount")).alias("amount")
     )

@@ -35,8 +35,13 @@ keyings, same per-row arithmetic:
   (key, n_seen, Σ allocated, expiry). One python crossing
   per BUCKET per batch and a single O(rows) pass inside — the 100 TB
   shape (state rows = min(N, in-flight), python cost linear in batch
-  rows, never in order count). Completed orders leave the arrays
-  immediately, so the per-bucket payload is TTL-bounded.
+  rows, never in order count). Completed orders stay in the arrays as
+  TOMBSTONES until their TTL (round-10 advice): a duplicate detail
+  arriving after completion must raise the over-delivery error, not
+  silently restart the running sums at n_seen=1 — so the per-bucket
+  payload is TTL-bounded orders TOUCHED, not merely in-flight. Past
+  the TTL both keyings share the reference's own accepted failure
+  mode: a post-TTL duplicate is indistinguishable from a fresh order.
 
 Last-row detection: the reference tests float equality of the running
 weight sum against `original_total_amount` (OrderWiderApp.scala:181) —
@@ -180,12 +185,21 @@ def _per_order_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
         prior = tuple(state.get) if state.exists else None
         out, new_state = fold_allocation_group(batch, prior, detail_order_by)
         if new_state is None:
-            if state.exists:
-                state.remove()
-        else:
-            state.update(new_state)
-            max_ts_ms = int(pd.Timestamp(batch[ts_col].max()).value // 1_000_000)
-            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+            # completed: keep a TOMBSTONE (n_seen = n_details) until the
+            # TTL instead of removing — a duplicate detail arriving in a
+            # later batch then drives n_seen past o_detail_count and
+            # _alloc_row raises the over-delivery error instead of
+            # silently restarting the running sums (round-10 advice).
+            # The allocated field of a tombstone is never read: the
+            # raise fires before any share arithmetic.
+            new_state = (int(batch["o_detail_count"].iat[0]), 0.0)
+        state.update(new_state)
+        max_ts_ms = int(pd.Timestamp(batch[ts_col].max()).value // 1_000_000)
+        # clamp like the bucketed path's _shrink_or_remove: a timeout at
+        # or below the current watermark is rejected by the state API
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield out
 
     return fn
@@ -248,9 +262,11 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
                 n_seen, allocated, wgt[i], tot[i], wtt[i], int(nds[i])
             )
             shares.append(share)
-            if n_seen == int(nds[i]):
-                flight.pop(ok, None)
-            elif st is None:
+            # a completed order stays as a TOMBSTONE (n_seen = count)
+            # until its TTL — same over-delivery contract as the
+            # per-order keying: a post-completion duplicate drives
+            # n_seen past o_detail_count and _alloc_row raises
+            if st is None:
                 flight[ok] = [1, share, tss[i] + ttl_ms]
             else:
                 st[0] = n_seen
@@ -295,19 +311,33 @@ def streaming_allocation_split(
     crossing per bucket per batch instead of per order (see module
     docstring for when each wins). Identical emissions either way.
 
-    State per in-flight order is (n_seen, Σ allocated) — the weight
+    State per touched order is (n_seen, Σ allocated) — the weight
     running sum the reference also keeps (`:ori`) exists only for its
     float-equality last-row test, which the detail-count detection
-    replaces. TTL semantics: an incomplete order's state times out once
+    replaces. Completed orders persist as tombstones until the TTL so
+    a post-completion duplicate raises the over-delivery error (it
+    would otherwise silently restart at n_seen=1 and over-allocate the
+    order total). TTL semantics: an order's state times out once
     the watermark (max event time − ttl) passes the order's last-arrival
     time + ttl — the event-time rendering of the reference's 100 s
     Redis expire. The watermark delay is the TTL itself, so same-
-    timestamp waves are never dropped as late.
+    timestamp waves are never dropped as late. `ttl_ms` must be ≥
+    1000: the watermark delay is expressed in whole seconds, so a
+    sub-second TTL would silently truncate to a 0-second delay and the
+    delay-equals-TTL contract above would be false.
 
     Within a batch, a group's rows are processed in `detail_order_by`
     (the batch operator's deterministic total order); across batches,
     arrival order governs — so a feed delivering chunks in detail
     order reproduces the batch `allocation` result exactly."""
+    if ttl_ms < 1000:
+        raise ValueError(
+            f"streaming_allocation_split: ttl_ms={ttl_ms} < 1000 — the "
+            f"watermark delay is whole seconds, so a sub-second TTL "
+            f"would truncate to a 0 s delay (delay no longer equals "
+            f"the TTL) and a timeout could land at or below the "
+            f"current watermark"
+        )
     carry = list(dict.fromkeys(_PASS_COLS + [ts_col] + detail_order_by))
     watermarked = details.select(*carry).withWatermark(
         ts_col, f"{ttl_ms // 1000} seconds"
@@ -337,6 +367,8 @@ def co_arrival_guard(
     keys_dir: str,
     key_col: str = "l_orderkey",
     compact_every: int = 32,
+    checkpoint_dir: str | None = None,
+    horizon_batches: int | None = None,
 ):
     """Runtime enforcement of the PER-BATCH allocation's co-arrival
     contract (the alternative to this module's running-sum state): the
@@ -355,9 +387,31 @@ def co_arrival_guard(
     always-on stage would otherwise re-read every batch's key file on
     every batch, O(batches²) I/O over the run (round-10 review).
 
+    GROWTH (round-10 advice): with `horizon_batches=None` the base
+    retains every distinct key for the run's lifetime, so the per-batch
+    semi-join grows O(total distinct orders) — exact forever, but NOT
+    synopsis-sized on an unbounded run. Set `horizon_batches=H` to
+    prune, at compaction, keys whose newest batch_id is more than H
+    batches old. Sound when H × trigger-cadence exceeds the feed's
+    join-tolerance + TTL horizon: a detail for an order last seen that
+    long ago can no longer traverse the upstream watermarked DWS join
+    (it would be dropped and FAIL the loud watermark-drop check there),
+    so the guard can never legally be asked about it again.
+
+    RUN SCOPING (round-10 advice): the log is keyed by batch_id, and
+    batch ids RESTART at 0 with a fresh checkpoint — so reusing an
+    out_dir-derived keys_dir across runs would falsely flag new keys
+    against a prior run's higher-numbered batches. Pass the query's
+    `checkpoint_dir`: when the checkpoint has no committed offsets
+    (fresh run — including `None`, an ephemeral checkpoint), any
+    existing key log is RESET at construction. A restart from a live
+    checkpoint (offsets present) keeps the log, since its batch ids
+    continue the same sequence.
+
     Returns ``check(keys_df, batch_id)`` for use inside foreachBatch;
     `keys_df` is the batch's distinct key column."""
     import os
+    import shutil
 
     from realtime0523_spark.streaming.compaction import (
         base_watermark,
@@ -370,10 +424,36 @@ def co_arrival_guard(
     commit = idempotent_batch_writer(keys_dir)
     base_dir = keys_dir.rstrip("/") + "_base"
 
-    def _fold(df: "DataFrame") -> "DataFrame":
-        # per-key MAX batch_id: replays of a compacted-away batch stay
-        # exempt because the check below still sees their batch_id
-        return df.groupBy(key_col).agg(F.max("batch_id").alias("batch_id"))
+    def _checkpoint_has_commits(ckpt: str | None) -> bool:
+        if not ckpt:
+            return False
+        off = os.path.join(ckpt, "offsets")
+        return os.path.isdir(off) and any(
+            not f.startswith(".") for f in os.listdir(off)
+        )
+
+    has_log = bool(partial_ids(keys_dir)) or base_watermark(base_dir) >= 0
+    if has_log and not _checkpoint_has_commits(checkpoint_dir):
+        # fresh run (batch ids restart at 0) over a leftover key log →
+        # the stale keys would falsely raise on legitimately new
+        # batches; the log belongs to the checkpoint's batch-id
+        # sequence, so a fresh sequence starts a fresh log
+        shutil.rmtree(keys_dir, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+    def _fold_at(new_wm: int):
+        def _fold(df: "DataFrame") -> "DataFrame":
+            # per-key MAX batch_id: replays of a compacted-away batch
+            # stay exempt because the check below still sees their
+            # batch_id
+            out = df.groupBy(key_col).agg(F.max("batch_id").alias("batch_id"))
+            if horizon_batches is not None:
+                out = out.filter(
+                    F.col("batch_id") > new_wm - horizon_batches
+                )
+            return out
+
+        return _fold
 
     def check(keys: "DataFrame", batch_id: int) -> None:
         os.makedirs(keys_dir, exist_ok=True)
@@ -398,7 +478,11 @@ def co_arrival_guard(
                 )
         commit(keys, batch_id)
         wm = base_watermark(base_dir)
-        if len([i for i in partial_ids(keys_dir) if i > wm]) >= compact_every:
-            compact_to_base(spark, keys_dir, base_dir, _fold, keep_batch_id=True)
+        fresh = [i for i in partial_ids(keys_dir) if i > wm]
+        if len(fresh) >= compact_every:
+            compact_to_base(
+                spark, keys_dir, base_dir, _fold_at(max(fresh)),
+                keep_batch_id=True,
+            )
 
     return check

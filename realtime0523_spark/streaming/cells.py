@@ -24,16 +24,32 @@ through per-batch cell commits and hands the folded synopsis to a
 finisher. The CUSUM twin predates it (streaming/changepoint.py) and
 keeps its specialized form; new additive twins should come through
 here.
+
+COMPACTION (round-11): an always-on monitor that reports per batch
+would otherwise re-read EVERY committed partial file on every report —
+O(batches²) I/O over an unbounded run, the same failure mode the
+co-arrival guard documents. The cell fold is distributive (sums and
+set unions), so every `compact_every` batches the partials fold into
+one base snapshot via the shared marker-committed protocol
+(streaming/compaction.py) and readers see base ∪ fresh — per-report
+cost is bounded by 1 + compact_every files whatever the horizon
+(long-horizon test: tests/test_streaming.py::
+test_streaming_cells_long_horizon_flat_fold).
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime0523_spark.streaming.compaction import (
+    base_watermark,
+    committed_relation,
+    compact_to_base,
+    partial_ids,
+)
 from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 
@@ -49,6 +65,7 @@ def streaming_cells(
     checkpoint_dir: str | None = None,
     empty_schema: str | None = None,
     distinct_cells: bool = False,
+    compact_every: int = 32,
 ) -> DataFrame:
     """Drain `stream` through per-batch commits of `cell_fn(batch)`
     partial cells, fold them by summing `sum_cols` per `key_cols`
@@ -59,13 +76,33 @@ def streaming_cells(
     query uses, and `finish_fn` the same synopsis-to-answer finisher —
     the equality argument is additivity plus shared code, nothing
     else.
+
+    Every `compact_every` fresh partials the committed files fold into
+    one base snapshot (shared protocol, streaming/compaction.py), so
+    the per-report read cost stays flat over an unbounded run. The
+    fold is the SAME sum/distinct merge the reader applies — base ∪
+    fresh re-folded equals folding all history (distributivity), and
+    replays stay no-ops because the idempotent writer's committed
+    batch dirs below the watermark are GC'd only after the base holds
+    their contribution.
     """
     commit = idempotent_batch_writer(out_dir)
+    base_dir = out_dir.rstrip("/") + "_base"
+
+    def fold(df: DataFrame) -> DataFrame:
+        if distinct_cells:
+            return df.select(*key_cols).distinct()
+        return df.groupBy(*key_cols).agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         commit(cell_fn(batch_df), batch_id)
+        wm = base_watermark(base_dir)
+        if len([i for i in partial_ids(out_dir) if i > wm]) >= compact_every:
+            compact_to_base(spark, out_dir, base_dir, fold)
 
     run_foreach_batch(
         stream,
@@ -74,17 +111,11 @@ def streaming_cells(
         output_mode="append",
         no_data_batches=False,
     )
-    if not os.path.exists(out_dir):  # no batches arrived
+    parts = committed_relation(spark, out_dir, base_dir)
+    if parts is None:  # no batches arrived
         if empty_schema is None:
             raise ValueError(
                 "streaming_cells: empty stream and no empty_schema"
             )
         return spark.createDataFrame([], empty_schema)
-    parts = spark.read.parquet(out_dir).drop("batch_id")
-    if distinct_cells:
-        folded = parts.select(*key_cols).distinct()
-    else:
-        folded = parts.groupBy(*key_cols).agg(
-            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
-        )
-    return finish_fn(folded)
+    return finish_fn(fold(parts))

@@ -24,7 +24,12 @@ and late events cannot change additive integer cells.
 At 100 TB / unbounded horizons: per-batch state is zero (all four
 collapses are stateless partial aggs inside the batch); the commit per
 batch is |types|·(1 + |batch-hours| + NDV(cents) + buckets) rows; the
-report is always one metadata-sized fold away.
+report is always one metadata-sized fold away — and stays that way on
+an always-on run because every `compact_every` batches each family's
+partials fold into one base snapshot (shared marker-committed
+protocol, streaming/compaction.py; all four folds are distributive
+exact-integer merges), bounding the per-report read to 1 +
+compact_every files per family instead of O(batches).
 """
 
 from __future__ import annotations
@@ -46,9 +51,36 @@ from realtime0523_spark.streaming.changepoint import (
     fold_hourly_partials,
     hourly_cents_partials,
 )
+from realtime0523_spark.streaming.compaction import (
+    base_watermark,
+    committed_relation,
+    compact_to_base,
+    partial_ids,
+)
 from realtime0523_spark.streaming.regression import finish_trend, trend_partials
 from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
+
+
+def _sum_fold(key_cols: list[str], sum_cols: list[str]):
+    """Distributive exact-long fold for one cell family — the same
+    merge the reader applies, so base ∪ fresh re-folded equals
+    folding all history at once."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        )
+
+    return fold
+
+
+_FOLDS = {
+    "trend": _sum_fold(["grp"], ["n", "sx", "sy", "sxy", "sxx"]),
+    "cusum": fold_hourly_partials,
+    "ks": _sum_fold(["key", "v"], ["c1", "c2"]),
+    "drift": _sum_fold(["domain", "bucket"], ["cnt_a", "cnt_b"]),
+}
 
 
 def streaming_monitor_report(
@@ -59,12 +91,16 @@ def streaming_monitor_report(
     jeffreys_alert: float,
     trend_epoch: str = "2024-01-01",
     checkpoint_dir: str | None = None,
+    compact_every: int = 32,
 ) -> DataFrame:
     """Drain the event stream through single-scan four-family cell
     commits, then return the composed per-type monitor report as a
     batch DataFrame (bit-identical to the batch query on the same
-    data)."""
+    data). Each family's partials compact into a base snapshot every
+    `compact_every` batches — flat per-report read cost over an
+    always-on run."""
     dirs = {n: os.path.join(work_dir, n) for n in ("trend", "cusum", "ks", "drift")}
+    base_dirs = {n: d + "_base" for n, d in dirs.items()}
     commits = {n: idempotent_batch_writer(d) for n, d in dirs.items()}
     x = F.datediff(F.to_date("ts"), F.lit(trend_epoch).cast("date")).cast("long")
     y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -82,6 +118,12 @@ def streaming_monitor_report(
             )
         finally:
             batch_df.unpersist()
+        # all four families commit in lockstep, so one family's fresh
+        # count decides the compaction cadence for all of them
+        wm = base_watermark(base_dirs["trend"])
+        if len([i for i in partial_ids(dirs["trend"]) if i > wm]) >= compact_every:
+            for n in dirs:
+                compact_to_base(spark, dirs[n], base_dirs[n], _FOLDS[n])
 
     run_foreach_batch(
         stream,
@@ -90,7 +132,10 @@ def streaming_monitor_report(
         output_mode="append",
         no_data_batches=False,
     )
-    if not all(os.path.exists(d) for d in dirs.values()):  # no batches
+    reads = {
+        n: committed_relation(spark, dirs[n], base_dirs[n]) for n in dirs
+    }
+    if any(v is None for v in reads.values()):  # no batches
         return spark.createDataFrame(
             [],
             "event_type string, n_rows long, slope_per_day double, "
@@ -99,7 +144,7 @@ def streaming_monitor_report(
         )
 
     def read(name: str) -> DataFrame:
-        return spark.read.parquet(dirs[name]).drop("batch_id")
+        return reads[name]
 
     trend = finish_trend(read("trend"))
     cusum = cusum_summary(fold_hourly_partials(read("cusum")))

@@ -91,6 +91,12 @@ from pyspark.sql import functions as F
 
 from realtime0523_spark.functions.scalar import round2
 from realtime0523_spark.operators.allocation import allocate_order_amount
+from realtime0523_spark.streaming.compaction import (
+    base_watermark,
+    committed_relation,
+    compact_to_base,
+    partial_ids,
+)
 from realtime0523_spark.streaming.router import route_cdc
 from realtime0523_spark.streaming.runner import _stream_shuffle, watermark_drops
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
@@ -274,11 +280,17 @@ class FiveLayerTopology:
         root: str,
         trigger_seconds: float = TRIGGER_SECONDS,
         split_arrival: bool = False,
+        compact_every: int = 32,
     ) -> None:
         self.spark = spark
         self.root = root
         self.trigger = trigger_seconds
         self.split_arrival = split_arrival
+        # ADS/DAU partials fold into a base snapshot on this cadence
+        # (shared protocol, streaming/compaction.py) — an always-on
+        # topology would otherwise re-read every committed partial per
+        # report, O(batches²) I/O over an unbounded run
+        self.compact_every = compact_every
         self.in_dir = os.path.join(root, "in")
         self.in_start_dir = os.path.join(root, "in_start")  # start-log topic
         self.ods_dirs = {
@@ -290,8 +302,10 @@ class FiveLayerTopology:
         self.dws_dir = os.path.join(root, "dws_order_wide")
         self.dim_store = os.path.join(root, "dim_sku")
         self.ads_dir = os.path.join(root, "ads_partials")
+        self.ads_base_dir = self.ads_dir + "_base"
         self.ads_keys_dir = os.path.join(root, "ads_seen_keys")
         self.dau_dir = os.path.join(root, "dau_members")
+        self.dau_base_dir = self.dau_dir + "_base"
         for d in (
             [self.in_dir, self.in_start_dir, self.dwd_info_dir,
              self.dwd_detail_dir, self.dws_dir, self.dim_store,
@@ -452,6 +466,27 @@ class FiveLayerTopology:
             )
         return dim
 
+    # ---- partials compaction (round-11): the fold each family's
+    # reader applies is distributive (a sum per brand; a set union of
+    # member cells), so base ∪ fresh re-folded equals folding all
+    # history — the shared-protocol legality condition ---------------
+
+    @staticmethod
+    def _ads_fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("p_brand").agg(
+            F.sum("partial_amount").alias("partial_amount")
+        )
+
+    @staticmethod
+    def _dau_fold(df: DataFrame) -> DataFrame:
+        return df.select("dt", "mid").distinct()
+
+    def _maybe_compact(self, partial_dir: str, base_dir: str, fold) -> None:
+        wm = base_watermark(base_dir)
+        fresh = [i for i in partial_ids(partial_dir) if i > wm]
+        if len(fresh) >= self.compact_every:
+            compact_to_base(self.spark, partial_dir, base_dir, fold)
+
     def _commit_brand_partial(
         self, alloc: DataFrame, batch_id: int, commit
     ) -> None:
@@ -466,6 +501,7 @@ class FiveLayerTopology:
             .agg(F.sum("final_detail_amount").alias("partial_amount"))
         )
         commit(partial, batch_id)
+        self._maybe_compact(self.ads_dir, self.ads_base_dir, self._ads_fold)
 
     def _start_ads(self):
         """ADS brand revenue (F1+J5+K5; ads/TradeMarkAmountApp.scala):
@@ -513,7 +549,11 @@ class FiveLayerTopology:
         # registered streaming ADS query enforces the same contract).
         from realtime0523_spark.streaming.allocation import co_arrival_guard
 
-        guard = co_arrival_guard(self.spark, self.ads_keys_dir)
+        guard = co_arrival_guard(
+            self.spark,
+            self.ads_keys_dir,
+            checkpoint_dir=os.path.join(self.root, "ckpt", "ads"),
+        )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -571,6 +611,7 @@ class FiveLayerTopology:
             if batch_df.isEmpty():
                 return
             commit(batch_df, batch_id)
+            self._maybe_compact(self.dau_dir, self.dau_base_dir, self._dau_fold)
 
         return self._foreach_batch_query(
             "dau", src, process, trigger_ratio=DAU_TRIGGER_RATIO
@@ -667,10 +708,12 @@ class FiveLayerTopology:
 
     def ads_result(self) -> DataFrame:
         """Final brand totals: re-aggregation of the committed partials
-        (associative — batch boundaries can't change it)."""
-        if not any(f.startswith("batch_id=") for f in os.listdir(self.ads_dir)):
+        (associative — batch boundaries can't change it). Reads base ∪
+        fresh via the compaction protocol, so the per-report cost is
+        bounded by 1 + compact_every files whatever the horizon."""
+        partials = committed_relation(self.spark, self.ads_dir, self.ads_base_dir)
+        if partials is None:
             return self.spark.createDataFrame([], "p_brand string, amount double")
-        partials = self.spark.read.parquet(self.ads_dir)
         return partials.groupBy("p_brand").agg(
             round2(F.sum("partial_amount")).alias("amount")
         )
@@ -678,8 +721,11 @@ class FiveLayerTopology:
     def dau_result(self) -> DataFrame:
         """Per-day distinct device counts from the committed member
         rows (each (dt, mid) committed at most once by the streaming
-        dedup + idempotent batch writer)."""
-        if not any(f.startswith("batch_id=") for f in os.listdir(self.dau_dir)):
+        dedup + idempotent batch writer; the distinct fold makes the
+        compacted read idempotent to that same contract)."""
+        members = committed_relation(self.spark, self.dau_dir, self.dau_base_dir)
+        if members is None:
             return self.spark.createDataFrame([], "dt string, dau long")
-        members = self.spark.read.parquet(self.dau_dir)
-        return members.groupBy("dt").agg(F.count(F.lit(1)).alias("dau"))
+        return self._dau_fold(members).groupBy("dt").agg(
+            F.count(F.lit(1)).alias("dau")
+        )

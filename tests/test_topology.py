@@ -185,7 +185,11 @@ def test_five_layer_topology_live_with_midrun_restart(
     spark, provider_and_trigger, tmp_path
 ):
     _provider, trigger = provider_and_trigger
-    topo = FiveLayerTopology(spark, str(tmp_path / "topo"), trigger_seconds=trigger)
+    # compact_every=2 exercises the round-11 ADS/DAU partials
+    # compaction inside the live topology (production default is 32)
+    topo = FiveLayerTopology(
+        spark, str(tmp_path / "topo"), trigger_seconds=trigger, compact_every=2
+    )
     topo.start()
     try:
         # ---- wave 0: dim bootstrap + router junk -----------------------
@@ -276,6 +280,17 @@ def test_five_layer_topology_live_with_midrun_restart(
         markers = [f for f in os.listdir(topo.dwd_info_dir)
                    if f.startswith("_committed_")]
         assert len(markers) >= 2
+
+        # round-11: the ADS and DAU partials COMPACTED on the 2-batch
+        # cadence — one base snapshot each, fewer fresh partial dirs
+        # than the compaction threshold (flat per-report read cost),
+        # and the results above were read THROUGH the compacted base
+        for pdir, bdir in ((topo.ads_dir, topo.ads_base_dir),
+                           (topo.dau_dir, topo.dau_base_dir)):
+            bases = [f for f in os.listdir(bdir) if f.startswith("v_")]
+            assert len(bases) == 1
+            fresh = [d for d in os.listdir(pdir) if d.startswith("batch_id=")]
+            assert len(fresh) < 2
     finally:
         topo.stop()
 
