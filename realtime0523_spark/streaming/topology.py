@@ -14,18 +14,20 @@ Streaming queries in one session, directories standing in for the
 inter-stage Kafka topics, each stage independently stoppable and
 restartable from its checkpoint mid-run.
 
-Inter-stage bus (`topic_append_writer`): each micro-batch commits as
-ONE atomically-renamed parquet file per topic (plus an underscore-
-prefixed marker that Spark's file listing ignores), so a downstream
-file stream can never observe half a batch — the visibility guarantee
-a Kafka transaction gives the reference. Replayed batches (restart
-recovery) are no-ops by marker, the K5 idempotence contract. The
-`coalesce(1)` is the sandbox stand-in for that transaction and is a
-deliberate NON-scale shape: on a cluster the bus is Kafka
-(streaming/sinks.kafka_sink — same per-record fan-out) or a
-transactional table format, and the single-file commit disappears;
-everything else in this module (stage shapes, watermarked join,
-per-batch dim snapshot, idempotent commits) is the 100 TB design.
+Inter-stage bus (`topic_append_writer` / `topic_stream`): each
+micro-batch's parquet part files are written at natural parallelism,
+then ONE manifest file listing them is atomically renamed into place;
+downstream stages stream the MANIFESTS and expand them to rows on the
+executors — so a reader can never observe half a batch (the
+visibility guarantee a Kafka transaction gives the reference) and no
+stage funnels its output through a single partition (the round-10
+`coalesce(1)` stand-in is gone). Replayed batches (restart recovery)
+are no-ops by manifest, the K5 idempotence contract. On a cluster the
+bus is Kafka (streaming/sinks.kafka_sink — same per-record fan-out)
+or a transactional table format, whose snapshot commit is exactly
+this manifest shape; everything in this module (stage shapes,
+watermarked join, per-batch dim snapshot, idempotent commits,
+manifest visibility) is the 100 TB design.
 
 Dim store (`versioned_dim_upsert`): the K2 SCD-1 upsert re-done for
 CONCURRENT readers. `sinks.upsert_parquet_dim`'s rmtree+rename swap has
@@ -52,8 +54,8 @@ GUARDED and ESCAPABLE):
   THE BATCH — so all of an order's detail rows must reach ODS in ONE
   input file (→ one batch end-to-end: the header may arrive in any
   batch, since the join emits every pair of an order together once
-  the last side lands, and the single-file topic commits move
-  atomically). This is the reference's own data contract — an order
+  the last side lands, and the manifest topic commits are atomically
+  visible). This is the reference's own data contract — an order
   and its details are written in one DB transaction and arrive as one
   CDC batch (the same co-arrival assumption OrderWiderApp's 50 s
   window join + Redis allocation encode). The contract is now a
@@ -84,7 +86,6 @@ idempotently, at 3/5 of the warehouse cadence.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -148,35 +149,96 @@ _DETAIL_ORDER = [
 
 def topic_append_writer(out_dir: str):
     """foreachBatch writer emulating a transactional Kafka topic on a
-    directory: one atomically-visible parquet file per batch, replays
-    no-ops by marker. Underscore-prefixed markers/scratch are invisible
-    to Spark's file listing, so downstream file streams only ever see
-    complete batch files."""
+    directory — MANIFEST COMMIT (round-11, replaces the single-file
+    `coalesce(1)` stand-in): the batch's parquet part files are
+    written under `_data/batch_<id>/` at the plan's NATURAL write
+    parallelism, then ONE manifest file listing them is atomically
+    renamed into place. Readers (`topic_stream`) consume manifests,
+    never directory listings of data files — a batch is either fully
+    visible (its manifest committed) or not at all, the visibility
+    guarantee a Kafka transaction gives the reference
+    (scala/…/utils/KafkaStreamSink.scala:25), with no single-output-
+    partition bottleneck. Replayed batches are no-ops by manifest
+    (K5); a crash between the data write and the manifest rename is
+    healed on replay (the data write is mode=overwrite, the rename IS
+    the commit). Underscore-prefixed names keep the data dir and
+    scratch invisible to Spark's file listing, so the manifest stream
+    over `out_dir` sees only committed manifests."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_dir, f"_committed_{batch_id}")
-        if os.path.exists(marker):  # replayed batch → already committed
+        manifest = os.path.join(out_dir, f"manifest_{batch_id:09d}.txt")
+        if os.path.exists(manifest):  # replayed batch → already committed
             return
         if batch_df.isEmpty():
             return
-        tmp = os.path.join(out_dir, f"_tmp_{batch_id}")
-        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        if len(part) != 1:  # the coalesce(1) atomic-visibility contract
-            raise RuntimeError(
-                f"topic_append_writer: expected exactly one part file "
-                f"under {tmp}, found {part} — the single-file commit is "
-                f"what makes a batch atomically visible downstream"
-            )
-        os.replace(
-            os.path.join(tmp, part[0]),
-            os.path.join(out_dir, f"batch_{batch_id:09d}.parquet"),
+        data_dir = os.path.join(out_dir, "_data", f"batch_{batch_id:09d}")
+        batch_df.write.mode("overwrite").parquet(data_dir)
+        parts = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
         )
-        shutil.rmtree(tmp)
-        open(marker, "w").close()
+        if not parts:
+            raise RuntimeError(
+                f"topic_append_writer: non-empty batch {batch_id} "
+                f"produced no part files under {data_dir}"
+            )
+        tmp = os.path.join(out_dir, f"_tmp_manifest_{batch_id:09d}")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(parts) + "\n")
+        os.replace(tmp, manifest)
 
     return write
+
+
+def topic_stream(
+    spark: SparkSession,
+    out_dir: str,
+    schema: str,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Streaming reader for a manifest-committed topic: a text file
+    stream over the manifest files (each atomically published, so a
+    batch is never half-visible), expanded to typed data rows by
+    reading the listed parquet files inside an Arrow-batched kernel on
+    the executors. Only manifest LINES shuffle — `parallelism`
+    (default: the session's shuffle-partition setting) spreads the
+    file reads across tasks, because a manifest is a tiny text file
+    that would otherwise land in a single input split however large
+    the data behind it. Globs work (the DWD stage reads
+    `ods_order_{info,detail}` as one stream).
+
+    Timestamp columns are tz-localized to UTC inside the kernel:
+    Spark-written parquet holds UTC instants (INT96/micros), and a
+    naive datetime yielded back through Arrow would be re-interpreted
+    in the session timezone.
+
+    This is the sandbox bus: on a cluster the topic is Kafka
+    (streaming/sinks.kafka_sink) or a transactional table format —
+    whose commit protocol is exactly this manifest shape (Delta/
+    Iceberg snapshot = an atomically published file list)."""
+    paths = spark.readStream.text(out_dir).repartition(
+        parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+    def expand(pdfs):
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            for p in pdf["value"].tolist():
+                if not p:
+                    continue
+                out = pq.read_table(p).to_pandas()
+                for c in out.columns:
+                    if (
+                        out[c].dtype.kind == "M"
+                        and getattr(out[c].dtype, "tz", None) is None
+                    ):
+                        out[c] = out[c].dt.tz_localize("UTC")
+                yield out
+
+    return paths.mapInPandas(expand, schema=schema)
 
 
 def versioned_dim_upsert(
@@ -344,8 +406,8 @@ class FiveLayerTopology:
     def _start_dim(self):
         """DIM upsert (K2; dim/SkuInfoApp.scala): sku CDC → versioned
         SCD-1 store, latest envelope ts wins per key."""
-        src = self.spark.readStream.schema(ODS_RECORD_SCHEMA).parquet(
-            self.ods_dirs["sku_info"]
+        src = topic_stream(
+            self.spark, self.ods_dirs["sku_info"], ODS_RECORD_SCHEMA
         )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -367,8 +429,10 @@ class FiveLayerTopology:
         dwd/OrderDetailApp.scala as one fan-out): parse both fact
         topics, stamp the shared CDC create-time as the event-time
         column, emit typed header/detail topics."""
-        src = self.spark.readStream.schema(ODS_RECORD_SCHEMA).parquet(
-            os.path.join(self.root, "ods", "ods_order_{info,detail}")
+        src = topic_stream(
+            self.spark,
+            os.path.join(self.root, "ods", "ods_order_{info,detail}"),
+            ODS_RECORD_SCHEMA,
         )
         info_w = topic_append_writer(self.dwd_info_dir)
         detail_w = topic_append_writer(self.dwd_detail_dir)
@@ -433,9 +497,9 @@ class FiveLayerTopology:
             if self.split_arrival
             else DWD_ORDER_INFO_SCHEMA
         )
-        o = self.spark.readStream.schema(info_schema).parquet(self.dwd_info_dir)
-        d = self.spark.readStream.schema(DWD_ORDER_DETAIL_SCHEMA).parquet(
-            self.dwd_detail_dir
+        o = topic_stream(self.spark, self.dwd_info_dir, info_schema)
+        d = topic_stream(
+            self.spark, self.dwd_detail_dir, DWD_ORDER_DETAIL_SCHEMA
         )
         extra = (
             ["o_weight_total", "o_detail_count", "l_commit_ts"]
@@ -526,8 +590,8 @@ class FiveLayerTopology:
                 streaming_allocation_split,
             )
 
-            src = self.spark.readStream.schema(DWS_WIDE_SCHEMA_SPLIT).parquet(
-                self.dws_dir
+            src = topic_stream(
+                self.spark, self.dws_dir, DWS_WIDE_SCHEMA_SPLIT
             )
             alloc_stream = streaming_allocation_split(
                 src, _DETAIL_ORDER, ts_col="l_commit_ts", n_buckets=32
@@ -542,7 +606,7 @@ class FiveLayerTopology:
                 "ads", alloc_stream, process_split, output_mode="update"
             )
 
-        src = self.spark.readStream.schema(DWS_WIDE_SCHEMA).parquet(self.dws_dir)
+        src = topic_stream(self.spark, self.dws_dir, DWS_WIDE_SCHEMA)
         # CO-ARRIVAL GUARD (round-9 advice): the per-batch allocation
         # silently double-counts a split order, so a reappearing order
         # key is a loud contract failure (shared helper — the

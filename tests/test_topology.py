@@ -208,9 +208,9 @@ def test_five_layer_topology_live_with_midrun_restart(
         topo.drain()
         dim = latest_dim_version(spark, topo.dim_store)
         assert dim is not None and dim.count() == 6
-        # the router dropped all three junk rows: no fact topic files yet
+        # the router dropped all three junk rows: no fact topic commits yet
         assert not [f for f in os.listdir(topo.ods_dirs["order_info"])
-                    if f.endswith(".parquet")]
+                    if f.startswith("manifest_")]
 
         # ---- wave 1: facts flow through all five live stages; the DAU
         # stage (sixth, 3/5 cadence) consumes its own start-log topic
@@ -277,9 +277,17 @@ def test_five_layer_topology_live_with_midrun_restart(
         ]
 
         # the DWD stage processed batches across TWO query incarnations
-        markers = [f for f in os.listdir(topo.dwd_info_dir)
-                   if f.startswith("_committed_")]
-        assert len(markers) >= 2
+        manifests = [f for f in os.listdir(topo.dwd_info_dir)
+                     if f.startswith("manifest_")]
+        assert len(manifests) >= 2
+        # manifest commit (round-11): batches may span MULTIPLE part
+        # files — the listed files exist and no reader-visible data
+        # files sit outside the manifest protocol
+        listed = []
+        for m in manifests:
+            with open(os.path.join(topo.dwd_info_dir, m)) as fh:
+                listed += [ln for ln in fh.read().splitlines() if ln]
+        assert listed and all(os.path.exists(p) for p in listed)
 
         # round-11: the ADS and DAU partials COMPACTED on the 2-batch
         # cadence — one base snapshot each, fewer fresh partial dirs
@@ -376,3 +384,67 @@ def test_topology_default_mode_guard_refuses_split_feed(spark, tmp_path):
             topo.stop()
         except Exception:
             pass  # the guard failure is the asserted behavior
+
+
+def test_topic_manifest_commit_multifile_roundtrip(spark, tmp_path):
+    """Round-11 manifest commit: a multi-partition batch commits as
+    SEVERAL part files published by ONE atomically-renamed manifest
+    (no coalesce(1) single-writer bottleneck); the manifest stream
+    delivers exactly the committed rows — timestamps preserved under
+    a non-UTC session TZ (the kernel localizes parquet's UTC instants)
+    — replays are no-ops, an unpublished data dir (crash before the
+    manifest rename) is invisible, and a reader running CONCURRENTLY
+    with the writer picks up each batch only once its manifest lands."""
+    from realtime0523_spark.streaming.runner import _stream_shuffle
+    from realtime0523_spark.streaming.topology import (
+        topic_append_writer,
+        topic_stream,
+    )
+
+    out = str(tmp_path / "topic")
+    w = topic_append_writer(out)
+    df = spark.range(0, 100, 1, 8).selectExpr(
+        "id AS k", "timestamp_millis(1750000000000 + id * 1000) AS ts"
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        w(df, 0)
+        manifest = os.path.join(out, "manifest_000000000.txt")
+        listed = [ln for ln in open(manifest).read().splitlines() if ln]
+        assert len(listed) == 8  # natural parallelism, not coalesce(1)
+        assert all(os.path.exists(p) for p in listed)
+        first_stat = os.stat(manifest).st_mtime_ns
+        w(df, 0)  # replay → no-op by manifest
+        assert os.stat(manifest).st_mtime_ns == first_stat
+        # crash shape: data written but manifest never published → the
+        # batch is invisible to readers
+        df.limit(3).write.mode("overwrite").parquet(
+            os.path.join(out, "_data", "batch_000000007")
+        )
+        with _stream_shuffle(spark, no_data_batches=True):
+            q = (
+                topic_stream(spark, out, "k long, ts timestamp")
+                .writeStream.format("memory")
+                .queryName("topic_rt")
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                assert spark.table("topic_rt").count() == 100
+                # concurrent append: a second batch committed while the
+                # reader runs becomes visible at its manifest, atomically
+                w(df.selectExpr("k + 1000 AS k", "ts"), 1)
+                q.processAllAvailable()
+                got = spark.table("topic_rt")
+                assert got.count() == 200
+                want = sorted(
+                    map(tuple, df.union(
+                        df.selectExpr("k + 1000 AS k", "ts")).collect())
+                )
+                assert sorted(map(tuple, got.collect())) == want
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
