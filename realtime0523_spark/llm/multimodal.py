@@ -2,18 +2,21 @@
 columns with a typed metadata struct, processed by Arrow-batched
 `mapInPandas` pipelines.
 
-The DECODE/RESIZE/FRAME steps are REAL for uncompressed containers:
-`decode_image` (binary P6 PPM — Netpbm interchange format,
-whitespace/comment-tolerant header then h·w·3 raw bytes),
-`resize_image` (floor-map nearest-neighbor), and `decode_y4m`
-(YUV4MPEG2 C444 video, frame-stride sampling) run end-to-end with no
+The DECODE/RESIZE/FRAME steps are REAL: `decode_image` (binary P6 PPM
+— Netpbm interchange format, whitespace/comment-tolerant header then
+h·w·3 raw bytes — AND 8-bit PNG via stdlib zlib: chunk/CRC parse,
+inflate, per-scanline Sub/Up/Average/Paeth defiltering in NumPy,
+round-11), `resize_image` (floor-map nearest-neighbor), `decode_y4m`
+(YUV4MPEG2 C444 video, frame-stride sampling), and `decode_wav`
+(RIFF/WAVE 16-bit PCM container parse) run end-to-end with no
 external codec and are oracle-checkable byte for byte (`media_decode`,
-`media_resize_decode`, `media_video_frames`). Compressed formats
-(PNG/JPEG/H.264/…) raise NotImplementedError naming the production
-seam (PIL/cv2/ffmpeg) — this container ships no codecs, and a fake
-JPEG decode would be dishonest. Only the opaque-payload plumbing
-(`resize_media`, `sample_frames`) keeps clearly-marked deterministic
-fakes, for the same reason.
+`media_decode_png`, `media_resize_decode`, `media_video_frames`,
+`media_audio_decode`). The remaining compressed formats (JPEG/H.264/…)
+raise NotImplementedError naming the production seam (PIL/cv2/ffmpeg)
+— this container ships no codecs, and a fake JPEG decode would be
+dishonest. Only the opaque-payload plumbing (`resize_media`,
+`sample_frames`) keeps clearly-marked deterministic fakes, for the
+same reason.
 
 Scale: mapInPandas streams Arrow batches through Python workers —
 per-partition, no driver involvement; binary payloads never shuffle
@@ -100,14 +103,205 @@ def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
     return toks, i
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_predict(
+    f: int, cur: "np.ndarray", prev: "np.ndarray", w: int, ch: int
+) -> "np.ndarray":
+    """Reconstruct one defiltered scanline (PNG spec §9 filters):
+    `cur` is the filtered int32 row (len w·ch), `prev` the RECON of
+    the prior row. None/Up/Sub are vectorized (Sub is a per-channel
+    cumulative sum); Average/Paeth depend on the just-reconstructed
+    left pixel, so they loop over the w pixels with the ch channels
+    vectorized per step."""
+    if f == 0:
+        return cur
+    if f == 2:
+        return (cur + prev) % 256
+    if f == 1:
+        return (cur.reshape(w, ch).cumsum(axis=0) % 256).reshape(w * ch)
+    if f in (3, 4):
+        cur2 = cur.reshape(w, ch)
+        prev2 = prev.reshape(w, ch)
+        rec2 = np.zeros((w, ch), dtype=np.int64)
+        left = np.zeros(ch, dtype=np.int64)
+        upleft = np.zeros(ch, dtype=np.int64)
+        for x in range(w):
+            up = prev2[x]
+            if f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, up, upleft),
+                )
+            rec2[x] = (cur2[x] + pred) % 256
+            left = rec2[x]
+            upleft = up
+        return rec2.reshape(w * ch)
+    raise ValueError(f"PNG: unknown filter type {f}")
+
+
+def encode_png(
+    arr: "np.ndarray", filter_types: tuple[int, ...] = (0,)
+) -> bytes:
+    """REAL PNG encoder (fixture side of the round-11 decode path):
+    8-bit grayscale/RGB/RGBA, zlib-deflated scanlines, each row
+    filtered with `filter_types[row % len]` — cycling through 1-4
+    exercises every defilter branch of `decode_png` end-to-end. Pure
+    stdlib (struct + zlib) + NumPy; the output is a spec-valid PNG any
+    viewer opens."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"encode_png: unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = a.reshape(h, w * ch).astype(np.int64)
+    out: list[bytes] = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = filter_types[y % len(filter_types)]
+        cur = rows[y]
+        if f == 0:
+            filt = cur
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f in (1, 3, 4):
+            cur2 = cur.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            filt2 = np.zeros((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                up = prev2[x]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - up),
+                        np.abs(p - upleft),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, upleft),
+                    )
+                filt2[x] = (cur2[x] - pred) % 256
+                left = cur2[x]
+                upleft = up
+            filt = filt2.reshape(w * ch)
+        else:
+            raise ValueError(f"encode_png: unknown filter type {f}")
+        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(out))
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """REAL PNG decoder via stdlib zlib (round-11 — closes the
+    compressed-codec seam for PNG): chunk walk with CRC verification,
+    IDAT concatenation + inflate, then per-scanline defiltering
+    (None/Sub/Up/Average/Paeth, PNG spec §9) in NumPy. Supports 8-bit
+    depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace —
+    the overwhelmingly common subset; anything else raises naming the
+    limit. Returns (h, w, channels) uint8."""
+    import struct
+    import zlib
+
+    raw = bytes(payload)
+    if raw[:8] != PNG_SIGNATURE:
+        raise ValueError("PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", raw[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"PNG: only 8-bit gray/RGB/RGBA non-interlaced supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    decomp = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(decomp) != h * (stride + 1):
+        raise ValueError(
+            f"PNG: inflated size {len(decomp)} != expected "
+            f"{h * (stride + 1)} (h·(w·ch + 1))"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = decomp[y * (stride + 1) : (y + 1) * (stride + 1)]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        rec = _png_predict(row[0], cur, prev, w, ch)
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 array.
 
-    REAL pure-NumPy path for binary P6 PPM (no codec dependency —
-    header parse + frombuffer reshape). Any other magic raises
-    NotImplementedError naming the production seam: compressed
-    formats need PIL/cv2, which this container does not ship, and a
-    deterministic fake here would silently masquerade as a decoder."""
+    REAL pure-NumPy paths for binary P6 PPM (no codec dependency —
+    header parse + frombuffer reshape) and 8-bit truecolor PNG
+    (stdlib-zlib inflate + defilter, `decode_png`). Any other magic
+    raises NotImplementedError naming the production seam: JPEG and
+    the other lossy codecs need PIL/cv2, which this container does
+    not ship, and a deterministic fake here would silently masquerade
+    as a decoder."""
     raw = bytes(payload)
     if raw[:2] == b"P6":
         (w, h, maxval), off = _ppm_header_tokens(raw, 3)
@@ -121,10 +315,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
                 f"payload carries {len(raster)}"
             )
         return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    if raw[:8] == PNG_SIGNATURE:
+        img = decode_png(raw)
+        if img.shape[2] != 3:
+            raise ValueError(
+                f"decode_image: PNG color type with {img.shape[2]} "
+                f"channel(s) — the (h, w, 3) contract needs truecolor "
+                f"RGB (use decode_png directly for gray/RGBA)"
+            )
+        return img
     raise NotImplementedError(
         f"image decode for magic {raw[:2]!r} requires an imaging library "
-        f"(PIL/cv2) not present in this environment; P6 PPM decodes "
-        f"natively"
+        f"(PIL/cv2) not present in this environment; P6 PPM and 8-bit "
+        f"PNG decode natively — JPEG is the remaining named seam"
     )
 
 
@@ -308,6 +511,145 @@ def audio_frame_energy(
     return df.select(id_col, media_col).mapInPandas(_energy, schema=AUDIO_SCHEMA)
 
 
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """REAL RIFF/WAVE encoder (fixture side of the round-11 audio
+    container path): canonical 44-byte header (RIFF size, fmt chunk
+    with PCM format tag 1, 16-bit depth, byte rate/block align) +
+    little-endian int16 data chunk — a spec-valid WAV any player
+    opens."""
+    import struct
+
+    a = np.asarray(samples, dtype="<i2")
+    data = a.tobytes()
+    block = channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate, sample_rate * block, block, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int, int]:
+    """REAL RIFF/WAVE container parse (round-11 — the audio column's
+    end-to-end realism now matches the image/video columns): walk the
+    RIFF chunks (tolerant of extras like LIST; word-aligned per spec),
+    validate PCM format tag 1 at 16-bit depth, and return (samples as
+    int64 1-D array in channel-interleaved order, sample_rate,
+    channels). Compressed codecs (MP3/AAC/…) raise naming the
+    production seam."""
+    import struct
+
+    raw = bytes(payload)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"audio decode for magic {raw[:4]!r} requires an audio "
+            f"library (ffmpeg/soundfile) not present in this "
+            f"environment; RIFF/WAVE 16-bit PCM decodes natively — "
+            f"MP3/AAC are the remaining named seams"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        ctype = raw[pos : pos + 4]
+        (length,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"WAV: only 16-bit PCM (format tag 1) supported, got "
+            f"format={audio_format} bits={bits}"
+        )
+    if len(data) % 2:
+        data = data[:-1]
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return samples, sample_rate, channels
+
+
+def attach_wav_media(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+) -> DataFrame:
+    """Testdata adapter for the REAL audio decode path: wrap each
+    row's UTF-8 text bytes (truncated to an even length — int16
+    alignment) in a spec-valid RIFF/WAVE 16-bit PCM container, so the
+    SQL oracle can replay every sample from hex(encode(text)) while
+    the engine exercises the genuine container parse."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if len(raw) % 2:
+                    raw = raw[:-1]
+                payloads.append(
+                    encode_wav(
+                        np.frombuffer(raw, dtype="<i2"), sample_rate
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"{id_col} long, {media_col} binary"
+    )
+
+
+def wav_frame_energy(
+    df: DataFrame,
+    frame_samples: int = AUDIO_FRAME_SAMPLES,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """`audio_frame_energy` with the REAL container in front: parse
+    the RIFF/WAVE payload (`decode_wav`), then the identical
+    frame-windowed exact integer Σ sample² — so the decode step is
+    oracle-proven byte for byte against the raw-PCM arithmetic.
+    Map-only; payloads never shuffle."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                samples, _rate, _ch = decode_wav(payload)
+                for i in range(0, len(samples), frame_samples):
+                    w = samples[i : i + frame_samples]
+                    ids.append(doc_id)
+                    idxs.append(i // frame_samples)
+                    ns.append(len(w))
+                    es.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_energy, schema=AUDIO_SCHEMA)
+
+
 CHANNEL_STATS_SCHEMA = "doc_id long, channel int, px_sum long, n_px long"
 
 
@@ -337,6 +679,47 @@ def attach_ppm_media(
                 else:
                     raster = bytes(cap)
                 payloads.append(header + raster)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"{id_col} long, {media_col} binary"
+    )
+
+
+def attach_png_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+    filter_types: tuple[int, ...] = (4, 3, 2, 1, 0),
+) -> DataFrame:
+    """Testdata adapter for the COMPRESSED decode path (round-11):
+    materialize a spec-valid 8-bit RGB PNG per row whose raster is the
+    row's UTF-8 text bytes cycled to width·height·3 — the same raster
+    contract as `attach_ppm_media`, so the same SQL oracle replays it
+    byte for byte, but the engine must now run zlib inflate + real
+    Sub/Up/Average/Paeth defiltering to recover it. The default
+    filter cycle starts at Paeth so a 4-row fixture still exercises
+    all four non-trivial filters."""
+    cap = width * height * 3
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if raw:
+                    raster = (raw * (cap // len(raw) + 1))[:cap]
+                else:
+                    raster = bytes(cap)
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payloads.append(encode_png(arr, filter_types=filter_types))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].astype("int64"), media_col: payloads}
             )

@@ -2077,3 +2077,82 @@ def test_ppm_comment_abutting_tokens():
     assert (
         decode_image(b"P6\n5 4\n255# c\n" + arr.tobytes()) == arr
     ).all()
+
+
+def test_png_roundtrip_all_filters_and_validation():
+    """Round-11 PNG decoder: encode/decode roundtrips across every
+    filter type, shapes, and channel counts (gray/RGB/RGBA); CRC
+    tampering raises; decode_image dispatches PNG and narrows the
+    NotImplementedError seam to JPEG."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w, ch in [(1, 1, 3), (4, 4, 3), (7, 5, 3), (6, 3, 1), (5, 9, 4)]:
+        a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        for fts in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4),
+                    (4, 3, 2, 1, 0)]:
+            got = decode_png(encode_png(a, filter_types=fts))
+            assert got.shape == (h, w, ch) and (got == a).all()
+    a = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert (decode_image(encode_png(a, (4, 3, 2, 1))) == a).all()
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_image(encode_png(a[:, :, 0], (1,)))
+    tampered = bytearray(encode_png(a, (2,)))
+    tampered[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(tampered))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+
+
+def test_wav_roundtrip_extra_chunks_and_validation():
+    """Round-11 WAV container: int16 samples survive the RIFF
+    roundtrip, extra (word-aligned) chunks are tolerated, non-PCM and
+    non-RIFF payloads raise naming the seam."""
+    import struct
+
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=1000, dtype=np.int16)
+    payload = encode_wav(s, 22_050)
+    got, rate, ch = decode_wav(payload)
+    assert rate == 22_050 and ch == 1 and (got == s).all()
+    # an odd-length extra chunk is skipped via spec word alignment
+    extra = (
+        payload[:12]
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + payload[12:]
+    )
+    got2, _, _ = decode_wav(extra)
+    assert (got2 == s).all()
+    with pytest.raises(NotImplementedError, match="MP3"):
+        decode_wav(b"\x49\x44\x33mp3-ish")
+    # 8-bit PCM rejected loudly
+    bad = bytearray(payload)
+    bad[34] = 8  # bits-per-sample field
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_wav(bytes(bad))
+
+
+def test_media_decode_png_and_audio_decode_match_uncompressed_twins(spark):
+    """The compressed-container queries must equal their uncompressed
+    twins row for row on the same corpus — the raster/PCM contract is
+    identical, only the container differs (inflate+defilter / RIFF
+    parse are what's being proven)."""
+    from realtime0523_spark.plans import REGISTRY
+
+    png = REGISTRY["media_decode_png"].fn(spark, SF_SMOKE)
+    ppm = REGISTRY["media_decode"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, png.collect())) == sorted(map(tuple, ppm.collect()))
+    wav = REGISTRY["media_audio_decode"].fn(spark, SF_SMOKE)
+    pcm = REGISTRY["media_audio_energy"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, wav.collect())) == sorted(map(tuple, pcm.collect()))
