@@ -114,51 +114,31 @@ def _ensure_full_registry() -> None:
 # Names absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # ---- ROUND 10 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 16 (4 added + 7 oracle/impl changed
-    # + 5 riders), group 3 = the 26 r5-stale rows the round-9 window
-    # deferred (per its own spill note), leaving 8 slots for the r6
-    # cohort (alphabetical); the remaining r6 rows lead round 11.
-    # Group 1 — ADDED this round (stream_allocation_split,
-    # media_decode, media_resize_decode, media_video_frames), or
-    # CHANGED: the five ddsketch-family queries whose ORACLES now
-    # mirror dd_bucket's negative-raise, and the two ANN appenders
-    # whose append loop gained partials compaction:
-    "stream_allocation_split", "media_decode", "media_resize_decode",
-    "media_video_frames",
-    "event_value_ddsketch", "stream_event_value_ddsketch",
-    "events_value_drift", "events_monitor_report",
-    "stream_events_monitor_report",
-    "stream_ann_index_append", "stream_ann_ivfpq_append",
+    # ---- ROUND 11 WINDOW (50 slots) ----
+    # WINDOW ARITHMETIC: group 1 = 16 (2 added + 9 changed + 5
+    # riders), group 3 = the 26 r6-stale rows the round-10 window
+    # deferred (per its own spill note), leaving 8 slots for the r7
+    # cohort (alphabetical, 42 rows — the remaining 34 lead round 12).
+    # Group 1 — ADDED this round (media_decode_png,
+    # media_audio_decode), or CHANGED: the five cells/monitor-family
+    # streaming twins whose partial folds gained base-snapshot
+    # compaction, stream_allocation_split (completed-order tombstones
+    # + TTL validation), stream_brand_amount (guard checkpoint
+    # scoping + partials compaction), and media_decode /
+    # media_resize_decode (decode_image gained the PNG dispatch):
+    "media_decode_png", "media_audio_decode",
+    "stream_customers_rfm", "stream_events_ks", "stream_events_chi2",
+    "stream_events_rolling_dau", "stream_events_monitor_report",
+    "stream_allocation_split", "stream_brand_amount",
+    "media_decode", "media_resize_decode",
     # riders (rule 2 — registered plans unchanged, adjacent code
-    # changed: multimodal.py gained the real decoders; the allocation
-    # family neighbors the new split-arrival operator; stream_brand_
-    # amount additionally gained the runtime co-arrival guard.
-    # media_frames/media_resize yield their rider slots to the added
-    # queries — their kernels are untouched, their r9 rows fresh, and
-    # the three new queries re-verify the shared module end-to-end):
-    "media_features",
-    "media_audio_energy", "allocation", "brand_amount",
-    "stream_brand_amount",
-    # Group 3 — the 26 r5-stale rows deferred from round 9 (stalest
-    # on the board; the round-9 verdict names exactly this set):
-    "event_value_stats", "grouping_sets_revenue",
-    "late_ship_priority_counts", "nation_year_pivot", "pricing_summary",
-    "qty_quantiles", "regional_revenue", "repeat_buyers",
-    "revenue_rollup", "salted_flag_agg", "salted_priority_revenue",
-    "small_qty_revenue", "stream_dau", "stream_dedup_pairs",
-    "stream_docs_chunk", "stream_docs_ingest",
-    "stream_event_value_stats", "stream_first_seen",
-    "stream_order_wide", "stream_sliding_counts",
-    "stream_top_tokens_cms", "stream_windowed_counts",
-    "stream_windowed_topk", "top_customers_per_nation", "top_tokens",
-    "top_tokens_cms",
-    # …and the leading 8 of the r6 cohort fill the window:
-    "acct_bucket", "asof_last_click", "customers_never_ordered",
-    "customers_with_orders", "date_derive", "dau", "dau_approx",
-    "dedup_first",
-    # ---- post-window: the r6 remainder leads the round-11 rotation,
-    # then r7+ keep registration order at the end ----
+    # changed: multimodal.py gained the PNG/WAV codecs next to the
+    # y4m/audio kernels; the allocation batch family neighbors the
+    # tombstoned state operator):
+    "media_video_frames", "media_audio_energy", "media_features",
+    "allocation", "brand_amount",
+    # Group 3 — the 26 r6-stale rows deferred from round 10 (stalest
+    # on the board; the round-10 verdict names exactly this set):
     "dim_enrich",
     "docs_bloom_contamination", "docs_bpe_tokens", "docs_chunk",
     "docs_contamination", "docs_domain_mix", "docs_exact_dedup",
@@ -169,6 +149,24 @@ _PRIORITY: list[str] = [
     "docs_token_stats", "docs_train_split",
     "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
     "qty_moving_stats", "router_fanout", "router_filter",
+    # …and the leading 8 of the r7 cohort fill the window:
+    "cheapest_supplier_per_part", "docs_bm25_search",
+    "docs_bpe_encode", "docs_bpe_merges", "docs_bpe_vocab",
+    "docs_corpus_prep", "docs_curriculum_order", "docs_dedup_clusters",
+    # ---- post-window: the r7 remainder (34 rows) leads the round-12
+    # rotation, then r8+ keep registration order at the end ----
+    "docs_dedup_filter", "docs_dedup_keep_best", "docs_domain_drift",
+    "docs_domain_mix_temp", "docs_dsir_sample", "docs_dsir_weights",
+    "docs_incremental_dedup", "docs_leakage_split", "docs_minhash_lsh",
+    "docs_segment_dedup", "docs_snapshot_diff", "docs_training_order",
+    "emb_ann_lsh_mp", "emb_ann_sq", "emb_cosine_topk",
+    "emb_dedup_pairs", "emb_hard_negatives", "emb_label_centroids",
+    "emb_rp_sketch", "emb_semantic_dedup", "emb_sq_codes",
+    "event_cube", "event_funnel", "events_zorder",
+    "lone_late_supplier", "parts_copurchase_rank", "parts_related_rank",
+    "stream_ann_lookup", "stream_bloom_contamination",
+    "stream_docs_novelty", "stream_domain_drift", "stream_dwd_order",
+    "user_cohort_retention", "warehouse_quality_report",
 ]
 
 
