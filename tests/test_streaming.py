@@ -2355,3 +2355,108 @@ def test_streaming_cells_long_horizon_flat_fold(spark, tmp_path):
     batch = spark.read.parquet(in_dir)
     want_rows = sorted(map(tuple, cell_fn(batch).collect()))
     assert got_rows == want_rows
+
+
+def test_stream_order_wide_skewed_key_completes_with_bounded_state(
+    spark, state_provider, tmp_path
+):
+    """Round-10 verdict item #7: the DWS watermarked join under a
+    deliberately SKEWED order key — one order owns ~50% of a batch's
+    detail rows. Under both state-store providers the join must (a)
+    COMPLETE: every header×detail pair emitted, zero watermark drops;
+    and (b) keep state BOUNDED: once a later wave advances the
+    watermark past the first wave + tolerance, the hot key's hundreds
+    of buffered rows are evicted — final state holds only the last
+    wave's horizon, never the accumulated feed."""
+    from realtime0523_spark.streaming.order_wide import streaming_order_wide
+    from realtime0523_spark.streaming.runner import (
+        _stream_shuffle,
+        watermark_drops,
+    )
+
+    t0 = 1_750_000_000  # epoch s, far from the epoch-0 watermark
+    hot, n_hot = 7, 300
+    odir, ddir = str(tmp_path / "o"), str(tmp_path / "d")
+    os.makedirs(odir)
+    os.makedirs(ddir)
+
+    def _emit(side_dir, name, df, mtime):
+        tmp = str(tmp_path / f"_t_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(side_dir, f"{name}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    # wave 1: orders 0..7, the hot key holds 300 of ~335 detail rows
+    o1 = spark.createDataFrame(
+        [(k, float(k), t0 + k) for k in range(8)],
+        "o_orderkey long, o_totalprice double, ts_s long",
+    ).selectExpr("o_orderkey", "o_totalprice",
+                 "timestamp_seconds(ts_s) AS o_ts")
+    d1 = spark.createDataFrame(
+        [(hot, i, 1.0, t0 + hot) for i in range(n_hot)]
+        + [(k, 1000 + i, 2.0, t0 + k)
+           for k in range(7) for i in range(5)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, ts_s long",
+    ).selectExpr("l_orderkey", "l_linenumber", "l_extendedprice",
+                 "timestamp_seconds(ts_s) AS l_ts")
+    # wave 2: an hour later — advances the watermark past wave 1
+    o2 = spark.createDataFrame(
+        [(k, float(k), t0 + 3600 + k) for k in (8, 9)],
+        "o_orderkey long, o_totalprice double, ts_s long",
+    ).selectExpr("o_orderkey", "o_totalprice",
+                 "timestamp_seconds(ts_s) AS o_ts")
+    d2 = spark.createDataFrame(
+        [(k, 2000 + i, 3.0, t0 + 3600 + k)
+         for k in (8, 9) for i in range(5)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, ts_s long",
+    ).selectExpr("l_orderkey", "l_linenumber", "l_extendedprice",
+                 "timestamp_seconds(ts_s) AS l_ts")
+    now = time.time()
+    _emit(odir, "w0", o1, now)
+    _emit(odir, "w1", o2, now + 60)
+    _emit(ddir, "w0", d1, now)
+    _emit(ddir, "w1", d2, now + 60)
+
+    o = (
+        spark.readStream.schema(
+            "o_orderkey long, o_totalprice double, o_ts timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(odir)
+    )
+    d = (
+        spark.readStream.schema(
+            "l_orderkey long, l_linenumber long, l_extendedprice double, "
+            "l_ts timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(ddir)
+    )
+    wide = streaming_order_wide(
+        o, d, order_ts="o_ts", detail_ts="l_ts", tolerance="50 seconds"
+    ).select("o_orderkey", "l_linenumber")
+    with _stream_shuffle(spark, no_data_batches=True):
+        q = (
+            wide.writeStream.format("memory")
+            .queryName("skew_wide")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            drops = watermark_drops(q)
+            state_rows = sum(
+                op["numRowsTotal"]
+                for op in q.lastProgress["stateOperators"]
+            )
+            got = spark.table("skew_wide").collect()
+        finally:
+            q.stop()
+    # completion: every pair exactly once, nothing dropped
+    assert drops == 0
+    n_expected = n_hot + 7 * 5 + 2 * 5
+    assert len(got) == n_expected
+    assert len(set(map(tuple, got))) == n_expected
+    assert sum(1 for r in got if r.o_orderkey == hot) == n_hot
+    # bounded state: wave 1 (hot key included) evicted at the
+    # watermark — the retained horizon is wave 2's dozen rows, never
+    # the ~343 accumulated input rows
+    assert state_rows <= 30, state_rows
