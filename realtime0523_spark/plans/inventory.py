@@ -537,8 +537,9 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across three feed files (→ three micro-batches), each arriving "
     "row is allocated as it arrives from (n_seen, Σweight, Σallocated) "
     "state, the last row takes the exact remainder, and completed "
-    "orders free their state immediately. Drained output equals the "
-    "batch allocation oracle row for row — the co-arrival contract "
+    "orders persist as TTL-bounded tombstones so a duplicate detail "
+    "raises the over-delivery error (round-11). Drained output equals "
+    "the batch allocation oracle row for row — the co-arrival contract "
     "the per-batch path requires is NOT needed here.",
 )
 def q_stream_allocation_split(spark: SparkSession, sf_dir: str) -> DataFrame:

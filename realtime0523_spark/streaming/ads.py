@@ -26,8 +26,6 @@ matter the input rate; the final rollup reads only committed partials.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -298,6 +298,17 @@ AUDITED: dict[str, str] = {
         "one Arrow kernel; 3*ceil(frames/stride) rows out per video, "
         "payloads never shuffle"
     ),
+    "media_decode_png": (
+        "map-only like media_decode but through the real compressed "
+        "container: PNG encode fixture kernel -> zlib inflate + "
+        "defilter + channel-sum kernel, zero exchanges — compression "
+        "changes CPU per row, never the plan shape"
+    ),
+    "media_audio_decode": (
+        "map-only: WAV-build kernel -> RIFF parse + PCM frame-energy "
+        "kernel, zero exchanges — the container parse adds no shuffle "
+        "over media_audio_energy"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "
