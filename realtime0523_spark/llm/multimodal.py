@@ -193,7 +193,15 @@ def encode_png(
             filt = cur
         elif f == 2:
             filt = (cur - prev) % 256
-        elif f in (1, 3, 4):
+        elif f == 1:
+            # Sub's predictor is the RAW left pixel (no reconstructed
+            # feedback on the encode side) — one vectorized diff
+            cur2 = cur.reshape(w, ch)
+            filt = np.empty_like(cur2)
+            filt[0] = cur2[0]
+            filt[1:] = (cur2[1:] - cur2[:-1]) % 256
+            filt = filt.reshape(w * ch)
+        elif f in (3, 4):
             cur2 = cur.reshape(w, ch)
             prev2 = prev.reshape(w, ch)
             filt2 = np.zeros((w, ch), dtype=np.int64)
@@ -201,9 +209,7 @@ def encode_png(
             upleft = np.zeros(ch, dtype=np.int64)
             for x in range(w):
                 up = prev2[x]
-                if f == 1:
-                    pred = left
-                elif f == 3:
+                if f == 3:
                     pred = (left + up) // 2
                 else:
                     p = left + up - upleft
@@ -251,6 +257,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
     pos, ihdr, idat = 8, None, []
     while pos + 12 <= len(raw):
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        if pos + 12 + length > len(raw):
+            raise ValueError(
+                f"PNG: truncated chunk at offset {pos} — declared "
+                f"length {length} overruns the {len(raw)}-byte payload"
+            )
         ctype = raw[pos + 4 : pos + 8]
         data = raw[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
@@ -483,16 +494,34 @@ def audio_frame_energy(
     Scale: map-only (payloads never shuffle); downstream VAD is a
     filter on energy/n_samples, and per-speaker rollups are ordinary
     partial-agg'd groupBys over the frame rows."""
-    import numpy as np
+
+    def _raw_pcm(payload: bytes) -> "np.ndarray":
+        raw = bytes(payload)
+        if len(raw) % 2:
+            raw = raw[:-1]
+        return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+    return _frame_energy_map(df, _raw_pcm, frame_samples, id_col, media_col)
+
+
+def _frame_energy_map(
+    df: DataFrame,
+    samples_fn,
+    frame_samples: int,
+    id_col: str,
+    media_col: str,
+) -> DataFrame:
+    """The ONE frame-energy kernel (round-11 review: previously copied
+    between the raw-PCM and WAV paths, voiding the 'identical kernel'
+    equality claim the decode oracle relies on): `samples_fn` turns a
+    payload into an int64 sample array; the windowed exact Σ sample²
+    is shared code."""
 
     def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, ns, es = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
-                raw = bytes(payload)
-                if len(raw) % 2:
-                    raw = raw[:-1]
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                samples = samples_fn(payload)
                 for i in range(0, len(samples), frame_samples):
                     w = samples[i : i + frame_samples]
                     ids.append(doc_id)
@@ -562,7 +591,16 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int, int]:
         ctype = raw[pos : pos + 4]
         (length,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
         body = raw[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(
+                f"WAV: truncated {ctype!r} chunk — declared length "
+                f"{length}, payload carries {len(body)}"
+            )
         if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"WAV: fmt chunk too short ({len(body)} < 16 bytes)"
+                )
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
             data = body
@@ -622,32 +660,18 @@ def wav_frame_energy(
     media_col: str = "media",
 ) -> DataFrame:
     """`audio_frame_energy` with the REAL container in front: parse
-    the RIFF/WAVE payload (`decode_wav`), then the identical
-    frame-windowed exact integer Σ sample² — so the decode step is
-    oracle-proven byte for byte against the raw-PCM arithmetic.
-    Map-only; payloads never shuffle."""
-
-    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, ns, es = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
-                samples, _rate, _ch = decode_wav(payload)
-                for i in range(0, len(samples), frame_samples):
-                    w = samples[i : i + frame_samples]
-                    ids.append(doc_id)
-                    idxs.append(i // frame_samples)
-                    ns.append(len(w))
-                    es.append(int((w * w).sum()))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "n_samples": pd.Series(ns, dtype="int32"),
-                    "energy": pd.Series(es, dtype="int64"),
-                }
-            )
-
-    return df.select(id_col, media_col).mapInPandas(_energy, schema=AUDIO_SCHEMA)
+    the RIFF/WAVE payload (`decode_wav`), then the IDENTICAL
+    frame-windowed exact integer Σ sample² (`_frame_energy_map` —
+    literally shared code, so the decode step is oracle-proven byte
+    for byte against the raw-PCM arithmetic). Map-only; payloads
+    never shuffle."""
+    return _frame_energy_map(
+        df,
+        lambda payload: decode_wav(payload)[0],
+        frame_samples,
+        id_col,
+        media_col,
+    )
 
 
 CHANNEL_STATS_SCHEMA = "doc_id long, channel int, px_sum long, n_px long"

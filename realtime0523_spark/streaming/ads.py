@@ -35,6 +35,16 @@ from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
 
 
+def fold_brand_partials(df: DataFrame) -> DataFrame:
+    """Distributive per-brand sum — the same merge the final rollup
+    applies, so compacting partials through it cannot change the
+    answer. Shared by this module's drain-and-report pipeline and the
+    live topology's ADS stage (one definition, round-11 review)."""
+    return df.groupBy("p_brand").agg(
+        F.sum("partial_amount").alias("partial_amount")
+    )
+
+
 def streaming_brand_amount(
     spark: SparkSession,
     wide_stream: DataFrame,
@@ -60,10 +70,8 @@ def streaming_brand_amount(
     """
     from realtime0523_spark.streaming.allocation import co_arrival_guard
     from realtime0523_spark.streaming.compaction import (
-        base_watermark,
         committed_relation,
-        compact_to_base,
-        partial_ids,
+        maybe_compact,
     )
 
     order_by = detail_order_by or [
@@ -75,14 +83,6 @@ def streaming_brand_amount(
     ]
     commit = idempotent_batch_writer(out_dir)
     base_dir = out_dir.rstrip("/") + "_base"
-
-    def _fold(df: DataFrame) -> DataFrame:
-        # distributive per-brand sum — the same merge the final read
-        # applies, so compaction can't change the rollup
-        return df.groupBy("p_brand").agg(
-            F.sum("partial_amount").alias("partial_amount")
-        )
-
     # co-arrival contract enforced at runtime (round-9 advice, shared
     # with the topology's ADS stage): a split order would double-count
     # o_totalprice, so a reappearing order key raises instead
@@ -112,9 +112,7 @@ def streaming_brand_amount(
             .agg(F.sum("final_detail_amount").alias("partial_amount"))
         )
         commit(partial, batch_id)
-        wm = base_watermark(base_dir)
-        if len([i for i in partial_ids(out_dir) if i > wm]) >= compact_every:
-            compact_to_base(spark, out_dir, base_dir, _fold)
+        maybe_compact(spark, out_dir, base_dir, fold_brand_partials, compact_every)
 
     run_foreach_batch(
         wide_stream,

@@ -320,11 +320,11 @@ def streaming_allocation_split(
     order total). TTL semantics: an order's state times out once
     the watermark (max event time − ttl) passes the order's last-arrival
     time + ttl — the event-time rendering of the reference's 100 s
-    Redis expire. The watermark delay is the TTL itself, so same-
-    timestamp waves are never dropped as late. `ttl_ms` must be ≥
-    1000: the watermark delay is expressed in whole seconds, so a
-    sub-second TTL would silently truncate to a 0-second delay and the
-    delay-equals-TTL contract above would be false.
+    Redis expire. The watermark delay is the TTL itself — expressed
+    in milliseconds, so delay == TTL exactly for any value — and
+    same-timestamp waves are never dropped as late. `ttl_ms` must be
+    ≥ 1000 (a sub-second TTL is degenerate for the reference's 100 s
+    semantics).
 
     Within a batch, a group's rows are processed in `detail_order_by`
     (the batch operator's deterministic total order); across batches,
@@ -332,15 +332,18 @@ def streaming_allocation_split(
     order reproduces the batch `allocation` result exactly."""
     if ttl_ms < 1000:
         raise ValueError(
-            f"streaming_allocation_split: ttl_ms={ttl_ms} < 1000 — the "
-            f"watermark delay is whole seconds, so a sub-second TTL "
-            f"would truncate to a 0 s delay (delay no longer equals "
-            f"the TTL) and a timeout could land at or below the "
-            f"current watermark"
+            f"streaming_allocation_split: ttl_ms={ttl_ms} < 1000 — a "
+            f"sub-second TTL is degenerate for the reference's 100 s "
+            f"Redis-expire semantics and risks timeouts landing at or "
+            f"below the current watermark"
         )
     carry = list(dict.fromkeys(_PASS_COLS + [ts_col] + detail_order_by))
+    # the delay is expressed in MILLISECONDS so it equals the TTL
+    # exactly for any value (round-11 review: "{ttl_ms // 1000}
+    # seconds" silently truncated fractional-second TTLs, dropping
+    # in-TTL stragglers as late)
     watermarked = details.select(*carry).withWatermark(
-        ts_col, f"{ttl_ms // 1000} seconds"
+        ts_col, f"{ttl_ms} milliseconds"
     )
     if n_buckets is None:
         return watermarked.groupBy("l_orderkey").applyInPandasWithState(

@@ -45,10 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime0523_spark.streaming.compaction import (
-    base_watermark,
     committed_relation,
-    compact_to_base,
-    partial_ids,
+    maybe_compact,
 )
 from realtime0523_spark.streaming.runner import run_foreach_batch
 from realtime0523_spark.streaming.sinks import idempotent_batch_writer
@@ -100,9 +98,7 @@ def streaming_cells(
         if batch_df.isEmpty():
             return
         commit(cell_fn(batch_df), batch_id)
-        wm = base_watermark(base_dir)
-        if len([i for i in partial_ids(out_dir) if i > wm]) >= compact_every:
-            compact_to_base(spark, out_dir, base_dir, fold)
+        maybe_compact(spark, out_dir, base_dir, fold, compact_every)
 
     run_foreach_batch(
         stream,

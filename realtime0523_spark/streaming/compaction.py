@@ -90,6 +90,7 @@ def compact_to_base(
     base_dir: str,
     fold,
     keep_batch_id: bool = False,
+    gc_grace: bool = False,
 ) -> int:
     """Fold the live relation into one new base snapshot and GC
     everything at or below the new watermark (consumed partials —
@@ -97,12 +98,29 @@ def compact_to_base(
     watermark — plus superseded snapshots, markers, and crashed
     `_tmp_` scratch). Idempotent by marker; crash-heals the
     rename-vs-marker window. Returns the number of fresh partials
-    folded (0 = nothing to do)."""
+    folded (0 = nothing to do).
+
+    READER CONCURRENCY (round-11 review): with the default
+    `gc_grace=False`, the GC immediately deletes the files the new
+    snapshot supersedes — safe ONLY when every reader is serialized
+    with the compactor (the usual shape: the fold and the report run
+    inside the same foreachBatch thread, or reads happen after the
+    drain). A reader running CONCURRENTLY with the compactor (the
+    topology's `ads_result()` on a live stream) may have planned its
+    scan over v_W + fresh partials just before the GC removes them —
+    `gc_grace=True` keeps ONE superseded generation (the previous
+    base and the partials at or below the previous watermark survive
+    until the NEXT compaction), so any reader that resolved the
+    previous committed snapshot can still scan its files. Cost: at
+    most 2 bases + 2 generations of partials at rest — still flat."""
     wm = base_watermark(base_dir)
     fresh = [i for i in partial_ids(partial_dir) if i > wm]
     if not fresh:
         return 0
     new_wm = max(fresh)
+    # grace mode GCs one generation behind: everything the PREVIOUS
+    # snapshot superseded; strict mode GCs up to the new snapshot
+    gc_horizon = wm if gc_grace else new_wm
     final = os.path.join(base_dir, f"v_{new_wm:09d}")
     marker = os.path.join(base_dir, f"_ready_{new_wm:09d}")
     os.makedirs(base_dir, exist_ok=True)
@@ -119,12 +137,12 @@ def compact_to_base(
             folded.write.mode("overwrite").parquet(tmp)
             os.replace(tmp, final)
             open(marker, "w").close()
-    # GC: every partial at or below the new watermark (not only the
+    # GC: every partial at or below the gc horizon (not only the
     # ones this call folded — replays below the old watermark recreate
     # dirs the previous GC removed), superseded bases/markers, and any
     # crashed _tmp_ scratch.
     for i in partial_ids(partial_dir):
-        if i <= new_wm:
+        if i <= gc_horizon:
             shutil.rmtree(
                 os.path.join(partial_dir, f"batch_id={i}"), ignore_errors=True
             )
@@ -133,9 +151,32 @@ def compact_to_base(
         # before the marker, so whatever remains is a crashed attempt
         stale = f.startswith("_tmp_")
         for prefix in ("v_", "_ready_"):
-            if f.startswith(prefix) and int(f.removeprefix(prefix)) < new_wm:
+            if f.startswith(prefix) and int(f.removeprefix(prefix)) < gc_horizon:
                 stale = True
         if stale:
             p = os.path.join(base_dir, f)
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
     return len(fresh)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    partial_dir: str,
+    base_dir: str,
+    fold,
+    every: int,
+    keep_batch_id: bool = False,
+    gc_grace: bool = False,
+) -> bool:
+    """The shared compaction cadence gate (round-11 review: one
+    definition instead of five copies): fold when at least `every`
+    fresh partials sit above the base watermark. Returns True when a
+    compaction ran."""
+    wm = base_watermark(base_dir)
+    if len([i for i in partial_ids(partial_dir) if i > wm]) < every:
+        return False
+    compact_to_base(
+        spark, partial_dir, base_dir, fold,
+        keep_batch_id=keep_batch_id, gc_grace=gc_grace,
+    )
+    return True

@@ -52,10 +52,8 @@ from realtime0523_spark.streaming.changepoint import (
     hourly_cents_partials,
 )
 from realtime0523_spark.streaming.compaction import (
-    base_watermark,
     committed_relation,
-    compact_to_base,
-    partial_ids,
+    maybe_compact,
 )
 from realtime0523_spark.streaming.regression import finish_trend, trend_partials
 from realtime0523_spark.streaming.runner import run_foreach_batch
@@ -120,10 +118,12 @@ def streaming_monitor_report(
             batch_df.unpersist()
         # all four families commit in lockstep, so one family's fresh
         # count decides the compaction cadence for all of them
-        wm = base_watermark(base_dirs["trend"])
-        if len([i for i in partial_ids(dirs["trend"]) if i > wm]) >= compact_every:
-            for n in dirs:
-                compact_to_base(spark, dirs[n], base_dirs[n], _FOLDS[n])
+        if maybe_compact(
+            spark, dirs["trend"], base_dirs["trend"], _FOLDS["trend"],
+            compact_every,
+        ):
+            for n in ("cusum", "ks", "drift"):
+                maybe_compact(spark, dirs[n], base_dirs[n], _FOLDS[n], 1)
 
     run_foreach_batch(
         stream,

@@ -93,10 +93,8 @@ from pyspark.sql import functions as F
 from realtime0523_spark.functions.scalar import round2
 from realtime0523_spark.operators.allocation import allocate_order_amount
 from realtime0523_spark.streaming.compaction import (
-    base_watermark,
     committed_relation,
-    compact_to_base,
-    partial_ids,
+    maybe_compact,
 )
 from realtime0523_spark.streaming.router import route_cdc
 from realtime0523_spark.streaming.runner import _stream_shuffle, watermark_drops
@@ -537,19 +535,23 @@ class FiveLayerTopology:
 
     @staticmethod
     def _ads_fold(df: DataFrame) -> DataFrame:
-        return df.groupBy("p_brand").agg(
-            F.sum("partial_amount").alias("partial_amount")
-        )
+        from realtime0523_spark.streaming.ads import fold_brand_partials
+
+        return fold_brand_partials(df)
 
     @staticmethod
     def _dau_fold(df: DataFrame) -> DataFrame:
         return df.select("dt", "mid").distinct()
 
     def _maybe_compact(self, partial_dir: str, base_dir: str, fold) -> None:
-        wm = base_watermark(base_dir)
-        fresh = [i for i in partial_ids(partial_dir) if i > wm]
-        if len(fresh) >= self.compact_every:
-            compact_to_base(self.spark, partial_dir, base_dir, fold)
+        # gc_grace: ads_result()/dau_result() may run CONCURRENTLY with
+        # a live stage's compaction — one superseded generation is kept
+        # so an in-flight reader's resolved snapshot stays scannable
+        # (round-11 review; see compaction.compact_to_base)
+        maybe_compact(
+            self.spark, partial_dir, base_dir, fold, self.compact_every,
+            gc_grace=True,
+        )
 
     def _commit_brand_partial(
         self, alloc: DataFrame, batch_id: int, commit

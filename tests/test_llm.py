@@ -2109,6 +2109,13 @@ def test_png_roundtrip_all_filters_and_validation():
         decode_png(bytes(tampered))
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    # a payload cut off mid-chunk raises the named error, not
+    # struct.error (round-11 review)
+    whole = encode_png(a, (0, 1, 2, 3, 4))
+    # cut INTO the IDAT chunk (the last 12 bytes are the empty IEND —
+    # losing only that leaves the raster intact and decodes fine)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(whole[: len(whole) - 20])
 
 
 def test_wav_roundtrip_extra_chunks_and_validation():
@@ -2136,6 +2143,13 @@ def test_wav_roundtrip_extra_chunks_and_validation():
     assert (got2 == s).all()
     with pytest.raises(NotImplementedError, match="MP3"):
         decode_wav(b"\x49\x44\x33mp3-ish")
+    # truncated chunks raise the module's named ValueError, never a
+    # bare struct.error (round-11 review)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[: len(payload) - 100])
+    short_fmt = payload[:12] + b"fmt " + struct.pack("<I", 8) + payload[20:28]
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(short_fmt + b"data" + struct.pack("<I", 0))
     # 8-bit PCM rejected loudly
     bad = bytearray(payload)
     bad[34] = 8  # bits-per-sample field

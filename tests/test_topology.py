@@ -290,15 +290,24 @@ def test_five_layer_topology_live_with_midrun_restart(
         assert listed and all(os.path.exists(p) for p in listed)
 
         # round-11: the ADS and DAU partials COMPACTED on the 2-batch
-        # cadence — one base snapshot each, fewer fresh partial dirs
-        # than the compaction threshold (flat per-report read cost),
-        # and the results above were read THROUGH the compacted base
+        # cadence with grace-mode GC (concurrent readers keep one
+        # superseded generation) — the per-report READ stays flat:
+        # the newest base + fewer fresh partials than the threshold;
+        # at-rest files are bounded by two generations, never O(batches)
+        from realtime0523_spark.streaming.compaction import (
+            base_watermark,
+            partial_ids,
+        )
+
         for pdir, bdir in ((topo.ads_dir, topo.ads_base_dir),
                            (topo.dau_dir, topo.dau_base_dir)):
             bases = [f for f in os.listdir(bdir) if f.startswith("v_")]
-            assert len(bases) == 1
-            fresh = [d for d in os.listdir(pdir) if d.startswith("batch_id=")]
-            assert len(fresh) < 2
+            assert 1 <= len(bases) <= 2
+            wm = base_watermark(bdir)
+            assert wm >= 0
+            fresh = [i for i in partial_ids(pdir) if i > wm]
+            assert len(fresh) < 2  # read set: newest base + <threshold
+            assert len(partial_ids(pdir)) <= 2 * 2  # two generations max
     finally:
         topo.stop()
 

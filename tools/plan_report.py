@@ -523,7 +523,11 @@ def summarize(plan: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # sf0.01, not sf0.001: at the tiniest fixture a join side can fall
+    # under the broadcast threshold and the committed audit would
+    # record a toy-scale broadcast artifact as the 100 TB shape
+    # (round-11 review)
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     from realtime0523_spark.core.session import get_spark
     from realtime0523_spark.plans import REGISTRY
