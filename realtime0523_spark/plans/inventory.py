@@ -115,18 +115,20 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 11 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 16 (2 added + 9 changed + 5
+    # WINDOW ARITHMETIC: group 1 = 17 (3 added + 9 changed + 5
     # riders), group 3 = the 26 r6-stale rows the round-10 window
-    # deferred (per its own spill note), leaving 8 slots for the r7
-    # cohort (alphabetical, 42 rows — the remaining 34 lead round 12).
+    # deferred (per its own spill note), leaving 7 slots for the r7
+    # cohort (alphabetical, 42 rows — the remaining 35 lead round 12).
     # Group 1 — ADDED this round (media_decode_png,
-    # media_audio_decode), or CHANGED: the five cells/monitor-family
+    # media_audio_decode, stream_manifest_topic_counts), or CHANGED:
+    # the five cells/monitor-family
     # streaming twins whose partial folds gained base-snapshot
     # compaction, stream_allocation_split (completed-order tombstones
-    # + TTL validation), stream_brand_amount (guard checkpoint
+    # + TTL-exact watermark), stream_brand_amount (guard checkpoint
     # scoping + partials compaction), and media_decode /
     # media_resize_decode (decode_image gained the PNG dispatch):
     "media_decode_png", "media_audio_decode",
+    "stream_manifest_topic_counts",
     "stream_customers_rfm", "stream_events_ks", "stream_events_chi2",
     "stream_events_rolling_dau", "stream_events_monitor_report",
     "stream_allocation_split", "stream_brand_amount",
@@ -149,12 +151,13 @@ _PRIORITY: list[str] = [
     "docs_token_stats", "docs_train_split",
     "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
     "qty_moving_stats", "router_fanout", "router_filter",
-    # …and the leading 8 of the r7 cohort fill the window:
+    # …and the leading 7 of the r7 cohort fill the window:
     "cheapest_supplier_per_part", "docs_bm25_search",
     "docs_bpe_encode", "docs_bpe_merges", "docs_bpe_vocab",
-    "docs_corpus_prep", "docs_curriculum_order", "docs_dedup_clusters",
-    # ---- post-window: the r7 remainder (34 rows) leads the round-12
+    "docs_corpus_prep", "docs_curriculum_order",
+    # ---- post-window: the r7 remainder (35 rows) leads the round-12
     # rotation, then r8+ keep registration order at the end ----
+    "docs_dedup_clusters",
     "docs_dedup_filter", "docs_dedup_keep_best", "docs_domain_drift",
     "docs_domain_mix_temp", "docs_dsir_sample", "docs_dsir_weights",
     "docs_incremental_dedup", "docs_leakage_split", "docs_minhash_lsh",
@@ -5403,3 +5406,56 @@ def funnel_latency_stats(d: DataFrame) -> DataFrame:
             F.expr("sum_us div n_users").cast("long").alias("avg_us"),
         )
     )
+
+
+@register(
+    "stream_manifest_topic_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(ts) AS max_ts
+    FROM events GROUP BY 1
+    """,
+    "The round-11 MANIFEST BUS as a registered, oracle-backed path "
+    "(streaming/topology.py::topic_append_writer/topic_stream — the "
+    "inter-stage transport the live topology runs on, here proven "
+    "end-to-end against DuckDB): the event stream is committed to a "
+    "manifest topic (part files at natural write parallelism, ONE "
+    "atomically-renamed manifest per batch — no coalesce(1) "
+    "single-writer), read back THROUGH the manifest stream (text "
+    "stream over manifests, executor-side Arrow expansion of the "
+    "listed parquet files, timestamps localized to UTC), and "
+    "aggregated. count proves no row is lost or duplicated across "
+    "the commit/expand hop; max(ts) proves microsecond-exact "
+    "timestamp fidelity through the parquet->Arrow->pandas->Spark "
+    "crossing. At 100 TB the bus is Kafka or a table format whose "
+    "snapshot commit is exactly this manifest shape.",
+)
+def q_stream_manifest_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from realtime0523_spark.streaming.runner import (
+        run_foreach_batch,
+        run_to_memory,
+    )
+    from realtime0523_spark.streaming.sinks import detach_and_cleanup
+    from realtime0523_spark.streaming.sources import stream_table
+    from realtime0523_spark.streaming.topology import (
+        topic_append_writer,
+        topic_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_manifest_")
+    topic = f"{work}/topic"
+    ev = stream_table(spark, sf_dir, "events").select("event_type", "ts")
+    run_foreach_batch(
+        ev,
+        topic_append_writer(topic),
+        checkpoint_dir=f"{work}/ckpt_w",
+        output_mode="append",
+    )
+    back = topic_stream(spark, topic, "event_type string, ts timestamp")
+    counts = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("ts").alias("max_ts"),
+    )
+    out = run_to_memory(counts, output_mode="complete")
+    return detach_and_cleanup(out, work)

@@ -155,6 +155,7 @@ PROBES = [
     "media_video_frames",  # Y4M decode + frame-stride sampling, map-only (r10)
     "media_decode_png",    # zlib inflate + defilter, still map-only (r11)
     "media_audio_decode",  # RIFF parse + frame-energy fold, map-only (r11)
+    "stream_manifest_topic_counts",  # manifest bus commit+expand roundtrip (r11)
 ]
 
 # Library paths without their own registry entry, probed as callables:
