@@ -7,16 +7,19 @@ The DECODE/RESIZE/FRAME steps are REAL: `decode_image` (binary P6 PPM
 h·w·3 raw bytes — AND 8-bit PNG via stdlib zlib: chunk/CRC parse,
 inflate, per-scanline Sub/Up/Average/Paeth defiltering in NumPy,
 round-11), `resize_image` (floor-map nearest-neighbor), `decode_y4m`
-(YUV4MPEG2 C444 video, frame-stride sampling), and `decode_wav`
-(RIFF/WAVE 16-bit PCM container parse) run end-to-end with no
-external codec and are oracle-checkable byte for byte (`media_decode`,
-`media_decode_png`, `media_resize_decode`, `media_video_frames`,
-`media_audio_decode`). The remaining compressed formats (JPEG/H.264/…)
-raise NotImplementedError naming the production seam (PIL/cv2/ffmpeg)
-— this container ships no codecs, and a fake JPEG decode would be
-dishonest. Only the opaque-payload plumbing (`resize_media`,
-`sample_frames`) keeps clearly-marked deterministic fakes, for the
-same reason.
+(YUV4MPEG2 C444 video, frame-stride sampling), `decode_wav`
+(RIFF/WAVE 16-bit PCM container parse), and `decode_jpeg` (sequential
+baseline T.81: Huffman entropy decode, dequant, vectorized IDCT,
+YCbCr→RGB — round-11, see the JPEG section banner for the lossless
+oracle contract) run end-to-end with no external codec and are
+oracle-checkable byte for byte (`media_decode`, `media_decode_png`,
+`media_decode_jpeg`, `media_resize_decode`, `media_video_frames`,
+`media_audio_decode`). The formats still out of reach without a codec
+library (progressive/subsampled JPEG, H.264/…) raise
+NotImplementedError naming the production seam (PIL/cv2/ffmpeg) —
+this container ships no codecs, and a fake decode would be dishonest.
+Only the opaque-payload plumbing (`resize_media`, `sample_frames`)
+keeps clearly-marked deterministic fakes, for the same reason.
 
 Scale: mapInPandas streams Arrow batches through Python workers —
 per-partition, no driver involvement; binary payloads never shuffle
@@ -335,10 +338,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
                 f"RGB (use decode_png directly for gray/RGBA)"
             )
         return img
+    if raw[:2] == b"\xff\xd8":
+        img = decode_jpeg(raw)
+        if img.ndim != 3:
+            raise ValueError(
+                "decode_image: grayscale JPEG — the (h, w, 3) contract "
+                "needs 3-component YCbCr (use decode_jpeg directly)"
+            )
+        return img
     raise NotImplementedError(
         f"image decode for magic {raw[:2]!r} requires an imaging library "
-        f"(PIL/cv2) not present in this environment; P6 PPM and 8-bit "
-        f"PNG decode natively — JPEG is the remaining named seam"
+        f"(PIL/cv2) not present in this environment; P6 PPM, 8-bit PNG "
+        f"and baseline 4:4:4 JPEG decode natively — progressive/"
+        f"subsampled JPEG and the exotic formats are the remaining seam"
     )
 
 
@@ -1008,4 +1020,641 @@ def video_frame_stats(
 
     return df.select(id_col, media_col).mapInPandas(
         _stats, schema=FRAME_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — round-11: the last named codec seam.
+#
+# A REAL sequential-baseline JPEG codec in pure NumPy + stdlib: segment
+# walk (SOI/APPn/DQT/SOF0/DHT/SOS/EOI), canonical Huffman entropy
+# decode with 0xFF00 byte-unstuffing, DC prediction, run-length AC,
+# dequantization, inverse zigzag, vectorized 8x8 IDCT (orthonormal
+# DCT-III via one einsum over all blocks), edge-padding crop, and
+# BT.601 YCbCr->RGB. Supports 8-bit precision, 1- or 3-component
+# scans with 1:1 sampling (4:4:4); chroma subsampling, progressive
+# (SOF2), restart intervals, and arithmetic coding raise a named
+# limit. Reference parity: realtime0523 has no media path at all —
+# this implements the multimodal column contract the task brief
+# specifies, against the public T.81 spec (Annex F decode procedure,
+# Annex K tables).
+#
+# EXACTNESS CONTRACT for the oracle-backed fixture: JPEG is lossy in
+# general, but an image made of CONSTANT 8x8 blocks with neutral
+# chroma round-trips EXACTLY when the luma DC quantization step
+# divides the DC coefficient: a constant block's DCT is pure DC
+# (F00 = 8*(v-128); every AC is 0 up to float eps, quantized to 0),
+# so with DC step 8 the quantized DC is v-128 exactly, the IDCT of a
+# pure-DC block is the constant F00/8, and Cb=Cr=128 makes the color
+# transform the identity on all three channels. `attach_jpeg_media`
+# builds exactly such images, which is what lets a SQL oracle replay
+# the decoded pixels; the general lossy path is exercised separately
+# in unit tests (random images, bounded error; exact Huffman/zigzag
+# round-trip on random coefficient blocks).
+# ---------------------------------------------------------------------------
+
+# Zigzag scan order: ZIGZAG[k] = row-major index of the k-th zigzag
+# coefficient (T.81 Figure 5).
+JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 quantization tables (row-major).
+JPEG_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+JPEG_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3-K.6 typical Huffman tables as (BITS[1..16], HUFFVAL).
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct8_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II matrix M (M @ f @ M.T is exactly the
+    T.81 FDCT including its 1/4*C(u)C(v) scaling)."""
+    x = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m *= np.sqrt(2.0 / 8.0)
+    m[0] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT8 = _dct8_matrix()
+
+
+def _huff_canonical(bits: list[int], huffval: list[int]):
+    """(code, size) per symbol from a DHT (BITS, HUFFVAL) spec — the
+    canonical assignment of T.81 Annex C."""
+    if sum(bits) != len(huffval):
+        raise ValueError(
+            f"JPEG: DHT declares {sum(bits)} codes, carries {len(huffval)}"
+        )
+    enc, code, i = {}, 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            if code >= (1 << size):
+                raise ValueError("JPEG: DHT over-subscribed Huffman tree")
+            enc[huffval[i]] = (code, size)
+            code += 1
+            i += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF -> 0xFF
+    0x00) and 1-padding of the final byte."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:
+                self._out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self._out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self._pos >= len(self._data):
+                raise ValueError("JPEG: entropy stream exhausted mid-block")
+            self._acc = self._data[self._pos]
+            self._pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, decode_map: dict) -> int:
+        code, size = 0, 0
+        while size < 16:
+            code = (code << 1) | self.read_bit()
+            size += 1
+            sym = decode_map.get((size, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code (no match in 16 bits)")
+
+
+def _jpeg_category(v: int) -> int:
+    """SSSS magnitude category: smallest n with |v| < 2^n."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_value_bits(v: int, cat: int) -> int:
+    """T.81 F.1.2.1 value encoding: v>=0 verbatim, v<0 as v+2^cat-1."""
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    """Inverse of `_jpeg_value_bits` (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _entropy_encode_block(
+    w: "_JpegBitWriter", zz: "np.ndarray", pred: int, dc_enc: dict, ac_enc: dict
+) -> int:
+    diff = int(zz[0]) - pred
+    cat = _jpeg_category(diff)
+    w.write(dc_enc[cat][0], dc_enc[cat][1])
+    if cat:
+        w.write(_jpeg_value_bits(diff, cat), cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(ac_enc[0xF0][0], ac_enc[0xF0][1])  # ZRL
+            run -= 16
+        cat = _jpeg_category(v)
+        sym = (run << 4) | cat
+        if sym not in ac_enc:
+            raise ValueError(
+                f"JPEG encode: AC symbol {sym:#x} missing from the "
+                f"Huffman table (coefficient {v} at zigzag {k})"
+            )
+        w.write(ac_enc[sym][0], ac_enc[sym][1])
+        w.write(_jpeg_value_bits(v, cat), cat)
+        run = 0
+    if run:
+        w.write(ac_enc[0x00][0], ac_enc[0x00][1])  # EOB
+    return int(zz[0])
+
+
+def _entropy_decode_block(
+    r: "_JpegBitReader", pred: int, dc_dec: dict, ac_dec: dict
+) -> tuple["np.ndarray", int]:
+    zz = np.zeros(64, dtype=np.int64)
+    cat = r.read_symbol(dc_dec)
+    if cat > 11:
+        raise ValueError(f"JPEG: DC category {cat} > 11")
+    dc = pred + _jpeg_extend(r.read_bits(cat), cat)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = r.read_symbol(ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("JPEG: AC run overflows the 8x8 block")
+        zz[k] = _jpeg_extend(r.read_bits(cat), cat)
+        k += 1
+    return zz, dc
+
+
+def _rgb_to_ycbcr(rgb: "np.ndarray") -> "np.ndarray":
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: "np.ndarray") -> "np.ndarray":
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _plane_to_blocks(plane: "np.ndarray") -> tuple["np.ndarray", int, int]:
+    """Edge-replicate a (h, w) float plane to 8-multiples and return
+    (n_blocks, 8, 8) in MCU (row-major block) order."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    return blocks.reshape(bh * bw, 8, 8), bh, bw
+
+
+def _blocks_to_plane(
+    blocks: "np.ndarray", bh: int, bw: int, h: int, w: int
+) -> "np.ndarray":
+    full = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+    return full.reshape(bh * 8, bw * 8)[:h, :w]
+
+
+def encode_jpeg(
+    img: "np.ndarray",
+    quant_luma: "np.ndarray | None" = None,
+    quant_chroma: "np.ndarray | None" = None,
+) -> bytes:
+    """Sequential-baseline JFIF bytes for a (h, w, 3) RGB or (h, w)
+    grayscale uint8 array: 4:4:4, Annex K typical Huffman tables,
+    Annex K.1/K.2 quantization unless overridden (the oracle fixture
+    overrides the luma DC step to 8 — see the module banner's
+    exactness contract). Encoder exists for fixtures and round-trip
+    tests; the engine-side kernel is `decode_jpeg`."""
+    import struct
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = (quant_luma if quant_luma is not None else JPEG_QUANT_LUMA).astype(
+        np.int64
+    )
+    qc = (
+        quant_chroma if quant_chroma is not None else JPEG_QUANT_CHROMA
+    ).astype(np.int64)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qtabs = [ql]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qtabs = [ql, qc, qc]
+
+    # Per-plane FDCT + quantize + zigzag.
+    zz_planes = []
+    for plane, qt in zip(planes, qtabs):
+        blocks, bh, bw = _plane_to_blocks(plane - 128.0)
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT8, blocks, _DCT8)
+        quant = np.round(coef.reshape(-1, 64) / qt.reshape(64))
+        zz_planes.append(quant[:, JPEG_ZIGZAG].astype(np.int64))
+
+    dc_l = _huff_canonical(*_JPEG_DC_LUMA)
+    ac_l = _huff_canonical(*_JPEG_AC_LUMA)
+    dc_c = _huff_canonical(*_JPEG_DC_CHROMA)
+    ac_c = _huff_canonical(*_JPEG_AC_CHROMA)
+    enc_tabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c)] * 2)
+
+    writer = _JpegBitWriter()
+    preds = [0] * len(planes)
+    for n in range(zz_planes[0].shape[0]):  # MCU = one block per comp
+        for ci, zz in enumerate(zz_planes):
+            preds[ci] = _entropy_encode_block(
+                writer, zz[n], preds[ci], *enc_tabs[ci]
+            )
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0]) + bytes(ql.reshape(64)[JPEG_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([1]) + bytes(qc.reshape(64)[JPEG_ZIGZAG].astype(np.uint8))
+    out += seg(0xFFDB, dqt)
+    nf = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    dht = b""
+    for tc_th, (bits, vals) in (
+        ((0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA))
+        + (((0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)) if not gray else ())
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += seg(0xFFC4, dht)
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """REAL sequential-baseline JPEG decoder (round-11 — closes the
+    last named codec seam): segment walk, DQT/DHT table load, SOF0
+    frame parse, entropy scan with 0xFF00 unstuffing, per-MCU Huffman
+    DC/AC decode, dequantize + inverse zigzag, one vectorized einsum
+    IDCT over every block of each component, crop, and BT.601
+    YCbCr->RGB for 3-component frames. Supports 8-bit baseline with
+    1:1 sampling (4:4:4) and 1 or 3 components; progressive (SOF2),
+    chroma subsampling, restart intervals, and arithmetic coding
+    raise a named limit. Returns (h, w, 3) uint8 for color, (h, w)
+    for grayscale."""
+    import struct
+
+    raw = bytes(payload)
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI signature")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, tq, td_ta placeholder)])
+    scan_comps = None
+    scan_data = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at offset {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC1, 0xC3):
+            raise NotImplementedError(
+                "JPEG: only sequential baseline (SOF0) is supported — "
+                f"SOF{marker - 0xC0} (progressive/extended) needs a "
+                "full codec library (PIL/cv2), the named seam"
+            )
+        if 0xC8 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
+            raise NotImplementedError(
+                "JPEG: arithmetic-coded frames are not supported "
+                "(named seam — baseline Huffman only)"
+            )
+        (length,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        body = raw[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError(f"JPEG: truncated segment {marker:#x}")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: only 8-bit DQT supported")
+                zz = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[JPEG_ZIGZAG] = zz
+                qtabs[tq] = tab
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                enc = _huff_canonical(bits, vals)
+                htabs[(tc, th)] = {
+                    (size, code): sym for sym, (code, size) in enc.items()
+                }
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG: {nf}-component frames unsupported (1=gray, "
+                    "3=YCbCr 4:4:4 are the implemented subset)"
+                )
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "JPEG: chroma subsampling (sampling factors "
+                        f"{hv >> 4}x{hv & 0xF}) unsupported — 4:4:4 only; "
+                        "subsampled files need the PIL/cv2 seam"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri:
+                raise NotImplementedError(
+                    "JPEG: restart intervals unsupported (named limit)"
+                )
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            # Entropy data runs to the next real marker (FF followed by
+            # a byte that is neither 00 stuffing nor an RSTn we allow).
+            start = pos + 2 + length
+            end = start
+            while end + 1 < len(raw):
+                if raw[end] == 0xFF and raw[end + 1] not in (0x00,):
+                    if 0xD0 <= raw[end + 1] <= 0xD7:
+                        raise NotImplementedError(
+                            "JPEG: RSTn markers in scan unsupported "
+                            "(restart intervals are a named limit)"
+                        )
+                    break
+                end += 1
+            scan_data = raw[start:end].replace(b"\xff\x00", b"\xff")
+            pos = end
+            continue
+        pos += 2 + length
+    if frame is None or scan_data is None or scan_comps is None:
+        raise ValueError("JPEG: missing SOF0/SOS")
+    h, w, comps = frame
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "JPEG: multi-scan (non-interleaved) files unsupported"
+        )
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_mcu = bh * bw
+    reader = _JpegBitReader(scan_data)
+    zz_by_comp = [
+        np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps
+    ]
+    decs = []
+    for (cid, tq), (cs, td, ta) in zip(comps, scan_comps):
+        if cs != cid:
+            raise ValueError("JPEG: SOS component order != SOF order")
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError(f"JPEG: missing Huffman table DC{td}/AC{ta}")
+        decs.append((htabs[(0, td)], htabs[(1, ta)]))
+    preds = [0] * len(comps)
+    for n in range(n_mcu):
+        for ci in range(len(comps)):
+            zz, preds[ci] = _entropy_decode_block(
+                reader, preds[ci], decs[ci][0], decs[ci][1]
+            )
+            zz_by_comp[ci][n] = zz
+
+    planes = []
+    for (cid, tq), zz in zip(comps, zz_by_comp):
+        if tq not in qtabs:
+            raise ValueError(f"JPEG: missing quantization table {tq}")
+        coef = np.zeros((n_mcu, 64), dtype=np.float64)
+        coef[:, JPEG_ZIGZAG] = zz * qtabs[tq]
+        blocks = np.einsum(
+            "xu,nuv,yv->nxy", _DCT8.T, coef.reshape(-1, 8, 8), _DCT8.T
+        )
+        planes.append(_blocks_to_plane(blocks + 128.0, bh, bw, h, w))
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def attach_jpeg_media(
+    df: DataFrame,
+    blocks_w: int,
+    blocks_h: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+) -> DataFrame:
+    """Testdata adapter for the LOSSY-codec decode path (round-11):
+    materialize a spec-valid baseline 4:4:4 color JPEG per row whose
+    luma plane is a blocks_h x blocks_w grid of CONSTANT 8x8 blocks —
+    block b's value is raster byte (b mod len) of the row's UTF-8
+    text (0 for empty text) — with neutral chroma (gray pixels). Per
+    the exactness contract in the JPEG section banner (luma DC
+    quantization step 8, pure-DC blocks, identity color transform on
+    neutral chroma) the decode is EXACTLY lossless, so the SQL oracle
+    can replay every decoded pixel from hex(encode(text)): channel
+    px_sum = 64 * sum(block bytes). The engine still runs the fully
+    general entropy-decode + IDCT path to recover them."""
+    ql = JPEG_QUANT_LUMA.copy()
+    ql[0] = 8  # DC step 8 divides 8*(v-128) for every v in 0..255
+    n_blocks = blocks_w * blocks_h
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if raw:
+                    vals = np.frombuffer(
+                        (raw * (n_blocks // len(raw) + 1))[:n_blocks],
+                        dtype=np.uint8,
+                    )
+                else:
+                    vals = np.zeros(n_blocks, dtype=np.uint8)
+                y = np.kron(
+                    vals.reshape(blocks_h, blocks_w),
+                    np.ones((8, 8), dtype=np.uint8),
+                )
+                rgb = np.stack([y, y, y], axis=-1)
+                payloads.append(encode_jpeg(rgb, quant_luma=ql))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"{id_col} long, {media_col} binary"
     )

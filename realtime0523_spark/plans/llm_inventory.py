@@ -1418,12 +1418,103 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-channel EXACT integer pixel sums. The oracle replays every "
     "raster byte from hex(encode(text)) — identical to media_decode's "
     "— so the match proves inflate + all four non-trivial defilters "
-    "byte for byte. JPEG remains the named production seam. Map-only: "
-    "payloads never shuffle; 3 rows out per image.",
+    "byte for byte. Map-only: payloads never shuffle; 3 rows out per "
+    "image.",
 )
 def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return M.decode_channel_stats(M.attach_png_media(docs, MEDIA_W, MEDIA_H))
+
+
+JPEG_BLOCKS_W, JPEG_BLOCKS_H = 2, 2  # 16×16 px, 4 constant 8×8 blocks
+
+
+@register(
+    "media_decode_jpeg",
+    f"""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    bv AS (SELECT doc_id,
+                  CASE WHEN nb = 0 THEN 0
+                       ELSE CAST('0x' || substr(hx, 2 * (b % nb) + 1, 2)
+                            AS INT) END AS v
+           FROM m, LATERAL (SELECT
+               unnest(range(0, {JPEG_BLOCKS_W * JPEG_BLOCKS_H})) AS b)),
+    s AS (SELECT doc_id, 64 * sum(v) AS px FROM bv GROUP BY 1)
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(px AS BIGINT) AS px_sum,
+           CAST({JPEG_BLOCKS_W * JPEG_BLOCKS_H * 64} AS BIGINT) AS n_px
+    FROM s, LATERAL (SELECT unnest(range(0, 3)) AS c)
+    """,
+    "REAL LOSSY-codec decode (round-11: the JPEG seam is closed): "
+    "each document becomes a spec-valid sequential-baseline 4:4:4 "
+    f"color JPEG — a {JPEG_BLOCKS_W}×{JPEG_BLOCKS_H} grid of constant "
+    "8×8 luma blocks (block value = text byte b mod len, neutral "
+    "chroma) entropy-coded with the Annex-K Huffman tables — decoded "
+    "by the pure NumPy+stdlib T.81 decoder (llm/multimodal.py::"
+    "decode_jpeg: segment walk, canonical Huffman DC/AC decode with "
+    "byte-unstuffing, dequant, inverse zigzag, vectorized einsum "
+    "IDCT, YCbCr→RGB). JPEG is lossy in general, but constant blocks "
+    "with luma DC quant step 8 and neutral chroma round-trip EXACTLY "
+    "(pure-DC blocks; see the module's exactness-contract banner), "
+    "so the oracle replays every decoded pixel from "
+    "hex(encode(text)): per-channel px_sum = 64·Σ block bytes. The "
+    "general lossy path (random images, bounded error; exact Huffman "
+    "round-trip on random coefficient blocks) is covered in "
+    "tests/test_llm.py. The doc_id/text input is repartitioned to "
+    "cluster parallelism BEFORE the codec stage: entropy coding is "
+    "CPU-bound Python-side work, and the toy corpus arrives as one "
+    "parquet split — at 100 TB the scan has thousands of splits and "
+    "the repartition is a no-op-sized insurance shuffle of (long, "
+    "short string) rows, never of decoded payloads. 3 rows out per "
+    "image. Progressive/subsampled JPEG stay the named seam.",
+)
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    par = spark.sparkContext.defaultParallelism
+    return M.decode_channel_stats(
+        M.attach_jpeg_media(
+            docs.repartition(par), JPEG_BLOCKS_W, JPEG_BLOCKS_H
+        )
+    )
+
+
+@register(
+    "docs_gzip_ingest",
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    bysum AS (SELECT doc_id,
+                     coalesce(sum(CAST('0x' || substr(hx, 2 * i + 1, 2)
+                                       AS INT)), 0) AS bs
+              FROM m, LATERAL (SELECT unnest(range(0, nb)) AS i)
+              GROUP BY doc_id)
+    SELECT m.doc_id, CAST(m.nb AS BIGINT) AS n_bytes,
+           CAST(b.bs AS BIGINT) AS byte_sum
+    FROM m JOIN bysum b USING (doc_id)
+    """,
+    "REAL compressed-shard ingestion (round-11): each document "
+    "becomes a gzip payload (RFC 1952 members — header variant "
+    "cycles plain/FNAME/FEXTRA/FCOMMENT/FHCRC by doc_id%5, texts "
+    ">64 bytes split into TWO catenated members, the wild .gz shard "
+    "shape), decompressed by the full stdlib-zlib member parser "
+    "(llm/shards.py::decode_gzip — header walk incl. all optional "
+    "fields, raw-DEFLATE inflate, CRC32+ISIZE trailer verification, "
+    "member concatenation), then exact byte accounting (length + "
+    "byte-value sum) per shard. The oracle replays the raw text "
+    "bytes from hex(encode(text)), so the match proves the whole "
+    "decompression path byte for byte; interop with the stdlib gzip "
+    "module is unit-tested both directions. This is the Common-Crawl "
+    "WET/JSONL ingestion stage of a 100 TB corpus build: map-only, "
+    "embarrassingly parallel, payloads never shuffle.",
+)
+def q_docs_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm import shards as SH
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return SH.gzip_ingest_stats(SH.attach_gzip_shards(docs))
 
 
 THUMB_W, THUMB_H = 2, 2  # 4×4 → 2×2 nearest-neighbor thumbnail

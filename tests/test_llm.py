@@ -2107,8 +2107,8 @@ def test_png_roundtrip_all_filters_and_validation():
     tampered[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(tampered))
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(b"GIF89a\x01\x00\x01\x00")
     # a payload cut off mid-chunk raises the named error, not
     # struct.error (round-11 review)
     whole = encode_png(a, (0, 1, 2, 3, 4))
@@ -2155,6 +2155,195 @@ def test_wav_roundtrip_extra_chunks_and_validation():
     bad[34] = 8  # bits-per-sample field
     with pytest.raises(ValueError, match="16-bit"):
         decode_wav(bytes(bad))
+
+
+def test_jpeg_entropy_coding_exact_roundtrip():
+    """The Huffman/zigzag/DC-prediction layer is exactly invertible:
+    random quantized coefficient blocks (clamped to the Annex-K
+    codeable range) entropy-encode and decode back bit for bit —
+    the strongest decoder check, independent of DCT rounding."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _JpegBitReader,
+        _JpegBitWriter,
+        _entropy_decode_block,
+        _entropy_encode_block,
+        _huff_canonical,
+    )
+
+    rng = np.random.default_rng(13)
+    dc_enc = _huff_canonical(*_JPEG_DC_LUMA)
+    ac_enc = _huff_canonical(*_JPEG_AC_LUMA)
+    dc_dec = {(s, c): v for v, (c, s) in dc_enc.items()}
+    ac_dec = {(s, c): v for v, (c, s) in ac_enc.items()}
+    blocks = []
+    w = _JpegBitWriter()
+    pred = 0
+    for _ in range(50):
+        zz = np.zeros(64, dtype=np.int64)
+        # sparse blocks with long zero runs (exercises ZRL + EOB) and
+        # coefficients across every magnitude category up to 10
+        nz = rng.integers(0, 20)
+        pos = rng.choice(64, size=nz, replace=False)
+        zz[pos] = rng.integers(-1023, 1024, size=nz)
+        zz[0] = rng.integers(-1023, 1024)  # DC always present
+        blocks.append(zz)
+        pred = _entropy_encode_block(w, zz, pred, dc_enc, ac_enc)
+    # the writer emits T.81 byte stuffing; the reader (as in
+    # decode_jpeg's scan extraction) consumes the unstuffed stream
+    data = w.flush().replace(b"\xff\x00", b"\xff")
+    r = _JpegBitReader(data)
+    pred = 0
+    for zz in blocks:
+        got, pred = _entropy_decode_block(r, pred, dc_dec, ac_dec)
+        assert (got == zz).all()
+
+
+def test_jpeg_roundtrip_and_validation():
+    """Round-11 JPEG decoder: the exact constant-block contract holds
+    for every byte value; the general lossy path is bounded; odd
+    (non-8-multiple) dims crop correctly; gray works; unsupported
+    shapes raise naming the seam."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        JPEG_QUANT_LUMA,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    ql = JPEG_QUANT_LUMA.copy()
+    ql[0] = 8
+    # exact contract across the full value range incl. v=0 and v=255
+    vals = np.array([[0, 255], [128, 37]], dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([y, y, y], axis=-1)
+    got = decode_image(encode_jpeg(rgb, quant_luma=ql))
+    assert (got == rgb).all()
+    # general lossy path: random RGB, q=1 tables, tight bound
+    ones = np.ones(64, dtype=np.int64)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    # standard Annex-K tables on a smooth ramp: the coarse tables
+    # keep low-frequency content nearly intact (noise would NOT be —
+    # that is the point of lossy quantization, so no noise bound here)
+    xx, yy = np.meshgrid(np.arange(32), np.arange(40))
+    ramp = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    smooth = np.stack([ramp, ramp, ramp], axis=-1)
+    out2 = decode_jpeg(encode_jpeg(smooth))
+    assert np.abs(out2.astype(int) - smooth.astype(int)).max() <= 16
+    # grayscale single-component frames
+    gr = rng.integers(0, 256, size=(11, 19), dtype=np.uint8)
+    outg = decode_jpeg(encode_jpeg(gr, quant_luma=ones))
+    assert outg.shape == gr.shape
+    assert np.abs(outg.astype(int) - gr.astype(int)).max() <= 3
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_image(encode_jpeg(gr, quant_luma=ones))
+    # named seams: progressive SOF2, subsampling, restart intervals
+    payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2|progressive"):
+        decode_jpeg(bytes(payload))
+    payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x22  # luma sampling 2x2 (4:2:0)
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # truncated entropy stream raises the named error
+    whole = encode_jpeg(rgb, quant_luma=ql)
+    with pytest.raises(ValueError, match="exhausted|truncated"):
+        decode_jpeg(whole[: len(whole) - 8])
+
+
+def test_gzip_member_roundtrip_interop_and_validation():
+    """Round-11 gzip shard parser: every header variant roundtrips,
+    multi-member concatenation works, interop with the stdlib gzip
+    module holds in BOTH directions, and corruption/truncation raise
+    named errors."""
+    import gzip as _gzip
+
+    from realtime0523_spark.llm.shards import decode_gzip, encode_gzip_member
+
+    texts = [b"", b"hello world", b"x" * 200, bytes(range(256)) * 3]
+    variants = [
+        {},
+        {"fname": b"a.txt"},
+        {"fextra": b"12ab"},
+        {"fcomment": b"c"},
+        {"fhcrc": True},
+    ]
+    for t in texts:
+        for kw in variants:
+            m = encode_gzip_member(t, **kw)
+            assert decode_gzip(m) == t
+            assert _gzip.decompress(m) == t  # stdlib reads ours
+            assert decode_gzip(_gzip.compress(t, mtime=0)) == t  # we read stdlib
+    mm = encode_gzip_member(b"abc", fname=b"f") + encode_gzip_member(
+        b"def", fhcrc=True
+    )
+    assert decode_gzip(mm) == b"abcdef"
+    assert _gzip.decompress(mm) == b"abcdef"
+    bad = bytearray(encode_gzip_member(b"hello world"))
+    bad[-6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32"):
+        decode_gzip(bytes(bad))
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gzip(encode_gzip_member(b"abc")[:-4])
+    with pytest.raises(ValueError, match="magic"):
+        decode_gzip(b"\x1f\x8c\x08" + bytes(20))
+    with pytest.raises(ValueError, match="ISIZE"):
+        bad2 = bytearray(encode_gzip_member(b"hello"))
+        bad2[-1] ^= 0x01
+        decode_gzip(bytes(bad2))
+    hdr_bad = bytearray(encode_gzip_member(b"hi", fhcrc=True))
+    hdr_bad[4] ^= 0xFF  # MTIME byte covered by the header CRC16
+    with pytest.raises(ValueError, match="CRC16"):
+        decode_gzip(bytes(hdr_bad))
+
+
+def test_media_decode_jpeg_and_gzip_ingest_match_oracle_shape(spark):
+    """media_decode_jpeg equals media byte accounting computed
+    directly from the text column (the exactness contract end to
+    end through Spark), and docs_gzip_ingest recovers every
+    document's exact byte length and sum."""
+    import numpy as np
+
+    from realtime0523_spark.plans import REGISTRY
+
+    jpeg = REGISTRY["media_decode_jpeg"].fn(spark, SF_SMOKE).collect()
+    gz = REGISTRY["docs_gzip_ingest"].fn(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    got = {r["doc_id"]: (r["n_bytes"], r["byte_sum"]) for r in gz.collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = (row["text"] or "").encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        assert got[row["doc_id"]] == (
+            len(raw),
+            int(arr.sum(dtype=np.int64)) if len(raw) else 0,
+        )
+    # jpeg: per-channel sums equal 64 * sum of the 4 cycled text bytes
+    by_doc = {}
+    for r in jpeg:
+        by_doc.setdefault(r["doc_id"], []).append((r["channel"], r["px_sum"]))
+        assert r["n_px"] == 256
+    for row in docs.select("doc_id", "text").collect():
+        raw = (row["text"] or "").encode("utf-8")
+        want = 64 * sum(
+            (raw[b % len(raw)] if raw else 0) for b in range(4)
+        )
+        chans = sorted(by_doc[row["doc_id"]])
+        assert chans == [(0, want), (1, want), (2, want)]
 
 
 def test_media_decode_png_and_audio_decode_match_uncompressed_twins(spark):

@@ -309,6 +309,22 @@ AUDITED: dict[str, str] = {
         "kernel, zero exchanges — the container parse adds no shuffle "
         "over media_audio_energy"
     ),
+    "media_decode_jpeg": (
+        "one deliberate round-robin exchange of (long, short-string) "
+        "rows BEFORE the codec stage (CPU-bound entropy coding wants "
+        "core parallelism; the toy corpus is one parquet split), then "
+        "map-only: JPEG-encode fixture kernel -> Huffman decode + "
+        "vectorized einsum IDCT + channel sums; decoded payloads "
+        "never shuffle — at 100 TB the scan is already thousands of "
+        "splits and the exchange is insurance, not a data motion"
+    ),
+    "docs_gzip_ingest": (
+        "map-only: gzip-member fixture kernel -> full RFC 1952 parse "
+        "(header variants, CRC32/ISIZE, multi-member) + inflate + "
+        "byte accounting in one Arrow kernel; zero exchanges, one "
+        "row out per shard — the canonical embarrassingly-parallel "
+        "ingestion scan"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

@@ -156,6 +156,8 @@ PROBES = [
     "media_decode_png",    # zlib inflate + defilter, still map-only (r11)
     "media_audio_decode",  # RIFF parse + frame-energy fold, map-only (r11)
     "stream_manifest_topic_counts",  # manifest bus commit+expand roundtrip (r11)
+    "media_decode_jpeg",   # repartition + Huffman/IDCT codec, map-only after (r11)
+    "docs_gzip_ingest",    # RFC1952 parse + inflate, map-only (r11)
 ]
 
 # Library paths without their own registry entry, probed as callables:
