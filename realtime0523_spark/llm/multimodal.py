@@ -1169,9 +1169,20 @@ def _dct8_matrix() -> "np.ndarray":
 _DCT8 = _dct8_matrix()
 
 
+# Canonical-table cache keyed by the (BITS, HUFFVAL) spec: the Annex-K
+# tables recur in every payload of a fixture corpus, and rebuilding the
+# 162-entry AC map per image is the dominant non-entropy cost of the
+# per-row decode. Per-worker, bounded by distinct tables seen.
+_HUFF_CACHE: dict[tuple, dict] = {}
+
+
 def _huff_canonical(bits: list[int], huffval: list[int]):
     """(code, size) per symbol from a DHT (BITS, HUFFVAL) spec — the
     canonical assignment of T.81 Annex C."""
+    key = (tuple(bits), tuple(huffval))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if sum(bits) != len(huffval):
         raise ValueError(
             f"JPEG: DHT declares {sum(bits)} codes, carries {len(huffval)}"
@@ -1185,7 +1196,22 @@ def _huff_canonical(bits: list[int], huffval: list[int]):
             code += 1
             i += 1
         code <<= 1
+    _HUFF_CACHE[key] = enc
     return enc
+
+
+def _huff_decode_map(bits: list[int], huffval: list[int]) -> dict:
+    """(size, code) -> symbol map for the decoder, cached like the
+    encode direction."""
+    key = ("dec", tuple(bits), tuple(huffval))
+    cached = _HUFF_CACHE.get(key)
+    if cached is None:
+        cached = {
+            (size, code): sym
+            for sym, (code, size) in _huff_canonical(bits, huffval).items()
+        }
+        _HUFF_CACHE[key] = cached
+    return cached
 
 
 class _JpegBitWriter:
@@ -1477,6 +1503,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # fill byte padding before a marker (B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM/RSTn are standalone (no length field); outside a
+            # scan they carry nothing — skip, don't misread a length
+            pos += 2
+            continue
         if marker in (0xC2, 0xC1, 0xC3):
             raise NotImplementedError(
                 "JPEG: only sequential baseline (SOF0) is supported — "
@@ -1512,10 +1546,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17 : off + 17 + n])
-                enc = _huff_canonical(bits, vals)
-                htabs[(tc, th)] = {
-                    (size, code): sym for sym, (code, size) in enc.items()
-                }
+                htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])

@@ -98,12 +98,18 @@ def decode_gzip(payload: bytes) -> bytes:
         hdr_start = pos
         pos += 10  # magic, CM, FLG, MTIME(4), XFL, OS
         if flg & _FEXTRA:
+            if pos + 2 > len(raw):
+                raise ValueError("gzip: FEXTRA length field truncated")
             (xlen,) = struct.unpack("<H", raw[pos : pos + 2])
             pos += 2 + xlen
-        if flg & _FNAME:
-            pos = raw.index(b"\x00", pos) + 1
-        if flg & _FCOMMENT:
-            pos = raw.index(b"\x00", pos) + 1
+        for bit, field in ((_FNAME, "FNAME"), (_FCOMMENT, "FCOMMENT")):
+            if flg & bit:
+                nul = raw.find(b"\x00", pos)
+                if nul < 0:
+                    raise ValueError(
+                        f"gzip: unterminated {field} header field"
+                    )
+                pos = nul + 1
         if flg & _FHCRC:
             (want,) = struct.unpack("<H", raw[pos : pos + 2])
             got = zlib.crc32(raw[hdr_start:pos]) & 0xFFFF
