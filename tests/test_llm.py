@@ -2311,6 +2311,52 @@ def test_gzip_member_roundtrip_interop_and_validation():
         decode_gzip(bytes(hdr_bad))
 
 
+def test_warc_parse_roundtrip_and_validation():
+    """Round-11 WARC walker: records round-trip through encode/parse
+    (headers + content), multi-record streams in per-record gzip
+    members (the .warc.gz layout) parse through decode_gzip, and
+    framing violations raise named errors."""
+    import bz2
+    import lzma
+
+    from realtime0523_spark.llm.shards import (
+        decode_auto,
+        decode_gzip,
+        encode_gzip_member,
+        encode_warc_record,
+        parse_warc,
+    )
+
+    resp = encode_warc_record("response", b"hello world", "r1", "http://x/1")
+    info = encode_warc_record("warcinfo", b"", "r2")
+    recs = parse_warc(resp + info)
+    assert len(recs) == 2
+    assert recs[0]["warc-type"] == "response"
+    assert recs[0]["content"] == b"hello world"
+    assert recs[0]["warc-target-uri"] == "http://x/1"
+    assert recs[1]["content"] == b"" and recs[1]["content-length"] == "0"
+    # per-record gzip members, catenated — the Common-Crawl layout
+    shard = encode_gzip_member(resp) + encode_gzip_member(info)
+    assert [r["warc-type"] for r in parse_warc(decode_gzip(shard))] == [
+        "response",
+        "warcinfo",
+    ]
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(resp[: len(resp) - 8])
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc(resp[: len(resp) - 4] + b"XXXX")
+    # magic-dispatched shard decompression: bz2/xz via stdlib
+    assert decode_auto(bz2.compress(b"wiki dump")) == b"wiki dump"
+    assert decode_auto(lzma.compress(b"academic corpus")) == b"academic corpus"
+    assert decode_auto(encode_gzip_member(b"cc shard")) == b"cc shard"
+    with pytest.raises(NotImplementedError, match="zstd"):
+        decode_auto(b"\x28\xb5\x2f\xfd zstd-frame")
+
+
 def test_media_decode_jpeg_and_gzip_ingest_match_oracle_shape(spark):
     """media_decode_jpeg equals media byte accounting computed
     directly from the text column (the exactness contract end to

@@ -325,6 +325,13 @@ AUDITED: dict[str, str] = {
         "row out per shard — the canonical embarrassingly-parallel "
         "ingestion scan"
     ),
+    "docs_warc_extract": (
+        "map-only two-layer parse: .warc.gz fixture kernel -> "
+        "per-record gunzip + ISO 28500 record walk + response-type "
+        "filter + byte accounting in one Arrow kernel; zero "
+        "exchanges, one row per shard — the Common-Crawl ingestion "
+        "stage, shard-parallel by construction"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "

@@ -158,6 +158,7 @@ PROBES = [
     "stream_manifest_topic_counts",  # manifest bus commit+expand roundtrip (r11)
     "media_decode_jpeg",   # repartition + Huffman/IDCT codec, map-only after (r11)
     "docs_gzip_ingest",    # RFC1952 parse + inflate, map-only (r11)
+    "docs_warc_extract",   # .warc.gz two-layer parse, map-only (r11)
 ]
 
 # Library paths without their own registry entry, probed as callables:
