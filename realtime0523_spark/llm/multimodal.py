@@ -1172,8 +1172,12 @@ _DCT8 = _dct8_matrix()
 # Canonical-table cache keyed by the (BITS, HUFFVAL) spec: the Annex-K
 # tables recur in every payload of a fixture corpus, and rebuilding the
 # 162-entry AC map per image is the dominant non-entropy cost of the
-# per-row decode. Per-worker, bounded by distinct tables seen.
+# per-row decode. Size-capped: wild corpora carry per-image optimized
+# tables (libjpeg -optimize), so an unbounded dict would leak in a
+# long-lived worker — on overflow the cache resets, costing a rebuild,
+# never memory.
 _HUFF_CACHE: dict[tuple, dict] = {}
+_HUFF_CACHE_MAX = 64
 
 
 def _huff_canonical(bits: list[int], huffval: list[int]):
@@ -1196,6 +1200,8 @@ def _huff_canonical(bits: list[int], huffval: list[int]):
             code += 1
             i += 1
         code <<= 1
+    if len(_HUFF_CACHE) >= _HUFF_CACHE_MAX:
+        _HUFF_CACHE.clear()
     _HUFF_CACHE[key] = enc
     return enc
 
@@ -1210,6 +1216,8 @@ def _huff_decode_map(bits: list[int], huffval: list[int]) -> dict:
             (size, code): sym
             for sym, (code, size) in _huff_canonical(bits, huffval).items()
         }
+        if len(_HUFF_CACHE) >= _HUFF_CACHE_MAX:
+            _HUFF_CACHE.clear()
         _HUFF_CACHE[key] = cached
     return cached
 
@@ -1344,6 +1352,8 @@ def _entropy_decode_block(
             break
         if sym == 0xF0:  # ZRL
             k += 16
+            if k > 63:
+                raise ValueError("JPEG: ZRL overflows the 8x8 block")
             continue
         run, cat = sym >> 4, sym & 0x0F
         k += run
@@ -1511,11 +1521,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # scan they carry nothing — skip, don't misread a length
             pos += 2
             continue
-        if marker in (0xC2, 0xC1, 0xC3):
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
                 "JPEG: only sequential baseline (SOF0) is supported — "
-                f"SOF{marker - 0xC0} (progressive/extended) needs a "
-                "full codec library (PIL/cv2), the named seam"
+                f"SOF{marker - 0xC0} (progressive/extended/differential) "
+                "needs a full codec library (PIL/cv2), the named seam"
             )
         if 0xC8 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             raise NotImplementedError(
@@ -1631,7 +1641,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         if tq not in qtabs:
             raise ValueError(f"JPEG: missing quantization table {tq}")
         coef = np.zeros((n_mcu, 64), dtype=np.float64)
-        coef[:, JPEG_ZIGZAG] = zz * qtabs[tq]
+        # zz is in zigzag scan order; the stored table is natural
+        # order — permute the steps to match before multiplying
+        # (caught by the asymmetric-table round-trip test: a
+        # natural-order multiply reconstructs coefficient k with
+        # Q[k] instead of Q[zigzag[k]])
+        coef[:, JPEG_ZIGZAG] = zz * qtabs[tq][JPEG_ZIGZAG]
         blocks = np.einsum(
             "xu,nuv,yv->nxy", _DCT8.T, coef.reshape(-1, 8, 8), _DCT8.T
         )

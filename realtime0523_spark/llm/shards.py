@@ -88,6 +88,11 @@ def decode_gzip(payload: bytes) -> bytes:
             raise ValueError(
                 f"gzip: bad magic {raw[pos:pos + 2]!r} at offset {pos}"
             )
+        if pos + 10 > len(raw):
+            raise ValueError(
+                f"gzip: member header truncated at offset {pos} "
+                f"(need 10 bytes, payload has {len(raw) - pos})"
+            )
         if raw[pos + 2] != 8:
             raise ValueError(
                 f"gzip: compression method {raw[pos + 2]} != 8 (deflate)"
@@ -111,6 +116,8 @@ def decode_gzip(payload: bytes) -> bytes:
                     )
                 pos = nul + 1
         if flg & _FHCRC:
+            if pos + 2 > len(raw):
+                raise ValueError("gzip: FHCRC field truncated")
             (want,) = struct.unpack("<H", raw[pos : pos + 2])
             got = zlib.crc32(raw[hdr_start:pos]) & 0xFFFF
             if got != want:

@@ -1492,8 +1492,8 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM m, LATERAL (SELECT unnest(range(0, nb)) AS i)
               GROUP BY doc_id)
     SELECT m.doc_id, CAST(m.nb AS BIGINT) AS n_bytes,
-           CAST(b.bs AS BIGINT) AS byte_sum
-    FROM m JOIN bysum b USING (doc_id)
+           CAST(coalesce(b.bs, 0) AS BIGINT) AS byte_sum
+    FROM m LEFT JOIN bysum b USING (doc_id)
     """,
     "REAL compressed-shard ingestion (round-11): each document "
     "becomes a gzip payload (RFC 1952 members — header variant "
@@ -1530,8 +1530,8 @@ def q_docs_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
               GROUP BY doc_id)
     SELECT m.doc_id, CAST(3 AS INT) AS n_records,
            CAST(m.nb AS BIGINT) AS response_bytes,
-           CAST(b.bs AS BIGINT) AS byte_sum
-    FROM m JOIN bysum b USING (doc_id)
+           CAST(coalesce(b.bs, 0) AS BIGINT) AS byte_sum
+    FROM m LEFT JOIN bysum b USING (doc_id)
     """,
     "REAL Common-Crawl-format ingestion (round-11): each document "
     "becomes a .warc.gz shard in the CC layout — three ISO 28500 "

@@ -27,7 +27,22 @@ def test_query_matches_oracle(spark, con, name):
     assert not issues, issues
 
 
-@pytest.mark.parametrize("name", ["media_resize", "media_frames", "media_features"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "media_resize",
+        "media_frames",
+        "media_features",
+        # the decode/ingest family must also hold on multibyte AND
+        # empty text (doc 4 below): the round-11 review caught the
+        # gzip/warc oracles dropping nb=0 docs via an inner join
+        "media_decode",
+        "media_decode_png",
+        "media_decode_jpeg",
+        "docs_gzip_ingest",
+        "docs_warc_extract",
+    ],
+)
 def test_media_oracles_hold_on_non_ascii(spark, tmp_path, name):
     """The driver corpus is 100% ASCII, which hides char-vs-byte
     divergence between a decoded-domain kernel and a SQL oracle. Run

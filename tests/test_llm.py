@@ -2244,6 +2244,14 @@ def test_jpeg_roundtrip_and_validation():
     outg = decode_jpeg(encode_jpeg(gr, quant_luma=ones))
     assert outg.shape == gr.shape
     assert np.abs(outg.astype(int) - gr.astype(int)).max() <= 3
+    # ASYMMETRIC quant table (not invariant under the zigzag
+    # permutation): catches natural-vs-zigzag order mixups in the
+    # dequantization step, which all-ones and DC-only fixtures mask
+    # (round-11 review finding — the decoder multiplied scan
+    # coefficient k by Q[k] instead of Q[zigzag[k]])
+    asym = (1 + (np.arange(64) % 3)).astype(np.int64)
+    outa = decode_jpeg(encode_jpeg(gr, quant_luma=asym))
+    assert np.abs(outa.astype(int) - gr.astype(int)).max() <= 6
     with pytest.raises(ValueError, match="grayscale"):
         decode_image(encode_jpeg(gr, quant_luma=ones))
     # named seams: progressive SOF2, subsampling, restart intervals
