@@ -15,7 +15,7 @@ oracle contract) run end-to-end with no external codec and are
 oracle-checkable byte for byte (`media_decode`, `media_decode_png`,
 `media_decode_jpeg`, `media_resize_decode`, `media_video_frames`,
 `media_audio_decode`). The formats still out of reach without a codec
-library (progressive/subsampled JPEG, H.264/…) raise
+library (progressive/arithmetic JPEG, H.264/…) raise
 NotImplementedError naming the production seam (PIL/cv2/ffmpeg) —
 this container ships no codecs, and a fake decode would be dishonest.
 Only the opaque-payload plumbing (`resize_media`, `sample_frames`)
@@ -350,7 +350,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
         f"image decode for magic {raw[:2]!r} requires an imaging library "
         f"(PIL/cv2) not present in this environment; P6 PPM, 8-bit PNG "
         f"and baseline 4:4:4 JPEG decode natively — progressive/"
-        f"subsampled JPEG and the exotic formats are the remaining seam"
+        f"arithmetic JPEG and the exotic formats are the remaining seam"
     )
 
 
@@ -1032,9 +1032,11 @@ def video_frame_stats(
 # dequantization, inverse zigzag, vectorized 8x8 IDCT (orthonormal
 # DCT-III via one einsum over all blocks), edge-padding crop, and
 # BT.601 YCbCr->RGB. Supports 8-bit precision, 1- or 3-component
-# scans with 1:1 sampling (4:4:4); chroma subsampling, progressive
-# (SOF2), restart intervals, and arithmetic coding raise a named
-# limit. Reference parity: realtime0523 has no media path at all —
+# scans with full sampling-factor interleave (4:4:4 / 4:2:2 / 4:2:0
+# and any integer-ratio factors) plus DRI/RSTn restart intervals;
+# progressive (SOF2), differential (SOF5-7), and arithmetic coding
+# raise a named limit. Reference parity: realtime0523 has no media
+# path at all —
 # this implements the multimodal column contract the task brief
 # specifies, against the public T.81 spec (Annex F decode procedure,
 # Annex K tables).
@@ -1244,6 +1246,14 @@ class _JpegBitWriter:
                 self._out.append(0x00)
         self._acc &= (1 << self._n) - 1
 
+    def align_marker(self, marker: int) -> None:
+        """1-pad to a byte boundary and emit a bare marker (RSTn):
+        marker bytes are written verbatim — never byte-stuffed."""
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        self._out += bytes([0xFF, marker])
+
     def flush(self) -> bytes:
         if self._n:
             pad = 8 - self._n
@@ -1385,14 +1395,40 @@ def _ycbcr_to_rgb(ycc: "np.ndarray") -> "np.ndarray":
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _plane_to_blocks(plane: "np.ndarray") -> tuple["np.ndarray", int, int]:
-    """Edge-replicate a (h, w) float plane to 8-multiples and return
-    (n_blocks, 8, 8) in MCU (row-major block) order."""
+def _plane_to_blocks(
+    plane: "np.ndarray", bh: int | None = None, bw: int | None = None
+) -> tuple["np.ndarray", int, int]:
+    """Edge-replicate a (h, w) float plane to the (bh, bw) block grid
+    (defaults: the smallest 8-multiples) and return (n_blocks, 8, 8)
+    in row-major block order."""
     h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
+    bh = -(-h // 8) if bh is None else bh
+    bw = -(-w // 8) if bw is None else bw
     padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
     return blocks.reshape(bh * bw, 8, 8), bh, bw
+
+
+def _downsample_mean(
+    plane: "np.ndarray", fy: int, fx: int
+) -> "np.ndarray":
+    """fy x fx block-mean chroma downsampling (what real encoders do
+    for 4:2:0/4:2:2), edge-padding ragged borders first."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ch, cw = -(-h // fy), -(-w // fx)
+    padded = np.pad(
+        plane, ((0, ch * fy - h), (0, cw * fx - w)), mode="edge"
+    )
+    return padded.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+
+
+_JPEG_SAMPLING = {
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
 
 
 def _blocks_to_plane(
@@ -1406,13 +1442,17 @@ def encode_jpeg(
     img: "np.ndarray",
     quant_luma: "np.ndarray | None" = None,
     quant_chroma: "np.ndarray | None" = None,
+    sampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Sequential-baseline JFIF bytes for a (h, w, 3) RGB or (h, w)
-    grayscale uint8 array: 4:4:4, Annex K typical Huffman tables,
-    Annex K.1/K.2 quantization unless overridden (the oracle fixture
+    grayscale uint8 array: Annex K typical Huffman tables, Annex
+    K.1/K.2 quantization unless overridden (the oracle fixture
     overrides the luma DC step to 8 — see the module banner's
-    exactness contract). Encoder exists for fixtures and round-trip
-    tests; the engine-side kernel is `decode_jpeg`."""
+    exactness contract), 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
+    (block-mean downsample), optional DRI/RSTn restart intervals.
+    Encoder exists for fixtures and round-trip tests; the engine-side
+    kernel is `decode_jpeg`."""
     import struct
 
     gray = img.ndim == 2
@@ -1424,20 +1464,35 @@ def encode_jpeg(
         quant_chroma if quant_chroma is not None else JPEG_QUANT_CHROMA
     ).astype(np.int64)
     if gray:
+        factors = ((1, 1),)
         planes = [img.astype(np.float64)]
-        qtabs = [ql]
+        qtab_l = [ql]
     else:
+        if sampling not in _JPEG_SAMPLING:
+            raise ValueError(
+                f"JPEG encode: sampling {sampling!r} not one of "
+                f"{sorted(_JPEG_SAMPLING)}"
+            )
+        factors = _JPEG_SAMPLING[sampling]
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        qtabs = [ql, qc, qc]
+        qtab_l = [ql, qc, qc]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    # Per-plane FDCT + quantize + zigzag.
-    zz_planes = []
-    for plane, qt in zip(planes, qtabs):
-        blocks, bh, bw = _plane_to_blocks(plane - 128.0)
+    # Per-component downsample + FDCT + quantize + zigzag, block grids
+    # sized to full MCU coverage so the interleave below never rags.
+    zz_planes, grids = [], []
+    for plane, qt, (hi, vi) in zip(planes, qtab_l, factors):
+        ds = _downsample_mean(plane, vmax // vi, hmax // hi)
+        blocks, bhi, bwi = _plane_to_blocks(
+            ds - 128.0, mcuy * vi, mcux * hi
+        )
         coef = np.einsum("ux,nxy,vy->nuv", _DCT8, blocks, _DCT8)
         quant = np.round(coef.reshape(-1, 64) / qt.reshape(64))
         zz_planes.append(quant[:, JPEG_ZIGZAG].astype(np.int64))
+        grids.append((bhi, bwi))
 
     dc_l = _huff_canonical(*_JPEG_DC_LUMA)
     ac_l = _huff_canonical(*_JPEG_AC_LUMA)
@@ -1447,11 +1502,22 @@ def encode_jpeg(
 
     writer = _JpegBitWriter()
     preds = [0] * len(planes)
-    for n in range(zz_planes[0].shape[0]):  # MCU = one block per comp
+    rst = 0
+    for n in range(mcuy * mcux):
+        if restart_interval and n and n % restart_interval == 0:
+            writer.align_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        my, mx = divmod(n, mcux)
         for ci, zz in enumerate(zz_planes):
-            preds[ci] = _entropy_encode_block(
-                writer, zz[n], preds[ci], *enc_tabs[ci]
-            )
+            hi, vi = factors[ci]
+            bwi = grids[ci][1]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * bwi + (mx * hi + bx)
+                    preds[ci] = _entropy_encode_block(
+                        writer, zz[bidx], preds[ci], *enc_tabs[ci]
+                    )
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1466,8 +1532,11 @@ def encode_jpeg(
     nf = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nf)
     for ci in range(nf):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     dht = b""
     for tc_th, (bits, vals) in (
         ((0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA))
@@ -1489,11 +1558,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     """REAL sequential-baseline JPEG decoder (round-11 — closes the
     last named codec seam): segment walk, DQT/DHT table load, SOF0
     frame parse, entropy scan with 0xFF00 unstuffing, per-MCU Huffman
-    DC/AC decode, dequantize + inverse zigzag, one vectorized einsum
-    IDCT over every block of each component, crop, and BT.601
-    YCbCr->RGB for 3-component frames. Supports 8-bit baseline with
-    1:1 sampling (4:4:4) and 1 or 3 components; progressive (SOF2),
-    chroma subsampling, restart intervals, and arithmetic coding
+    DC/AC decode with full sampling-factor interleave (4:4:4 / 4:2:2
+    / 4:2:0 and any integer-ratio factors 1..4), DRI/RSTn restart
+    intervals (per-segment byte alignment, DC prediction reset,
+    cyclic marker validation), dequantize + inverse zigzag, one
+    vectorized einsum IDCT over every block of each component,
+    nearest-neighbor chroma upsample, crop, and BT.601 YCbCr->RGB
+    for 3-component frames. 1 or 3 components, 8-bit precision;
+    progressive (SOF2), differential (SOF5-7), and arithmetic coding
     raise a named limit. Returns (h, w, 3) uint8 for color, (h, w)
     for grayscale."""
     import struct
@@ -1504,9 +1576,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     pos = 2
     qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(cid, tq, td_ta placeholder)])
+    frame = None  # (h, w, [(cid, tq, hi, vi)])
     scan_comps = None
     scan_data = None
+    restart_interval = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at offset {pos}")
@@ -1570,40 +1643,35 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "JPEG: chroma subsampling (sampling factors "
-                        f"{hv >> 4}x{hv & 0xF}) unsupported — 4:4:4 only; "
-                        "subsampled files need the PIL/cv2 seam"
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG: sampling factors {hi}x{vi} outside "
+                        "the spec range 1..4"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker == 0xDD:  # DRI
-            (ri,) = struct.unpack(">H", body[:2])
-            if ri:
-                raise NotImplementedError(
-                    "JPEG: restart intervals unsupported (named limit)"
-                )
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
-            # Entropy data runs to the next real marker (FF followed by
-            # a byte that is neither 00 stuffing nor an RSTn we allow).
+            # Entropy data runs to the next non-RSTn marker (FF
+            # followed by a byte that is neither 00 stuffing nor
+            # D0-D7 — restart markers live inside the scan).
             start = pos + 2 + length
             end = start
             while end + 1 < len(raw):
-                if raw[end] == 0xFF and raw[end + 1] not in (0x00,):
-                    if 0xD0 <= raw[end + 1] <= 0xD7:
-                        raise NotImplementedError(
-                            "JPEG: RSTn markers in scan unsupported "
-                            "(restart intervals are a named limit)"
-                        )
+                nxt = raw[end + 1]
+                if raw[end] == 0xFF and nxt != 0x00 and not (
+                    0xD0 <= nxt <= 0xD7
+                ):
                     break
                 end += 1
-            scan_data = raw[start:end].replace(b"\xff\x00", b"\xff")
+            scan_data = raw[start:end]  # stuffed; split on RSTn later
             pos = end
             continue
         pos += 2 + length
@@ -1615,32 +1683,78 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             "JPEG: multi-scan (non-interleaved) files unsupported"
         )
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw
-    reader = _JpegBitReader(scan_data)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for cid, tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"JPEG: non-integer upsampling ({hi}x{vi} against "
+                f"max {hmax}x{vmax}) unsupported — the exotic-ratio "
+                "seam (PIL/cv2)"
+            )
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    # Restart handling: the stuffed scan splits on RSTn markers into
+    # independently byte-aligned entropy segments, each starting with
+    # fresh DC predictions (T.81 F.2.1.3.1). Marker order must cycle
+    # D0..D7.
+    import re as _re
+
+    parts = _re.split(b"(\xff[\xd0-\xd7])", scan_data)
+    segments = [parts[i] for i in range(0, len(parts), 2)]
+    markers = [parts[i][1] - 0xD0 for i in range(1, len(parts), 2)]
+    if markers and not restart_interval:
+        raise ValueError("JPEG: RSTn in scan but no DRI interval set")
+    for i, m in enumerate(markers):
+        if m != i & 7:
+            raise ValueError(
+                f"JPEG: restart marker out of sequence (RST{m} where "
+                f"RST{i & 7} expected)"
+            )
+    if restart_interval:
+        want = -(-n_mcu // restart_interval)
+        if len(segments) != want:
+            raise ValueError(
+                f"JPEG: {len(segments)} restart segments for {n_mcu} "
+                f"MCUs at interval {restart_interval} (expected {want})"
+            )
+    readers = [
+        _JpegBitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments
+    ]
+
+    grids = [(mcuy * vi, mcux * hi) for _, _, hi, vi in comps]
     zz_by_comp = [
-        np.zeros((n_mcu, 64), dtype=np.int64) for _ in comps
+        np.zeros((bhi * bwi, 64), dtype=np.int64) for bhi, bwi in grids
     ]
     decs = []
-    for (cid, tq), (cs, td, ta) in zip(comps, scan_comps):
+    for (cid, tq, hi, vi), (cs, td, ta) in zip(comps, scan_comps):
         if cs != cid:
             raise ValueError("JPEG: SOS component order != SOF order")
         if (0, td) not in htabs or (1, ta) not in htabs:
             raise ValueError(f"JPEG: missing Huffman table DC{td}/AC{ta}")
         decs.append((htabs[(0, td)], htabs[(1, ta)]))
     preds = [0] * len(comps)
+    reader = readers[0]
     for n in range(n_mcu):
-        for ci in range(len(comps)):
-            zz, preds[ci] = _entropy_decode_block(
-                reader, preds[ci], decs[ci][0], decs[ci][1]
-            )
-            zz_by_comp[ci][n] = zz
+        if restart_interval and n and n % restart_interval == 0:
+            reader = readers[n // restart_interval]
+            preds = [0] * len(comps)
+        my, mx = divmod(n, mcux)
+        for ci, (cid, tq, hi, vi) in enumerate(comps):
+            bwi = grids[ci][1]
+            for by in range(vi):
+                for bx in range(hi):
+                    zz, preds[ci] = _entropy_decode_block(
+                        reader, preds[ci], decs[ci][0], decs[ci][1]
+                    )
+                    zz_by_comp[ci][(my * vi + by) * bwi + mx * hi + bx] = zz
 
     planes = []
-    for (cid, tq), zz in zip(comps, zz_by_comp):
+    for (cid, tq, hi, vi), (bhi, bwi), zz in zip(comps, grids, zz_by_comp):
         if tq not in qtabs:
             raise ValueError(f"JPEG: missing quantization table {tq}")
-        coef = np.zeros((n_mcu, 64), dtype=np.float64)
+        coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
         # zz is in zigzag scan order; the stored table is natural
         # order — permute the steps to match before multiplying
         # (caught by the asymmetric-table round-trip test: a
@@ -1650,7 +1764,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         blocks = np.einsum(
             "xu,nuv,yv->nxy", _DCT8.T, coef.reshape(-1, 8, 8), _DCT8.T
         )
-        planes.append(_blocks_to_plane(blocks + 128.0, bh, bw, h, w))
+        # assemble the component plane at its own resolution, crop to
+        # the component's true dims, then nearest-upsample to (h, w)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = _blocks_to_plane(blocks + 128.0, bhi, bwi, ch, cw)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)[:h, :w]
+        planes.append(plane)
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -1468,7 +1468,9 @@ JPEG_BLOCKS_W, JPEG_BLOCKS_H = 2, 2  # 16×16 px, 4 constant 8×8 blocks
     "parquet split — at 100 TB the scan has thousands of splits and "
     "the repartition is a no-op-sized insurance shuffle of (long, "
     "short string) rows, never of decoded payloads. 3 rows out per "
-    "image. Progressive/subsampled JPEG stay the named seam.",
+    "image. 4:2:0/4:2:2 subsampling and DRI restart intervals decode "
+    "too (unit-tested); progressive/arithmetic JPEG stay the named "
+    "seam.",
 )
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")

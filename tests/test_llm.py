@@ -2254,7 +2254,7 @@ def test_jpeg_roundtrip_and_validation():
     assert np.abs(outa.astype(int) - gr.astype(int)).max() <= 6
     with pytest.raises(ValueError, match="grayscale"):
         decode_image(encode_jpeg(gr, quant_luma=ones))
-    # named seams: progressive SOF2, subsampling, restart intervals
+    # named seams: progressive SOF2, out-of-range sampling factors
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
     payload[sof + 1] = 0xC2
@@ -2262,8 +2262,8 @@ def test_jpeg_roundtrip_and_validation():
         decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 11] = 0x22  # luma sampling 2x2 (4:2:0)
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    payload[sof + 11] = 0x50  # luma sampling 5x0: outside spec 1..4
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
@@ -2271,6 +2271,76 @@ def test_jpeg_roundtrip_and_validation():
     whole = encode_jpeg(rgb, quant_luma=ql)
     with pytest.raises(ValueError, match="exhausted|truncated"):
         decode_jpeg(whole[: len(whole) - 8])
+
+
+def test_jpeg_subsampling_and_restart_intervals():
+    """Round-11 (second wave): the decoder handles the dominant wild
+    formats — 4:2:0/4:2:2 chroma subsampling and DRI/RSTn restart
+    intervals. Neutral-chroma images decode EXACTLY under every
+    sampling (chroma planes are constant, so subsampling is lossless
+    on them); q=1 restarts decode identically to the unrestarted
+    stream; corrupt restart sequences raise named errors."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        JPEG_QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    ones = np.ones(64, dtype=np.int64)
+    ql = JPEG_QUANT_LUMA.copy()
+    ql[0] = 8
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    y = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([y, y, y], axis=-1)
+    for s in ["4:4:4", "4:2:2", "4:2:0"]:
+        assert (decode_jpeg(encode_jpeg(rgb, quant_luma=ql, sampling=s))
+                == rgb).all()
+    # smooth color content: subsampled chroma loses only smoothing
+    xx, yy = np.meshgrid(np.arange(20), np.arange(28))
+    img = np.stack(
+        [np.clip(xx * 4, 0, 255), np.clip(yy * 3, 0, 255),
+         np.clip(xx * 2 + yy * 2, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    for s, tol in [("4:2:2", 14), ("4:2:0", 14)]:
+        out = decode_jpeg(
+            encode_jpeg(img, quant_luma=ones, quant_chroma=ones, sampling=s)
+        )
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+    # restart intervals: q=1 decode identical to the unrestarted path
+    noise = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    for s in ["4:4:4", "4:2:0"]:
+        base = decode_jpeg(
+            encode_jpeg(noise, quant_luma=ones, quant_chroma=ones, sampling=s)
+        )
+        for ri in [1, 2, 3]:
+            out = decode_jpeg(
+                encode_jpeg(noise, quant_luma=ones, quant_chroma=ones,
+                            sampling=s, restart_interval=ri)
+            )
+            assert (out == base).all()
+    # corrupt restart sequencing raises named errors
+    whole = bytearray(
+        encode_jpeg(noise, quant_luma=ones, quant_chroma=ones,
+                    restart_interval=1)
+    )
+    first_rst = whole.index(b"\xff\xd0")
+    whole[first_rst + 1] = 0xD3  # out-of-order marker
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(whole))
+    # RSTn present but no DRI segment declared
+    no_dri = bytearray(
+        encode_jpeg(noise, quant_luma=ones, quant_chroma=ones,
+                    restart_interval=2)
+    )
+    dri = no_dri.index(b"\xff\xdd")
+    del no_dri[dri : dri + 6]
+    with pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg(bytes(no_dri))
 
 
 def test_gzip_member_roundtrip_interop_and_validation():
