@@ -115,14 +115,14 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 11 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 20 (6 added + 9 changed + 5
+    # WINDOW ARITHMETIC: group 1 = 21 (7 added + 9 changed + 5
     # riders), group 3 = the 26 r6-stale rows the round-10 window
-    # deferred (per its own spill note), leaving 4 slots for the r7
-    # cohort (alphabetical, 42 rows — the remaining 38 lead round 12).
+    # deferred (per its own spill note), leaving 3 slots for the r7
+    # cohort (alphabetical, 42 rows — the remaining 39 lead round 12).
     # Group 1 — ADDED this round (media_decode_png,
     # media_audio_decode, stream_manifest_topic_counts,
-    # media_decode_jpeg, docs_gzip_ingest, docs_warc_extract), or
-    # CHANGED:
+    # media_decode_jpeg, docs_gzip_ingest, docs_warc_extract,
+    # stream_warc_ingest), or CHANGED:
     # the five cells/monitor-family
     # streaming twins whose partial folds gained base-snapshot
     # compaction, stream_allocation_split (completed-order tombstones
@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "media_decode_png", "media_audio_decode",
     "stream_manifest_topic_counts",
     "media_decode_jpeg", "docs_gzip_ingest", "docs_warc_extract",
+    "stream_warc_ingest",
     "stream_customers_rfm", "stream_events_ks", "stream_events_chi2",
     "stream_events_rolling_dau", "stream_events_monitor_report",
     "stream_allocation_split", "stream_brand_amount",
@@ -155,13 +156,13 @@ _PRIORITY: list[str] = [
     "docs_token_stats", "docs_train_split",
     "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
     "qty_moving_stats", "router_fanout", "router_filter",
-    # …and the leading 4 of the r7 cohort fill the window:
+    # …and the leading 3 of the r7 cohort fill the window:
     "cheapest_supplier_per_part", "docs_bm25_search",
-    "docs_bpe_encode", "docs_bpe_merges",
-    # ---- post-window: the r7 remainder (38 rows) leads the round-12
+    "docs_bpe_encode",
+    # ---- post-window: the r7 remainder (39 rows) leads the round-12
     # rotation, then r8+ keep registration order at the end ----
-    "docs_bpe_vocab", "docs_corpus_prep", "docs_curriculum_order",
-    "docs_dedup_clusters",
+    "docs_bpe_merges", "docs_bpe_vocab", "docs_corpus_prep",
+    "docs_curriculum_order", "docs_dedup_clusters",
     "docs_dedup_filter", "docs_dedup_keep_best", "docs_domain_drift",
     "docs_domain_mix_temp", "docs_dsir_sample", "docs_dsir_weights",
     "docs_incremental_dedup", "docs_leakage_split", "docs_minhash_lsh",

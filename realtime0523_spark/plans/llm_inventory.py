@@ -1559,6 +1559,55 @@ def q_docs_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.warc_extract_stats(SH.attach_warc_shards(docs))
 
 
+@register(
+    "stream_warc_ingest",
+    """
+    WITH m AS (SELECT doc_id, lang, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    bysum AS (SELECT doc_id,
+                     coalesce(sum(CAST('0x' || substr(hx, 2 * i + 1, 2)
+                                       AS INT)), 0) AS bs
+              FROM m, LATERAL (SELECT unnest(range(0, nb)) AS i)
+              GROUP BY doc_id)
+    SELECT m.lang, CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(m.nb) AS BIGINT) AS total_bytes,
+           CAST(sum(coalesce(b.bs, 0)) AS BIGINT) AS byte_sum
+    FROM m LEFT JOIN bysum b USING (doc_id)
+    GROUP BY m.lang
+    """,
+    "STREAMING Common-Crawl ingestion accounting (round-11): the "
+    ".warc.gz shards arrive as a stream, each micro-batch runs the "
+    "real two-layer parse (multi-member gunzip + WARC record walk + "
+    "response extraction — the same map-only Arrow kernel as "
+    "docs_warc_extract, now under Structured Streaming), the "
+    "extracted stats broadcast-join the static document dim for the "
+    "language tag (stream-static join — no state, no watermark "
+    "coupling), and a complete-mode running aggregate maintains the "
+    "per-language corpus accounting every ingestion dashboard shows: "
+    "shard count, total payload bytes, byte checksum. At 100 TB the "
+    "per-batch work is shard-parallel decompression and the state is "
+    "|languages| rows — the agg is additive, so partial aggregation "
+    "does the heavy lifting map-side.",
+)
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime0523_spark.llm import shards as SH
+    from realtime0523_spark.streaming.runner import run_to_memory
+    from realtime0523_spark.streaming.sources import stream_table
+
+    stats = SH.warc_extract_stats(
+        SH.attach_warc_shards(stream_table(spark, sf_dir, "documents"))
+    )
+    dim = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    enriched = stats.join(F.broadcast(dim), "doc_id", "left")
+    agg = enriched.groupBy("lang").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("response_bytes").alias("total_bytes"),
+        F.sum("byte_sum").alias("byte_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
 THUMB_W, THUMB_H = 2, 2  # 4×4 → 2×2 nearest-neighbor thumbnail
 
 

@@ -159,6 +159,7 @@ PROBES = [
     "media_decode_jpeg",   # repartition + Huffman/IDCT codec, map-only after (r11)
     "docs_gzip_ingest",    # RFC1952 parse + inflate, map-only (r11)
     "docs_warc_extract",   # .warc.gz two-layer parse, map-only (r11)
+    "stream_warc_ingest",  # streaming shard parse + |langs|-row running agg (r11)
 ]
 
 # Library paths without their own registry entry, probed as callables:
