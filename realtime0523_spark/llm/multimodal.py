@@ -1463,16 +1463,16 @@ def encode_jpeg(
     qc = (
         quant_chroma if quant_chroma is not None else JPEG_QUANT_CHROMA
     ).astype(np.int64)
+    if sampling not in _JPEG_SAMPLING:
+        raise ValueError(
+            f"JPEG encode: sampling {sampling!r} not one of "
+            f"{sorted(_JPEG_SAMPLING)}"
+        )
     if gray:
         factors = ((1, 1),)
         planes = [img.astype(np.float64)]
         qtab_l = [ql]
     else:
-        if sampling not in _JPEG_SAMPLING:
-            raise ValueError(
-                f"JPEG encode: sampling {sampling!r} not one of "
-                f"{sorted(_JPEG_SAMPLING)}"
-            )
         factors = _JPEG_SAMPLING[sampling]
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
@@ -1637,8 +1637,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 raise ValueError("JPEG: only 8-bit precision supported")
             if nf not in (1, 3):
                 raise NotImplementedError(
-                    f"JPEG: {nf}-component frames unsupported (1=gray, "
-                    "3=YCbCr 4:4:4 are the implemented subset)"
+                    f"JPEG: {nf}-component frames unsupported (1=gray "
+                    "and 3=YCbCr — incl. 4:2:0/4:2:2 subsampling — are "
+                    "the implemented subset; CMYK needs the PIL seam)"
                 )
             comps = []
             for ci in range(nf):
@@ -1683,6 +1684,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             "JPEG: multi-scan (non-interleaved) files unsupported"
         )
 
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU, the component at full resolution, blocks
+        # in plain row-major order. Declared sampling factors only
+        # matter relative to the (absent) other components, so
+        # normalize them away instead of misapplying MCU interleave
+        # (real encoders do emit grayscale SOFs with 2x2 factors).
+        cid0, tq0, _, _ = comps[0]
+        comps = [(cid0, tq0, 1, 1)]
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     for cid, tq, hi, vi in comps:
@@ -1714,6 +1724,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             )
     if restart_interval:
         want = -(-n_mcu // restart_interval)
+        if len(segments) == want + 1 and not segments[-1]:
+            # some hardware encoders emit a trailing RSTn after the
+            # final segment; libjpeg tolerates it — so do we (the
+            # marker itself was already cycle-validated above)
+            segments.pop()
         if len(segments) != want:
             raise ValueError(
                 f"JPEG: {len(segments)} restart segments for {n_mcu} "

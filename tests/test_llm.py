@@ -2341,6 +2341,33 @@ def test_jpeg_subsampling_and_restart_intervals():
     del no_dri[dri : dri + 6]
     with pytest.raises(ValueError, match="no DRI"):
         decode_jpeg(bytes(no_dri))
+    # trailing RSTn after the final segment (hardware-encoder quirk
+    # libjpeg tolerates): 24x17 noise at 4:4:4 = 9 MCUs, interval 2
+    # -> 5 segments with markers RST0..RST3 between them; the
+    # trailing marker continues the cycle at RST4
+    trailing = bytearray(
+        encode_jpeg(noise, quant_luma=ones, quant_chroma=ones,
+                    restart_interval=2)
+    )
+    assert trailing[-2:] == b"\xff\xd9"
+    trailing[-2:] = b"\xff\xd4\xff\xd9"
+    base_rst = decode_jpeg(
+        encode_jpeg(noise, quant_luma=ones, quant_chroma=ones,
+                    restart_interval=2)
+    )
+    assert (decode_jpeg(bytes(trailing)) == base_rst).all()
+    # grayscale SOF with declared 2x2 factors is a NON-interleaved
+    # single-component scan (T.81 A.2): decode must equal the 1x1
+    # decode, never apply MCU interleave to it
+    gr = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(gr, quant_luma=ones))
+    want = decode_jpeg(bytes(payload))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x22  # declared factors 2x2, same scan bytes
+    assert (decode_jpeg(bytes(payload)) == want).all()
+    # encoder validates sampling on the gray path too
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg(gr, quant_luma=ones, sampling="bogus")
 
 
 def test_gzip_member_roundtrip_interop_and_validation():
