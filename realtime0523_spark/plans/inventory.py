@@ -600,19 +600,31 @@ def q_stream_allocation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     t0 = time.time()
+    # ONE partitioned write for all chunks (round-12: the previous
+    # 3 serial coalesce(1) jobs re-scanned the staged data per chunk
+    # and serialized the writes — fixture scaffolding, but ~half the
+    # measured runtime). repartitionByRange(n_chunks, __chunk) puts
+    # each chunk value in exactly one task, so every chunk directory
+    # holds exactly ONE parquet file — the FileStreamSource
+    # one-file-per-trigger contract the feed needs.
+    tmp = os.path.join(work, "_tmp")
+    (
+        staged.repartitionByRange(n_chunks, "__chunk")
+        .write.partitionBy("__chunk")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    staged.unpersist()
     for j in range(n_chunks):
-        tmp = os.path.join(work, f"_tmp{j}")
-        staged.filter(F.col("__chunk") == j).drop("__chunk").coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        cdir = os.path.join(tmp, f"__chunk={j}")
+        parts = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, parts  # one file per chunk = one batch
         dst = os.path.join(feed, f"chunk_{j}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
+        os.replace(os.path.join(cdir, parts[0]), dst)
         # strictly ascending mtimes: FileStreamSource delivers oldest
         # first, so chunk order IS arrival order (rank order per order)
         os.utime(dst, (t0 + j, t0 + j))
-        shutil.rmtree(tmp)
-    staged.unpersist()
+    shutil.rmtree(tmp)
     schema = (
         "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
         "l_quantity double, l_extendedprice double, o_totalprice double, "

@@ -32,16 +32,33 @@ keyings, same per-row arithmetic:
   through one batch pays per-order overhead.
 - BUCKETED map state (``n_buckets=N``): key = hash(l_orderkey) % N,
   state = parallel arrays over that bucket's IN-FLIGHT orders
-  (key, n_seen, Σ allocated, expiry). One python crossing
-  per BUCKET per batch and a single O(rows) pass inside — the 100 TB
-  shape (state rows = min(N, in-flight), python cost linear in batch
-  rows, never in order count). Completed orders stay in the arrays as
-  TOMBSTONES until their TTL (round-10 advice): a duplicate detail
-  arriving after completion must raise the over-delivery error, not
-  silently restart the running sums at n_seen=1 — so the per-bucket
-  payload is TTL-bounded orders TOUCHED, not merely in-flight. Past
-  the TTL both keyings share the reference's own accepted failure
-  mode: a post-TTL duplicate is indistinguishable from a fresh order.
+  (key, n_seen, Σ allocated, expiry) PLUS a compact done-set
+  (key, expiry) of completed orders. One python crossing per BUCKET
+  per batch and a single O(rows) pass inside — the 100 TB shape
+  (state rows = min(N, in-flight), python cost linear in batch rows,
+  never in order count). Completed orders move to the done-set until
+  their TTL (round-10 advice): a duplicate detail arriving after
+  completion must raise the over-delivery error, not silently restart
+  the running sums at n_seen=1 — so the per-bucket payload is
+  TTL-bounded orders TOUCHED, not merely in-flight. The done-set is
+  presence-with-expiry ONLY (a tombstone exists solely to raise, so
+  its n_seen/Σalloc payload is dead weight — round-11 verdict), kept
+  as numpy int64 arrays with vectorized membership/eviction, so the
+  per-batch state rewrite is two C-speed int columns, never
+  per-order Python objects. Past the TTL both keyings share the
+  reference's own accepted failure mode: a post-TTL duplicate is
+  indistinguishable from a fresh order.
+
+SIZING ``n_buckets`` (constant-batch-count probe, SCALING.md
+§stream_allocation_split): the bucketed pass is linear in batch rows
+at constant batch count, and each bucket pays one fixed Arrow/state
+crossing per batch — so size n_buckets to the cluster's CORES (one
+state partition per core, e.g. 32-64 on local[32]), never to the key
+cardinality. More buckets than cores buys no parallelism and
+multiplies the fixed crossing cost; fewer leaves cores idle during
+the state pass. Skew is absorbed inside the pass: a hot order makes
+its bucket's O(rows) loop longer but never grows state beyond that
+order's single live entry (skew-stress-tested).
 
 Last-row detection: the reference tests float equality of the running
 weight sum against `original_total_amount` (OrderWiderApp.scala:181) —
@@ -84,8 +101,15 @@ _OUT_SCHEMA = (
     "final_detail_amount double"
 )
 _STATE_SCHEMA = "n_seen long, allocated double"
+# live IN-FLIGHT orders (ks/ns/als/exp — running sums still needed) are
+# kept SEPARATE from the completed-order done-set (dks/dexp — presence
+# with expiry only): a tombstone exists solely to RAISE on a
+# post-completion duplicate, so its n_seen/Σallocated payload is dead
+# weight, and splitting it out keeps the hot path's dict O(in-flight)
+# instead of O(all orders in the TTL horizon) (round-11 verdict).
 _BUCKET_STATE_SCHEMA = (
-    "ks array<long>, ns array<long>, als array<double>, exp array<long>"
+    "ks array<long>, ns array<long>, als array<double>, exp array<long>, "
+    "dks array<long>, dexp array<long>"
 )
 
 _PASS_COLS = [
@@ -206,37 +230,62 @@ def _per_order_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
 
 
 def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
-    def _shrink_or_remove(
-        state: GroupState, flight: dict, wm: int
+    import numpy as np
+
+    _EMPTY = np.empty(0, dtype=np.int64)
+
+    def _persist(
+        state: GroupState,
+        live: dict,
+        dks: "np.ndarray",
+        dexp: "np.ndarray",
+        wm: int,
     ) -> None:
-        """Prune expired in-flight orders (event-time TTL), persist
-        the survivors, and keep one pending timeout at the earliest
-        remaining expiry."""
-        live = {k: v for k, v in flight.items() if v[2] > wm}
-        if not live:
+        """Prune expired entries (event-time TTL) from both the live
+        in-flight dict and the done-set arrays, persist the survivors,
+        and keep one pending timeout at the earliest remaining expiry.
+        The done-set stays in numpy end-to-end — the per-batch rewrite
+        cost is two C-speed int columns, never per-order Python
+        objects (the round-11 tombstone shape re-serialized full
+        [n_seen, Σalloc, expiry] entries per batch)."""
+        live = {k: v for k, v in live.items() if v[2] > wm}
+        if dks.size:
+            keep = dexp > wm
+            if not keep.all():
+                dks, dexp = dks[keep], dexp[keep]
+        if not live and not dks.size:
             if state.exists:
                 state.remove()
             return
+        min_exp = min(v[2] for v in live.values()) if live else None
+        if dks.size:
+            dmin = int(dexp.min())
+            min_exp = dmin if min_exp is None else min(min_exp, dmin)
         state.update(
             (
                 list(live.keys()),
                 [v[0] for v in live.values()],
                 [v[1] for v in live.values()],
                 [v[2] for v in live.values()],
+                dks.tolist(),
+                dexp.tolist(),
             )
         )
-        state.setTimeoutTimestamp(max(min(v[2] for v in live.values()), wm + 1))
+        state.setTimeoutTimestamp(max(min_exp, wm + 1))
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        flight: dict = {}
+        live: dict = {}
+        dks, dexp = _EMPTY, _EMPTY
         if state.exists:
-            ks, ns, als, exp = state.get
-            flight = {k: [n, a, e] for k, n, a, e in zip(ks, ns, als, exp)}
+            ks, ns, als, exp, d_ks, d_exp = state.get
+            live = {k: [n, a, e] for k, n, a, e in zip(ks, ns, als, exp)}
+            dks = np.asarray(d_ks, dtype=np.int64)
+            dexp = np.asarray(d_exp, dtype=np.int64)
         wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            _shrink_or_remove(state, flight, wm)
+            _persist(state, live, dks, dexp, wm)
             return
         chunks = list(pdfs)
         batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
@@ -244,9 +293,25 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
             batch = batch.sort_values(
                 ["l_orderkey", *detail_order_by], kind="mergesort"
             )
+        # cross-batch over-delivery check, vectorized: any arriving key
+        # already in the done-set completed in an earlier batch — a
+        # duplicate delivery that must be loud, never re-allocated
+        oks_arr = batch["l_orderkey"].to_numpy(dtype=np.int64, copy=False)
+        if dks.size:
+            hit = np.isin(oks_arr, dks)
+            if hit.any():
+                dupes = np.unique(oks_arr[hit])[:5].tolist()
+                raise ValueError(
+                    f"allocation: order key(s) {dupes} received a detail "
+                    f"row after all o_detail_count details were already "
+                    f"allocated — duplicate delivery would silently "
+                    f"over-allocate; the append contract is each detail "
+                    f"exactly once"
+                )
         # ONE O(rows) pass — adjacent rows of an order share its
-        # running sums through the dict entry
-        oks = batch["l_orderkey"].tolist()
+        # running sums through the live dict entry, which holds ONLY
+        # in-flight orders (orders split across micro-batches)
+        oks = oks_arr.tolist()
         wgt = batch["l_extendedprice"].tolist()
         tot = batch["o_totalprice"].tolist()
         wtt = batch["o_weight_total"].tolist()
@@ -255,24 +320,45 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
         # parquet) to epoch ms before TTL arithmetic
         tss = batch[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
         shares: list[float] = []
+        done_new: dict = {}  # completed THIS batch: key -> expiry
         for i, ok in enumerate(oks):
-            st = flight.get(ok)
+            if ok in done_new:
+                # completed earlier in this same batch — same contract
+                # as the done-set hit above, caught before any share
+                # arithmetic could restart the running sums
+                raise ValueError(
+                    f"allocation: order {ok} received a detail row after "
+                    f"all o_detail_count details were already allocated "
+                    f"in this batch — duplicate delivery would silently "
+                    f"over-allocate; the append contract is each detail "
+                    f"exactly once"
+                )
+            st = live.get(ok)
             n_seen, allocated = (st[0] + 1, st[1]) if st else (1, 0.0)
-            share = _alloc_row(
-                n_seen, allocated, wgt[i], tot[i], wtt[i], int(nds[i])
-            )
+            n_details = int(nds[i])
+            share = _alloc_row(n_seen, allocated, wgt[i], tot[i], wtt[i], n_details)
             shares.append(share)
-            # a completed order stays as a TOMBSTONE (n_seen = count)
-            # until its TTL — same over-delivery contract as the
-            # per-order keying: a post-completion duplicate drives
-            # n_seen past o_detail_count and _alloc_row raises
-            if st is None:
-                flight[ok] = [1, share, tss[i] + ttl_ms]
+            if n_seen == n_details:
+                # completed: move to the done-set as a compact
+                # presence-with-expiry record (n_seen/Σalloc are only
+                # needed to RAISE, which the membership checks above do)
+                done_new[ok] = tss[i] + ttl_ms
+                if st is not None:
+                    del live[ok]
+            elif st is None:
+                live[ok] = [1, share, tss[i] + ttl_ms]
             else:
                 st[0] = n_seen
                 st[1] += share
                 st[2] = tss[i] + ttl_ms
-        _shrink_or_remove(state, flight, wm)
+        if done_new:
+            dks = np.concatenate(
+                [dks, np.fromiter(done_new.keys(), dtype=np.int64, count=len(done_new))]
+            )
+            dexp = np.concatenate(
+                [dexp, np.fromiter(done_new.values(), dtype=np.int64, count=len(done_new))]
+            )
+        _persist(state, live, dks, dexp, wm)
         yield pd.DataFrame(
             {
                 "l_orderkey": batch["l_orderkey"],
@@ -311,11 +397,13 @@ def streaming_allocation_split(
     crossing per bucket per batch instead of per order (see module
     docstring for when each wins). Identical emissions either way.
 
-    State per touched order is (n_seen, Σ allocated) — the weight
+    State per IN-FLIGHT order is (n_seen, Σ allocated) — the weight
     running sum the reference also keeps (`:ori`) exists only for its
     float-equality last-row test, which the detail-count detection
-    replaces. Completed orders persist as tombstones until the TTL so
-    a post-completion duplicate raises the over-delivery error (it
+    replaces. Completed orders persist until the TTL as
+    presence-with-expiry records (the bucketed keying's compact
+    done-set; the per-order keying's tombstone tuple) so a
+    post-completion duplicate raises the over-delivery error (it
     would otherwise silently restart at n_seen=1 and over-allocate the
     order total). TTL semantics: an order's state times out once
     the watermark (max event time − ttl) passes the order's last-arrival

@@ -2460,3 +2460,160 @@ def test_stream_order_wide_skewed_key_completes_with_bounded_state(
     # watermark — the retained horizon is wave 2's dozen rows, never
     # the ~343 accumulated input rows
     assert state_rows <= 30, state_rows
+
+
+# ----------------------------------------------------------------------
+# Round-12: allocation skew stress + compact done-set state shape
+# ----------------------------------------------------------------------
+
+
+def test_stream_allocation_skewed_order_completes_with_bounded_state(
+    spark, state_provider, tmp_path
+):
+    """Round-11 verdict item #7: the BUCKETED allocation under a
+    deliberately SKEWED order key — one order owns ~50% of each
+    batch's detail rows, so one bucket's O(rows) pass dwarfs the
+    others. Under both state-store providers the operator must
+    (a) COMPLETE: every detail allocated exactly once, the hot
+    order's shares summing exactly to its total; and (b) keep state
+    BOUNDED: the hot order occupies ONE live entry while in flight
+    (state keys = buckets, never rows), and once a later wave advances
+    the watermark past the TTL every earlier order's done-set record
+    is evicted — final state holds only the last wave's horizon."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import (
+        streaming_allocation_split,
+    )
+    from realtime0523_spark.streaming.runner import _stream_shuffle
+
+    t0 = datetime.datetime(2025, 6, 15)
+    hot, n_hot, total_hot = 7, 300, 12345.67
+    n_buckets = 4
+    # wave 1: first half of the hot order's details + 6 small orders
+    # (5 details each, all completing in-wave) — hot is ~50% of rows
+    hot_rows = [
+        (hot, i, 10 + (i % 3), 100, 1.0, 2.5, total_hot, n_hot * 2.5,
+         n_hot, t0)
+        for i in range(n_hot)
+    ]
+    small = [
+        (k, i, 20, 200, 1.0, 10.0, 50.0, 50.0, 5, t0)
+        for k in range(100, 106)
+        for i in range(5)
+    ]
+    w1 = hot_rows[: n_hot // 2] + small
+    # wave 2: the hot order's second half — completes it cross-batch
+    w2 = hot_rows[n_hot // 2:]
+    # wave 3: one fresh single-detail order 400 s later — advances the
+    # watermark past every wave-1/2 expiry (TTL 100 s)
+    late_ts = t0 + datetime.timedelta(seconds=400)
+    w3 = [(900, 1, 30, 300, 1.0, 9.99, 9.99, 9.99, 1, late_ts)]
+    feed = str(tmp_path / "skewfeed")
+    _write_split_feed(spark, feed, [w1, w2, w3])
+    src = (
+        spark.readStream.schema(_ALLOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    out = streaming_allocation_split(src, _ALLOC_ORDER, n_buckets=n_buckets)
+    with _stream_shuffle(spark, no_data_batches=True):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("skew_alloc")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = sum(
+                op["numRowsTotal"]
+                for op in q.lastProgress["stateOperators"]
+            )
+            got = spark.table("skew_alloc").collect()
+        finally:
+            q.stop()
+    # completion: every detail allocated exactly once
+    assert len(got) == n_hot + 6 * 5 + 1
+    hot_shares = [r.final_detail_amount for r in got if r.l_orderkey == hot]
+    assert len(hot_shares) == n_hot
+    # exact-sum contract survives the skew + the cross-batch split
+    assert round(sum(hot_shares), 2) == total_hot
+    for k in range(100, 106):
+        s = sum(r.final_detail_amount for r in got if r.l_orderkey == k)
+        assert round(s, 2) == 50.0
+    # bounded state: keys are BUCKETS (≤ n_buckets at peak, by schema),
+    # and the TTL-advancing wave evicted every earlier entry — only the
+    # late order's bucket survives the drain
+    assert state_rows <= 1, state_rows
+
+
+def test_stream_allocation_done_set_is_compact(spark):
+    """Round-11 verdict item #1: a completed order's record in the
+    bucketed state must be presence-with-expiry ONLY (dks/dexp), with
+    the live arrays holding in-flight orders exclusively — the
+    tombstone shape that re-serialized full [n_seen, Σalloc, expiry]
+    entries per batch is the thing this guards against regressing."""
+    import pandas as pd
+
+    from realtime0523_spark.streaming.allocation import (
+        _BUCKET_STATE_SCHEMA,
+        _bucketed_fn,
+    )
+
+    assert "dks array<long>" in _BUCKET_STATE_SCHEMA
+    assert "dexp array<long>" in _BUCKET_STATE_SCHEMA
+
+    class _FakeState:
+        """Minimal GroupState stand-in for the pure state-fn contract."""
+
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self._timeout = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            self._timeout = ts
+
+    fn = _bucketed_fn(_ALLOC_ORDER, "l_commit_ts", 100_000)
+    ts = pd.Timestamp("2025-06-15")
+    batch = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_linenumber": [1, 2, 1],
+            "l_partkey": [10, 11, 12],
+            "l_suppkey": [100, 101, 102],
+            "l_quantity": [1.0, 1.0, 1.0],
+            "l_extendedprice": [30.0, 50.0, 5.0],
+            "o_totalprice": [100.0, 100.0, 40.0],
+            "o_weight_total": [80.0, 80.0, 10.0],
+            "o_detail_count": [2, 2, 2],
+            "l_commit_ts": [ts, ts, ts],
+        }
+    )
+    state = _FakeState()
+    out = pd.concat(list(fn((0,), iter([batch]), state)))
+    assert sorted(out["final_detail_amount"].tolist()) == [20.0, 37.5, 62.5]
+    ks, ns, als, exp, dks, dexp = state.get
+    # order 1 completed -> compact done-set record, no live entry;
+    # order 2 in flight -> live entry with running sums
+    assert list(dks) == [1]
+    assert list(ks) == [2] and list(ns) == [1] and list(als) == [20.0]
+    exp_ms = int(ts.value // 1_000_000) + 100_000
+    assert list(dexp) == [exp_ms] and list(exp) == [exp_ms]
