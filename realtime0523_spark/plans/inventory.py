@@ -1162,7 +1162,7 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_ts="o_commit_ts",
         detail_ts="l_commit_ts",
         tolerance="50 seconds",
-    ).drop("o_commit_ts", "l_commit_ts")
+    ).drop("o_commit_ts")
     work = tempfile.mkdtemp(prefix="stream_brand_amount_")
     from realtime0523_spark.streaming.sinks import detach_and_cleanup
 
@@ -1174,6 +1174,13 @@ def q_stream_brand_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir=f"{work}/partials",
             checkpoint_dir=f"{work}/ckpt",
             no_data_batches=False,  # inner join, drain-and-stop
+            # event-time horizon on the co-arrival guard's key log
+            # (round-12): join tolerance (50 s) + state TTL (100 s) —
+            # keys last seen further back can't traverse the
+            # watermarked join again, so the at-rest log stays
+            # horizon-bounded instead of O(total distinct orders)
+            guard_ts_col="l_commit_ts",
+            guard_horizon_ms=150_000,
         ),
         work,
     )

@@ -55,6 +55,8 @@ def streaming_brand_amount(
     no_data_batches: bool = True,
     forbid_watermark_drops: bool = True,
     compact_every: int = 32,
+    guard_ts_col: str | None = None,
+    guard_horizon_ms: int | None = None,
 ) -> DataFrame:
     """Run the joined order-wide STREAM through allocation + brand
     partial sums with exactly-once commits, drain it, and return the
@@ -67,6 +69,15 @@ def streaming_brand_amount(
     assumes ALL of an order's details joined (the cdc_commit_time
     co-arrival contract), so any numRowsDroppedByWatermark raises
     rather than committing a silently short total.
+
+    `guard_ts_col`/`guard_horizon_ms` bound the co-arrival guard's key
+    log with an EVENT-TIME horizon (round-11 verdict item #3): pass the
+    wide stream's detail commit-time column and horizon ≥ the upstream
+    join tolerance + state TTL, and keys whose last-seen event time
+    fell that far behind are pruned at compaction — the always-on
+    guard's at-rest log stays O(orders inside the horizon), never
+    O(total distinct orders). Without them the guard is exact forever
+    but grows with run lifetime.
     """
     from realtime0523_spark.streaming.allocation import co_arrival_guard
     from realtime0523_spark.streaming.compaction import (
@@ -90,6 +101,8 @@ def streaming_brand_amount(
         spark,
         out_dir.rstrip("/") + "_seen_keys",
         checkpoint_dir=checkpoint_dir,
+        horizon_ms=guard_horizon_ms,
+        ts_col=guard_ts_col,
     )
     brand_dim = F.broadcast(
         part_dim.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
@@ -98,7 +111,10 @@ def streaming_brand_amount(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        guard(batch_df.select("l_orderkey").distinct(), batch_id)
+        if guard_ts_col is not None:
+            guard(batch_df.select("l_orderkey", guard_ts_col), batch_id)
+        else:
+            guard(batch_df.select("l_orderkey").distinct(), batch_id)
         alloc = allocate_order_amount(
             batch_df,
             order_key="l_orderkey",

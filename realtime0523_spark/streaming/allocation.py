@@ -460,6 +460,8 @@ def co_arrival_guard(
     compact_every: int = 32,
     checkpoint_dir: str | None = None,
     horizon_batches: int | None = None,
+    horizon_ms: int | None = None,
+    ts_col: str | None = None,
 ):
     """Runtime enforcement of the PER-BATCH allocation's co-arrival
     contract (the alternative to this module's running-sum state): the
@@ -478,16 +480,26 @@ def co_arrival_guard(
     always-on stage would otherwise re-read every batch's key file on
     every batch, O(batches²) I/O over the run (round-10 review).
 
-    GROWTH (round-10 advice): with `horizon_batches=None` the base
+    GROWTH (round-10 advice; closed round-12): with no horizon the base
     retains every distinct key for the run's lifetime, so the per-batch
     semi-join grows O(total distinct orders) — exact forever, but NOT
-    synopsis-sized on an unbounded run. Set `horizon_batches=H` to
-    prune, at compaction, keys whose newest batch_id is more than H
-    batches old. Sound when H × trigger-cadence exceeds the feed's
-    join-tolerance + TTL horizon: a detail for an order last seen that
-    long ago can no longer traverse the upstream watermarked DWS join
-    (it would be dropped and FAIL the loud watermark-drop check there),
-    so the guard can never legally be asked about it again.
+    synopsis-sized on an unbounded run. Two pruning modes:
+
+    - EVENT-TIME horizon (`horizon_ms=H`, requires `ts_col` — the
+      preferred mode, round-11 verdict item #3): each committed key
+      carries its batch's max event time; at compaction, keys whose
+      last-seen event time is more than H ms behind the log's newest
+      event time are pruned. Sound when H ≥ the upstream join
+      tolerance + state TTL: a detail for an order last seen that far
+      back in EVENT time can no longer traverse the watermarked DWS
+      join (it would be dropped and FAIL the loud watermark-drop check
+      there), so the guard can never legally be asked about it again.
+      Pruning compares event time to event time, so it is immune to
+      trigger-cadence drift and replay wall-clock skew.
+    - BATCH-COUNT horizon (`horizon_batches=H`): prune keys whose
+      newest batch_id is more than H batches old. Sound only when
+      H × trigger-cadence exceeds tolerance + TTL — kept for feeds
+      without a usable event-time column.
 
     RUN SCOPING (round-10 advice): the log is keyed by batch_id, and
     batch ids RESTART at 0 with a fresh checkpoint — so reusing an
@@ -500,9 +512,18 @@ def co_arrival_guard(
     continue the same sequence.
 
     Returns ``check(keys_df, batch_id)`` for use inside foreachBatch;
-    `keys_df` is the batch's distinct key column."""
+    `keys_df` is the batch's distinct key column — with `horizon_ms`
+    set it must instead be the batch's (key, ts_col) projection (not
+    necessarily distinct; the guard folds per-key max event time)."""
     import os
     import shutil
+
+    if horizon_ms is not None and ts_col is None:
+        raise ValueError(
+            "co_arrival_guard: horizon_ms requires ts_col — the "
+            "event-time horizon prunes by each key's last-seen event "
+            "time, so the batch key sets must carry one"
+        )
 
     from realtime0523_spark.streaming.compaction import (
         base_watermark,
@@ -537,17 +558,39 @@ def co_arrival_guard(
             # per-key MAX batch_id: replays of a compacted-away batch
             # stay exempt because the check below still sees their
             # batch_id
-            out = df.groupBy(key_col).agg(F.max("batch_id").alias("batch_id"))
+            aggs = [F.max("batch_id").alias("batch_id")]
+            if horizon_ms is not None:
+                aggs.append(F.max("__ts_ms").alias("__ts_ms"))
+            out = df.groupBy(key_col).agg(*aggs)
             if horizon_batches is not None:
                 out = out.filter(
                     F.col("batch_id") > new_wm - horizon_batches
                 )
+            if horizon_ms is not None:
+                # the log's newest event time: one scalar reduce over
+                # the relation being folded (compaction cadence only,
+                # never per batch). Pruning against it is conservative
+                # under non-monotonic event time — a stale max prunes
+                # LESS, never a key that could still legally reappear.
+                newest = df.agg(F.max("__ts_ms")).collect()[0][0]
+                if newest is not None:
+                    out = out.filter(
+                        F.col("__ts_ms") > newest - horizon_ms
+                    )
             return out
 
         return _fold
 
     def check(keys: "DataFrame", batch_id: int) -> None:
         os.makedirs(keys_dir, exist_ok=True)
+        if horizon_ms is not None:
+            # per-key max event time, epoch ms — the provenance the
+            # event-time prune reads at compaction
+            keys = keys.groupBy(key_col).agg(
+                F.unix_millis(
+                    F.max(F.col(ts_col)).cast("timestamp")
+                ).alias("__ts_ms")
+            )
         committed = committed_relation(
             spark, keys_dir, base_dir, keep_batch_id=True
         )

@@ -128,11 +128,10 @@ DWD_ORDER_DETAIL_SCHEMA = (
 DWS_WIDE_SCHEMA = (
     "o_orderkey long, o_custkey long, o_totalprice double, order_dt string, "
     "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, "
-    "l_quantity double, l_extendedprice double"
+    "l_quantity double, l_extendedprice double, l_commit_ts timestamp"
 )
 DWS_WIDE_SCHEMA_SPLIT = (
-    DWS_WIDE_SCHEMA
-    + ", o_weight_total double, o_detail_count int, l_commit_ts timestamp"
+    DWS_WIDE_SCHEMA + ", o_weight_total double, o_detail_count int"
 )
 START_LOG_SCHEMA = "mid string, ts long"
 
@@ -500,10 +499,13 @@ class FiveLayerTopology:
             self.spark, self.dwd_detail_dir, DWD_ORDER_DETAIL_SCHEMA
         )
         extra = (
-            ["o_weight_total", "o_detail_count", "l_commit_ts"]
+            ["o_weight_total", "o_detail_count"]
             if self.split_arrival
             else []
         )
+        # l_commit_ts rides on the DWS topic in BOTH modes: split mode
+        # feeds it to the running-sum allocation's watermark, per-batch
+        # mode to the co-arrival guard's event-time horizon (round-12)
         wide = streaming_order_wide(
             o, d,
             order_ts="o_commit_ts",
@@ -512,7 +514,7 @@ class FiveLayerTopology:
         ).select(
             "o_orderkey", "o_custkey", "o_totalprice", "order_dt",
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-            "l_quantity", "l_extendedprice", *extra,
+            "l_quantity", "l_extendedprice", "l_commit_ts", *extra,
         )
         writer = topic_append_writer(self.dws_dir)
         return self._foreach_batch_query("dws", wide, writer)
@@ -619,12 +621,20 @@ class FiveLayerTopology:
             self.spark,
             self.ads_keys_dir,
             checkpoint_dir=os.path.join(self.root, "ckpt", "ads"),
+            # event-time horizon (round-12): join tolerance (50 s) +
+            # allocation state TTL (100 s) — a key last seen further
+            # back in event time can't traverse the DWS watermarked
+            # join again, so its log record is safely pruned at
+            # compaction and the always-on key log stays
+            # horizon-bounded instead of O(total distinct orders)
+            horizon_ms=150_000,
+            ts_col="l_commit_ts",
         )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            keys = batch_df.select("l_orderkey").distinct()
+            keys = batch_df.select("l_orderkey", "l_commit_ts")
             guard(keys, batch_id)
             alloc = allocate_order_amount(
                 batch_df,

@@ -2617,3 +2617,61 @@ def test_stream_allocation_done_set_is_compact(spark):
     assert list(ks) == [2] and list(ns) == [1] and list(als) == [20.0]
     exp_ms = int(ts.value // 1_000_000) + 100_000
     assert list(dexp) == [exp_ms] and list(exp) == [exp_ms]
+
+
+def test_co_arrival_guard_event_time_horizon_bounds_key_log(spark, tmp_path):
+    """Round-11 verdict item #3: the guard's at-rest key log must stay
+    bounded by an EVENT-TIME horizon over a long run — keys whose
+    last-seen event time fell more than horizon_ms behind the log's
+    newest event time are pruned at compaction (they can no longer
+    traverse the upstream watermarked join, so the guard can never
+    legally be asked about them again). Flat-fold shape mirrors the
+    cells long-horizon test: one base snapshot, < compact_every fresh
+    partials, base row count bounded by the horizon — never O(total
+    distinct keys). False-raise semantics unchanged inside the
+    horizon."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys_ev")
+    compact_every, horizon_ms, step_s = 4, 10_000, 5
+    guard = co_arrival_guard(
+        spark, keys_dir, compact_every=compact_every,
+        horizon_ms=horizon_ms, ts_col="ts",
+    )
+    t0 = datetime.datetime(2025, 6, 15)
+
+    def batch(k, sec):
+        return spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(seconds=sec))],
+            "l_orderkey long, ts timestamp",
+        )
+
+    n = 30  # long horizon: one distinct key per batch, 5 s apart
+    for i in range(n):
+        guard(batch(100 + i, step_s * i), i)
+    # flat fold, structurally: one live base, < compact_every fresh
+    base = keys_dir + "_base"
+    bases = [f for f in os.listdir(base) if f.startswith("v_")]
+    assert len(bases) == 1
+    partials = [d for d in os.listdir(keys_dir) if d.startswith("batch_id=")]
+    assert len(partials) < compact_every
+    # horizon-bounded: the base holds only keys seen within horizon_ms
+    # of its newest folded event time (10 s / 5 s-steps = ~2 keys),
+    # never the 30 distinct keys of the run
+    base_rows = spark.read.parquet(os.path.join(base, bases[0])).collect()
+    assert len(base_rows) <= horizon_ms // (step_s * 1000) + 1, base_rows
+    # false-raise semantics inside the horizon: the newest key raises
+    with pytest.raises(RuntimeError, match="co-arrival contract violated"):
+        guard(batch(100 + n - 1, step_s * n), n)
+    # a long-pruned key no longer raises — it was compacted out
+    # (legally unreachable through the upstream watermarked join)
+    guard(batch(100, step_s * n), n)
+
+
+def test_co_arrival_guard_horizon_ms_requires_ts_col(spark, tmp_path):
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    with pytest.raises(ValueError, match="ts_col"):
+        co_arrival_guard(spark, str(tmp_path / "k"), horizon_ms=1000)
