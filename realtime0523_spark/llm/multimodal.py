@@ -309,13 +309,13 @@ def decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 array.
 
-    REAL pure-NumPy paths for binary P6 PPM (no codec dependency —
-    header parse + frombuffer reshape) and 8-bit truecolor PNG
-    (stdlib-zlib inflate + defilter, `decode_png`). Any other magic
-    raises NotImplementedError naming the production seam: JPEG and
-    the other lossy codecs need PIL/cv2, which this container does
-    not ship, and a deterministic fake here would silently masquerade
-    as a decoder."""
+    REAL pure-NumPy paths for binary P6 PPM (header parse + frombuffer
+    reshape), 8-bit truecolor PNG (stdlib-zlib inflate + defilter,
+    `decode_png`), and baseline JPEG (hand-written Huffman/dequant/
+    IDCT incl. chroma subsampling and restart markers, `decode_jpeg`).
+    Any other magic raises NotImplementedError naming the production
+    seam (progressive/arithmetic JPEG and the exotic formats) — a
+    deterministic fake here would silently masquerade as a decoder."""
     raw = bytes(payload)
     if raw[:2] == b"P6":
         (w, h, maxval), off = _ppm_header_tokens(raw, 3)
@@ -349,8 +349,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     raise NotImplementedError(
         f"image decode for magic {raw[:2]!r} requires an imaging library "
         f"(PIL/cv2) not present in this environment; P6 PPM, 8-bit PNG "
-        f"and baseline 4:4:4 JPEG decode natively — progressive/"
-        f"arithmetic JPEG and the exotic formats are the remaining seam"
+        f"and baseline JPEG (incl. subsampling/restarts) decode natively "
+        f"— progressive/arithmetic JPEG and the exotic formats are the "
+        f"remaining seam"
     )
 
 
@@ -1362,7 +1363,11 @@ def _entropy_decode_block(
             break
         if sym == 0xF0:  # ZRL
             k += 16
-            if k > 63:
+            # k == 64 is legal: 16 zeros filling the block exactly to
+            # the end (libjpeg accepts such streams from third-party
+            # encoders; the while condition ends the block) — only a
+            # run PAST the block is a stream defect (round-11 advice)
+            if k > 64:
                 raise ValueError("JPEG: ZRL overflows the 8x8 block")
             continue
         run, cat = sym >> 4, sym & 0x0F
@@ -1672,6 +1677,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 ):
                     break
                 end += 1
+            if end + 1 >= len(raw):
+                # the scan ran off the file with no terminating marker
+                # — a truncated payload must surface as a NAMED
+                # truncation error, not a misleading mid-decode
+                # 'entropy stream exhausted' (round-11 advice; the old
+                # loop also silently dropped the final byte here)
+                raise ValueError(
+                    f"JPEG: scan truncated before EOI — no terminating "
+                    f"marker after the SOS entropy data at offset "
+                    f"{start} ({len(raw) - start} bytes remain)"
+                )
             scan_data = raw[start:end]  # stuffed; split on RSTn later
             pos = end
             continue

@@ -282,11 +282,26 @@ def parse_warc(stream: bytes) -> list[dict]:
                 f"offset {pos}"
             )
         rec: dict = {"warc_version": head_lines[0].decode("ascii")}
+        # ISO 28500 §4: 'name:value' with OPTIONAL whitespace around
+        # the value, plus LWS continuation — a line starting with
+        # SP/HT folds into the previous header. Partitioning on b': '
+        # rejected spec-valid 'name:value' shards (round-11 advice).
+        folded: list[bytes] = []
         for line in head_lines[1:]:
-            key, sep, val = line.partition(b": ")
+            if line[:1] in (b" ", b"\t"):
+                if not folded:
+                    raise ValueError(
+                        f"WARC: continuation line {line!r} with no "
+                        f"preceding header"
+                    )
+                folded[-1] += b" " + line.strip()
+            else:
+                folded.append(line)
+        for line in folded:
+            key, sep, val = line.partition(b":")
             if not sep:
                 raise ValueError(f"WARC: malformed header line {line!r}")
-            rec[key.decode("ascii").lower()] = val.decode(
+            rec[key.decode("ascii").lower().strip()] = val.strip().decode(
                 "utf-8", errors="replace"
             )
         if "content-length" not in rec:

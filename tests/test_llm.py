@@ -2510,3 +2510,107 @@ def test_media_decode_png_and_audio_decode_match_uncompressed_twins(spark):
     wav = REGISTRY["media_audio_decode"].fn(spark, SF_SMOKE)
     pcm = REGISTRY["media_audio_energy"].fn(spark, SF_SMOKE)
     assert sorted(map(tuple, wav.collect())) == sorted(map(tuple, pcm.collect()))
+
+
+# ----------------------------------------------------------------------
+# Round-12: codec edge cases from round-11 advice
+# ----------------------------------------------------------------------
+
+
+def test_jpeg_zrl_filling_block_exactly_is_accepted():
+    """Round-11 advice: a ZRL landing exactly at k==64 (16 zeros
+    filling the block to the end) is a complete block — libjpeg
+    accepts such streams from third-party encoders. The in-repo
+    encoder always emits EOB instead, so the stream is hand-written.
+    A ZRL running PAST the block must still raise."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _JpegBitReader,
+        _JpegBitWriter,
+        _entropy_decode_block,
+        _huff_canonical,
+        _jpeg_category,
+        _jpeg_value_bits,
+    )
+
+    dc_enc = _huff_canonical(*_JPEG_DC_LUMA)
+    ac_enc = _huff_canonical(*_JPEG_AC_LUMA)
+    dc_dec = {(s, c): v for v, (c, s) in dc_enc.items()}
+    ac_dec = {(s, c): v for v, (c, s) in ac_enc.items()}
+
+    def stream(value_pos, tail_symbols):
+        """DC=5, zeros to `value_pos`, coefficient 1 there, then the
+        closer symbols under test."""
+        w = _JpegBitWriter()
+        cat = _jpeg_category(5)
+        w.write(dc_enc[cat][0], dc_enc[cat][1])
+        w.write(_jpeg_value_bits(5, cat), cat)
+        run = value_pos - 1
+        while run > 15:
+            w.write(ac_enc[0xF0][0], ac_enc[0xF0][1])
+            run -= 16
+        sym = (run << 4) | 1
+        w.write(ac_enc[sym][0], ac_enc[sym][1])
+        w.write(_jpeg_value_bits(1, 1), 1)
+        for s in tail_symbols:  # the closer under test
+            w.write(ac_enc[s][0], ac_enc[s][1])
+        return w.flush().replace(b"\xff\x00", b"\xff")
+
+    # value at k=47, trailing ZRL fills 48..63 exactly -> complete
+    r = _JpegBitReader(stream(47, [0xF0]))
+    zz, pred = _entropy_decode_block(r, 0, dc_dec, ac_dec)
+    want = np.zeros(64, dtype=np.int64)
+    want[0], want[47] = 5, 1
+    assert (zz == want).all() and pred == 5
+    # value at k=50, trailing ZRL lands at 67 -> past the block, loud
+    with pytest.raises(ValueError, match="ZRL overflows"):
+        _entropy_decode_block(
+            _JpegBitReader(stream(50, [0xF0])), 0, dc_dec, ac_dec
+        )
+
+
+def test_jpeg_scan_truncated_before_any_marker_raises_named_error():
+    """Round-11 advice: a payload cut inside the entropy data with no
+    terminating marker must raise a NAMED truncation error, not the
+    misleading mid-decode 'entropy stream exhausted' (the old scan
+    loop also silently dropped the file's final byte)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import decode_jpeg, encode_jpeg
+
+    rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
+    whole = encode_jpeg(rgb)
+    assert whole[-2:] == b"\xff\xd9"
+    with pytest.raises(ValueError, match="scan truncated before EOI"):
+        decode_jpeg(whole[:-2])  # EOI gone: scan runs off the file
+
+
+def test_parse_warc_accepts_compact_and_folded_headers():
+    """Round-11 advice: ISO 28500 permits 'name:value' with optional
+    whitespace and LWS continuation lines — real Common-Crawl shards
+    use both, so requiring the exact b': ' separator refused
+    spec-valid records."""
+    from realtime0523_spark.llm.shards import parse_warc
+
+    payload = b"hello"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type:response\r\n"  # compact name:value, no space
+        b"WARC-Record-ID:  <urn:uuid:1>  \r\n"  # padded value
+        b"WARC-Target-URI: http://example.invalid/a\r\n"
+        b"\t/folded-tail\r\n"  # LWS continuation of the URI
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    (got,) = parse_warc(rec)
+    assert got["warc-type"] == "response"
+    assert got["warc-record-id"] == "<urn:uuid:1>"
+    assert got["warc-target-uri"] == "http://example.invalid/a /folded-tail"
+    assert got["content"] == payload
+    # a continuation with no preceding header is still a loud defect
+    bad = b"WARC/1.0\r\n valueless\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="no preceding header"):
+        parse_warc(bad)
