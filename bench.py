@@ -7,19 +7,33 @@ Each query is forced with a cheap count-style action (no driver
 collect of full results — we measure engine execution, not Arrow
 transfer). A warm-up pass on sf0.001 triggers JVM/codegen warm-up so
 the measured numbers reflect steady-state execution.
+
+SESSION CHUNKING (round-12): the inventory runs in fixed-size chunks,
+each in a FRESH subprocess (its own JVM). Round 11 established that
+sustained single-JVM sessions on this host drift into a ~1.4× "host
+mode" that scales with session length (~1.0× at 5 queries, ~1.3× at
+40, ~1.4-1.5× at 213 — BASELINE.md's variance characterization), which
+made full-run totals incomparable across rounds. Per-chunk fresh JVMs
+keep every measurement in the short-session regime the BASELINE rows
+were recorded in, so the sidecar total is directly comparable to the
+BASELINE sum. Chunk size via $SPARK_GRAFT_BENCH_CHUNK (default 16 →
+16 warm-ups + 32 measured runs per session, safely short).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from realtime0523_spark.core.session import get_spark
 from realtime0523_spark.plans.inventory import REGISTRY
+
+CHUNK_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "16"))
 
 
 def _release_query_state(spark) -> None:
@@ -134,38 +148,93 @@ def _local_artifact_path() -> str:
     return os.path.join(root, name)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    contention_before = _host_contention()
-    spark = get_spark("bench")
+def _run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
+    """One chunk's measurement, inside a FRESH process/JVM: warm up
+    the chunk's queries at sf0.001, then two measured passes with
+    per-query MIN (round-9 verdict item #3 — BASELINE.md rows are
+    min-of-N estimates, so a single-run bench carries a systematic
+    ~1.3x scheduler-noise bias that makes per-query ratios
+    uninterpretable near the 2x gate)."""
+    from realtime0523_spark.core.session import get_spark
 
-    # warm-up: JVM, codegen, Python workers, parquet footer caches
-    for name, spec in REGISTRY.items():
+    spark = get_spark("bench")
+    specs = [(n, REGISTRY[n]) for n in names]
+    for name, spec in specs:
         try:
             spec.fn(spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
         _release_query_state(spark)
-
-    # settle AFTER warm-up (our own warm-up inflates load) and
-    # immediately before the measured passes.
-    contended, settled_load = _settle_wait()
-
-    # TWO measured passes, per-query MIN (round-9 verdict item #3):
-    # BASELINE.md rows are min-of-N estimates, so a single-run bench
-    # carries a systematic ~1.3x scheduler-noise bias that makes
-    # per-query ratios uninterpretable near the 2x gate; min-of-two
-    # matches the baseline estimator at ~+6 min runtime.
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name, spec in REGISTRY.items():
+        for name, spec in specs:
             t0 = time.time()
             spec.fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             _release_query_state(spark)
+    return timings
+
+
+def _chunk_child(names_file: str, out_file: str, sf_dir: str) -> None:
+    """Subprocess entrypoint (`bench.py --chunk ...`)."""
+    with open(names_file) as fh:
+        names = [ln.strip() for ln in fh if ln.strip()]
+    timings = _run_chunk(names, sf_dir)
+    with open(out_file, "w") as fh:
+        json.dump(timings, fh)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    contention_before = _host_contention()
+
+    # settle immediately before the measured chunks.
+    contended, settled_load = _settle_wait()
+
+    all_names = list(REGISTRY)
+    chunks = [
+        all_names[i : i + CHUNK_SIZE]
+        for i in range(0, len(all_names), CHUNK_SIZE)
+    ]
+    timings: dict[str, float] = {}
+    in_process_chunks = 0
+    with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tdir:
+        for ci, names in enumerate(chunks):
+            names_file = os.path.join(tdir, f"names_{ci}.txt")
+            out_file = os.path.join(tdir, f"out_{ci}.json")
+            with open(names_file, "w") as fh:
+                fh.write("\n".join(names))
+            got: dict[str, float] | None = None
+            for _attempt in range(2):
+                try:
+                    subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--chunk",
+                            names_file,
+                            out_file,
+                            sf_dir,
+                        ],
+                        check=True,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                    with open(out_file) as fh:
+                        got = json.load(fh)
+                    break
+                except (subprocess.CalledProcessError, OSError, ValueError):
+                    continue
+            if got is None:
+                # degraded fallback: measure in-process (still a fresh
+                # SparkSession, but this JVM) rather than dropping the
+                # chunk — flagged in the JSON so readers know
+                got = _run_chunk(names, sf_dir)
+                in_process_chunks += 1
+            timings.update(got)
     total = sum(timings.values())
 
     full = json.dumps(
@@ -176,6 +245,8 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "passes": 2,  # per-query min-of-two (baseline estimator match)
+            "chunk_size": CHUNK_SIZE,  # fresh JVM per chunk (round-12)
+            "in_process_chunks": in_process_chunks,
             "contended": contended,
             "load_at_measure_start": settled_load,
             "host_before": contention_before,
@@ -244,4 +315,7 @@ def _stdout_line(
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--chunk":
+        _chunk_child(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()
