@@ -114,53 +114,28 @@ def _ensure_full_registry() -> None:
 # Names absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # ---- ROUND 11 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 21 (7 added + 9 changed + 5
-    # riders), group 3 = the 26 r6-stale rows the round-10 window
-    # deferred (per its own spill note), leaving 3 slots for the r7
-    # cohort (alphabetical, 42 rows — the remaining 39 lead round 12).
-    # Group 1 — ADDED this round (media_decode_png,
-    # media_audio_decode, stream_manifest_topic_counts,
-    # media_decode_jpeg, docs_gzip_ingest, docs_warc_extract,
-    # stream_warc_ingest), or CHANGED:
-    # the five cells/monitor-family
-    # streaming twins whose partial folds gained base-snapshot
-    # compaction, stream_allocation_split (completed-order tombstones
-    # + TTL-exact watermark), stream_brand_amount (guard checkpoint
-    # scoping + partials compaction), and media_decode /
-    # media_resize_decode (decode_image gained the PNG dispatch and,
-    # later in the round, the JPEG dispatch):
-    "media_decode_png", "media_audio_decode",
-    "stream_manifest_topic_counts",
-    "media_decode_jpeg", "docs_gzip_ingest", "docs_warc_extract",
-    "stream_warc_ingest",
-    "stream_customers_rfm", "stream_events_ks", "stream_events_chi2",
-    "stream_events_rolling_dau", "stream_events_monitor_report",
+    # ---- ROUND 12 WINDOW (50 slots) ----
+    # WINDOW ARITHMETIC: group 1 = 10 (7 changed + 3 riders), group 3
+    # = the 39 r7-stale rows (the full r7 remainder the round-11
+    # window's spill note promised would lead this round — they hit
+    # the 4-round SLA boundary at r12), + 1 slot for the leading r8
+    # row (alphabetical). No queries added this round.
+    # Group 1 — CHANGED this round: stream_allocation_split (compact
+    # done-set state shape + single partitioned feed write),
+    # stream_brand_amount (co-arrival guard event-time horizon),
+    # media_decode_jpeg / media_decode / media_resize_decode (JPEG
+    # entropy decoder: ZRL-at-block-end acceptance + named scan
+    # truncation error), docs_warc_extract / stream_warc_ingest
+    # (ISO 28500 header folding + compact separators):
     "stream_allocation_split", "stream_brand_amount",
-    "media_decode", "media_resize_decode",
+    "media_decode_jpeg", "media_decode", "media_resize_decode",
+    "docs_warc_extract", "stream_warc_ingest",
     # riders (rule 2 — registered plans unchanged, adjacent code
-    # changed: multimodal.py gained the PNG/WAV codecs next to the
-    # y4m/audio kernels; the allocation batch family neighbors the
-    # tombstoned state operator):
-    "media_video_frames", "media_audio_energy", "media_features",
-    "allocation", "brand_amount",
-    # Group 3 — the 26 r6-stale rows deferred from round 10 (stalest
-    # on the board; the round-10 verdict names exactly this set):
-    "dim_enrich",
-    "docs_bloom_contamination", "docs_bpe_tokens", "docs_chunk",
-    "docs_contamination", "docs_domain_mix", "docs_exact_dedup",
-    "docs_fingerprint", "docs_lm_score", "docs_ngram_jaccard",
-    "docs_pack_sequences", "docs_pii_redact", "docs_repetition",
-    "docs_simhash", "docs_span_dedup", "docs_span_stats",
-    "docs_stratified_sample", "docs_token_budget_sample",
-    "docs_token_stats", "docs_train_split",
-    "emb_ann_lsh", "emb_ann_pq_trained", "priority_decode",
-    "qty_moving_stats", "router_fanout", "router_filter",
-    # …and the leading 3 of the r7 cohort fill the window:
-    "cheapest_supplier_per_part", "docs_bm25_search",
-    "docs_bpe_encode",
-    # ---- post-window: the r7 remainder (39 rows) leads the round-12
-    # rotation, then r8+ keep registration order at the end ----
+    # changed: the batch allocation family neighbors the reshaped
+    # split-arrival state operator; docs_gzip_ingest shares shards.py
+    # with the WARC header parser):
+    "allocation", "brand_amount", "docs_gzip_ingest",
+    # Group 3 — the 39 r7-stale rows (stalest on the board):
     "docs_bpe_merges", "docs_bpe_vocab", "docs_corpus_prep",
     "docs_curriculum_order", "docs_dedup_clusters",
     "docs_dedup_filter", "docs_dedup_keep_best", "docs_domain_drift",
@@ -175,6 +150,13 @@ _PRIORITY: list[str] = [
     "stream_ann_lookup", "stream_bloom_contamination",
     "stream_docs_novelty", "stream_domain_drift", "stream_dwd_order",
     "user_cohort_retention", "warehouse_quality_report",
+    # …and the leading 1 of the r8 cohort fills the window:
+    "cdc_retract_agg",
+    # ---- post-window: the r8 remainder (43 rows, alphabetical)
+    # leads the round-13 rotation, then r9+ keep registration order ----
+    "cdc_retract_join", "cdc_retract_join3", "cdc_retract_minmax",
+    "customers_record_linkage", "docs_keyphrases", "docs_kn_score",
+    "docs_ppjoin_pairs",
 ]
 
 
