@@ -311,10 +311,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
     REAL pure-NumPy paths for binary P6 PPM (header parse + frombuffer
     reshape), 8-bit truecolor PNG (stdlib-zlib inflate + defilter,
-    `decode_png`), and baseline JPEG (hand-written Huffman/dequant/
-    IDCT incl. chroma subsampling and restart markers, `decode_jpeg`).
+    `decode_png`), and baseline + PROGRESSIVE JPEG (hand-written
+    Huffman/dequant/IDCT incl. chroma subsampling, restart markers,
+    spectral selection and successive approximation, `decode_jpeg`).
     Any other magic raises NotImplementedError naming the production
-    seam (progressive/arithmetic JPEG and the exotic formats) — a
+    seam (arithmetic/lossless JPEG and the exotic formats) — a
     deterministic fake here would silently masquerade as a decoder."""
     raw = bytes(payload)
     if raw[:2] == b"P6":
@@ -349,9 +350,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     raise NotImplementedError(
         f"image decode for magic {raw[:2]!r} requires an imaging library "
         f"(PIL/cv2) not present in this environment; P6 PPM, 8-bit PNG "
-        f"and baseline JPEG (incl. subsampling/restarts) decode natively "
-        f"— progressive/arithmetic JPEG and the exotic formats are the "
-        f"remaining seam"
+        f"and baseline+progressive JPEG (incl. subsampling/restarts) "
+        f"decode natively — arithmetic/lossless JPEG and the exotic "
+        f"formats are the remaining seam"
     )
 
 
@@ -1027,15 +1028,17 @@ def video_frame_stats(
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81) — round-11: the last named codec seam.
 #
-# A REAL sequential-baseline JPEG codec in pure NumPy + stdlib: segment
-# walk (SOI/APPn/DQT/SOF0/DHT/SOS/EOI), canonical Huffman entropy
+# A REAL JPEG codec in pure NumPy + stdlib: segment walk
+# (SOI/APPn/DQT/SOF0/SOF2/DHT/SOS/EOI), canonical Huffman entropy
 # decode with 0xFF00 byte-unstuffing, DC prediction, run-length AC,
 # dequantization, inverse zigzag, vectorized 8x8 IDCT (orthonormal
 # DCT-III via one einsum over all blocks), edge-padding crop, and
 # BT.601 YCbCr->RGB. Supports 8-bit precision, 1- or 3-component
 # scans with full sampling-factor interleave (4:4:4 / 4:2:2 / 4:2:0
-# and any integer-ratio factors) plus DRI/RSTn restart intervals;
-# progressive (SOF2), differential (SOF5-7), and arithmetic coding
+# and any integer-ratio factors), DRI/RSTn restart intervals, AND
+# (round 12) PROGRESSIVE (SOF2) frames — spectral selection,
+# successive approximation, EOBn runs, per-scan table redefinition;
+# differential (SOF5-7), lossless (SOF3), and arithmetic coding
 # raise a named limit. Reference parity: realtime0523 has no media
 # path at all —
 # this implements the multimodal column contract the task brief
@@ -1443,23 +1446,10 @@ def _blocks_to_plane(
     return full.reshape(bh * 8, bw * 8)[:h, :w]
 
 
-def encode_jpeg(
-    img: "np.ndarray",
-    quant_luma: "np.ndarray | None" = None,
-    quant_chroma: "np.ndarray | None" = None,
-    sampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Sequential-baseline JFIF bytes for a (h, w, 3) RGB or (h, w)
-    grayscale uint8 array: Annex K typical Huffman tables, Annex
-    K.1/K.2 quantization unless overridden (the oracle fixture
-    overrides the luma DC step to 8 — see the module banner's
-    exactness contract), 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
-    (block-mean downsample), optional DRI/RSTn restart intervals.
-    Encoder exists for fixtures and round-trip tests; the engine-side
-    kernel is `decode_jpeg`."""
-    import struct
-
+def _jpeg_plan(img, quant_luma, quant_chroma, sampling):
+    """Shared encoder prep (baseline AND progressive): color
+    transform, chroma downsample, FDCT, quantize, zigzag — returns
+    (gray, h, w, factors, zz_planes, grids, ql, qc, enc_tabs)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = (quant_luma if quant_luma is not None else JPEG_QUANT_LUMA).astype(
@@ -1504,26 +1494,13 @@ def encode_jpeg(
     dc_c = _huff_canonical(*_JPEG_DC_CHROMA)
     ac_c = _huff_canonical(*_JPEG_AC_CHROMA)
     enc_tabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c)] * 2)
+    return gray, h, w, factors, zz_planes, grids, ql, qc, enc_tabs
 
-    writer = _JpegBitWriter()
-    preds = [0] * len(planes)
-    rst = 0
-    for n in range(mcuy * mcux):
-        if restart_interval and n and n % restart_interval == 0:
-            writer.align_marker(0xD0 + rst)
-            rst = (rst + 1) & 7
-            preds = [0] * len(planes)
-        my, mx = divmod(n, mcux)
-        for ci, zz in enumerate(zz_planes):
-            hi, vi = factors[ci]
-            bwi = grids[ci][1]
-            for by in range(vi):
-                for bx in range(hi):
-                    bidx = (my * vi + by) * bwi + (mx * hi + bx)
-                    preds[ci] = _entropy_encode_block(
-                        writer, zz[bidx], preds[ci], *enc_tabs[ci]
-                    )
-    scan = writer.flush()
+
+def _jpeg_header(gray, h, w, factors, ql, qc, sof_marker, restart_interval):
+    """SOI..DHT header segments shared by both encoders; `sof_marker`
+    is 0xFFC0 (baseline) or 0xFFC2 (progressive)."""
+    import struct
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1539,7 +1516,7 @@ def encode_jpeg(
     for ci in range(nf):
         hi, vi = factors[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, sof)
+    out += seg(sof_marker, sof)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     dht = b""
@@ -1549,12 +1526,317 @@ def encode_jpeg(
     ):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xFFC4, dht)
+    return out, seg
+
+
+def encode_jpeg(
+    img: "np.ndarray",
+    quant_luma: "np.ndarray | None" = None,
+    quant_chroma: "np.ndarray | None" = None,
+    sampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential-baseline JFIF bytes for a (h, w, 3) RGB or (h, w)
+    grayscale uint8 array: Annex K typical Huffman tables, Annex
+    K.1/K.2 quantization unless overridden (the oracle fixture
+    overrides the luma DC step to 8 — see the module banner's
+    exactness contract), 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
+    (block-mean downsample), optional DRI/RSTn restart intervals.
+    Encoder exists for fixtures and round-trip tests; the engine-side
+    kernel is `decode_jpeg`."""
+    gray, h, w, factors, zz_planes, grids, ql, qc, enc_tabs = _jpeg_plan(
+        img, quant_luma, quant_chroma, sampling
+    )
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    writer = _JpegBitWriter()
+    preds = [0] * len(zz_planes)
+    rst = 0
+    for n in range(mcuy * mcux):
+        if restart_interval and n and n % restart_interval == 0:
+            writer.align_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(zz_planes)
+        my, mx = divmod(n, mcux)
+        for ci, zz in enumerate(zz_planes):
+            hi, vi = factors[ci]
+            bwi = grids[ci][1]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * bwi + (mx * hi + bx)
+                    preds[ci] = _entropy_encode_block(
+                        writer, zz[bidx], preds[ci], *enc_tabs[ci]
+                    )
+    scan = writer.flush()
+
+    out, seg = _jpeg_header(
+        gray, h, w, factors, ql, qc, 0xFFC0, restart_interval
+    )
+    nf = 1 if gray else 3
     sos = bytes([nf])
     for ci in range(nf):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xFFDA, sos)
     out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _true_block_extent(h, w, hi, vi, hmax, vmax):
+    """Non-interleaved block walk extent (T.81 G.1/A.2): a
+    single-component scan covers ceil(comp_dim/8) blocks of the
+    component's TRUE dims — never the MCU-padded grid."""
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _encode_ac_first_scan(
+    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict
+) -> None:
+    """Progressive AC first pass for one band (T.81 G.1.2.2 /
+    libjpeg encode_mcu_AC_first): run-length symbols over the
+    point-transformed magnitudes with EOBn run accumulation."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.write(*ac_enc[r << 4])
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (-v if v < 0 else v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                w.write(*ac_enc[0xF0])
+                r -= 16
+            s = t.bit_length()
+            sv = t if v >= 0 else -t
+            w.write(*ac_enc[(r << 4) | s])
+            w.write(_jpeg_value_bits(sv, s), s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBn caps at n=14 (T.81 G.1.2.2)
+                flush_eob()
+    flush_eob()
+
+
+def _encode_ac_refine_scan(
+    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict
+) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-significant coefficients as
+    (run, 1) symbols + sign, already-significant ones as buffered
+    correction bits flushed after the next emitted symbol, trailing
+    end-of-band blocks folded into EOBn runs."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next symbol
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.write(*ac_enc[r << 4])
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+
+    def flush_bits():
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+
+    for blk in blocks:
+        absv = [
+            ((-int(blk[k]) if int(blk[k]) < 0 else int(blk[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        eob = -1  # band-relative index of the LAST newly-significant
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        block_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                w.write(*ac_enc[0xF0])
+                r -= 16
+                for b in block_bits:
+                    w.write(b, 1)
+                block_bits = []
+            if t > 1:
+                # already significant: its bit at Al is a correction
+                # bit, buffered until the next emitted symbol
+                block_bits.append(t & 1)
+                continue
+            flush_eob()
+            w.write(*ac_enc[(r << 4) | 1])
+            w.write(0 if int(blk[ss + i]) < 0 else 1, 1)
+            for b in block_bits:
+                w.write(b, 1)
+            block_bits = []
+            r = 0
+        if r > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush_eob()
+    flush_eob()
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) the Annex-K
+# baseline AC tables don't define — real progressive encoders emit
+# custom Huffman tables (libjpeg generates per-scan optimal ones).
+# This fixture table assigns every symbol a progressive AC scan can
+# emit — (run, size) for size 1..10, ZRL, EOB0..EOB14 — a flat 8-bit
+# code each (176/256 Kraft, no all-ones code, T.81 C.2-valid).
+_JPEG_AC_PROG_SYMS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(15)]
+)
+_JPEG_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _JPEG_AC_PROG_SYMS,
+)
+
+
+def encode_jpeg_progressive(
+    img: "np.ndarray",
+    quant_luma: "np.ndarray | None" = None,
+    quant_chroma: "np.ndarray | None" = None,
+    sampling: str = "4:4:4",
+) -> bytes:
+    """PROGRESSIVE (SOF2) JFIF bytes for the same inputs as
+    `encode_jpeg`, with a libjpeg-style scan script exercising every
+    progressive mode the decoder supports: interleaved DC first pass
+    at Al=1, DC refinement to Al=0 (successive approximation of the
+    two's-complement DC), then per component spectral-selection AC
+    first passes at Al=1 (luma split into the 1-5 and 6-63 bands the
+    way cjpeg's default script does) and AC refinements to Al=0
+    (newly-significant (run,1)+sign symbols, buffered correction
+    bits, EOBn runs). Quantized coefficients are IDENTICAL to the
+    baseline encoder's for the same inputs, so the decoded pixels of
+    the progressive and baseline encodings match exactly — the
+    round-trip contract the tests pin."""
+    import struct
+
+    gray, h, w, factors, zz_planes, grids, ql, qc, enc_tabs = _jpeg_plan(
+        img, quant_luma, quant_chroma, sampling
+    )
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    nf = len(zz_planes)
+
+    out, seg = _jpeg_header(gray, h, w, factors, ql, qc, 0xFFC2, 0)
+
+    def sos(comp_specs, ss, se, ah, al, scan_bytes):
+        hdr = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, hdr) + scan_bytes
+
+    # -- scan 1: DC first pass, interleaved, Al=1 --------------------
+    wtr = _JpegBitWriter()
+    preds = [0] * nf
+    for n in range(mcuy * mcux):
+        my, mx = divmod(n, mcux)
+        for ci, zz in enumerate(zz_planes):
+            hi, vi = factors[ci]
+            bwi = grids[ci][1]
+            dc_enc = enc_tabs[ci][0]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * bwi + (mx * hi + bx)
+                    v = int(zz[bidx][0]) >> 1  # point transform Al=1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    cat = _jpeg_category(diff)
+                    wtr.write(*dc_enc[cat])
+                    if cat:
+                        wtr.write(_jpeg_value_bits(diff, cat), cat)
+    specs = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nf)]
+    out += sos(specs, 0, 0, 0, 1, wtr.flush())
+
+    # -- scan 2: DC refinement to Al=0, interleaved ------------------
+    wtr = _JpegBitWriter()
+    for n in range(mcuy * mcux):
+        my, mx = divmod(n, mcux)
+        for ci, zz in enumerate(zz_planes):
+            hi, vi = factors[ci]
+            bwi = grids[ci][1]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * bwi + (mx * hi + bx)
+                    wtr.write(int(zz[bidx][0]) & 1, 1)
+    out += sos(specs, 0, 0, 1, 0, wtr.flush())
+
+    # -- AC scans: per component, non-interleaved true-extent blocks.
+    # The Annex-K AC tables carry no EOBn symbols, so REDEFINE AC0/AC1
+    # mid-stream with the progressive table first — real progressive
+    # files do exactly this (per-scan DHT), and the decoder must bind
+    # each scan to the tables in effect at ITS SOS, not the header's.
+    prog_dht = b""
+    for th in range(2 if nf > 1 else 1):
+        prog_dht += (
+            bytes([0x10 | th])
+            + bytes(_JPEG_AC_PROG[0])
+            + bytes(_JPEG_AC_PROG[1])
+        )
+    out += seg(0xFFC4, prog_dht)
+    ac_enc = _huff_canonical(*_JPEG_AC_PROG)
+
+    def comp_blocks(ci):
+        hi, vi = factors[ci]
+        cbh, cbw = _true_block_extent(h, w, hi, vi, hmax, vmax)
+        bwi = grids[ci][1]
+        return [
+            zz_planes[ci][r * bwi + c]
+            for r in range(cbh)
+            for c in range(cbw)
+        ]
+
+    def bands(ci):
+        return [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+
+    for ci in range(nf):
+        blocks = comp_blocks(ci)
+        td, ta = (0, 0) if ci == 0 else (1, 1)
+        for ss, se in bands(ci):
+            wtr = _JpegBitWriter()
+            _encode_ac_first_scan(wtr, blocks, ss, se, 1, ac_enc)
+            out += sos([(ci + 1, td, ta)], ss, se, 0, 1, wtr.flush())
+    for ci in range(nf):
+        blocks = comp_blocks(ci)
+        td, ta = (0, 0) if ci == 0 else (1, 1)
+        for ss, se in bands(ci):
+            wtr = _JpegBitWriter()
+            _encode_ac_refine_scan(wtr, blocks, ss, se, 0, ac_enc)
+            out += sos([(ci + 1, td, ta)], ss, se, 1, 0, wtr.flush())
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1570,9 +1852,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     vectorized einsum IDCT over every block of each component,
     nearest-neighbor chroma upsample, crop, and BT.601 YCbCr->RGB
     for 3-component frames. 1 or 3 components, 8-bit precision;
-    progressive (SOF2), differential (SOF5-7), and arithmetic coding
-    raise a named limit. Returns (h, w, 3) uint8 for color, (h, w)
-    for grayscale."""
+    PROGRESSIVE (SOF2) multi-scan frames decode natively since round
+    12 — spectral-selection bands, successive-approximation DC/AC
+    refinement with EOBn runs, per-scan DHT/DRI rebinding
+    (`_decode_jpeg_progressive`); differential (SOF5-7), lossless
+    (SOF3), and arithmetic coding raise a named limit. Returns
+    (h, w, 3) uint8 for color, (h, w) for grayscale."""
     import struct
 
     raw = bytes(payload)
@@ -1582,8 +1867,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, tq, hi, vi)])
-    scan_comps = None
-    scan_data = None
+    progressive = False
+    # every SOS in the file: (comps, ss, se, ah, al, data, ri, tables)
+    scans: list[tuple] = []
     restart_interval = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -1599,11 +1885,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # scan they carry nothing — skip, don't misread a length
             pos += 2
             continue
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                "JPEG: only sequential baseline (SOF0) is supported — "
-                f"SOF{marker - 0xC0} (progressive/extended/differential) "
-                "needs a full codec library (PIL/cv2), the named seam"
+                "JPEG: only baseline (SOF0) and progressive (SOF2) "
+                f"Huffman frames are supported — SOF{marker - 0xC0} "
+                "(extended/lossless/differential) needs a full codec "
+                "library (PIL/cv2), the named seam"
             )
         if 0xC8 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             raise NotImplementedError(
@@ -1636,7 +1923,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = list(body[off + 17 : off + 17 + n])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -1665,6 +1953,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             for ci in range(ns):
                 cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             # Entropy data runs to the next non-RSTn marker (FF
             # followed by a byte that is neither 00 stuffing nor
             # D0-D7 — restart markers live inside the scan).
@@ -1688,71 +1977,48 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                     f"marker after the SOS entropy data at offset "
                     f"{start} ({len(raw) - start} bytes remain)"
                 )
-            scan_data = raw[start:end]  # stuffed; split on RSTn later
+            # stuffed; split on RSTn later. DHT/DRI may be redefined
+            # BETWEEN progressive scans, so each scan snapshots the
+            # tables/interval in effect at its SOS.
+            scans.append(
+                (
+                    scan_comps,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    raw[start:end],
+                    restart_interval,
+                    dict(htabs),
+                )
+            )
             pos = end
             continue
         pos += 2 + length
-    if frame is None or scan_data is None or scan_comps is None:
-        raise ValueError("JPEG: missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("JPEG: missing SOF/SOS")
     h, w, comps = frame
-    if len(scan_comps) != len(comps):
+    if progressive:
+        return _decode_jpeg_progressive(h, w, comps, scans, qtabs)
+    scan_comps, s_ss, s_se, s_ah, s_al, scan_data, restart_interval, _ = (
+        scans[0]
+    )
+    if len(scans) != 1 or len(scan_comps) != len(comps):
         raise NotImplementedError(
-            "JPEG: multi-scan (non-interleaved) files unsupported"
+            "JPEG: multi-scan (non-interleaved) BASELINE files "
+            "unsupported (progressive multi-scan is the SOF2 path)"
+        )
+    if (s_ss, s_se, s_ah, s_al) != (0, 63, 0, 0):
+        raise ValueError(
+            f"JPEG: baseline scan must cover the full band with no "
+            f"point transform — got Ss={s_ss} Se={s_se} Ah={s_ah} "
+            f"Al={s_al}"
         )
 
-    if len(comps) == 1:
-        # T.81 A.2: a single-component scan is NON-interleaved — one
-        # data unit per MCU, the component at full resolution, blocks
-        # in plain row-major order. Declared sampling factors only
-        # matter relative to the (absent) other components, so
-        # normalize them away instead of misapplying MCU interleave
-        # (real encoders do emit grayscale SOFs with 2x2 factors).
-        cid0, tq0, _, _ = comps[0]
-        comps = [(cid0, tq0, 1, 1)]
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    for cid, tq, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"JPEG: non-integer upsampling ({hi}x{vi} against "
-                f"max {hmax}x{vmax}) unsupported — the exotic-ratio "
-                "seam (PIL/cv2)"
-            )
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comps = _jpeg_normalize_comps(comps)
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(h, w, comps)
     n_mcu = mcux * mcuy
-
-    # Restart handling: the stuffed scan splits on RSTn markers into
-    # independently byte-aligned entropy segments, each starting with
-    # fresh DC predictions (T.81 F.2.1.3.1). Marker order must cycle
-    # D0..D7.
-    import re as _re
-
-    parts = _re.split(b"(\xff[\xd0-\xd7])", scan_data)
-    segments = [parts[i] for i in range(0, len(parts), 2)]
-    markers = [parts[i][1] - 0xD0 for i in range(1, len(parts), 2)]
-    if markers and not restart_interval:
-        raise ValueError("JPEG: RSTn in scan but no DRI interval set")
-    for i, m in enumerate(markers):
-        if m != i & 7:
-            raise ValueError(
-                f"JPEG: restart marker out of sequence (RST{m} where "
-                f"RST{i & 7} expected)"
-            )
-    if restart_interval:
-        want = -(-n_mcu // restart_interval)
-        if len(segments) == want + 1 and not segments[-1]:
-            # some hardware encoders emit a trailing RSTn after the
-            # final segment; libjpeg tolerates it — so do we (the
-            # marker itself was already cycle-validated above)
-            segments.pop()
-        if len(segments) != want:
-            raise ValueError(
-                f"JPEG: {len(segments)} restart segments for {n_mcu} "
-                f"MCUs at interval {restart_interval} (expected {want})"
-            )
-    readers = [
-        _JpegBitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments
-    ]
+    readers = _split_restart_segments(scan_data, restart_interval, n_mcu)
 
     grids = [(mcuy * vi, mcux * hi) for _, _, hi, vi in comps]
     zz_by_comp = [
@@ -1781,6 +2047,83 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                     )
                     zz_by_comp[ci][(my * vi + by) * bwi + mx * hi + bx] = zz
 
+    return _jpeg_reconstruct(h, w, comps, grids, zz_by_comp, qtabs, hmax, vmax)
+
+
+def _jpeg_normalize_comps(comps: list) -> list:
+    """T.81 A.2: a single-component frame's scans are NON-interleaved
+    — one data unit per MCU, the component at full resolution, blocks
+    in plain row-major order. Declared sampling factors only matter
+    relative to the (absent) other components, so normalize them away
+    instead of misapplying MCU interleave (real encoders do emit
+    grayscale SOFs with 2x2 factors)."""
+    if len(comps) == 1:
+        cid0, tq0, _, _ = comps[0]
+        return [(cid0, tq0, 1, 1)]
+    return comps
+
+
+def _jpeg_geometry(h: int, w: int, comps: list) -> tuple[int, int, int, int]:
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for cid, tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"JPEG: non-integer upsampling ({hi}x{vi} against "
+                f"max {hmax}x{vmax}) unsupported — the exotic-ratio "
+                "seam (PIL/cv2)"
+            )
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _split_restart_segments(
+    scan_data: bytes, restart_interval: int, n_units: int
+) -> list["_JpegBitReader"]:
+    """Split a stuffed entropy scan on RSTn markers into independently
+    byte-aligned segments (T.81 F.2.1.3.1) and return their bit
+    readers. Marker order must cycle D0..D7; segment count must match
+    the unit count at the DRI interval (one trailing empty segment
+    after a final RSTn is tolerated, as libjpeg does)."""
+    import re as _re
+
+    parts = _re.split(b"(\xff[\xd0-\xd7])", scan_data)
+    segments = [parts[i] for i in range(0, len(parts), 2)]
+    markers = [parts[i][1] - 0xD0 for i in range(1, len(parts), 2)]
+    if markers and not restart_interval:
+        raise ValueError("JPEG: RSTn in scan but no DRI interval set")
+    for i, m in enumerate(markers):
+        if m != i & 7:
+            raise ValueError(
+                f"JPEG: restart marker out of sequence (RST{m} where "
+                f"RST{i & 7} expected)"
+            )
+    if restart_interval:
+        want = -(-n_units // restart_interval)
+        if len(segments) == want + 1 and not segments[-1]:
+            segments.pop()
+        if len(segments) != want:
+            raise ValueError(
+                f"JPEG: {len(segments)} restart segments for {n_units} "
+                f"MCUs at interval {restart_interval} (expected {want})"
+            )
+    return [
+        _JpegBitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments
+    ]
+
+
+def _jpeg_reconstruct(
+    h: int,
+    w: int,
+    comps: list,
+    grids: list,
+    zz_by_comp: list,
+    qtabs: dict,
+    hmax: int,
+    vmax: int,
+) -> "np.ndarray":
+    """Shared decode tail (baseline AND progressive): dequantize,
+    inverse zigzag, vectorized IDCT, plane assembly, chroma upsample,
+    color transform."""
     planes = []
     for (cid, tq, hi, vi), (bhi, bwi), zz in zip(comps, grids, zz_by_comp):
         if tq not in qtabs:
@@ -1808,6 +2151,225 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
+def _decode_ac_first_block(
+    r: "_JpegBitReader", blk, ss: int, se: int, al: int, ac_dec: dict,
+    eobrun: int,
+) -> int:
+    """Progressive AC first pass for one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_first): run-length + EOBn runs, coefficients stored
+    at the point transform (<< Al). Returns the remaining EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1  # block lies entirely inside an EOB run
+    k = ss
+    while k <= se:
+        sym = r.read_symbol(ac_dec)
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << run
+            if run:
+                eobrun += r.read_bits(run)
+            return eobrun - 1
+        k += run
+        if k > se:
+            raise ValueError(
+                f"JPEG: progressive AC run overflows the {ss}..{se} band"
+            )
+        blk[k] = _jpeg_extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine_block(
+    r: "_JpegBitReader", blk, ss: int, se: int, al: int, ac_dec: dict,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement for one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_refine): newly-significant coefficients arrive as
+    (run, 1) symbols + sign, already-significant ones take one
+    correction bit each — including through ZRL skips and the
+    end-of-band region. Returns the remaining EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = r.read_symbol(ac_dec)
+            run, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break  # rest of the band is the EOB region below
+                newval = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: AC refinement can only create magnitude-1 "
+                        f"coefficients (got s={s})"
+                    )
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if r.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if r.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(
+    h: int, w: int, comps: list, scans: list, qtabs: dict
+) -> "np.ndarray":
+    """SOF2 progressive decode (T.81 Annex G, Huffman): coefficients
+    accumulate across the file's scans — DC first/refinement
+    (two's-complement successive approximation), per-component AC
+    spectral-selection first passes and magnitude refinements with
+    EOBn runs — then the shared dequantize + IDCT tail runs once.
+    Restart intervals reset DC predictions AND the EOB run per
+    segment. The scan walk is a one-time per-payload Python pass, the
+    same cost shape as the baseline decoder."""
+    comps = _jpeg_normalize_comps(comps)
+    hmax, vmax, mcux, mcuy = _jpeg_geometry(h, w, comps)
+    n_mcu = mcux * mcuy
+    grids = [(mcuy * vi, mcux * hi) for _, _, hi, vi in comps]
+    zz_by_comp = [
+        np.zeros((bhi * bwi, 64), dtype=np.int64) for bhi, bwi in grids
+    ]
+    by_cid = {cid: ci for ci, (cid, _, _, _) in enumerate(comps)}
+    dc_done: set[int] = set()  # components with a completed DC first pass
+
+    for scomps, ss, se, ah, al, data, ri, tabs in scans:
+        if ah and al != ah - 1:
+            raise ValueError(
+                f"JPEG: successive-approximation order violated "
+                f"(Ah={ah} requires Al={ah - 1}, got {al})"
+            )
+        if ss == 0:
+            # ---- DC scan (interleaved over all comps, or single) ----
+            if se != 0:
+                raise ValueError(
+                    f"JPEG: progressive DC scan must have Se=0 (got {se})"
+                )
+            cis = []
+            for cs, td, ta in scomps:
+                if cs not in by_cid:
+                    raise ValueError(f"JPEG: SOS names unknown component {cs}")
+                if ah == 0 and (0, td) not in tabs:
+                    raise ValueError(f"JPEG: missing Huffman table DC{td}")
+                cis.append((by_cid[cs], tabs.get((0, td))))
+            interleaved = len(scomps) > 1
+            if interleaved and len(scomps) != len(comps):
+                raise NotImplementedError(
+                    "JPEG: progressive DC scan over a strict component "
+                    "subset is unsupported (all components or one)"
+                )
+            if interleaved:
+                n_units = n_mcu
+            else:
+                ci0 = cis[0][0]
+                cbh, cbw = _true_block_extent(
+                    h, w, comps[ci0][2], comps[ci0][3], hmax, vmax
+                )
+                n_units = cbh * cbw
+            readers = _split_restart_segments(data, ri, n_units)
+            reader = readers[0]
+            preds = [0] * len(comps)
+            for n in range(n_units):
+                if ri and n and n % ri == 0:
+                    reader = readers[n // ri]
+                    preds = [0] * len(comps)
+                if interleaved:
+                    my, mx = divmod(n, mcux)
+                    for ci, dc_dec in cis:
+                        _, _, hi, vi = comps[ci]
+                        bwi = grids[ci][1]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                bidx = (my * vi + by) * bwi + mx * hi + bx
+                                blk = zz_by_comp[ci][bidx]
+                                if ah == 0:
+                                    cat = reader.read_symbol(dc_dec)
+                                    diff = _jpeg_extend(
+                                        reader.read_bits(cat), cat
+                                    )
+                                    preds[ci] += diff
+                                    blk[0] = preds[ci] << al
+                                else:
+                                    blk[0] = int(blk[0]) | (
+                                        reader.read_bit() << al
+                                    )
+                else:
+                    ci, dc_dec = cis[0]
+                    bwi = grids[ci][1]
+                    bidx = (n // cbw) * bwi + (n % cbw)
+                    blk = zz_by_comp[ci][bidx]
+                    if ah == 0:
+                        cat = reader.read_symbol(dc_dec)
+                        diff = _jpeg_extend(reader.read_bits(cat), cat)
+                        preds[ci] += diff
+                        blk[0] = preds[ci] << al
+                    else:
+                        blk[0] = int(blk[0]) | (reader.read_bit() << al)
+            if ah == 0:
+                dc_done.update(ci for ci, _ in cis)
+        else:
+            # ---- AC scan: always single-component (G.1.1.1.1) ------
+            if len(scomps) != 1:
+                raise ValueError(
+                    "JPEG: progressive AC scan must be single-component"
+                )
+            if not (ss <= se <= 63):
+                raise ValueError(f"JPEG: bad spectral band {ss}..{se}")
+            cs, td, ta = scomps[0]
+            if cs not in by_cid:
+                raise ValueError(f"JPEG: SOS names unknown component {cs}")
+            ci = by_cid[cs]
+            if ci not in dc_done:
+                raise ValueError(
+                    f"JPEG: AC scan for component {cs} precedes its DC "
+                    f"first pass (progressive scan order violated)"
+                )
+            if (1, ta) not in tabs:
+                raise ValueError(f"JPEG: missing Huffman table AC{ta}")
+            ac_dec = tabs[(1, ta)]
+            _, _, hi, vi = comps[ci]
+            cbh, cbw = _true_block_extent(h, w, hi, vi, hmax, vmax)
+            bwi = grids[ci][1]
+            readers = _split_restart_segments(data, ri, cbh * cbw)
+            reader = readers[0]
+            eobrun = 0
+            step = (
+                _decode_ac_first_block if ah == 0 else _decode_ac_refine_block
+            )
+            for n in range(cbh * cbw):
+                if ri and n and n % ri == 0:
+                    reader = readers[n // ri]
+                    eobrun = 0
+                blk = zz_by_comp[ci][(n // cbw) * bwi + (n % cbw)]
+                eobrun = step(reader, blk, ss, se, al, ac_dec, eobrun)
+
+    return _jpeg_reconstruct(h, w, comps, grids, zz_by_comp, qtabs, hmax, vmax)
+
+
 def attach_jpeg_media(
     df: DataFrame,
     blocks_w: int,
@@ -1815,6 +2377,7 @@ def attach_jpeg_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     media_col: str = "media",
+    progressive: bool = False,
 ) -> DataFrame:
     """Testdata adapter for the LOSSY-codec decode path (round-11):
     materialize a spec-valid baseline 4:4:4 color JPEG per row whose
@@ -1826,10 +2389,15 @@ def attach_jpeg_media(
     neutral chroma) the decode is EXACTLY lossless, so the SQL oracle
     can replay every decoded pixel from hex(encode(text)): channel
     px_sum = 64 * sum(block bytes). The engine still runs the fully
-    general entropy-decode + IDCT path to recover them."""
+    general entropy-decode + IDCT path to recover them.
+    `progressive=True` (round-12) emits the SAME quantized
+    coefficients as SOF2 multi-scan files — identical decoded pixels,
+    so the same oracle holds while the engine exercises the
+    progressive scan-accumulation path."""
     ql = JPEG_QUANT_LUMA.copy()
     ql[0] = 8  # DC step 8 divides 8*(v-128) for every v in 0..255
     n_blocks = blocks_w * blocks_h
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1848,7 +2416,7 @@ def attach_jpeg_media(
                     np.ones((8, 8), dtype=np.uint8),
                 )
                 rgb = np.stack([y, y, y], axis=-1)
-                payloads.append(encode_jpeg(rgb, quant_luma=ql))
+                payloads.append(enc(rgb, quant_luma=ql))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].astype("int64"), media_col: payloads}
             )

@@ -115,18 +115,21 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 12 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 10 (7 changed + 3 riders), group 3
-    # = the 39 r7-stale rows (the full r7 remainder the round-11
-    # window's spill note promised would lead this round — they hit
-    # the 4-round SLA boundary at r12), + 1 slot for the leading r8
-    # row (alphabetical). No queries added this round.
-    # Group 1 — CHANGED this round: stream_allocation_split (compact
-    # done-set state shape + single partitioned feed write),
-    # stream_brand_amount (co-arrival guard event-time horizon),
-    # media_decode_jpeg / media_decode / media_resize_decode (JPEG
-    # entropy decoder: ZRL-at-block-end acceptance + named scan
-    # truncation error), docs_warc_extract / stream_warc_ingest
-    # (ISO 28500 header folding + compact separators):
+    # WINDOW ARITHMETIC: group 1 = 11 (1 added + 7 changed + 3
+    # riders), group 3 = the 39 r7-stale rows (the full r7 remainder
+    # the round-11 window's spill note promised would lead this round
+    # — they hit the 4-round SLA boundary at r12). 1 new query this
+    # round (growth rule: ≤ 12).
+    # Group 1 — ADDED this round (media_decode_jpeg_progressive: the
+    # SOF2 progressive decode path), or CHANGED:
+    # stream_allocation_split (compact done-set state shape + single
+    # partitioned feed write), stream_brand_amount (co-arrival guard
+    # event-time horizon), media_decode_jpeg / media_decode /
+    # media_resize_decode (JPEG entropy decoder: ZRL-at-block-end
+    # acceptance, named scan truncation error, progressive dispatch),
+    # docs_warc_extract / stream_warc_ingest (ISO 28500 header
+    # folding + compact separators):
+    "media_decode_jpeg_progressive",
     "stream_allocation_split", "stream_brand_amount",
     "media_decode_jpeg", "media_decode", "media_resize_decode",
     "docs_warc_extract", "stream_warc_ingest",
@@ -150,13 +153,11 @@ _PRIORITY: list[str] = [
     "stream_ann_lookup", "stream_bloom_contamination",
     "stream_docs_novelty", "stream_domain_drift", "stream_dwd_order",
     "user_cohort_retention", "warehouse_quality_report",
-    # …and the leading 1 of the r8 cohort fills the window:
-    "cdc_retract_agg",
-    # ---- post-window: the r8 remainder (43 rows, alphabetical)
+    # ---- post-window: the r8 cohort (44 rows, alphabetical)
     # leads the round-13 rotation, then r9+ keep registration order ----
-    "cdc_retract_join", "cdc_retract_join3", "cdc_retract_minmax",
-    "customers_record_linkage", "docs_keyphrases", "docs_kn_score",
-    "docs_ppjoin_pairs",
+    "cdc_retract_agg", "cdc_retract_join", "cdc_retract_join3",
+    "cdc_retract_minmax", "customers_record_linkage",
+    "docs_keyphrases", "docs_kn_score", "docs_ppjoin_pairs",
 ]
 
 

@@ -1469,8 +1469,9 @@ JPEG_BLOCKS_W, JPEG_BLOCKS_H = 2, 2  # 16×16 px, 4 constant 8×8 blocks
     "the repartition is a no-op-sized insurance shuffle of (long, "
     "short string) rows, never of decoded payloads. 3 rows out per "
     "image. 4:2:0/4:2:2 subsampling and DRI restart intervals decode "
-    "too (unit-tested); progressive/arithmetic JPEG stay the named "
-    "seam.",
+    "too (unit-tested); progressive decodes natively since round 12 "
+    "(media_decode_jpeg_progressive); arithmetic/lossless JPEG stay "
+    "the named seam.",
 )
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
@@ -1478,6 +1479,53 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_channel_stats(
         M.attach_jpeg_media(
             docs.repartition(par), JPEG_BLOCKS_W, JPEG_BLOCKS_H
+        )
+    )
+
+
+@register(
+    "media_decode_jpeg_progressive",
+    f"""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    bv AS (SELECT doc_id,
+                  CASE WHEN nb = 0 THEN 0
+                       ELSE CAST('0x' || substr(hx, 2 * (b % nb) + 1, 2)
+                            AS INT) END AS v
+           FROM m, LATERAL (SELECT
+               unnest(range(0, {JPEG_BLOCKS_W * JPEG_BLOCKS_H})) AS b)),
+    s AS (SELECT doc_id, 64 * sum(v) AS px FROM bv GROUP BY 1)
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(px AS BIGINT) AS px_sum,
+           CAST({JPEG_BLOCKS_W * JPEG_BLOCKS_H * 64} AS BIGINT) AS n_px
+    FROM s, LATERAL (SELECT unnest(range(0, 3)) AS c)
+    """,
+    "PROGRESSIVE (SOF2) JPEG decode (round-12: the progressive seam "
+    "is closed): the same constant-block corpus as media_decode_jpeg, "
+    "but each payload is a spec-valid MULTI-SCAN progressive file — "
+    "interleaved DC first pass at Al=1, DC successive-approximation "
+    "refinement, per-component spectral-selection AC bands with "
+    "EOBn runs and correction-bit refinement scans, plus the "
+    "mid-stream DHT redefinition real progressive encoders emit — "
+    "decoded by the native scan-accumulation path (llm/multimodal.py"
+    "::_decode_jpeg_progressive, T.81 Annex G). Quantized "
+    "coefficients are identical to the baseline encoding's, so the "
+    "same exactness contract holds and the oracle replays every "
+    "decoded pixel from hex(encode(text)). Same map-only plan shape "
+    "as media_decode_jpeg: repartition (long, short string) rows to "
+    "core parallelism before the CPU-bound codec stage; payloads "
+    "never shuffle. Arithmetic/lossless JPEG stay the named seam.",
+)
+def q_media_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    par = spark.sparkContext.defaultParallelism
+    return M.decode_channel_stats(
+        M.attach_jpeg_media(
+            docs.repartition(par), JPEG_BLOCKS_W, JPEG_BLOCKS_H,
+            progressive=True,
         )
     )
 

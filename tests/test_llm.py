@@ -2254,11 +2254,13 @@ def test_jpeg_roundtrip_and_validation():
     assert np.abs(outa.astype(int) - gr.astype(int)).max() <= 6
     with pytest.raises(ValueError, match="grayscale"):
         decode_image(encode_jpeg(gr, quant_luma=ones))
-    # named seams: progressive SOF2, out-of-range sampling factors
+    # named seams: lossless SOF3, out-of-range sampling factors
+    # (SOF2 progressive is DECODED since round 12 — see the
+    # progressive round-trip tests)
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2|progressive"):
+    payload[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
@@ -2614,3 +2616,158 @@ def test_parse_warc_accepts_compact_and_folded_headers():
     bad = b"WARC/1.0\r\n valueless\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
     with pytest.raises(ValueError, match="no preceding header"):
         parse_warc(bad)
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Round-12: PROGRESSIVE (SOF2) decode — the progressive encoding
+    of an image must decode to EXACTLY the pixels of its baseline
+    encoding (identical quantized coefficients, different entropy
+    organization), across samplings, odd dims, grayscale, and both
+    all-ones and Annex-K quantization. This exercises the full
+    progressive surface: interleaved DC first pass at Al=1, DC
+    refinement, per-component spectral-selection AC first passes,
+    AC refinements with correction bits, EOBn runs, and the
+    mid-stream DHT redefinition real progressive files carry."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    ones = np.ones(64, dtype=np.int64)
+    for shape, sampling in [
+        ((24, 17, 3), "4:4:4"),
+        ((24, 17, 3), "4:2:0"),
+        ((33, 41, 3), "4:2:2"),
+        ((11, 19), "4:4:4"),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quant_luma=ones, quant_chroma=ones,
+                        sampling=sampling)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quant_luma=ones, quant_chroma=ones,
+                                    sampling=sampling)
+        )
+        assert (base == prog).all(), (shape, sampling)
+    # Annex-K tables: bigger coefficients, more refinement traffic
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img))
+        == decode_jpeg(encode_jpeg(img))
+    ).all()
+    # a mostly-flat image drives long EOBn runs (EOBRUN >> 1)
+    flat = np.full((48, 48, 3), 200, dtype=np.uint8)
+    flat[0, 0] = 10
+    assert (
+        decode_jpeg(encode_jpeg_progressive(flat))
+        == decode_jpeg(encode_jpeg(flat))
+    ).all()
+    # decode_image dispatches progressive payloads transparently
+    got = decode_image(encode_jpeg_progressive(img))
+    assert got.shape == img.shape
+
+
+def test_jpeg_progressive_ac_scan_pair_roundtrip():
+    """The AC first-pass + refinement scan encoders and their block
+    decoders are exact inverses on random sparse coefficient blocks —
+    the strongest progressive check, independent of DCT/color."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        _JPEG_AC_PROG,
+        _JpegBitReader,
+        _JpegBitWriter,
+        _decode_ac_first_block,
+        _decode_ac_refine_block,
+        _encode_ac_first_scan,
+        _encode_ac_refine_scan,
+        _huff_decode_map,
+        _huff_canonical,
+    )
+
+    rng = np.random.default_rng(31)
+    enc = _huff_canonical(*_JPEG_AC_PROG)
+    dec = _huff_decode_map(*_JPEG_AC_PROG)
+    blocks = np.zeros((40, 64), dtype=np.int64)
+    for i in range(40):
+        nz = rng.integers(0, 12)  # sparse -> plenty of EOB runs
+        pos = rng.choice(63, size=nz, replace=False) + 1
+        blocks[i][pos] = rng.integers(-1023, 1024, size=nz)
+    ss, se = 1, 63
+    w1, w2 = _JpegBitWriter(), _JpegBitWriter()
+    _encode_ac_first_scan(w1, blocks, ss, se, 1, enc)
+    _encode_ac_refine_scan(w2, blocks, ss, se, 0, enc)
+    got = np.zeros_like(blocks)
+    r = _JpegBitReader(w1.flush().replace(b"\xff\x00", b"\xff"))
+    eobrun = 0
+    for i in range(len(blocks)):
+        eobrun = _decode_ac_first_block(r, got[i], ss, se, 1, dec, eobrun)
+    r = _JpegBitReader(w2.flush().replace(b"\xff\x00", b"\xff"))
+    eobrun = 0
+    for i in range(len(blocks)):
+        eobrun = _decode_ac_refine_block(r, got[i], ss, se, 0, dec, eobrun)
+    assert (got[:, 1:] == blocks[:, 1:]).all()
+
+
+def test_jpeg_progressive_validation():
+    """Progressive scan-order/shape violations are loud and named:
+    an AC scan before the component's DC first pass, a DC scan with
+    Se != 0, an Ah/Al succession violation, and a refinement symbol
+    claiming magnitude > 1."""
+    import struct
+
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        _JPEG_AC_PROG,
+        _JpegBitReader,
+        _JpegBitWriter,
+        _decode_ac_refine_block,
+        _huff_canonical,
+        _huff_decode_map,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    gr = np.full((8, 8), 77, dtype=np.uint8)
+    whole = encode_jpeg_progressive(gr)
+
+    def patch_first_sos(payload, ss=None, se=None, ahal=None):
+        buf = bytearray(payload)
+        at = buf.index(b"\xff\xda")
+        (ln,) = struct.unpack(">H", buf[at + 2 : at + 4])
+        tail = at + 2 + ln - 3  # ss, se, ahal are the last 3 bytes
+        if ss is not None:
+            buf[tail] = ss
+        if se is not None:
+            buf[tail + 1] = se
+        if ahal is not None:
+            buf[tail + 2] = ahal
+        return bytes(buf)
+
+    # first scan rewritten as an AC band scan: no DC first pass yet
+    with pytest.raises(ValueError, match="precedes its DC"):
+        decode_jpeg(patch_first_sos(whole, ss=1, se=63))
+    # DC scan with a band end
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(patch_first_sos(whole, se=5))
+    # successive approximation must step Al by exactly one
+    with pytest.raises(ValueError, match="Ah=2 requires Al=1"):
+        decode_jpeg(patch_first_sos(whole, ahal=(2 << 4) | 0))
+    # refinement symbol with s > 1
+    enc = _huff_canonical(*_JPEG_AC_PROG)
+    dec = _huff_decode_map(*_JPEG_AC_PROG)
+    w = _JpegBitWriter()
+    w.write(*enc[0x02])  # run 0, size 2 — illegal in a refinement
+    w.write(3, 2)
+    blk = np.zeros(64, dtype=np.int64)
+    with pytest.raises(ValueError, match="magnitude-1"):
+        _decode_ac_refine_block(
+            _JpegBitReader(w.flush()), blk, 1, 63, 0, dec, 0
+        )
