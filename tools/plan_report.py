@@ -318,6 +318,15 @@ AUDITED: dict[str, str] = {
         "never shuffle — at 100 TB the scan is already thousands of "
         "splits and the exchange is insurance, not a data motion"
     ),
+    "media_decode_jpeg_progressive": (
+        "identical plan shape to media_decode_jpeg — one round-robin "
+        "exchange of (long, short-string) rows before the codec stage, "
+        "then map-only: progressive multi-scan encode fixture kernel -> "
+        "scan-accumulation decode (DC/AC successive approximation, "
+        "EOBn) + einsum IDCT + channel sums; the progressive "
+        "organization changes the per-payload CPU walk, never the "
+        "data motion — payloads never shuffle"
+    ),
     "docs_gzip_ingest": (
         "map-only: gzip-member fixture kernel -> full RFC 1952 parse "
         "(header variants, CRC32/ISIZE, multi-member) + inflate + "

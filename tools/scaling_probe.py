@@ -160,6 +160,7 @@ PROBES = [
     "docs_gzip_ingest",    # RFC1952 parse + inflate, map-only (r11)
     "docs_warc_extract",   # .warc.gz two-layer parse, map-only (r11)
     "stream_warc_ingest",  # streaming shard parse + |langs|-row running agg (r11)
+    "media_decode_jpeg_progressive",  # SOF2 multi-scan decode, map-only (r12)
 ]
 
 # Library paths without their own registry entry, probed as callables:
