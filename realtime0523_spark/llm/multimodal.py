@@ -1594,8 +1594,23 @@ def _true_block_extent(h, w, hi, vi, hmax, vmax):
     return -(-ch // 8), -(-cw // 8)
 
 
+def _restart_boundaries(w: "_JpegBitWriter", n_blocks: int, ri: int):
+    """Yield (block_index, at_restart) pairs; the caller flushes its
+    run state before each restart, then this emits the aligned cyclic
+    RSTn marker (restart segments are independently byte-aligned and
+    EOB runs cannot cross them — T.81 F.2.1.3.1 applies per scan)."""
+    rst = 0
+    for n in range(n_blocks):
+        if ri and n and n % ri == 0:
+            yield n, True
+            w.align_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+        yield n, False
+
+
 def _encode_ac_first_scan(
-    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict
+    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict,
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC first pass for one band (T.81 G.1.2.2 /
     libjpeg encode_mcu_AC_first): run-length symbols over the
@@ -1611,7 +1626,13 @@ def _encode_ac_first_scan(
                 w.write(eobrun - (1 << r), r)
             eobrun = 0
 
-    for blk in blocks:
+    for n, at_restart in _restart_boundaries(
+        w, len(blocks), restart_interval
+    ):
+        if at_restart:
+            flush_eob()
+            continue
+        blk = blocks[n]
         r = 0
         for k in range(ss, se + 1):
             v = int(blk[k])
@@ -1636,7 +1657,8 @@ def _encode_ac_first_scan(
 
 
 def _encode_ac_refine_scan(
-    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict
+    w: "_JpegBitWriter", blocks, ss: int, se: int, al: int, ac_enc: dict,
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC refinement (T.81 G.1.2.3 / libjpeg
     encode_mcu_AC_refine): newly-significant coefficients as
@@ -1658,12 +1680,13 @@ def _encode_ac_refine_scan(
             w.write(b, 1)
         pending.clear()
 
-    def flush_bits():
-        for b in pending:
-            w.write(b, 1)
-        pending.clear()
-
-    for blk in blocks:
+    for n, at_restart in _restart_boundaries(
+        w, len(blocks), restart_interval
+    ):
+        if at_restart:
+            flush_eob()
+            continue
+        blk = blocks[n]
         absv = [
             ((-int(blk[k]) if int(blk[k]) < 0 else int(blk[k])) >> al)
             for k in range(ss, se + 1)
@@ -1727,6 +1750,7 @@ def encode_jpeg_progressive(
     quant_luma: "np.ndarray | None" = None,
     quant_chroma: "np.ndarray | None" = None,
     sampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """PROGRESSIVE (SOF2) JFIF bytes for the same inputs as
     `encode_jpeg`, with a libjpeg-style scan script exercising every
@@ -1739,9 +1763,9 @@ def encode_jpeg_progressive(
     bits, EOBn runs). Quantized coefficients are IDENTICAL to the
     baseline encoder's for the same inputs, so the decoded pixels of
     the progressive and baseline encodings match exactly — the
-    round-trip contract the tests pin."""
-    import struct
-
+    round-trip contract the tests pin. `restart_interval` emits
+    DRI + cyclic RSTn segments in EVERY scan (DC predictions and EOB
+    runs reset per segment, per T.81 F.2.1.3.1)."""
     gray, h, w, factors, zz_planes, grids, ql, qc, enc_tabs = _jpeg_plan(
         img, quant_luma, quant_chroma, sampling
     )
@@ -1749,8 +1773,9 @@ def encode_jpeg_progressive(
     vmax = max(f[1] for f in factors)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     nf = len(zz_planes)
+    ri = restart_interval
 
-    out, seg = _jpeg_header(gray, h, w, factors, ql, qc, 0xFFC2, 0)
+    out, seg = _jpeg_header(gray, h, w, factors, ql, qc, 0xFFC2, ri)
 
     def sos(comp_specs, ss, se, ah, al, scan_bytes):
         hdr = bytes([len(comp_specs)])
@@ -1762,7 +1787,10 @@ def encode_jpeg_progressive(
     # -- scan 1: DC first pass, interleaved, Al=1 --------------------
     wtr = _JpegBitWriter()
     preds = [0] * nf
-    for n in range(mcuy * mcux):
+    for n, at_restart in _restart_boundaries(wtr, mcuy * mcux, ri):
+        if at_restart:
+            preds = [0] * nf
+            continue
         my, mx = divmod(n, mcux)
         for ci, zz in enumerate(zz_planes):
             hi, vi = factors[ci]
@@ -1783,7 +1811,9 @@ def encode_jpeg_progressive(
 
     # -- scan 2: DC refinement to Al=0, interleaved ------------------
     wtr = _JpegBitWriter()
-    for n in range(mcuy * mcux):
+    for n, at_restart in _restart_boundaries(wtr, mcuy * mcux, ri):
+        if at_restart:
+            continue
         my, mx = divmod(n, mcux)
         for ci, zz in enumerate(zz_planes):
             hi, vi = factors[ci]
@@ -1827,14 +1857,14 @@ def encode_jpeg_progressive(
         td, ta = (0, 0) if ci == 0 else (1, 1)
         for ss, se in bands(ci):
             wtr = _JpegBitWriter()
-            _encode_ac_first_scan(wtr, blocks, ss, se, 1, ac_enc)
+            _encode_ac_first_scan(wtr, blocks, ss, se, 1, ac_enc, ri)
             out += sos([(ci + 1, td, ta)], ss, se, 0, 1, wtr.flush())
     for ci in range(nf):
         blocks = comp_blocks(ci)
         td, ta = (0, 0) if ci == 0 else (1, 1)
         for ss, se in bands(ci):
             wtr = _JpegBitWriter()
-            _encode_ac_refine_scan(wtr, blocks, ss, se, 0, ac_enc)
+            _encode_ac_refine_scan(wtr, blocks, ss, se, 0, ac_enc, ri)
             out += sos([(ci + 1, td, ta)], ss, se, 1, 0, wtr.flush())
 
     out += b"\xff\xd9"  # EOI

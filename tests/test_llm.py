@@ -2771,3 +2771,38 @@ def test_jpeg_progressive_validation():
         _decode_ac_refine_block(
             _JpegBitReader(w.flush()), blk, 1, 63, 0, dec, 0
         )
+
+
+def test_jpeg_progressive_restart_intervals_roundtrip():
+    """Progressive scans with DRI/RSTn segments: DC predictions and
+    EOB runs reset per restart segment in EVERY scan, and the decode
+    still equals the baseline encoding's pixels exactly — including a
+    degenerate 1-MCU interval and subsampled frames."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(37)
+    ones = np.ones(64, dtype=np.int64)
+    for ri in (1, 2, 5):
+        for shape, sampling in [
+            ((40, 33, 3), "4:4:4"),
+            ((40, 33, 3), "4:2:0"),
+            ((17, 25), "4:4:4"),
+        ]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            base = decode_jpeg(
+                encode_jpeg(img, quant_luma=ones, quant_chroma=ones,
+                            sampling=sampling)
+            )
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quant_luma=ones, quant_chroma=ones,
+                    sampling=sampling, restart_interval=ri,
+                )
+            )
+            assert (base == prog).all(), (ri, shape, sampling)
