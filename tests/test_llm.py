@@ -2806,3 +2806,27 @@ def test_jpeg_progressive_restart_intervals_roundtrip():
                 )
             )
             assert (base == prog).all(), (ri, shape, sampling)
+
+
+def test_jpeg_metadata_segments_are_skipped():
+    """Wild files carry COM and APPn (EXIF/XMP) segments the decoder
+    must walk past by length — in baseline AND progressive streams."""
+    import struct
+
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    ones = np.ones(64, dtype=np.int64)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        whole = enc(img, quant_luma=ones, quant_chroma=ones)
+        com = struct.pack(">HH", 0xFFFE, 2 + 11) + b"a comment!!"
+        app1 = struct.pack(">HH", 0xFFE1, 2 + 8) + b"Exif\x00\x00AB"
+        patched = whole[:2] + com + app1 + whole[2:]
+        assert (decode_jpeg(patched) == decode_jpeg(whole)).all()
