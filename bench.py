@@ -186,6 +186,68 @@ def _chunk_child(names_file: str, out_file: str, sf_dir: str) -> None:
         json.dump(timings, fh)
 
 
+def _probe_child(out_file: str) -> None:
+    """Fixed data-independent Spark micro-benchmark, run in its own
+    fresh JVM before and after the measured chunks. The host this
+    repo benches on drifts into a mode where Spark work (NOT raw CPU
+    — single-core and 32-process python loops hold steady) runs
+    2-6x slower, hitting short jobs and Arrow round-trips hardest;
+    the probe quantifies that state so sidecar totals are comparable
+    across rounds: divide by the probe ratio to the reference values
+    recorded in BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from realtime0523_spark.core.session import get_spark
+
+    spark = get_spark("bench-probe")
+    out: dict[str, float] = {}
+    df = spark.range(0, 2_000_000, 1, 32)
+    # warm one pass of each shape so the probe measures steady state
+    df.withColumn("k", F.col("id") % 1000).groupBy("k").count().count()
+    t0 = time.time()
+    for _ in range(3):
+        df.withColumn("k", F.col("id") % 1000).groupBy("k").count().count()
+    out["shuffle_s"] = round(time.time() - t0, 3)
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # turns them into strings the UDF inferencer can't resolve here
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _scale(x):
+        return x * 1.5
+
+    df.select(F.sum(_scale(F.col("id").cast("double")))).collect()
+    t0 = time.time()
+    for _ in range(3):
+        df.select(F.sum(_scale(F.col("id").cast("double")))).collect()
+    out["arrow_s"] = round(time.time() - t0, 3)
+    spark.range(0, 32, 1, 32).count()
+    t0 = time.time()
+    for _ in range(30):  # tiny jobs: pure scheduling/wakeup latency
+        spark.range(0, 32, 1, 32).count()
+    out["sched_s"] = round(time.time() - t0, 3)
+    spark.stop()
+    with open(out_file, "w") as fh:
+        json.dump(out, fh)
+
+
+def _run_probe() -> dict[str, float] | None:
+    with tempfile.TemporaryDirectory(prefix="bench_probe_") as tdir:
+        out_file = os.path.join(tdir, "probe.json")
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe", out_file],
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                timeout=600,
+            )
+            with open(out_file) as fh:
+                return json.load(fh)
+        except Exception:
+            return None  # the probe is diagnostics, never fails the bench
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -193,6 +255,7 @@ def main() -> None:
 
     # settle immediately before the measured chunks.
     contended, settled_load = _settle_wait()
+    probe_before = _run_probe()
 
     all_names = list(REGISTRY)
     chunks = [
@@ -247,6 +310,11 @@ def main() -> None:
             "passes": 2,  # per-query min-of-two (baseline estimator match)
             "chunk_size": CHUNK_SIZE,  # fresh JVM per chunk (round-12)
             "in_process_chunks": in_process_chunks,
+            # fixed Spark micro-probe before/after the measured chunks
+            # (fresh JVM each): host-speed normalizer for cross-round
+            # comparisons — see BASELINE.md for the reference values
+            "spark_probe_before": probe_before,
+            "spark_probe_after": _run_probe(),
             "contended": contended,
             "load_at_measure_start": settled_load,
             "host_before": contention_before,
@@ -317,5 +385,7 @@ def _stdout_line(
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--chunk":
         _chunk_child(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--probe":
+        _probe_child(sys.argv[2])
     else:
         main()
