@@ -15,9 +15,14 @@ mode" that scales with session length (~1.0× at 5 queries, ~1.3× at
 40, ~1.4-1.5× at 213 — BASELINE.md's variance characterization), which
 made full-run totals incomparable across rounds. Per-chunk fresh JVMs
 keep every measurement in the short-session regime the BASELINE rows
-were recorded in, so the sidecar total is directly comparable to the
-BASELINE sum. Chunk size via $SPARK_GRAFT_BENCH_CHUNK (default 16 →
-16 warm-ups + 32 measured runs per session, safely short).
+were recorded in. Chunk size via $SPARK_GRAFT_BENCH_CHUNK (default 16
+→ 16 warm-ups + 32 measured runs per session). CAVEAT (round-12
+evidence): 16-query chunks hold JVM-heavy queries at ~1.0× of their
+single-query-session minima, but Arrow/Python-worker-heavy queries
+still measured 2-5× above same-round min-of-9 single-query baselines
+— chunking bounds the long-session drift, it does not equalize the
+two protocols. Round 13 therefore re-recorded BASELINE.md under THIS
+pipeline (one protocol on both sides of the 2× gate).
 """
 
 from __future__ import annotations
@@ -264,6 +269,7 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     in_process_chunks = 0
+    in_process_queries: list[str] = []
     with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tdir:
         for ci, names in enumerate(chunks):
             names_file = os.path.join(tdir, f"names_{ci}.txt")
@@ -294,9 +300,20 @@ def main() -> None:
             if got is None:
                 # degraded fallback: measure in-process (still a fresh
                 # SparkSession, but this JVM) rather than dropping the
-                # chunk — flagged in the JSON so readers know
-                got = _run_chunk(names, sf_dir)
+                # chunk — flagged in the JSON (count AND query names)
+                # so degraded rows are identifiable. The session is
+                # stopped after the chunk: letting it persist would
+                # make multiple failed chunks share one lengthening
+                # session — exactly the long-session drift regime the
+                # fresh-JVM design avoids (round-12 ADVICE).
+                try:
+                    got = _run_chunk(names, sf_dir)
+                finally:
+                    from realtime0523_spark.core.session import stop_spark
+
+                    stop_spark()
                 in_process_chunks += 1
+                in_process_queries.extend(names)
             timings.update(got)
     total = sum(timings.values())
 
@@ -310,6 +327,7 @@ def main() -> None:
             "passes": 2,  # per-query min-of-two (baseline estimator match)
             "chunk_size": CHUNK_SIZE,  # fresh JVM per chunk (round-12)
             "in_process_chunks": in_process_chunks,
+            "in_process_queries": in_process_queries,
             # fixed Spark micro-probe before/after the measured chunks
             # (fresh JVM each): host-speed normalizer for cross-round
             # comparisons — see BASELINE.md for the reference values

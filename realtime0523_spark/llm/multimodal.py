@@ -2252,7 +2252,17 @@ def _decode_ac_refine_block(
                         break
                     run -= 1
                 k += 1
-            if newval and k <= se:
+            if newval:
+                if k > se:
+                    # mirror _decode_ac_first_block's loud overflow:
+                    # a newly-significant coefficient whose zero-run
+                    # walks past the band end means a corrupt stream,
+                    # and silently dropping it desyncs the bit reader
+                    # for the rest of the scan (round-12 ADVICE).
+                    raise ValueError(
+                        f"JPEG: progressive AC refinement run overflows "
+                        f"the {ss}..{se} band"
+                    )
                 blk[k] = newval
             k += 1
     if eobrun > 0:

@@ -552,6 +552,33 @@ def co_arrival_guard(
         # sequence, so a fresh sequence starts a fresh log
         shutil.rmtree(keys_dir, ignore_errors=True)
         shutil.rmtree(base_dir, ignore_errors=True)
+        has_log = False
+    if horizon_ms is not None and has_log:
+        # live-checkpoint restart KEEPS the log — but a legacy log
+        # written by a run without an event-time horizon has no
+        # __ts_ms column, and the first check()'s unionByName would
+        # then fail as an opaque AnalysisException mid-stream
+        # (round-12 ADVICE). Detect it at construction and raise a
+        # named config error instead: the guard cannot backfill
+        # last-seen event times it never recorded.
+        wm0 = base_watermark(base_dir)
+        pieces = []
+        if wm0 >= 0:
+            pieces.append(
+                spark.read.parquet(os.path.join(base_dir, f"v_{wm0:09d}"))
+            )
+        if [i for i in partial_ids(keys_dir) if i > wm0]:
+            pieces.append(spark.read.parquet(keys_dir))
+        if any("__ts_ms" not in p.columns for p in pieces):
+            raise ValueError(
+                f"co_arrival_guard: horizon_ms={horizon_ms} but the "
+                f"existing key log at {keys_dir!r} was written by a "
+                f"run without an event-time horizon (no __ts_ms "
+                f"column). Restart without horizon_ms to keep the "
+                f"legacy log, or delete the key log "
+                f"({keys_dir!r} and {base_dir!r}) to start recording "
+                f"event times from this run forward."
+            )
 
     def _fold_at(new_wm: int):
         def _fold(df: "DataFrame") -> "DataFrame":
@@ -574,8 +601,15 @@ def co_arrival_guard(
                 # LESS, never a key that could still legally reappear.
                 newest = df.agg(F.max("__ts_ms")).collect()[0][0]
                 if newest is not None:
+                    # >= : a key EXACTLY horizon_ms behind the newest
+                    # event time survives the prune. The soundness
+                    # claim is "H ≥ tolerance + TTL", and Spark keeps
+                    # rows exactly at the watermark — so the boundary
+                    # key is the last one the upstream join could
+                    # still legally emit a detail for (round-13,
+                    # pinned by the boundary test).
                     out = out.filter(
-                        F.col("__ts_ms") > newest - horizon_ms
+                        F.col("__ts_ms") >= newest - horizon_ms
                     )
             return out
 

@@ -2675,3 +2675,110 @@ def test_co_arrival_guard_horizon_ms_requires_ts_col(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ts_col"):
         co_arrival_guard(spark, str(tmp_path / "k"), horizon_ms=1000)
+
+
+def test_co_arrival_guard_horizon_never_prunes_early_on_backward_time(
+    spark, tmp_path, state_provider
+):
+    """Round-12 verdict item #6a: event time goes BACKWARD across
+    batches (a late replay wave). The prune compares each key's
+    last-seen event time to the LOG's max event time — a max can only
+    grow, so a backward wave can never advance it, and keys within
+    horizon_ms of the true newest must survive compaction and still
+    raise. (The guard's log is parquet + foreachBatch, not a state
+    store, but the contract must hold regardless of the session's
+    configured provider — hence the parametrization.)"""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys_back")
+    guard = co_arrival_guard(
+        spark, keys_dir, compact_every=3, horizon_ms=10_000, ts_col="ts"
+    )
+    t0 = datetime.datetime(2025, 6, 15)
+
+    def batch(k, ms):
+        return spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(milliseconds=ms))],
+            "l_orderkey long, ts timestamp",
+        )
+
+    guard(batch(1, 100_000), 0)  # the newest event time the log sees
+    guard(batch(2, 50_000), 1)  # 50 s BACKWARD (late replay)
+    guard(batch(3, 95_000), 2)  # backward too; triggers compaction
+    # compaction folded with newest = 100 s: keys 1 (100 s) and
+    # 3 (95 s) are inside the 10 s horizon and MUST survive — a
+    # backward wave must never lower the reference point and prune
+    # them early
+    for key in (1, 3):
+        with pytest.raises(RuntimeError, match="co-arrival contract"):
+            guard(batch(key, 40_000), 3)
+    # key 2 (50 s behind the newest) is legally pruned → accepted
+    guard(batch(2, 60_000), 3)
+
+
+def test_co_arrival_guard_horizon_boundary_key_survives(
+    spark, tmp_path, state_provider
+):
+    """Round-12 verdict item #6b: a key whose last-seen event time is
+    EXACTLY horizon_ms behind the log's newest survives the prune
+    (>=). Spark keeps rows exactly at the watermark, so with
+    H = tolerance + TTL the boundary key is the last one the upstream
+    join could still legally emit a detail for; pruning it would be
+    an off-by-one unsoundness. One millisecond older is pruned."""
+    import datetime
+
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys_bound")
+    guard = co_arrival_guard(
+        spark, keys_dir, compact_every=3, horizon_ms=10_000, ts_col="ts"
+    )
+    t0 = datetime.datetime(2025, 6, 15)
+
+    def batch(k, ms):
+        return spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(milliseconds=ms))],
+            "l_orderkey long, ts timestamp",
+        )
+
+    guard(batch(1, 10_000), 0)  # exactly newest - horizon_ms
+    guard(batch(2, 9_999), 1)  # 1 ms past the boundary
+    guard(batch(3, 20_000), 2)  # newest; triggers compaction
+    # boundary key KEPT: re-arrival still raises
+    with pytest.raises(RuntimeError, match="co-arrival contract"):
+        guard(batch(1, 21_000), 3)
+    # 1 ms older than the boundary: pruned, accepted as new
+    guard(batch(2, 21_000), 3)
+
+
+def test_co_arrival_guard_rejects_legacy_log_without_event_times(
+    spark, tmp_path
+):
+    """Round-12 ADVICE: enabling horizon_ms over a key log a prior
+    run wrote WITHOUT it (live-checkpoint restart keeps the log, and
+    the legacy rows have no __ts_ms column) must fail at construction
+    with a NAMED config error — not as an opaque AnalysisException at
+    the first mid-stream check."""
+    import os
+
+    from realtime0523_spark.streaming.allocation import co_arrival_guard
+
+    keys_dir = str(tmp_path / "keys_legacy")
+    ckpt = str(tmp_path / "ck")
+    # simulate a live checkpoint (offsets committed) so the restart
+    # KEEPS the log instead of resetting it
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    open(os.path.join(ckpt, "offsets", "0"), "w").close()
+    legacy = co_arrival_guard(spark, keys_dir, checkpoint_dir=ckpt)
+    legacy(spark.createDataFrame([(1,)], "l_orderkey long"), 0)
+    with pytest.raises(ValueError, match="no __ts_ms"):
+        co_arrival_guard(
+            spark, keys_dir, checkpoint_dir=ckpt,
+            horizon_ms=10_000, ts_col="ts",
+        )
+    # without the horizon the legacy log remains fully usable
+    g = co_arrival_guard(spark, keys_dir, checkpoint_dir=ckpt)
+    with pytest.raises(RuntimeError, match="co-arrival contract"):
+        g(spark.createDataFrame([(1,)], "l_orderkey long"), 1)
