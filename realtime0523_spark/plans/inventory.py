@@ -114,50 +114,55 @@ def _ensure_full_registry() -> None:
 # Names absent from the registry are skipped; names not listed keep
 # registration order at the end.
 _PRIORITY: list[str] = [
-    # ---- ROUND 12 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 11 (1 added + 7 changed + 3
-    # riders), group 3 = the 39 r7-stale rows (the full r7 remainder
-    # the round-11 window's spill note promised would lead this round
-    # — they hit the 4-round SLA boundary at r12). 1 new query this
+    # ---- ROUND 13 WINDOW (50 slots) ----
+    # WINDOW ARITHMETIC: group 1 = 6 (2 added + 3 changed + 1
+    # rider), group 3 = the 44 r8-stale rows (the full r8 cohort the
+    # round-12 window's spill note promised would lead this round —
+    # they hit the 4-round SLA boundary at r13). 2 new queries this
     # round (growth rule: ≤ 12).
-    # Group 1 — ADDED this round (media_decode_jpeg_progressive: the
-    # SOF2 progressive decode path), or CHANGED:
-    # stream_allocation_split (compact done-set state shape + single
-    # partitioned feed write), stream_brand_amount (co-arrival guard
-    # event-time horizon), media_decode_jpeg / media_decode /
-    # media_resize_decode (JPEG entropy decoder: ZRL-at-block-end
-    # acceptance, named scan truncation error, progressive dispatch),
-    # docs_warc_extract / stream_warc_ingest (ISO 28500 header
-    # folding + compact separators):
+    # Group 1 — ADDED this round (docs_zstd_ingest: the RFC 8878
+    # pure-Python zstd frame codec, llm/zstd.py; docs_lz4_ingest: the
+    # LZ4 frame codec, llm/lz4.py — together closing the last codec
+    # seams), or CHANGED: stream_brand_amount /
+    # stream_allocation_split (co-arrival guard: legacy-log named
+    # error + >= prune boundary, streaming/allocation.py),
+    # media_decode_jpeg_progressive (AC-refinement band-overflow now
+    # raises, llm/multimodal.py):
+    "docs_zstd_ingest", "docs_lz4_ingest",
+    "stream_brand_amount", "stream_allocation_split",
     "media_decode_jpeg_progressive",
-    "stream_allocation_split", "stream_brand_amount",
-    "media_decode_jpeg", "media_decode", "media_resize_decode",
-    "docs_warc_extract", "stream_warc_ingest",
-    # riders (rule 2 — registered plans unchanged, adjacent code
-    # changed: the batch allocation family neighbors the reshaped
-    # split-arrival state operator; docs_gzip_ingest shares shards.py
-    # with the WARC header parser):
-    "allocation", "brand_amount", "docs_gzip_ingest",
-    # Group 3 — the 39 r7-stale rows (stalest on the board):
-    "docs_bpe_merges", "docs_bpe_vocab", "docs_corpus_prep",
-    "docs_curriculum_order", "docs_dedup_clusters",
-    "docs_dedup_filter", "docs_dedup_keep_best", "docs_domain_drift",
-    "docs_domain_mix_temp", "docs_dsir_sample", "docs_dsir_weights",
-    "docs_incremental_dedup", "docs_leakage_split", "docs_minhash_lsh",
-    "docs_segment_dedup", "docs_snapshot_diff", "docs_training_order",
-    "emb_ann_lsh_mp", "emb_ann_sq", "emb_cosine_topk",
-    "emb_dedup_pairs", "emb_hard_negatives", "emb_label_centroids",
-    "emb_rp_sketch", "emb_semantic_dedup", "emb_sq_codes",
-    "event_cube", "event_funnel", "events_zorder",
-    "lone_late_supplier", "parts_copurchase_rank", "parts_related_rank",
-    "stream_ann_lookup", "stream_bloom_contamination",
-    "stream_docs_novelty", "stream_domain_drift", "stream_dwd_order",
-    "user_cohort_retention", "warehouse_quality_report",
-    # ---- post-window: the r8 cohort (44 rows, alphabetical)
-    # leads the round-13 rotation, then r9+ keep registration order ----
+    # rider (rule 2 — registered plan unchanged, adjacent code
+    # changed: shares llm/shards.py with the new zstd/lz4 attach/
+    # ingest kernels and the re-dispatched decode_auto; the
+    # docs_warc_extract rider slot went to the lz4 addition — its
+    # parse path is untouched and its oracle re-verifies in every
+    # pytest run):
+    "docs_gzip_ingest",
+    # Group 3 — the 44 r8-stale rows (stalest on the board,
+    # alphabetical):
     "cdc_retract_agg", "cdc_retract_join", "cdc_retract_join3",
     "cdc_retract_minmax", "customers_record_linkage",
     "docs_keyphrases", "docs_kn_score", "docs_ppjoin_pairs",
+    "docs_unigram_encode", "docs_unigram_vocab",
+    "docs_wordpiece_merges", "emb_ann_mmr", "emb_ann_opq",
+    "emb_ann_rp", "event_funnel_windowed", "event_transitions",
+    "event_value_bootstrap_ci", "event_value_outliers", "events_chi2",
+    "events_cusum_hourly", "events_ks_drift", "events_resample_ffill",
+    "events_trend_slope", "events_trending_decayed",
+    "events_zorder_pruning", "lineitem_column_stats",
+    "lineitem_corr_matrix", "lineitem_equidepth_hist",
+    "parts_association_rules", "parts_bfs_hops", "parts_kcore",
+    "parts_triangle_stats", "purchase_attribution",
+    "segment_overlap_kmv", "stream_cdc_retract_agg",
+    "stream_cdc_retract_join", "stream_customers_record_linkage",
+    "stream_event_funnel", "stream_event_funnel_windowed",
+    "stream_events_trend_slope", "stream_purchase_attribution",
+    "stream_segment_overlap_kmv", "stream_trending_anchored",
+    "stream_trending_decayed",
+    # ---- post-window: the r9 cohort (40 rows) leads the round-14
+    # rotation, then r10+ keep registration order ----
+    "customers_rfm_migration", "docs_quality_model_score",
+    "stream_ann_index_append", "stream_ann_ivfpq_append",
 ]
 
 

@@ -2460,8 +2460,11 @@ def test_warc_parse_roundtrip_and_validation():
     assert decode_auto(bz2.compress(b"wiki dump")) == b"wiki dump"
     assert decode_auto(lzma.compress(b"academic corpus")) == b"academic corpus"
     assert decode_auto(encode_gzip_member(b"cc shard")) == b"cc shard"
-    with pytest.raises(NotImplementedError, match="zstd"):
-        decode_auto(b"\x28\xb5\x2f\xfd zstd-frame")
+    # zstd and lz4 magics now dispatch to the round-13 frame codecs
+    # (see test_zstd_decode_auto_dispatch / test_lz4_decode_auto);
+    # unrecognized magic fails loudly
+    with pytest.raises(ValueError, match="unrecognized magic"):
+        decode_auto(b"\x00\x11\x22\x33 not-a-shard")
 
 
 def test_media_decode_jpeg_and_gzip_ingest_match_oracle_shape(spark):
@@ -2830,3 +2833,305 @@ def test_jpeg_metadata_segments_are_skipped():
         app1 = struct.pack(">HH", 0xFFE1, 2 + 8) + b"Exif\x00\x00AB"
         patched = whole[:2] + com + app1 + whole[2:]
         assert (decode_jpeg(patched) == decode_jpeg(whole)).all()
+
+
+def test_zstd_roundtrip_all_frame_shapes():
+    """Round-13 zstd codec (RFC 8878, llm/zstd.py): every decoder path
+    round-trips — stored/RLE/compressed blocks, raw/RLE/Huffman
+    literals (direct and FSE-compressed weights, 1- and 4-stream),
+    predefined/custom/Repeat sequence tables, Treeless literals,
+    multi-block frames, window-descriptor headers, checksums."""
+    import random
+
+    from realtime0523_spark.llm import zstd as Z
+
+    random.seed(7)
+    texts = [
+        b"", b"a", b"hello world, hello world, hello world! " * 9,
+        bytes(random.randrange(256) for _ in range(500)),
+        (b"the quick brown fox jumps over the lazy dog. " * 40)[:1500],
+        b"a" * 39, b"ab" * 300,
+        bytes(random.choices(b"abcdefgh\n ", k=3000)),
+    ]
+    variants = [
+        dict(block_mode="raw", checksum=False),
+        dict(block_mode="raw", checksum=True),
+        dict(block_mode="rle", checksum=True),
+        dict(block_mode="compressed", lit_mode="raw", seq_mode="predefined"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="direct", seq_mode="predefined"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="fse", seq_mode="fse"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="fse", seq_mode="fse", split_blocks=True),
+        dict(block_mode="compressed", lit_mode="huffman",
+             four_stream=True, seq_mode="predefined"),
+        dict(block_mode="compressed", single_segment=False, checksum=True),
+    ]
+    for t in texts:
+        for kw in variants:
+            assert Z.decode_zstd(Z.encode_zstd_frame(t, **kw)) == t
+    # multi-frame catenation with skippable frames interleaved
+    blob = (
+        Z.encode_skippable_frame(b"meta")
+        + Z.encode_zstd_frame(b"part one|")
+        + Z.encode_skippable_frame(b"x" * 10, 5)
+        + Z.encode_zstd_frame(b"part two")
+    )
+    assert Z.decode_zstd(blob) == b"part one|part two"
+    # cross-block match window: a frame split into blocks must let
+    # block 2's sequences reach back into block 1's output
+    rep = b"0123456789abcdef" * 40
+    frame = Z.encode_zstd_frame(
+        rep, lit_mode="huffman", weights_mode="fse", seq_mode="fse",
+        split_blocks=True,
+    )
+    assert Z.decode_zstd(frame) == rep
+
+
+def test_zstd_fuzz_roundtrip():
+    """Randomized alphabets/lengths through every encoder variant —
+    the encoder is deterministic, so any mismatch is a real codec
+    defect, not flake."""
+    import random
+
+    from realtime0523_spark.llm import zstd as Z
+
+    variants = [
+        dict(block_mode="raw"),
+        dict(block_mode="compressed", lit_mode="raw", seq_mode="predefined"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="direct", seq_mode="predefined"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="fse", seq_mode="fse"),
+        dict(block_mode="compressed", lit_mode="huffman",
+             weights_mode="fse", seq_mode="fse", split_blocks=True),
+        dict(block_mode="compressed", lit_mode="huffman",
+             four_stream=True, seq_mode="predefined"),
+    ]
+    random.seed(123)
+    for _ in range(120):
+        n = random.randrange(0, 3000)
+        alpha = random.choice([256, 64, 16, 4, 2])
+        t = bytes(random.randrange(alpha) for _ in range(n))
+        kw = random.choice(variants)
+        assert Z.decode_zstd(Z.encode_zstd_frame(t, **kw)) == t
+
+
+def test_zstd_xxh64_known_vector_and_tails():
+    from realtime0523_spark.llm.zstd import xxh64
+
+    # the canonical published XXH64 empty-input value
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    # every tail path (32-stripe, 8-, 4-, 1-byte remainders) changes
+    # the digest — structural sanity of the tail walk
+    base = bytes(range(256))
+    seen = {xxh64(base[:n]) for n in (0, 1, 4, 8, 31, 32, 33, 44, 47, 64)}
+    assert len(seen) == 10
+    assert xxh64(b"abc") != xxh64(b"abd")
+    assert xxh64(b"abc", seed=1) != xxh64(b"abc")
+
+
+def test_zstd_validation_named_errors():
+    """Corrupt shards must fail loudly with named defects (the
+    decode_gzip contract)."""
+    import struct
+
+    import pytest as _pytest
+
+    from realtime0523_spark.llm import zstd as Z
+
+    with _pytest.raises(ValueError, match="empty payload"):
+        Z.decode_zstd(b"")
+    with _pytest.raises(ValueError, match="bad magic"):
+        Z.decode_zstd(b"\x00\x11\x22\x33" + bytes(20))
+    with _pytest.raises(ValueError, match="block header truncated"):
+        Z.decode_zstd(struct.pack("<IB", 0xFD2FB528, 0x20) + b"\x05")
+    # reserved block type (3)
+    frame = struct.pack("<IBB", 0xFD2FB528, 0x20, 1) + bytes([0x07, 0, 0, 65])
+    with _pytest.raises(ValueError, match="reserved block type"):
+        Z.decode_zstd(frame)
+    # content checksum mismatch: flip a stored byte
+    good = bytearray(Z.encode_zstd_frame(b"hello zstd world", block_mode="raw"))
+    good[-6] ^= 0xFF  # inside the raw block payload
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        Z.decode_zstd(bytes(good))
+    # frame content size vs regenerated length
+    bad_fcs = bytearray(Z.encode_zstd_frame(b"hello", checksum=False))
+    bad_fcs[5] = 9  # single-segment 1-byte FCS field
+    with _pytest.raises(ValueError, match="content size"):
+        Z.decode_zstd(bytes(bad_fcs))
+    # dictionary ID is the named seam
+    dict_frame = struct.pack("<IBBB", 0xFD2FB528, 0x21, 7, 0)
+    with _pytest.raises(NotImplementedError, match="dictionary"):
+        Z.decode_zstd(dict_frame)
+    # a match reaching before the frame start
+    lit = Z._build_literals_section(b"", "raw", "direct", {})
+    seq = Z._build_sequences_section([(0, 5, 1000)], "predefined", {})
+    body = lit + seq
+    frame = (
+        # FCS=200 so the block maximum admits the 7-byte body; the
+        # offset check fires during block decode, before the FCS check
+        struct.pack("<IBB", 0xFD2FB528, 0x20, 200)
+        + ((len(body) << 3) | (2 << 1) | 1).to_bytes(3, "little")
+        + bytes(body)
+    )
+    with _pytest.raises(ValueError, match="before the frame start"):
+        Z.decode_zstd(frame)
+    # skippable-only payload decodes to nothing — refuse, loudly
+    with _pytest.raises(ValueError, match="only skippable"):
+        Z.decode_zstd(Z.encode_skippable_frame(b"meta"))
+    # truncated skippable frame
+    with _pytest.raises(ValueError, match="skippable frame content"):
+        Z.decode_zstd(Z.encode_skippable_frame(b"meta")[:-2])
+    # treeless literals with no prior table in the frame
+    lit_tl = bytes([3 | (0 << 2) | (1 << 4), (1 & 0x3F) | (1 << 6), 0])
+    with _pytest.raises(ValueError, match="no previous"):
+        Z._decode_literals(lit_tl + b"\x01", {}, "block")
+
+
+def test_zstd_decode_auto_dispatch():
+    """decode_auto recognizes zstd magic (and leading skippable
+    frames) alongside gzip/bz2/xz; lz4 stays the named seam."""
+    import pytest as _pytest
+
+    from realtime0523_spark.llm import zstd as Z
+    from realtime0523_spark.llm.shards import decode_auto, encode_gzip_member
+
+    assert decode_auto(Z.encode_zstd_frame(b"zstd payload")) == b"zstd payload"
+    assert (
+        decode_auto(
+            Z.encode_skippable_frame(b"m") + Z.encode_zstd_frame(b"tail")
+        )
+        == b"tail"
+    )
+    assert decode_auto(encode_gzip_member(b"gz payload")) == b"gz payload"
+    with _pytest.raises(ValueError, match="unrecognized magic"):
+        decode_auto(b"\x00\x11\x22\x33" + bytes(8))
+
+
+def test_docs_zstd_ingest_matches_gzip_twin(spark):
+    """The zstd ingest query recovers byte-identical accounting to the
+    gzip twin on the same documents (both decode to the same raw
+    text), across all six frame variants."""
+    from realtime0523_spark.plans import REGISTRY
+
+    got = REGISTRY["docs_zstd_ingest"].fn(spark, SF_SMOKE).collect()
+    want = REGISTRY["docs_gzip_ingest"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_lz4_roundtrip_and_fuzz():
+    """Round-13 LZ4 frame codec (llm/lz4.py): stored/compressed
+    blocks, per-block checksums, minimal headers, dependent-block
+    flagging, multi-block frames — all round-trip; deterministic
+    encoder, so failures are codec defects."""
+    import random
+
+    from realtime0523_spark.llm import lz4 as L
+
+    assert L.xxh32(b"") == 0x02CC5D05  # the canonical published vector
+    random.seed(11)
+    texts = [
+        b"", b"x", b"hello world, hello world, hello world! " * 9,
+        bytes(random.randrange(256) for _ in range(500)),
+        b"a" * 5000, b"ab" * 4000,
+        bytes(random.choices(b"abcdefgh ", k=3000)),
+        bytes(random.choices(bytes(range(32)), k=200_000)),  # multi-block
+    ]
+    variants = [
+        dict(stored=True),
+        dict(),
+        dict(block_checksum=True),
+        dict(content_checksum=False, content_size=False),
+        dict(block_indep=False, block_max_code=5),
+        dict(block_max_code=7),
+    ]
+    for t in texts:
+        for kw in variants:
+            assert L.decode_lz4(L.encode_lz4_frame(t, **kw)) == t
+    random.seed(5)
+    for _ in range(150):
+        n = random.randrange(0, 4000)
+        alpha = random.choice([256, 64, 8, 2])
+        t = bytes(random.randrange(alpha) for _ in range(n))
+        kw = random.choice(variants)
+        assert L.decode_lz4(L.encode_lz4_frame(t, **kw)) == t
+    # skippable + multi-frame catenation
+    blob = (
+        L.encode_lz4_frame(b"alpha|")
+        + struct_skippable(b"meta")
+        + L.encode_lz4_frame(b"beta")
+    )
+    assert L.decode_lz4(blob) == b"alpha|beta"
+
+
+def struct_skippable(content: bytes) -> bytes:
+    import struct
+
+    return struct.pack("<II", 0x184D2A50, len(content)) + content
+
+
+def test_lz4_validation_named_errors():
+    import struct
+
+    import pytest as _pytest
+
+    from realtime0523_spark.llm import lz4 as L
+
+    with _pytest.raises(ValueError, match="empty payload"):
+        L.decode_lz4(b"")
+    with _pytest.raises(ValueError, match="bad magic"):
+        L.decode_lz4(b"\x00\x11\x22\x33" + bytes(8))
+    with _pytest.raises(NotImplementedError, match="legacy frame"):
+        L.decode_lz4(struct.pack("<I", 0x184C2102) + bytes(8))
+    # header checksum byte
+    good = bytearray(L.encode_lz4_frame(b"hello lz4 world"))
+    good[6] ^= 0xFF  # the HC byte (magic 4 + FLG/BD 2)
+    with _pytest.raises(ValueError, match="header checksum"):
+        L.decode_lz4(bytes(good))
+    # content checksum: flip a byte INSIDE the stored block (the last
+    # 8 frame bytes are EndMark + checksum)
+    good = bytearray(L.encode_lz4_frame(b"hello lz4 world hello lz4"))
+    good[-12] ^= 0xFF
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        L.decode_lz4(bytes(good))
+    # dictionary ID refusal
+    flg = (0b01 << 6) | 0x20 | 0x01
+    desc = bytes([flg, 4 << 4]) + struct.pack("<I", 42)
+    hdr = (
+        struct.pack("<I", 0x184D2204)
+        + desc
+        + bytes([(L.xxh32(desc) >> 8) & 0xFF])
+    )
+    with _pytest.raises(NotImplementedError, match="dictionary"):
+        L.decode_lz4(hdr)
+    # offset reaching before the window
+    bad_block = bytes([0x10, ord("A"), 0x05, 0x00])  # 1 lit, off 5, ml 4
+    frame = (
+        struct.pack("<I", 0x184D2204)
+        + bytes([0b01 << 6 | 0x20, 4 << 4])
+    )
+    frame += bytes([(L.xxh32(frame[4:]) >> 8) & 0xFF])
+    frame += struct.pack("<I", len(bad_block)) + bad_block
+    frame += struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="before the window"):
+        L.decode_lz4(frame)
+
+
+def test_lz4_decode_auto_and_ingest_twin(spark):
+    """decode_auto dispatches modern LZ4 frames (and the legacy magic
+    to its named refusal), and the docs_lz4_ingest query recovers
+    byte-identical accounting to the gzip twin."""
+    import pytest as _pytest
+
+    from realtime0523_spark.llm import lz4 as L
+    from realtime0523_spark.llm.shards import decode_auto
+    from realtime0523_spark.plans import REGISTRY
+
+    assert decode_auto(L.encode_lz4_frame(b"lz4 shard")) == b"lz4 shard"
+    with _pytest.raises(NotImplementedError, match="legacy frame"):
+        decode_auto(b"\x02\x21\x4c\x18" + bytes(8))
+    got = REGISTRY["docs_lz4_ingest"].fn(spark, SF_SMOKE).collect()
+    want = REGISTRY["docs_gzip_ingest"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

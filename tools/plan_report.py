@@ -341,6 +341,20 @@ AUDITED: dict[str, str] = {
         "exchanges, one row per shard — the Common-Crawl ingestion "
         "stage, shard-parallel by construction"
     ),
+    "docs_lz4_ingest": (
+        "map-only: LZ4-frame fixture kernel (5 frame shapes) -> "
+        "token/extension block decode + xxh32 verification + byte "
+        "accounting in one Arrow kernel; zero exchanges, one row out "
+        "per shard — the fast-tier twin of the gzip/zstd scans"
+    ),
+    "docs_zstd_ingest": (
+        "map-only: zstd frame fixture kernel (6 frame shapes) -> "
+        "full RFC 8878 decode (FSE/Huffman entropy, sequences, "
+        "XXH64 checksum) + byte accounting in one Arrow kernel; "
+        "zero exchanges, one row out per shard — same "
+        "embarrassingly-parallel ingestion scan as the gzip twin, "
+        "for the .zst corpora modern dumps actually ship"
+    ),
     "event_value_ddsketch": (
         "the corpus appears in exactly one partial-agg'd shuffle of "
         "|groups|*|buckets| sketch rows; every window and the "
