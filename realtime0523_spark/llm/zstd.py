@@ -602,7 +602,8 @@ def _sequences_header(block: bytes, pos: int, what: str) -> tuple[int, int]:
         return ((b0 - 128) << 8) | block[pos + 1], pos + 2
     if pos + 3 > len(block):
         raise ValueError(f"zstd: {what}: sequences header truncated")
-    return block[pos + 1] | (block[pos + 2] << 8) | 0x7F00, pos + 3
+    # 3-byte form: the 16-bit field is ADDED to 0x7F00, not OR'd
+    return block[pos + 1] + (block[pos + 2] << 8) + 0x7F00, pos + 3
 
 
 def _sequence_table(
@@ -1253,11 +1254,12 @@ def _build_sequences_section(
         return bytes([0])
     if n < 128:
         out.append(n)
-    elif n < 0x7F00 + 256:
+    elif n <= 0x7EFF:  # 2-byte form: byte0 128..254
         out.append(128 + (n >> 8))
         out.append(n & 0xFF)
-    else:
-        out += bytes([255, n & 0xFF, (n >> 8) & 0xFF])
+    else:  # 3-byte form carries n - 0x7F00
+        v = n - 0x7F00
+        out += bytes([255, v & 0xFF, (v >> 8) & 0xFF])
     # resolve codes + extras, tracking repeat-offset history exactly
     # as the decoder will (the encoder calls the decoder's own
     # _resolve_offset to verify each emission reproduces the offset).

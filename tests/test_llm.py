@@ -3135,3 +3135,49 @@ def test_lz4_decode_auto_and_ingest_twin(spark):
     got = REGISTRY["docs_lz4_ingest"].fn(spark, SF_SMOKE).collect()
     want = REGISTRY["docs_gzip_ingest"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_zstd_decoder_only_paths():
+    """Paths a compliant foreign encoder can emit that our fixture
+    encoder's default shapes don't: RLE literals (all size formats),
+    raw-literal size formats, and the 2-byte Number_of_Sequences
+    header form (>= 128 sequences in one block)."""
+    import random
+
+    from realtime0523_spark.llm import zstd as Z
+
+    # RLE + raw literal section round-trips through the section codec
+    for rs in (1, 5, 31, 32, 300, 4095, 4096, 60000):
+        sec = Z._build_literals_section(b"q" * rs, "rle", "direct", {})
+        lits, used = Z._decode_literals(sec, {}, "t")
+        assert lits == b"q" * rs and used == len(sec)
+        raw = bytes(random.Random(rs).randbytes(rs))
+        sec = Z._build_literals_section(raw, "raw", "direct", {})
+        lits, used = Z._decode_literals(sec, {}, "t")
+        assert lits == raw and used == len(sec)
+    # >=128 sequences in one block: 2-byte n_seq header form
+    rng = random.Random(99)
+    pieces = [rng.randbytes(8) for _ in range(40)]
+    t = b"".join(rng.choice(pieces) for _ in range(1200))
+    for kw in (
+        dict(lit_mode="raw", seq_mode="predefined"),
+        dict(lit_mode="huffman", weights_mode="fse", seq_mode="fse"),
+    ):
+        frame = Z.encode_zstd_frame(t, **kw)
+        assert Z.decode_zstd(frame) == t
+    # count the sequences the encoder actually emitted to pin the
+    # header form exercised
+    seqs, _ = Z._lz77(t)
+    assert len(seqs) >= 128, len(seqs)
+    # and the header codec itself round-trips all three forms
+    for n in (0, 1, 127, 128, 300, 32511, 32512, 50000):
+        blob = bytearray()
+        if n < 128:
+            blob.append(n)
+        elif n <= 0x7EFF:
+            blob += bytes([128 + (n >> 8), n & 0xFF])
+        else:
+            v = n - 0x7F00
+            blob += bytes([255, v & 0xFF, (v >> 8) & 0xFF])
+        got, _ = Z._sequences_header(bytes(blob) + b"\x00", 0, "t")
+        assert got == n, (n, got)
