@@ -13,9 +13,11 @@ baseline T.81: Huffman entropy decode, dequant, vectorized IDCT,
 YCbCr→RGB — round-11, see the JPEG section banner for the lossless
 oracle contract) run end-to-end with no external codec and are
 oracle-checkable byte for byte (`media_decode`, `media_decode_png`,
-`media_decode_jpeg`, `media_resize_decode`, `media_video_frames`,
-`media_audio_decode`). The formats still out of reach without a codec
-library (progressive/arithmetic JPEG, H.264/…) raise
+`media_decode_jpeg`, `media_decode_jpeg_progressive`,
+`media_decode_jpeg_lossless`, `media_resize_decode`,
+`media_video_frames`, `media_audio_decode`). The formats still out of
+reach without a codec
+library (arithmetic/differential JPEG, H.264/…) raise
 NotImplementedError naming the production seam (PIL/cv2/ffmpeg) —
 this container ships no codecs, and a fake decode would be dishonest.
 Only the opaque-payload plumbing (`resize_media`, `sample_frames`)
@@ -311,11 +313,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
     REAL pure-NumPy paths for binary P6 PPM (header parse + frombuffer
     reshape), 8-bit truecolor PNG (stdlib-zlib inflate + defilter,
-    `decode_png`), and baseline + PROGRESSIVE JPEG (hand-written
-    Huffman/dequant/IDCT incl. chroma subsampling, restart markers,
-    spectral selection and successive approximation, `decode_jpeg`).
-    Any other magic raises NotImplementedError naming the production
-    seam (arithmetic/lossless JPEG and the exotic formats) — a
+    `decode_png`), and baseline + PROGRESSIVE + LOSSLESS JPEG
+    (hand-written Huffman/dequant/IDCT incl. chroma subsampling,
+    restart markers, spectral selection and successive approximation,
+    Annex-H lossless prediction, `decode_jpeg`). Any other magic
+    raises NotImplementedError naming the production seam
+    (arithmetic/differential JPEG and the exotic formats) — a
     deterministic fake here would silently masquerade as a decoder."""
     raw = bytes(payload)
     if raw[:2] == b"P6":
@@ -350,8 +353,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     raise NotImplementedError(
         f"image decode for magic {raw[:2]!r} requires an imaging library "
         f"(PIL/cv2) not present in this environment; P6 PPM, 8-bit PNG "
-        f"and baseline+progressive JPEG (incl. subsampling/restarts) "
-        f"decode natively — arithmetic/lossless JPEG and the exotic "
+        f"and baseline+progressive+lossless JPEG (incl. subsampling/"
+        f"restarts) decode natively — arithmetic/differential JPEG and the exotic "
         f"formats are the remaining seam"
     )
 
@@ -1037,9 +1040,11 @@ def video_frame_stats(
 # scans with full sampling-factor interleave (4:4:4 / 4:2:2 / 4:2:0
 # and any integer-ratio factors), DRI/RSTn restart intervals, AND
 # (round 12) PROGRESSIVE (SOF2) frames — spectral selection,
-# successive approximation, EOBn runs, per-scan table redefinition;
-# differential (SOF5-7), lossless (SOF3), and arithmetic coding
-# raise a named limit. Reference parity: realtime0523 has no media
+# successive approximation, EOBn runs, per-scan table redefinition —
+# AND (round 13) LOSSLESS (SOF3) frames — Annex H prediction
+# (selectors 1-7), point transform, row-aligned restart segments;
+# differential (SOF5-7) and arithmetic coding raise a named limit.
+# Reference parity: realtime0523 has no media
 # path at all —
 # this implements the multimodal column contract the task brief
 # specifies, against the public T.81 spec (Annex F decode procedure,
@@ -1871,6 +1876,142 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def _lossless_predict(
+    rec: "np.ndarray",
+    x: int,
+    y: int,
+    first_row: int,
+    predictor: int,
+    default: int,
+) -> int:
+    """T.81 H.1.2.1 prediction for sample (x, y) of one component
+    plane. `rec` holds already-decoded samples (identical to the
+    source on the encode side — lossless), `first_row` is the first
+    line of the current restart segment (restart intervals are
+    processed as independent scans — H.2.1.3 — so samples above the
+    segment are unavailable), `default` = 2^(P - Pt - 1)."""
+    if y == first_row:
+        # scan/segment start: the leading sample takes the default
+        # prediction, the rest of the first line predictor 1 (left)
+        return default if x == 0 else int(rec[y, x - 1])
+    if x == 0:
+        return int(rec[y - 1, x])  # line starts use predictor 2 (above)
+    a = int(rec[y, x - 1])
+    b = int(rec[y - 1, x])
+    c = int(rec[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    img: "np.ndarray",
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_rows: int = 0,
+) -> bytes:
+    """LOSSLESS (SOF3) JPEG bytes for an (h, w, 3) RGB or (h, w)
+    grayscale uint8 array — T.81 Annex H: per-sample prediction
+    (selector 1-7 in Ss), difference categories Huffman-coded with
+    the Annex K DC tables (SSSS + magnitude bits, the DC-coefficient
+    procedure of H.1.2.2), one interleaved scan with Hi=Vi=1
+    components coded directly (lossless mandates no color transform),
+    optional point transform Pt (samples coded as sample >> Pt), and
+    optional restart intervals aligned to row boundaries
+    (DRI = restart_rows·w MCUs; each segment restarts prediction as
+    an independent scan per H.2.1.3). Encoder exists for fixtures and
+    round-trip tests; the engine-side kernel is `decode_jpeg`'s SOF3
+    path (`_decode_jpeg_lossless`)."""
+    import struct
+
+    if not (1 <= predictor <= 7):
+        raise ValueError(
+            f"JPEG lossless: predictor selector {predictor} outside 1..7"
+        )
+    if not (0 <= point_transform <= 7):
+        raise ValueError(
+            f"JPEG lossless: point transform {point_transform} outside 0..7"
+        )
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    planes = [arr] if gray else [arr[:, :, i] for i in range(arr.shape[2])]
+    h, w = planes[0].shape
+    nf = len(planes)
+    pt = point_transform
+    default = 1 << (8 - pt - 1)
+    ri = restart_rows * w if restart_rows else 0
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        # Tq is meaningless in lossless frames (no quantization): 0
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xFFC3, sof)
+    dht = bytes([0x00]) + bytes(_JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1])
+    if nf > 1:
+        dht += (
+            bytes([0x01])
+            + bytes(_JPEG_DC_CHROMA[0])
+            + bytes(_JPEG_DC_CHROMA[1])
+        )
+    out += seg(0xFFC4, dht)
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+    # lossless SOS trailer: Ss = predictor selector, Se = 0, Ah = 0,
+    # Al = point transform (T.81 Table H.2)
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xFFDA, sos)
+
+    shifted = [p.astype(np.int64) >> pt for p in planes]
+    enc_tabs = [
+        _huff_canonical(*(_JPEG_DC_LUMA if ci == 0 else _JPEG_DC_CHROMA))
+        for ci in range(nf)
+    ]
+    writer = _JpegBitWriter()
+    rst = 0
+    first_row = 0
+    for n in range(h * w):
+        y, x = divmod(n, w)
+        if ri and n and n % ri == 0:
+            writer.align_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            first_row = y  # row-aligned DRI: n % ri == 0 implies x == 0
+        for ci in range(nf):
+            px = _lossless_predict(
+                shifted[ci], x, y, first_row, predictor, default
+            )
+            # 8-bit samples with unclamped predictors keep the plain
+            # difference within ±510 (SSSS <= 9), inside the Annex K
+            # DC tables' 0..11 symbol range — no mod-2^16 wrap needed
+            # on the encode side (the decoder still reduces mod 2^16
+            # per H.2.2)
+            diff = int(shifted[ci][y, x]) - px
+            cat = _jpeg_category(diff)
+            code, size = enc_tabs[ci][cat]
+            writer.write(code, size)
+            if cat:
+                writer.write(_jpeg_value_bits(diff, cat), cat)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """REAL sequential-baseline JPEG decoder (round-11 — closes the
     last named codec seam): segment walk, DQT/DHT table load, SOF0
@@ -1885,9 +2026,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     PROGRESSIVE (SOF2) multi-scan frames decode natively since round
     12 — spectral-selection bands, successive-approximation DC/AC
     refinement with EOBn runs, per-scan DHT/DRI rebinding
-    (`_decode_jpeg_progressive`); differential (SOF5-7), lossless
-    (SOF3), and arithmetic coding raise a named limit. Returns
-    (h, w, 3) uint8 for color, (h, w) for grayscale."""
+    (`_decode_jpeg_progressive`) — and LOSSLESS (SOF3) frames since
+    round 13 — Annex H prediction selectors 1-7, point transform,
+    row-aligned restart segments (`_decode_jpeg_lossless`);
+    differential (SOF5-7) and arithmetic coding raise a named limit.
+    Returns (h, w, 3) uint8 for color, (h, w) for grayscale."""
     import struct
 
     raw = bytes(payload)
@@ -1898,6 +2041,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     htabs: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, tq, hi, vi)])
     progressive = False
+    lossless = False
     # every SOS in the file: (comps, ss, se, ah, al, data, ri, tables)
     scans: list[tuple] = []
     restart_interval = 0
@@ -1915,12 +2059,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # scan they carry nothing — skip, don't misread a length
             pos += 2
             continue
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+        if marker in (0xC1, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                "JPEG: only baseline (SOF0) and progressive (SOF2) "
-                f"Huffman frames are supported — SOF{marker - 0xC0} "
-                "(extended/lossless/differential) needs a full codec "
-                "library (PIL/cv2), the named seam"
+                "JPEG: only baseline (SOF0), progressive (SOF2) and "
+                f"lossless (SOF3) Huffman frames are supported — "
+                f"SOF{marker - 0xC0} (extended/differential) needs a "
+                "full codec library (PIL/cv2), the named seam"
             )
         if 0xC8 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             raise NotImplementedError(
@@ -1953,8 +2097,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = list(body[off + 17 : off + 17 + n])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -2028,6 +2173,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     if frame is None or not scans:
         raise ValueError("JPEG: missing SOF/SOS")
     h, w, comps = frame
+    if lossless:
+        return _decode_jpeg_lossless(h, w, comps, scans)
     if progressive:
         return _decode_jpeg_progressive(h, w, comps, scans, qtabs)
     scan_comps, s_ss, s_se, s_ah, s_al, scan_data, restart_interval, _ = (
@@ -2408,6 +2555,164 @@ def _decode_jpeg_progressive(
                 eobrun = step(reader, blk, ss, se, al, ac_dec, eobrun)
 
     return _jpeg_reconstruct(h, w, comps, grids, zz_by_comp, qtabs, hmax, vmax)
+
+
+def _decode_jpeg_lossless(
+    h: int, w: int, comps: list, scans: list, precision: int = 8
+) -> "np.ndarray":
+    """LOSSLESS (SOF3) decode path — T.81 Annex H (round-13: the
+    lossless seam is closed). One interleaved scan: per MCU (= one
+    sample per component at Hi=Vi=1), Huffman-decode the difference
+    category with the scan's DC table (SSSS symbol + magnitude bits,
+    EXTEND of F.2.2.1; SSSS=16 means +32768 with no bits), add the
+    Annex-H prediction (selector from Ss; segment-start and
+    line-start special cases in `_lossless_predict`), reduce mod 2^16
+    (H.2.2), and finally shift left by the point transform Al.
+    Restart intervals are processed as independent scans (H.2.1.3):
+    prediction restarts and each segment is byte-aligned — this
+    decoder supports row-aligned intervals (DRI a multiple of the
+    line width), the shape every segment-independence semantic agrees
+    on; unaligned DRI raises a named limit. Subsampled lossless
+    components and non-interleaved multi-scan SOF3 raise named
+    limits. 3-component frames return the coded planes directly as
+    (h, w, 3) — lossless mandates no color transform — and
+    1-component frames return (h, w), matching `decode_jpeg`'s
+    grayscale contract."""
+    if len(scans) != 1:
+        raise NotImplementedError(
+            "JPEG lossless: multi-scan (non-interleaved) SOF3 files "
+            "unsupported — single interleaved scan only"
+        )
+    scan_comps, ss, se, ah, al, scan_data, ri, tables = scans[0]
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "JPEG lossless: scan covers "
+            f"{len(scan_comps)}/{len(comps)} components — single "
+            "interleaved scan only"
+        )
+    predictor, pt = ss, al
+    if not (1 <= predictor <= 7):
+        raise ValueError(
+            f"JPEG lossless: predictor selector {predictor} outside "
+            "1..7 (0 is the hierarchical-differential mode)"
+        )
+    if se != 0 or ah != 0:
+        raise ValueError(
+            f"JPEG lossless: Se/Ah must be 0 in SOF3 scans — got "
+            f"Se={se} Ah={ah}"
+        )
+    if pt >= precision:
+        raise ValueError(
+            f"JPEG lossless: point transform {pt} >= precision "
+            f"{precision}"
+        )
+    for cid, _tq, hi, vi in comps:
+        if (hi, vi) != (1, 1):
+            raise NotImplementedError(
+                f"JPEG lossless: component {cid} has sampling "
+                f"{hi}x{vi} — only 1x1 (unsubsampled) lossless frames "
+                "are supported"
+            )
+    if ri and ri % w != 0:
+        raise NotImplementedError(
+            f"JPEG lossless: restart interval {ri} does not align to "
+            f"row boundaries (width {w}) — row-aligned DRI only"
+        )
+    decs = []
+    for (cid, _tq, _hi, _vi), (cs, td, _ta) in zip(comps, scan_comps):
+        if cs != cid:
+            raise ValueError("JPEG: SOS component order != SOF order")
+        if (0, td) not in tables:
+            raise ValueError(f"JPEG: missing Huffman table DC{td}")
+        decs.append(tables[(0, td)])
+    n_mcu = h * w
+    readers = _split_restart_segments(scan_data, ri, n_mcu)
+    default = 1 << (precision - pt - 1)
+    rec = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    reader = readers[0]
+    first_row = 0
+    for n in range(n_mcu):
+        if ri and n and n % ri == 0:
+            reader = readers[n // ri]
+            first_row = n // w
+        y, x = divmod(n, w)
+        for ci in range(len(comps)):
+            cat = reader.read_symbol(decs[ci])
+            if cat > 16:
+                raise ValueError(
+                    f"JPEG lossless: difference category {cat} > 16"
+                )
+            if cat == 16:
+                diff = 32768  # H.1.2.2: SSSS=16 carries no extra bits
+            else:
+                diff = _jpeg_extend(reader.read_bits(cat), cat)
+            rec[ci][y, x] = (
+                _lossless_predict(
+                    rec[ci], x, y, first_row, predictor, default
+                )
+                + diff
+            ) & 0xFFFF
+    limit = 1 << (precision - pt)
+    planes = []
+    for r in rec:
+        if (r >= limit).any():
+            raise ValueError(
+                "JPEG lossless: reconstructed sample exceeds the "
+                f"{precision - pt}-bit range (corrupt stream)"
+            )
+        planes.append((r << pt).astype(np.uint8))
+    if len(planes) == 1:
+        return planes[0]
+    return np.stack(planes, axis=-1)
+
+
+def attach_jpeg_lossless_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "media",
+) -> DataFrame:
+    """Testdata adapter for the LOSSLESS (SOF3) decode path
+    (round-13): materialize a spec-valid lossless JPEG per row whose
+    RGB raster is the row's UTF-8 text bytes cycled to
+    width·height·3 — the same raster contract as `attach_ppm_media` /
+    `attach_png_media`, so the same SQL oracle replays every pixel
+    byte for byte, but the engine must now run the full Annex-H
+    prediction + Huffman-difference decode to recover them (lossless
+    JPEG is exact BY SPEC — no constant-block construction needed).
+    The corpus exercises every predictor (selector = 1 + doc_id mod
+    7) and every third document carries row-aligned restart
+    intervals."""
+    cap = width * height * 3
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                if raw:
+                    raster = (raw * (cap // len(raw) + 1))[:cap]
+                else:
+                    raster = bytes(cap)
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payloads.append(
+                    encode_jpeg_lossless(
+                        arr,
+                        predictor=1 + int(doc_id) % 7,
+                        restart_rows=2 if int(doc_id) % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _build, schema=f"{id_col} long, {media_col} binary"
+    )
 
 
 def attach_jpeg_media(

@@ -115,29 +115,28 @@ def _ensure_full_registry() -> None:
 # registration order at the end.
 _PRIORITY: list[str] = [
     # ---- ROUND 13 WINDOW (50 slots) ----
-    # WINDOW ARITHMETIC: group 1 = 6 (2 added + 3 changed + 1
-    # rider), group 3 = the 44 r8-stale rows (the full r8 cohort the
-    # round-12 window's spill note promised would lead this round —
-    # they hit the 4-round SLA boundary at r13). 2 new queries this
-    # round (growth rule: ≤ 12).
+    # WINDOW ARITHMETIC: group 1 = 6 (3 added + 3 changed), group 3
+    # = the 44 r8-stale rows (the full r8 cohort the round-12
+    # window's spill note promised would lead this round — they hit
+    # the 4-round SLA boundary at r13). 3 new queries this round
+    # (growth rule: ≤ 12).
     # Group 1 — ADDED this round (docs_zstd_ingest: the RFC 8878
     # pure-Python zstd frame codec, llm/zstd.py; docs_lz4_ingest: the
-    # LZ4 frame codec, llm/lz4.py — together closing the last codec
-    # seams), or CHANGED: stream_brand_amount /
-    # stream_allocation_split (co-arrival guard: legacy-log named
-    # error + >= prune boundary, streaming/allocation.py),
-    # media_decode_jpeg_progressive (AC-refinement band-overflow now
-    # raises, llm/multimodal.py):
+    # LZ4 frame codec, llm/lz4.py; media_decode_jpeg_lossless: the
+    # T.81 Annex-H SOF3 decoder, llm/multimodal.py — together closing
+    # the zstd/lz4/lossless-JPEG seams), or CHANGED:
+    # stream_brand_amount / stream_allocation_split (co-arrival
+    # guard: legacy-log named error + >= prune boundary,
+    # streaming/allocation.py), media_decode_jpeg_progressive
+    # (AC-refinement band-overflow now raises, llm/multimodal.py;
+    # also rider for the shared decode_jpeg dispatch the SOF3 path
+    # touches). The docs_gzip_ingest rider slot went to the lossless
+    # addition — its parse path is untouched and its oracle
+    # re-verifies in every pytest run:
     "docs_zstd_ingest", "docs_lz4_ingest",
+    "media_decode_jpeg_lossless",
     "stream_brand_amount", "stream_allocation_split",
     "media_decode_jpeg_progressive",
-    # rider (rule 2 — registered plan unchanged, adjacent code
-    # changed: shares llm/shards.py with the new zstd/lz4 attach/
-    # ingest kernels and the re-dispatched decode_auto; the
-    # docs_warc_extract rider slot went to the lz4 addition — its
-    # parse path is untouched and its oracle re-verifies in every
-    # pytest run):
-    "docs_gzip_ingest",
     # Group 3 — the 44 r8-stale rows (stalest on the board,
     # alphabetical):
     "cdc_retract_agg", "cdc_retract_join", "cdc_retract_join3",

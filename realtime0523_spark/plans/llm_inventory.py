@@ -1470,7 +1470,8 @@ JPEG_BLOCKS_W, JPEG_BLOCKS_H = 2, 2  # 16×16 px, 4 constant 8×8 blocks
     "short string) rows, never of decoded payloads. 3 rows out per "
     "image. 4:2:0/4:2:2 subsampling and DRI restart intervals decode "
     "too (unit-tested); progressive decodes natively since round 12 "
-    "(media_decode_jpeg_progressive); arithmetic/lossless JPEG stay "
+    "(media_decode_jpeg_progressive) and lossless since round 13 "
+    "(media_decode_jpeg_lossless); arithmetic/differential JPEG stay "
     "the named seam.",
 )
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,7 +1516,9 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoded pixel from hex(encode(text)). Same map-only plan shape "
     "as media_decode_jpeg: repartition (long, short string) rows to "
     "core parallelism before the CPU-bound codec stage; payloads "
-    "never shuffle. Arithmetic/lossless JPEG stay the named seam.",
+    "never shuffle. Lossless (SOF3) decodes natively since round 13 "
+    "(media_decode_jpeg_lossless); arithmetic/differential JPEG stay "
+    "the named seam.",
 )
 def q_media_decode_jpeg_progressive(
     spark: SparkSession, sf_dir: str
@@ -1527,6 +1530,50 @@ def q_media_decode_jpeg_progressive(
             docs.repartition(par), JPEG_BLOCKS_W, JPEG_BLOCKS_H,
             progressive=True,
         )
+    )
+
+
+@register(
+    "media_decode_jpeg_lossless",
+    f"""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    px AS (SELECT doc_id, i % 3 AS channel,
+                  CASE WHEN nb = 0 THEN 0
+                       ELSE CAST('0x' || substr(hx, 2 * (i % nb) + 1, 2)
+                            AS INT) END AS v
+           FROM m, LATERAL (SELECT unnest(range(0, {MEDIA_W * MEDIA_H * 3}))
+                            AS i))
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST({MEDIA_W * MEDIA_H} AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2
+    """,
+    "LOSSLESS (SOF3) JPEG decode (round-13: the lossless seam is "
+    "closed): each document becomes a spec-valid T.81 Annex-H "
+    "lossless JPEG whose RGB raster is the row's UTF-8 text bytes "
+    f"cycled to {MEDIA_W}×{MEDIA_H}×3 — the same raster contract as "
+    "media_decode / media_decode_png, so the same SQL oracle replays "
+    "every pixel byte for byte, but here exactness is BY SPEC (no "
+    "constant-block construction): the engine runs the full Annex-H "
+    "path — per-sample prediction with every selector 1-7 exercised "
+    "across the corpus (selector = 1 + doc_id mod 7), Huffman "
+    "difference-category decode with EXTEND, mod-2^16 reconstruction, "
+    "and row-aligned restart segments on every third document "
+    "(llm/multimodal.py::_decode_jpeg_lossless; encoder twin "
+    "encode_jpeg_lossless). Components are coded planes (lossless "
+    "mandates no color transform), so decoded RGB == raster exactly. "
+    "Same map-only plan shape as the other media queries: payloads "
+    "never shuffle; 3 rows out per image. Arithmetic/differential "
+    "JPEG stay the named seam.",
+)
+def q_media_decode_jpeg_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return M.decode_channel_stats(
+        M.attach_jpeg_lossless_media(docs, MEDIA_W, MEDIA_H)
     )
 
 

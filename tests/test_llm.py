@@ -2992,7 +2992,8 @@ def test_zstd_validation_named_errors():
 
 def test_zstd_decode_auto_dispatch():
     """decode_auto recognizes zstd magic (and leading skippable
-    frames) alongside gzip/bz2/xz; lz4 stays the named seam."""
+    frames) alongside gzip/bz2/xz (lz4 dispatch is pinned by
+    test_lz4_decode_auto_and_ingest_twin)."""
     import pytest as _pytest
 
     from realtime0523_spark.llm import zstd as Z
@@ -3181,3 +3182,135 @@ def test_zstd_decoder_only_paths():
             blob += bytes([255, v & 0xFF, (v >> 8) & 0xFF])
         got, _ = Z._sequences_header(bytes(blob) + b"\x00", 0, "t")
         assert got == n, (n, got)
+
+
+# ----------------------------------------------------------------------
+# Round-13: lossless (SOF3) JPEG — T.81 Annex H
+# ----------------------------------------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_every_predictor():
+    """Lossless JPEG is exact BY SPEC: every predictor selector 1-7,
+    gray and RGB, square and ragged shapes, with and without
+    row-aligned restart intervals, must reconstruct every sample
+    bit-exactly (mod-2^16 reconstruction exercises negative and
+    out-of-[0,255] predictions via selectors 4-6 on random data)."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(13)
+    for predictor in range(1, 8):
+        for shape in [(4, 4, 3), (16, 16, 3), (7, 5, 3), (6, 11)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for restart_rows in (0, 2):
+                out = decode_jpeg(
+                    encode_jpeg_lossless(
+                        img,
+                        predictor=predictor,
+                        restart_rows=restart_rows,
+                    )
+                )
+                assert out.dtype == np.uint8 and out.shape == img.shape
+                assert (out == img).all(), (predictor, shape, restart_rows)
+    # adversarial extremes: constant 0/255 planes and a checkerboard
+    for img in (
+        np.zeros((5, 9, 3), dtype=np.uint8),
+        np.full((5, 9, 3), 255, dtype=np.uint8),
+        (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8),
+    ):
+        for predictor in (1, 4, 7):
+            assert (
+                decode_jpeg(encode_jpeg_lossless(img, predictor=predictor))
+                == img
+            ).all()
+    # decode_image upholds its (h, w, 3) contract on the RGB path
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert (decode_image(encode_jpeg_lossless(img, predictor=6)) == img).all()
+
+
+def test_jpeg_lossless_point_transform_roundtrip():
+    """Al = Pt codes sample >> Pt; the decoder reconstructs
+    (sample >> Pt) << Pt (H.2.2) — exact on the transformed value."""
+    import numpy as np
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    for pt in (1, 3, 5):
+        out = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=4, point_transform=pt)
+        )
+        assert (out == (img >> pt) << pt).all(), pt
+
+
+def test_jpeg_lossless_validation_named_errors():
+    """Malformed SOF3 payloads surface as NAMED errors at the exact
+    offending field, per the repo's loud-error policy: predictor 0
+    (the hierarchical-differential mode), nonzero Se, subsampled
+    components, a restart interval off the row grid, truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime0523_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = encode_jpeg_lossless(img, predictor=3, restart_rows=2)
+    assert (decode_jpeg(good) == img).all()
+
+    sos_at = good.index(b"\xff\xda")
+    ss_at = sos_at + 4 + 7  # marker+len, then [ns, 3 comp pairs, Ss]
+    bad = bytearray(good)
+    bad[ss_at] = 0
+    with _pytest.raises(ValueError, match="predictor selector 0"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[ss_at + 1] = 63  # Se must be 0 in SOF3 scans
+    with _pytest.raises(ValueError, match="Se/Ah must be 0"):
+        decode_jpeg(bytes(bad))
+
+    sof_at = good.index(b"\xff\xc3")
+    bad = bytearray(good)
+    bad[sof_at + 4 + 6 + 1] = 0x21  # component 1 sampling 2x1
+    with _pytest.raises(NotImplementedError, match="sampling 2x1"):
+        decode_jpeg(bytes(bad))
+
+    dri_at = good.index(b"\xff\xdd")
+    bad = bytearray(good)
+    bad[dri_at + 4 : dri_at + 6] = (7).to_bytes(2, "big")  # w=4: misaligned
+    with _pytest.raises(NotImplementedError, match="row-aligned DRI"):
+        decode_jpeg(bytes(bad))
+
+    with _pytest.raises(ValueError, match="scan truncated before EOI"):
+        decode_jpeg(good[:-8])
+
+    with _pytest.raises(ValueError, match="predictor selector 9"):
+        encode_jpeg_lossless(img, predictor=9)
+
+
+def test_media_decode_jpeg_lossless_matches_png_twin(spark):
+    """The lossless-JPEG query must equal media_decode_png row for
+    row on the same corpus: identical raster contract (text bytes
+    cycled to the same dims), different container — what is being
+    proven is the full Annex-H prediction/Huffman decode, across all
+    7 predictors and the restart-segment path the fixture rotates
+    through."""
+    from realtime0523_spark.plans import REGISTRY
+
+    jls = REGISTRY["media_decode_jpeg_lossless"].fn(spark, SF_SMOKE)
+    png = REGISTRY["media_decode_png"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, jls.collect())) == sorted(
+        map(tuple, png.collect())
+    )

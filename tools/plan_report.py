@@ -327,6 +327,13 @@ AUDITED: dict[str, str] = {
         "organization changes the per-payload CPU walk, never the "
         "data motion — payloads never shuffle"
     ),
+    "media_decode_jpeg_lossless": (
+        "map-only: SOF3 encode fixture kernel (predictor rotated per "
+        "doc, restart segments every third doc) -> Annex-H prediction "
+        "+ Huffman difference decode + channel sums in Arrow stages; "
+        "no IDCT, no quantization — pure sequential prediction per "
+        "payload; payloads never shuffle, 3 rows out per image"
+    ),
     "docs_gzip_ingest": (
         "map-only: gzip-member fixture kernel -> full RFC 1952 parse "
         "(header variants, CRC32/ISIZE, multi-member) + inflate + "

@@ -162,6 +162,7 @@ PROBES = [
     "stream_warc_ingest",  # streaming shard parse + |langs|-row running agg (r11)
     "media_decode_jpeg_progressive",  # SOF2 multi-scan decode, map-only (r12)
     "docs_zstd_ingest",    # RFC8878 FSE/Huffman decode, map-only (r13)
+    "media_decode_jpeg_lossless",  # T.81 Annex-H SOF3 decode, map-only (r13)
     "docs_lz4_ingest",     # LZ4 frame token decode, map-only (r13)
 ]
 
