@@ -236,6 +236,35 @@ def _probe_child(out_file: str) -> None:
         json.dump(out, fh)
 
 
+# Quiet-host probe reference values — BASELINE.md "Probe reference
+# values (round-13 quiet host)": per-metric minimum across the two
+# baseline re-record runs' before/after probes, recorded in the same
+# runs as the round-13 results table. The sidecar stamps this run's
+# per-metric ratio to these (host_factor) so a future round can
+# normalize arithmetically: a sidecar whose sched_s factor reads k
+# should expect many-short-job (dedup/ANN) rows ~k× their BASELINE
+# entries before suspecting a code regression.
+PROBE_REF = {"shuffle_s": 1.48, "arrow_s": 1.63, "sched_s": 4.75}
+
+
+def _host_factor(
+    *probes: "dict[str, float] | None",
+) -> "dict[str, float] | None":
+    """Per-metric ratio of the best (min) observed probe to PROBE_REF.
+    Min across before/after: the after-probe is the steady-state
+    regime the measured chunks ran in, the before-probe can carry
+    one-time cold cost — the minimum is the host's demonstrated
+    capability during this run."""
+    best: dict[str, float] = {}
+    for p in probes:
+        for k, v in (p or {}).items():
+            if k in PROBE_REF and isinstance(v, (int, float)) and v > 0:
+                best[k] = min(best.get(k, float("inf")), v)
+    if not best:
+        return None  # probes are diagnostics; absent probes stamp null
+    return {k: round(best[k] / PROBE_REF[k], 2) for k in sorted(best)}
+
+
 def _run_probe() -> dict[str, float] | None:
     with tempfile.TemporaryDirectory(prefix="bench_probe_") as tdir:
         out_file = os.path.join(tdir, "probe.json")
@@ -316,6 +345,7 @@ def main() -> None:
                 in_process_queries.extend(names)
             timings.update(got)
     total = sum(timings.values())
+    probe_after = _run_probe()
 
     full = json.dumps(
         {
@@ -332,7 +362,11 @@ def main() -> None:
             # (fresh JVM each): host-speed normalizer for cross-round
             # comparisons — see BASELINE.md for the reference values
             "spark_probe_before": probe_before,
-            "spark_probe_after": _run_probe(),
+            "spark_probe_after": probe_after,
+            # this run's host regime vs the BASELINE quiet-host probe
+            # reference (1.0 ≈ the regime the table was recorded in)
+            "probe_ref": PROBE_REF,
+            "host_factor": _host_factor(probe_before, probe_after),
             "contended": contended,
             "load_at_measure_start": settled_load,
             "host_before": contention_before,
