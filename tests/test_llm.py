@@ -3314,3 +3314,20 @@ def test_media_decode_jpeg_lossless_matches_png_twin(spark):
     assert sorted(map(tuple, jls.collect())) == sorted(
         map(tuple, png.collect())
     )
+
+
+def test_lz4_xxh32_known_vectors():
+    """Pin xxh32 against the published reference vectors (the lz4
+    frame format's header/block/content checksums all derive from
+    it): empty input 0x02CC5D05, 'a' 0x550D7456, 'abc' 0x32D153FF,
+    plus seed sensitivity and a >16-byte input that exercises the
+    4-lane stripe path."""
+    from realtime0523_spark.llm.lz4 import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc")
+    long = bytes(range(256))
+    assert xxh32(long) == xxh32(bytes(long))  # determinism
+    assert xxh32(long[:16]) != xxh32(long[:17])
