@@ -2254,13 +2254,20 @@ def test_jpeg_roundtrip_and_validation():
     assert np.abs(outa.astype(int) - gr.astype(int)).max() <= 6
     with pytest.raises(ValueError, match="grayscale"):
         decode_image(encode_jpeg(gr, quant_luma=ones))
-    # named seams: lossless SOF3, out-of-range sampling factors
-    # (SOF2 progressive is DECODED since round 12 — see the
-    # progressive round-trip tests)
+    # named seams: differential SOF5, out-of-range sampling factors
+    # (SOF2 progressive is DECODED since round 12, SOF3 lossless
+    # since round 13 — see their round-trip tests; a baseline file
+    # MISLABELED as SOF3 now fails on its Ss=0 scan header, the
+    # lossless path's named predictor check)
+    payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
     payload[sof + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    with pytest.raises(ValueError, match="predictor selector 0"):
         decode_jpeg(bytes(payload))
     payload = bytearray(encode_jpeg(rgb, quant_luma=ql))
     sof = payload.index(b"\xff\xc0")
