@@ -198,3 +198,32 @@ def test_write_partitioned_files_per_partition_salt(spark, tmp_path):
     files = glob.glob(f"{dest}/event_type=*/*.parquet")
     # ≤ files×|partitions|, > |partitions| (salt actually spreads)
     assert n_types < len(files) <= 3 * n_types
+
+
+def test_bench_host_factor_normalization_contract():
+    """bench.py's sidecar host_factor is the per-metric MIN of the
+    run's before/after probes over the BASELINE quiet-host reference
+    values (PROBE_REF) — 1.0 means the regime the results table was
+    recorded in. Absent/partial probes degrade to null / the metrics
+    present; non-positive probe values are ignored (a failed probe
+    must not fabricate a factor)."""
+    import bench
+
+    ref = bench.PROBE_REF
+    assert set(ref) == {"shuffle_s", "arrow_s", "sched_s"}
+    # identical-to-reference probes → exactly 1.0 on every axis
+    assert bench._host_factor(dict(ref)) == {k: 1.0 for k in ref}
+    # min across before/after picks the better (steady-state) probe
+    before = {k: v * 3 for k, v in ref.items()}
+    after = {k: v * 1.5 for k, v in ref.items()}
+    assert bench._host_factor(before, after) == {k: 1.5 for k in ref}
+    # degraded host reads > 1, and the factor is per-metric
+    skewed = dict(ref, sched_s=ref["sched_s"] * 4)
+    assert bench._host_factor(skewed)["sched_s"] == 4.0
+    assert bench._host_factor(skewed)["arrow_s"] == 1.0
+    # no probes → null; partial probes → partial factor
+    assert bench._host_factor(None, None) is None
+    assert bench._host_factor({"arrow_s": ref["arrow_s"]}, None) == {
+        "arrow_s": 1.0
+    }
+    assert bench._host_factor({"arrow_s": 0.0}) is None
