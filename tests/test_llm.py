@@ -3338,3 +3338,40 @@ def test_lz4_xxh32_known_vectors():
     long = bytes(range(256))
     assert xxh32(long) == xxh32(bytes(long))  # determinism
     assert xxh32(long[:16]) != xxh32(long[:17])
+
+
+def test_jpeg_lossless_out_of_range_reconstruction_raises():
+    """A corrupt SOF3 entropy stream whose difference pushes the
+    mod-2^16 reconstruction outside the sample range must raise the
+    named range error, not emit garbage pixels. Hand-built 1x1 gray
+    file: default prediction 128, coded diff +200 -> 328 >= 2^8."""
+    import struct
+
+    import pytest as _pytest
+
+    from realtime0523_spark.llm.multimodal import (
+        _huff_canonical,
+        _JPEG_DC_LUMA,
+        _jpeg_category,
+        _jpeg_value_bits,
+        _JpegBitWriter,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFC3, struct.pack(">BHHB", 8, 1, 1, 1) + bytes([1, 0x11, 0]))
+    bits, vals = _JPEG_DC_LUMA
+    out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1, Pt 0
+    w = _JpegBitWriter()
+    enc = _huff_canonical(bits, vals)
+    diff = 200  # 128 + 200 = 328: outside the 8-bit range
+    cat = _jpeg_category(diff)
+    w.write(*enc[cat])
+    w.write(_jpeg_value_bits(diff, cat), cat)
+    out += w.flush() + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="exceeds the 8-bit range"):
+        decode_jpeg(bytes(out))
