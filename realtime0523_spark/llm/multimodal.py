@@ -1032,7 +1032,7 @@ def video_frame_stats(
 # Baseline JPEG (ITU-T T.81) — round-11: the last named codec seam.
 #
 # A REAL JPEG codec in pure NumPy + stdlib: segment walk
-# (SOI/APPn/DQT/SOF0/SOF2/DHT/SOS/EOI), canonical Huffman entropy
+# (SOI/APPn/DQT/SOF0/SOF1/SOF2/SOF3/DHT/SOS/EOI), canonical Huffman entropy
 # decode with 0xFF00 byte-unstuffing, DC prediction, run-length AC,
 # dequantization, inverse zigzag, vectorized 8x8 IDCT (orthonormal
 # DCT-III via one einsum over all blocks), edge-padding crop, and
@@ -2014,8 +2014,10 @@ def encode_jpeg_lossless(
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """REAL sequential-baseline JPEG decoder (round-11 — closes the
-    last named codec seam): segment walk, DQT/DHT table load, SOF0
-    frame parse, entropy scan with 0xFF00 unstuffing, per-MCU Huffman
+    last named codec seam): segment walk, DQT/DHT table load,
+    SOF0/SOF1 frame parse (extended sequential at 8-bit precision is
+    decode-identical to baseline), entropy scan with 0xFF00
+    unstuffing, per-MCU Huffman
     DC/AC decode with full sampling-factor interleave (4:4:4 / 4:2:2
     / 4:2:0 and any integer-ratio factors 1..4), DRI/RSTn restart
     intervals (per-segment byte alignment, DC prediction reset,
@@ -2059,12 +2061,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # scan they carry nothing — skip, don't misread a length
             pos += 2
             continue
-        if marker in (0xC1, 0xC5, 0xC6, 0xC7):
+        if marker in (0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                "JPEG: only baseline (SOF0), progressive (SOF2) and "
-                f"lossless (SOF3) Huffman frames are supported — "
-                f"SOF{marker - 0xC0} (extended/differential) needs a "
-                "full codec library (PIL/cv2), the named seam"
+                "JPEG: only sequential (SOF0/SOF1), progressive "
+                f"(SOF2) and lossless (SOF3) Huffman frames are "
+                f"supported — SOF{marker - 0xC0} (differential) needs "
+                "a full codec library (PIL/cv2), the named seam"
             )
         if 0xC8 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             raise NotImplementedError(
@@ -2097,7 +2099,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = list(body[off + 17 : off + 17 + n])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0 baseline / SOF1 extended sequential (at the
+            # supported 8-bit precision its decode procedure is
+            # byte-identical to baseline — the extension is 12-bit
+            # samples, which the precision check below names, and up
+            # to 4 Huffman tables, which the table registry already
+            # carries) / SOF2 progressive / SOF3 lossless
             progressive = marker == 0xC2
             lossless = marker == 0xC3
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])

@@ -3375,3 +3375,36 @@ def test_jpeg_lossless_out_of_range_reconstruction_raises():
     out += w.flush() + b"\xff\xd9"
     with _pytest.raises(ValueError, match="exceeds the 8-bit range"):
         decode_jpeg(bytes(out))
+
+
+def test_jpeg_extended_sequential_sof1_decodes_as_baseline():
+    """T.81 extended sequential (SOF1) at 8-bit precision has a
+    decode procedure byte-identical to baseline — the extensions are
+    12-bit samples (named precision limit) and a larger table budget
+    (the table registry already carries any id). A baseline file
+    relabeled SOF1 must decode to identical pixels; a 12-bit SOF1
+    must raise the named precision limit."""
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime0523_spark.llm.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(53)
+    ql = np.ones(64, dtype=np.int64)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    base = encode_jpeg(rgb, quant_luma=ql)
+    want = decode_jpeg(base)
+    relabeled = bytearray(base)
+    sof = relabeled.index(b"\xff\xc0")
+    relabeled[sof + 1] = 0xC1
+    got = decode_jpeg(bytes(relabeled))
+    assert (got == want).all()
+    twelve = bytearray(relabeled)
+    twelve[sof + 4] = 12  # precision byte
+    with _pytest.raises(ValueError, match="8-bit precision"):
+        decode_jpeg(bytes(twelve))
+    # differential SOF5 stays the named seam
+    diff5 = bytearray(base)
+    diff5[sof + 1] = 0xC5
+    with _pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg(bytes(diff5))
