@@ -129,10 +129,16 @@ _PRIORITY: list[str] = [
     # guard: legacy-log named error + >= prune boundary,
     # streaming/allocation.py), media_decode_jpeg_progressive
     # (AC-refinement band-overflow now raises, llm/multimodal.py;
-    # also rider for the shared decode_jpeg dispatch the SOF3 path
-    # touches). The docs_gzip_ingest rider slot went to the lossless
-    # addition — its parse path is untouched and its oracle
-    # re-verifies in every pytest run:
+    # also rider for decode_jpeg's shared segment walk, whose SOF
+    # dispatch the round-13 SOF3/SOF1 changes touch — progressive
+    # and lossless both execute the modified dispatch lines, so the
+    # shared-code change holds two in-window rows; media_decode_jpeg
+    # itself stays out of the window because its baseline branch is
+    # untouched, and its oracle re-verified this round at sf0.01 by
+    # hand AND re-verifies at sf0.001 in every pytest run). The
+    # docs_gzip_ingest rider slot went to the lossless addition —
+    # its parse path is untouched and its oracle re-verifies in
+    # every pytest run:
     "docs_zstd_ingest", "docs_lz4_ingest",
     "media_decode_jpeg_lossless",
     "stream_brand_amount", "stream_allocation_split",
