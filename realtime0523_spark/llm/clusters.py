@@ -44,6 +44,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# When set to a list, every frame passed through a _ckpt_tools ckpt()
+# appends its formatted physical plan here BEFORE materializing.
+# Iterative operators (pagerank/kcore/BFS/label-prop) execute their
+# rounds eagerly at checkpoint points, so the frame a caller can
+# explain afterwards is only the final checkpoint scan — this hook is
+# how tools/dump_plan.py records the per-round shapes the optimizer
+# actually ran. None (the default) costs nothing.
+PLAN_SINK: list | None = None
+
+
 def _ckpt_tools(df: DataFrame):
     """(ckpt, release): localCheckpoint with eager release of
     superseded snapshots. Superseded checkpoints stay pinned in the
@@ -58,6 +68,14 @@ def _ckpt_tools(df: DataFrame):
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     def ckpt(frame):
+        if PLAN_SINK is not None:
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                frame.explain("formatted")
+            PLAN_SINK.append(buf.getvalue())
         before = _ids()
         out = frame.localCheckpoint()  # eager: materializes now
         return out, _ids() - before

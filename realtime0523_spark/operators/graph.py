@@ -33,6 +33,8 @@ operator asserts the envelope from the node count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,27 @@ from realtime0523_spark.llm.clusters import _ckpt_tools
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMPING_PCT = 85
 PAGERANK_ITERS = 5
+
+# Broadcast gate for node-sized state (ranks/degrees) and oriented edge
+# tables in the iterative operators (guide §3.1: pick the strategy
+# deliberately, broadcast the side that fits). A broadcast hash
+# relation costs ~64 B/row, so the 2M default is ~128 MB on the driver
+# and each executor — comfortable on cluster-sized executors, far
+# under the 8 GB / 512M-row broadcast cap. Above the gate the joins
+# fall back to the shuffle path unchanged, so the choice is
+# scale-adaptive, not tuned to local[32]; results are identical either
+# way (same join semantics, integer aggregation is order-independent).
+GRAPH_BROADCAST_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_ROWS", str(2_000_000))
+)
+
+
+def _bcast(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast hint gated on a measured row count (never an estimate
+    — size estimates through checkpoints/UDF boundaries are unknown,
+    which is exactly when the planner silently falls back to
+    SortMergeJoin on a 20k-row side)."""
+    return F.broadcast(df) if small else df
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -87,43 +110,65 @@ def pagerank_fixed_point(
     or sink-redistribution edges first — the operator raises rather
     than silently leaking their mass.
 
-    Scale shape per round: ranks equi-join edges on src (at rest,
-    pre-partition both by the join key and the join is co-located),
-    one partial-agg'd sum groupBy on dst, one left join back to the
-    node set. Rounds localCheckpoint alternately with eager release
-    of the superseded snapshot (the clusters.py discipline), so plan
-    depth and executor memory stay O(1) in n_iter. The seed flag
-    rides the node set, so personalization adds zero extra joins."""
+    Scale shape per round (round-13 optimization): the node state
+    carries (rank_fp, out_deg, seed flag) in ONE table, so a round is
+    a single edges⋈state equi-join (state BROADCAST under the
+    GRAPH_BROADCAST_ROWS gate — the edge table then never shuffles),
+    one partial-agg'd sum groupBy on dst, and one state⋈sums join
+    (sums broadcast under the same gate). Above the gate every join
+    falls back to the shuffle path, keyed as before. Rounds
+    localCheckpoint alternately with eager release of the superseded
+    snapshot (the clusters.py discipline), so plan depth and executor
+    memory stay O(1) in n_iter. The seed flag and out-degree ride the
+    state table, so personalization adds zero extra joins."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     ckpt, release = _ckpt_tools(edges)
-    # materialize the graph ONCE: edges, degrees, and the node set are
-    # read in every round (and by the guards below) — without this the
-    # whole upstream edge derivation (e.g. the lineitem self-join)
-    # recomputes per iteration. Measured 8× on the co-purchase query.
-    edges, e_ids = ckpt(edges.select("src", "dst"))
-    deg, d_ids = ckpt(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    )
-    nodes, n_ids = ckpt(
+    # materialize the graph ONCE: edges and the node state are read in
+    # every round (and by the guards below) — without this the whole
+    # upstream edge derivation (e.g. the lineitem self-join) recomputes
+    # per iteration. Measured 8× on the co-purchase query. Partitioning
+    # is pinned to defaultParallelism ON the join key (explicit
+    # repartitions are exempt from AQE coalescing): the per-round
+    # contrib map stage otherwise inherits an AQE-coalesced handful of
+    # partitions and runs the dominant compute on a fraction of the
+    # cores — and above the broadcast gate the src hash partitioning
+    # is exactly the layout the shuffle join wants.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    edges, e_ids = ckpt(edges.select("src", "dst").repartition(par, "src"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    graph_ids = e_ids | d_ids | n_ids
+    state = nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+    if seeds is None:
+        state = state.withColumn("__seed", F.lit(True))
+    else:
+        state = state.join(
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("__seed", F.lit(True)),
+            "node",
+            "left",
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+    state, s_ids = ckpt(state)
+    graph_ids = e_ids | s_ids
     try:
-        dangling = (
-            nodes.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .limit(1)
-            .count()
-        )
+        # one aggregate answers both guards (node count + dangling
+        # presence) — the left join above keeps dangling nodes as
+        # out_deg IS NULL rows, so no separate anti-join/count pass
+        n_nodes, dangling = state.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(F.col("out_deg").isNull(), F.lit(1))),
+        ).first()
         if dangling:
             raise ValueError(
                 "pagerank_fixed_point: graph has dangling nodes (no "
                 "out-edges); add self-loops or redistribution edges — "
                 "silent mass leak refused."
             )
-        n_nodes = nodes.count()
         if scale is None:
             # auto: the largest power of 10 that keeps total mass × 100
             # inside int64, capped at the default so small graphs keep
@@ -148,49 +193,43 @@ def pagerank_fixed_point(
         release(graph_ids)
         raise
     base = ((100 - damping_pct) * scale) // 100
-
-    if seeds is None:
-        nodes = nodes.withColumn("__seed", F.lit(True))
-    else:
-        nodes = nodes.join(
-            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-            .withColumn("__seed", F.lit(True)),
-            "node",
-            "left",
-        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
-        nodes, s_ids = ckpt(nodes)
-        graph_ids |= s_ids
+    small = n_nodes <= GRAPH_BROADCAST_ROWS
     base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
-    ranks = nodes.select(
-        "node",
+    cur = state.withColumn(
+        "rank_fp",
         F.when(F.col("__seed"), F.lit(scale))
         .otherwise(F.lit(0))
-        .cast("long")
-        .alias("rank_fp"),
+        .cast("long"),
     )
     held: set = set()
     for _ in range(n_iter):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_fp div out_deg").alias("c"),
-            )
+        contrib = edges.join(
+            _bcast(
+                cur.select(
+                    F.col("node").alias("src"), "rank_fp", "out_deg"
+                ),
+                small,
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_fp div out_deg").alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
-        nxt = nodes.join(sums, "node", "left").select(
+        nxt = state.join(_bcast(sums, small), "node", "left").select(
             "node",
+            "out_deg",
+            "__seed",
             (
                 base_col
                 + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
             ).cast("long").alias("rank_fp"),
         )
-        ranks, ids = ckpt(nxt)
+        cur, ids = ckpt(nxt)
         release(held)
         held = ids
     release(graph_ids)
-    return ranks
+    return cur.select("node", "rank_fp")
 
 
 def kcore(
@@ -212,18 +251,23 @@ def kcore(
 
     `rounds=None` peels to the fixpoint (capped at 64 — a peel that
     deep means adversarial chain structure; raise explicitly).
-    `rounds=R` runs EXACTLY R peels whether or not converged — the
-    R-round peel is a deterministic function of the data, which is
-    what the generated SQL oracle replays (convergence at fixture
-    scale is test-asserted separately, so equality never depends on
-    convergence).
+    `rounds=R` computes EXACTLY the R-round peel — a deterministic
+    function of the data, which is what the generated SQL oracle
+    replays. Once a round's removal set is empty every further peel
+    is the identity, so the loop stops early and returns the
+    IDENTICAL table without spending the no-op rounds (round-13
+    optimization; convergence at fixture scale is additionally
+    test-asserted, so equality never depends on it).
 
     Scale shape per round: one partial-agg'd degree groupBy over the
-    canonical edge table + two semi-join filters (broadcast when the
-    removed set is small, AQE otherwise) — all shuffles on the node
-    key. Each round's edge table is checkpoint-materialized with
-    eager release of the previous snapshot (the pagerank/_ckpt_tools
-    discipline), so plan depth and memory stay O(1) in rounds."""
+    canonical edge table into a checkpoint-materialized removal set
+    (built once, not once per anti-join), whose measured count gates
+    broadcasting it into the two anti-join filters — under the gate
+    the surviving edge table is never shuffled, above it the joins
+    fall back to the shuffle path. Each round's edge table is
+    checkpoint-materialized with eager release of the previous
+    snapshot (the pagerank/_ckpt_tools discipline), so plan depth and
+    memory stay O(1) in rounds."""
     if k < 1:
         raise ValueError(f"kcore: k must be ≥ 1, got {k}")
     ckpt, release = _ckpt_tools(edges)
@@ -246,19 +290,34 @@ def kcore(
     max_rounds = 64 if rounds is None else rounds
     try:
         for _ in range(max_rounds):
-            deg = degrees(cur)
-            bad = deg.filter(F.col("deg") < k).select("node")
-            if rounds is None and bad.limit(1).count() == 0:
+            # materialize the round's removal set ONCE (round-13): the
+            # two anti-joins below otherwise each re-execute the degree
+            # aggregation as their build subtree; the set is node-sized
+            # at worst, tiny near the fixpoint, and its measured count
+            # both gates the broadcast and detects convergence — a peel
+            # with an empty removal set is the identity, so stopping
+            # early in fixed-rounds mode returns the identical table
+            bad, b_ids = ckpt(
+                degrees(cur).filter(F.col("deg") < k).select("node")
+            )
+            n_bad = bad.count()
+            if n_bad == 0:
+                release(b_ids)
                 break
+            small = n_bad <= GRAPH_BROADCAST_ROWS
             nxt = (
                 cur.join(
-                    bad.withColumnRenamed("node", "lo"), "lo", "left_anti"
+                    _bcast(bad.withColumnRenamed("node", "lo"), small),
+                    "lo",
+                    "left_anti",
                 ).join(
-                    bad.withColumnRenamed("node", "hi"), "hi", "left_anti"
+                    _bcast(bad.withColumnRenamed("node", "hi"), small),
+                    "hi",
+                    "left_anti",
                 )
             )
             nxt, ids = ckpt(nxt.select("lo", "hi"))
-            release(held)
+            release(held | b_ids)
             cur, held = nxt, ids
         else:
             if rounds is None:
@@ -334,17 +393,35 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         release(c_ids)
         raise
     nodes = deg.select(F.col("src").alias("node"), "deg")
+    # the broadcast gate is a MEASURED count over the materialized
+    # canonical table (cheap: ExistingRDD scan) — |nodes| ≤ 2·|canon|,
+    # so one count gates both the node-sized (deg, per_node) and the
+    # edge-sized (oriented table) broadcast sides
+    n_canon = canon.count()
+    small = n_canon <= GRAPH_BROADCAST_ROWS
     # orient: direct each canonical edge from its (deg, id)-smaller
-    # endpoint — lo wins ties by id, so lo leads iff deg_lo <= deg_hi
+    # endpoint — lo wins ties by id, so lo leads iff deg_lo <= deg_hi.
+    # deg is node-sized: broadcast under the gate, so the canonical
+    # edge table is never shuffled for orientation.
     try:
         lo_leads = F.col("deg_lo") <= F.col("deg_hi")
         e, e_ids = ckpt(
             canon.join(
-                deg.select(F.col("src").alias("lo"), F.col("deg").alias("deg_lo")),
+                _bcast(
+                    deg.select(
+                        F.col("src").alias("lo"), F.col("deg").alias("deg_lo")
+                    ),
+                    small,
+                ),
                 "lo",
             )
             .join(
-                deg.select(F.col("src").alias("hi"), F.col("deg").alias("deg_hi")),
+                _bcast(
+                    deg.select(
+                        F.col("src").alias("hi"), F.col("deg").alias("deg_hi")
+                    ),
+                    small,
+                ),
                 "hi",
             )
             .select(
@@ -352,6 +429,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                 F.when(lo_leads, F.col("hi")).otherwise(F.col("lo")).alias("b"),
                 F.when(lo_leads, F.col("deg_lo")).otherwise(F.col("deg_hi")).alias("da"),
                 F.when(lo_leads, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("db"),
+            )
+            # pin the oriented table to defaultParallelism on the wedge
+            # apex (exempt from AQE coalescing): the wedge+closure map
+            # stage — the dominant compute (Σ out-deg² probes) —
+            # otherwise runs on an AQE-coalesced handful of partitions;
+            # hashing on `a` also gives the above-gate SMJ path the
+            # wedge join's layout. Oriented out-degree is O(√m), so the
+            # apex hash cannot skew.
+            .repartition(
+                edges.sparkSession.sparkContext.defaultParallelism, "a"
             )
         )
     except Exception:
@@ -362,22 +449,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     w2 = e.select(
         F.col("a"), F.col("b").alias("c"), F.col("db").alias("ord_c")
     )
-    wedges = w1.join(w2, "a").filter(
+    # broadcast the build sides (both are the |E|/2-row oriented table)
+    # under the gate: the wedge stream — the one quadratic-in-degree
+    # intermediate — is then produced AND consumed inside a single
+    # map stage, never shuffled or sorted (above the gate: the same
+    # sort-merge shape as before)
+    wedges = w1.join(_bcast(w2, small), "a").filter(
         (F.col("ord_b") < F.col("ord_c"))
         | ((F.col("ord_b") == F.col("ord_c")) & (F.col("b") < F.col("c")))
     )
     closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    tri = wedges.join(_bcast(closing, small), ["b", "c"]).select("a", "b", "c")
+    # explode, not a 3-way union: the union form re-executed the
+    # closure join once PER BRANCH (exchange reuse dedups only the
+    # shuffle, not the join above it) — explode evaluates the triangle
+    # stream exactly once and partial-aggregates in the same stage
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     try:
         out, _ = ckpt(
-            nodes.join(per_node, "node", "left").select(
+            nodes.join(_bcast(per_node, small), "node", "left").select(
                 "node",
                 F.col("deg").alias("degree"),
                 F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
@@ -401,18 +495,23 @@ def bfs_hops(
     Input is canonicalized exactly like kcore/triangle_counts (least,
     greatest + distinct, then both directions), so any edge-list
     convention works. `seeds` is a 1-column node frame; seeds absent
-    from the graph still appear at hop 0. Runs EXACTLY `rounds`
-    frontier expansions — like the R-round kcore peel, a fixed-round
-    BFS is a deterministic function of the data, which is what the
-    generated SQL oracle replays round by round; nodes unreached
-    within `rounds` are absent (hop > R is unknowable from R rounds).
+    from the graph still appear at hop 0. Computes EXACTLY the
+    `rounds`-round expansion — like the R-round kcore peel, a
+    fixed-round BFS is a deterministic function of the data, which is
+    what the generated SQL oracle replays round by round; nodes
+    unreached within `rounds` are absent (hop > R is unknowable from
+    R rounds). An exhausted frontier makes every remaining round the
+    identity, so the loop stops early with the identical table.
 
     Scale shape: the directed edge table materializes ONCE
     (localCheckpoint — the triangle lesson; never recompute the
     upstream self-join per round). Each round joins ONLY THE NEW
     FRONTIER (nodes first discovered last round) against the edges —
     per-round cost is |frontier|-proportional, the textbook BFS
-    bound, not |reached|. One equi-join + one partial-agg'd min
+    bound, not |reached| — with the frontier BROADCAST under the
+    GRAPH_BROADCAST_ROWS gate (its count is a cheap scan of the
+    checkpointed distance table), so the edge table is never
+    re-shuffled per round. One equi-join + one partial-agg'd min
     groupBy per round, checkpointed with eager release of the
     superseded distance snapshot: plan depth and executor memory stay
     O(1) in rounds.
@@ -443,9 +542,21 @@ def bfs_hops(
     try:
         for r in range(1, rounds + 1):
             frontier = dist.filter(F.col("hop") == r - 1)
-            reached = frontier.join(
-                e, frontier["node"] == e["src"]
-            ).select(F.col("dst").alias("node"), F.lit(r).cast("long").alias("hop"))
+            # dist is a materialized checkpoint, so the frontier count
+            # is a cheap ExistingRDD scan; it gates broadcasting the
+            # frontier into the edge join (the edge table then never
+            # shuffles — before, every round sort-merge-shuffled the
+            # full directed edge table) and detects exhaustion: an
+            # empty frontier makes every remaining round the identity,
+            # so stopping early returns the identical table
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            reached = _bcast(
+                frontier, n_frontier <= GRAPH_BROADCAST_ROWS
+            ).join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"), F.lit(r).cast("long").alias("hop")
+            )
             nxt = (
                 dist.unionByName(reached)
                 .groupBy("node")
