@@ -40,8 +40,27 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Driver-side union-find gate for `algorithm="auto"` (round-13
+# optimization, guide §8: decide with small rows). The pair graph is
+# duplicate-density-sized — hundreds of rows at fixture scale, and at
+# 100 TB still orders of magnitude below the corpus — so when a
+# MEASURED edge count fits comfortably in driver memory the component
+# labels are computed with one collect + an O(E α(E)) union-find
+# instead of 40+ distributed jobs of iterative label propagation
+# (each round = 2 shuffles + a convergence aggregate; on a graph this
+# size every one of those jobs is pure scheduling fixed cost). Same
+# memory stance as a broadcast join's build side (guide §3.1): the
+# gate bounds what the driver holds, and above it the distributed
+# propagation/star paths run unchanged. 1M undirected edges ≈ two
+# int64 columns ≈ 16 MB collected, ≤ 2M-entry parent dict.
+CC_DRIVER_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", str(1_000_000))
+)
 
 
 # When set to a list, every frame passed through a _ckpt_tools ckpt()
@@ -207,12 +226,46 @@ def _star_contract(edges: DataFrame, max_iter: int, ckpt, release):
     )
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Component minima via one collect + union-find — the
+    `algorithm="auto"` small-graph path. `edges` is the checkpointed
+    both-directions loop-free edge set; collecting the u < v half
+    fetches each undirected edge once. Union-by-min-root keeps every
+    tree's root equal to its component minimum (merging always attaches
+    the larger root under the smaller), so `find` after all unions IS
+    the cluster label — identical to the propagation/star contract."""
+    rows = edges.filter(F.col("u") < F.col("v")).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ru, rv = find(r[0]), find(r[1])
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    labels = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    u_type = edges.schema["u"].dataType.simpleString()
+    return spark.createDataFrame(
+        labels, f"doc_id {u_type}, cluster_id {u_type}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
     algorithm: str = "auto",
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc that appears in `pairs`,
     where cluster_id is the minimum doc_id of the doc's connected
@@ -221,12 +274,16 @@ def connected_components(
     this keeps the output proportional to the duplicate density, not
     the corpus.
 
-    `algorithm`: "auto" (min-label propagation, switching to
-    large-star/small-star contraction if the diameter exceeds
-    `max_iter` rounds), "propagation" (raise instead of switching —
-    the loud variant for pipelines that treat a pathological pair
-    graph as a data bug), or "star" (straight to the O(log n)
-    contraction, for graphs known to be long-chained).
+    `algorithm`: "auto" (driver-side union-find when the MEASURED
+    undirected edge count is within `driver_max_edges` — default
+    CC_DRIVER_EDGES, env SPARK_GRAFT_CC_DRIVER_EDGES — else min-label
+    propagation, switching to large-star/small-star contraction if the
+    diameter exceeds `max_iter` rounds), "propagation" (distributed
+    always; raise instead of switching — the loud variant for
+    pipelines that treat a pathological pair graph as a data bug), or
+    "star" (straight to the O(log n) contraction, for graphs known to
+    be long-chained). The explicit algorithms never take the driver
+    path, so their convergence contracts stay testable.
 
     Self-pairs (src == dst) are ignored — filtered here, at the entry,
     so every algorithm sees the identical loop-free edge set (a
@@ -243,11 +300,20 @@ def connected_components(
     edges, edge_ids = ckpt(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    if edges.limit(1).count() == 0:  # no edges at all
+    # full count, not limit(1): same single cheap job over the
+    # checkpoint, and the count doubles as the driver-path gate
+    n_directed = edges.count()
+    if n_directed == 0:  # no edges at all
         release(edge_ids)
         return edges.select(
             F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
         )
+    if driver_max_edges is None:
+        driver_max_edges = CC_DRIVER_EDGES
+    if algorithm == "auto" and n_directed // 2 <= driver_max_edges:
+        out = _driver_union_find(edges)
+        release(edge_ids)
+        return out
 
     labels = None
     if algorithm in ("auto", "propagation"):

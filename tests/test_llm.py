@@ -475,6 +475,46 @@ def test_connected_components_star_matches_union_find(spark, edges):
             for r in connected_components(pairs, max_iter=80,
                                           algorithm="propagation").collect()}
     assert prop == want
+    # round-13: auto's gated driver union-find path (these graphs are
+    # all under the gate) must agree with both distributed algorithms
+    auto = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()}
+    assert auto == want
+    # ...and auto forced PAST the gate (driver_max_edges=0) must still
+    # agree — the distributed fallback is reachable and identical
+    dist = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs, max_iter=80,
+                                          driver_max_edges=0).collect()}
+    assert dist == want
+
+
+def test_connected_components_driver_gate_respected(spark):
+    """The auto driver path honors driver_max_edges: at 0 every auto
+    call runs distributed (observable via the propagation raise
+    becoming a star fallback on an under-iterated chain), while the
+    default gate takes the driver path and returns exact labels with
+    far fewer Spark jobs."""
+    from realtime0523_spark.llm.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long")
+    want = {i: 1 for i in range(1, 8)}
+    sc = spark.sparkContext
+
+    def njobs():
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    j0 = njobs()
+    got = {r.doc_id: r.cluster_id for r in connected_components(chain).collect()}
+    driver_jobs = njobs() - j0
+    assert got == want
+    j0 = njobs()
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(chain, driver_max_edges=0).collect()}
+    dist_jobs = njobs() - j0
+    assert got == want
+    # the point of the gate: the driver path is a fraction of the jobs
+    assert driver_jobs < dist_jobs
 
 
 def test_keep_best_quality_then_id_tiebreak(spark):
