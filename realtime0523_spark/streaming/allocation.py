@@ -232,41 +232,50 @@ def _per_order_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
 def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
     import numpy as np
 
-    _EMPTY = np.empty(0, dtype=np.int64)
+    _EMPTY_I = np.empty(0, dtype=np.int64)
+    _EMPTY_F = np.empty(0, dtype=np.float64)
 
     def _persist(
         state: GroupState,
-        live: dict,
+        lks: "np.ndarray",
+        lns: "np.ndarray",
+        lacs: "np.ndarray",
+        lexp: "np.ndarray",
         dks: "np.ndarray",
         dexp: "np.ndarray",
         wm: int,
     ) -> None:
-        """Prune expired entries (event-time TTL) from both the live
-        in-flight dict and the done-set arrays, persist the survivors,
-        and keep one pending timeout at the earliest remaining expiry.
-        The done-set stays in numpy end-to-end — the per-batch rewrite
-        cost is two C-speed int columns, never per-order Python
-        objects (the round-11 tombstone shape re-serialized full
-        [n_seen, Σalloc, expiry] entries per batch)."""
-        live = {k: v for k, v in live.items() if v[2] > wm}
+        """Prune expired entries (event-time TTL) from the live
+        in-flight arrays and the done-set arrays, persist the
+        survivors, and keep one pending timeout at the earliest
+        remaining expiry. BOTH sets stay in numpy end-to-end — the
+        per-batch state rewrite is C-speed columns, never per-order
+        Python objects. `lacs` carries Σ allocated in integer CENTS
+        (exact); the persisted schema column stays the allocated
+        float, so checkpoints written by earlier builds reload
+        unchanged."""
+        if lks.size:
+            keep = lexp > wm
+            if not keep.all():
+                lks, lns, lacs, lexp = lks[keep], lns[keep], lacs[keep], lexp[keep]
         if dks.size:
             keep = dexp > wm
             if not keep.all():
                 dks, dexp = dks[keep], dexp[keep]
-        if not live and not dks.size:
+        if not lks.size and not dks.size:
             if state.exists:
                 state.remove()
             return
-        min_exp = min(v[2] for v in live.values()) if live else None
+        min_exp = int(lexp.min()) if lks.size else None
         if dks.size:
             dmin = int(dexp.min())
             min_exp = dmin if min_exp is None else min(min_exp, dmin)
         state.update(
             (
-                list(live.keys()),
-                [v[0] for v in live.values()],
-                [v[1] for v in live.values()],
-                [v[2] for v in live.values()],
+                lks.tolist(),
+                lns.tolist(),
+                (lacs / 100.0).tolist(),
+                lexp.tolist(),
                 dks.tolist(),
                 dexp.tolist(),
             )
@@ -276,16 +285,35 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        live: dict = {}
-        dks, dexp = _EMPTY, _EMPTY
+        # Live in-flight orders as parallel numpy columns (key-sorted
+        # for searchsorted lookups); Σ allocated is tracked in integer
+        # CENTS, which makes the within-batch accumulation below an
+        # exact vectorized cumsum. Emitted shares are floor-rounded
+        # cents either way, so cents-tracking emits bit-identical
+        # values to the per-row float accumulation it replaces: the
+        # two Σs differ by ≤ a few ulp, and round2's floor(x*100+0.5)
+        # would need a half-cent perturbation to flip (guide §4.2 —
+        # vectorize the hot per-row Python loop).
+        lks, lns, lexp = _EMPTY_I, _EMPTY_I, _EMPTY_I
+        lacs = _EMPTY_F
+        dks, dexp = _EMPTY_I, _EMPTY_I
         if state.exists:
             ks, ns, als, exp, d_ks, d_exp = state.get
-            live = {k: [n, a, e] for k, n, a, e in zip(ks, ns, als, exp)}
+            lks = np.asarray(ks, dtype=np.int64)
+            lns = np.asarray(ns, dtype=np.int64)
+            # float allocated -> exact cents (values are k/100.0)
+            lacs = np.floor(np.asarray(als, dtype=np.float64) * 100.0 + 0.5)
+            lexp = np.asarray(exp, dtype=np.int64)
             dks = np.asarray(d_ks, dtype=np.int64)
             dexp = np.asarray(d_exp, dtype=np.int64)
+            if lks.size > 1:
+                order = np.argsort(lks, kind="stable")
+                lks, lns, lacs, lexp = (
+                    lks[order], lns[order], lacs[order], lexp[order]
+                )
         wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            _persist(state, live, dks, dexp, wm)
+            _persist(state, lks, lns, lacs, lexp, dks, dexp, wm)
             return
         chunks = list(pdfs)
         batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
@@ -293,14 +321,26 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
             batch = batch.sort_values(
                 ["l_orderkey", *detail_order_by], kind="mergesort"
             )
+        oks = batch["l_orderkey"].to_numpy(dtype=np.int64, copy=False)
+        m = oks.size
+        if m == 0:
+            _persist(state, lks, lns, lacs, lexp, dks, dexp, wm)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "l_linenumber": batch["l_linenumber"],
+                    "l_partkey": batch["l_partkey"],
+                    "final_detail_amount": _EMPTY_F,
+                }
+            )
+            return
         # cross-batch over-delivery check, vectorized: any arriving key
         # already in the done-set completed in an earlier batch — a
         # duplicate delivery that must be loud, never re-allocated
-        oks_arr = batch["l_orderkey"].to_numpy(dtype=np.int64, copy=False)
         if dks.size:
-            hit = np.isin(oks_arr, dks)
+            hit = np.isin(oks, dks)
             if hit.any():
-                dupes = np.unique(oks_arr[hit])[:5].tolist()
+                dupes = np.unique(oks[hit])[:5].tolist()
                 raise ValueError(
                     f"allocation: order key(s) {dupes} received a detail "
                     f"row after all o_detail_count details were already "
@@ -308,57 +348,95 @@ def _bucketed_fn(detail_order_by: list[str], ts_col: str, ttl_ms: int):
                     f"over-allocate; the append contract is each detail "
                     f"exactly once"
                 )
-        # ONE O(rows) pass — adjacent rows of an order share its
-        # running sums through the live dict entry, which holds ONLY
-        # in-flight orders (orders split across micro-batches)
-        oks = oks_arr.tolist()
-        wgt = batch["l_extendedprice"].tolist()
-        tot = batch["o_totalprice"].tolist()
-        wtt = batch["o_weight_total"].tolist()
-        nds = batch["o_detail_count"].tolist()
+        wgt = batch["l_extendedprice"].to_numpy(dtype=np.float64, copy=False)
+        tot = batch["o_totalprice"].to_numpy(dtype=np.float64, copy=False)
+        wtt = batch["o_weight_total"].to_numpy(dtype=np.float64, copy=False)
+        nds = batch["o_detail_count"].to_numpy(dtype=np.int64)
         # normalize any datetime64 unit (ns on the memory path, us on
         # parquet) to epoch ms before TTL arithmetic
-        tss = batch[ts_col].values.astype("datetime64[ms]").astype("int64").tolist()
-        shares: list[float] = []
-        done_new: dict = {}  # completed THIS batch: key -> expiry
-        for i, ok in enumerate(oks):
-            if ok in done_new:
-                # completed earlier in this same batch — same contract
-                # as the done-set hit above, caught before any share
-                # arithmetic could restart the running sums
+        tss = batch[ts_col].values.astype("datetime64[ms]").astype("int64")
+        # segment the key-sorted batch into per-order runs
+        is_first = np.empty(m, dtype=bool)
+        is_first[0] = True
+        np.not_equal(oks[1:], oks[:-1], out=is_first[1:])
+        starts = np.flatnonzero(is_first)
+        seg_id = np.cumsum(is_first) - 1
+        seg_keys = oks[starts]
+        ends = np.concatenate([starts[1:], [m]]) - 1
+        n_seg = starts.size
+        # prior running sums for orders already in flight
+        prior_n = np.zeros(n_seg, dtype=np.int64)
+        prior_ac = np.zeros(n_seg, dtype=np.float64)
+        found = np.zeros(n_seg, dtype=bool)
+        live_pos = None
+        if lks.size:
+            pos = np.searchsorted(lks, seg_keys)
+            live_pos = np.minimum(pos, lks.size - 1)
+            found = lks[live_pos] == seg_keys
+            prior_n[found] = lns[live_pos[found]]
+            prior_ac[found] = lacs[live_pos[found]]
+        n_seen = prior_n[seg_id] + (np.arange(m, dtype=np.int64) - starts[seg_id]) + 1
+        cmpl = n_seen == nds
+        # any row FOLLOWING a completing row of its own run, or any row
+        # pushing n_seen past o_detail_count, is the over-delivery
+        # contract violation — raised at the first offending row in
+        # arrival order, exactly like the sequential loop this replaces
+        cc_excl = np.cumsum(cmpl) - cmpl
+        follows = (cc_excl - cc_excl[starts][seg_id]) > 0
+        viol = (n_seen > nds) | follows
+        if viol.any():
+            i = int(np.flatnonzero(viol)[0])
+            if follows[i]:
                 raise ValueError(
-                    f"allocation: order {ok} received a detail row after "
-                    f"all o_detail_count details were already allocated "
-                    f"in this batch — duplicate delivery would silently "
-                    f"over-allocate; the append contract is each detail "
-                    f"exactly once"
+                    f"allocation: order {int(oks[i])} received a detail "
+                    f"row after all o_detail_count details were already "
+                    f"allocated in this batch — duplicate delivery would "
+                    f"silently over-allocate; the append contract is each "
+                    f"detail exactly once"
                 )
-            st = live.get(ok)
-            n_seen, allocated = (st[0] + 1, st[1]) if st else (1, 0.0)
-            n_details = int(nds[i])
-            share = _alloc_row(n_seen, allocated, wgt[i], tot[i], wtt[i], n_details)
-            shares.append(share)
-            if n_seen == n_details:
-                # completed: move to the done-set as a compact
-                # presence-with-expiry record (n_seen/Σalloc are only
-                # needed to RAISE, which the membership checks above do)
-                done_new[ok] = tss[i] + ttl_ms
-                if st is not None:
-                    del live[ok]
-            elif st is None:
-                live[ok] = [1, share, tss[i] + ttl_ms]
-            else:
-                st[0] = n_seen
-                st[1] += share
-                st[2] = tss[i] + ttl_ms
-        if done_new:
-            dks = np.concatenate(
-                [dks, np.fromiter(done_new.keys(), dtype=np.int64, count=len(done_new))]
+            raise ValueError(
+                f"allocation: order received {int(n_seen[i])} detail rows "
+                f"but o_detail_count={int(nds[i])} — duplicate delivery "
+                f"would silently over-allocate; the append contract is "
+                f"each detail exactly once"
             )
-            dexp = np.concatenate(
-                [dexp, np.fromiter(done_new.values(), dtype=np.int64, count=len(done_new))]
-            )
-        _persist(state, live, dks, dexp, wm)
+        # proportional shares in exact integer cents (float64-valued:
+        # cumsums of integer-valued float64 are exact below 2^53), same
+        # IEEE expression as _round2(total * w / w_total) * 100
+        prop_cents = np.floor(tot * wgt / wtt * 100.0 + 0.5)
+        excl = np.cumsum(prop_cents) - prop_cents  # exclusive prefix
+        ac_before = prior_ac[seg_id] + (excl - excl[starts][seg_id])
+        shares = prop_cents / 100.0
+        cmpl = n_seen == nds
+        if cmpl.any():
+            # the order's LAST row takes the exact remainder — same
+            # expression as _round2(total - allocated); nothing follows
+            # a completing row within its run (checked above), so no
+            # later share depends on this substitution
+            lastv = np.floor((tot - ac_before / 100.0) * 100.0 + 0.5) / 100.0
+            shares = np.where(cmpl, lastv, shares)
+        # per-run end state
+        seg_exp = tss[ends] + ttl_ms
+        seg_done = cmpl[ends]
+        # drop every touched live entry (completed or superseded) ...
+        if lks.size and found.any():
+            keep = np.ones(lks.size, dtype=bool)
+            keep[live_pos[found]] = False
+            lks, lns, lacs, lexp = lks[keep], lns[keep], lacs[keep], lexp[keep]
+        # ... then re-append the still-in-flight runs with updated sums
+        inflight = ~seg_done
+        if inflight.any():
+            seg_sum = (excl[ends] + prop_cents[ends]) - excl[starts]
+            lks = np.concatenate([lks, seg_keys[inflight]])
+            lns = np.concatenate([lns, n_seen[ends][inflight]])
+            lacs = np.concatenate([lacs, (prior_ac + seg_sum)[inflight]])
+            lexp = np.concatenate([lexp, seg_exp[inflight]])
+            order = np.argsort(lks, kind="stable")
+            lks, lns, lacs, lexp = lks[order], lns[order], lacs[order], lexp[order]
+        if seg_done.any():
+            dks = np.concatenate([dks, seg_keys[seg_done]])
+            dexp = np.concatenate([dexp, seg_exp[seg_done]])
+        _persist(state, lks, lns, lacs, lexp, dks, dexp, wm)
         yield pd.DataFrame(
             {
                 "l_orderkey": batch["l_orderkey"],
