@@ -57,6 +57,29 @@ GRAPH_BROADCAST_ROWS = int(
     os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_ROWS", str(2_000_000))
 )
 
+# Driver-side iteration gate for the fixed-round graph operators
+# (round-13 optimization, guide §8: decide with small rows — the
+# clusters.py union-find precedent generalized). When a MEASURED edge
+# count fits under this bound, the whole integer-exact iteration runs
+# as numpy array passes on one collected edge list instead of N rounds
+# × (join + aggregate + checkpoint) Spark jobs — on a small graph every
+# one of those jobs is scheduling fixed cost, and on a cluster every
+# round is a barrier. The default is set by MEASUREMENT, not memory:
+# collect + index-prep costs ~2 s per million edges, so against ~5 s of
+# per-query round fixed costs the break-even is ~1M edges — 500k keeps
+# the driver path safely on the winning side (memory is never the
+# binding constraint: 500k int64 edge rows ≈ 8 MB, far under a
+# broadcast build side). The bench-scale co-purchase graph (2.39M
+# directed edges at sf0.1) deliberately stays on the distributed
+# rounds, which its measurements show are faster there; oracle-scale
+# and test graphs take the driver path. Above the gate the distributed
+# rounds run unchanged; the arithmetic is integer fixed point / integer
+# degrees either way, so both paths produce the IDENTICAL table
+# (test-pinned).
+GRAPH_DRIVER_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_EDGES", str(500_000))
+)
+
 
 def _bcast(df: DataFrame, small: bool) -> DataFrame:
     """Broadcast hint gated on a measured row count (never an estimate
@@ -86,12 +109,69 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _driver_pagerank(
+    edges: DataFrame,
+    state: DataFrame,
+    n_iter: int,
+    damping_pct: int,
+    scale: int,
+    base: int,
+) -> DataFrame:
+    """The gated driver path of `pagerank_fixed_point`: the identical
+    integer fixed-point recurrence run as numpy array passes over one
+    collected copy of the (checkpointed) edge and node-state tables.
+    Exactness carries over verbatim — `div` on non-negative int64 is
+    numpy's `//`, the per-destination Σ contrib is an exact int64
+    segmented reduction (edges pre-sorted by dst once), and the
+    overflow envelope asserted by the caller bounds damping_pct·m
+    below 2^63 — so the returned BIGINTs are the distributed rounds'
+    BIGINTs, not an approximation of them."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    node_t = edges.schema["src"].dataType.simpleString()
+    st = state.select("node", "out_deg", "__seed").toPandas()
+    if not len(st):
+        return spark.createDataFrame([], f"node {node_t}, rank_fp long")
+    nodes = st["node"].to_numpy()
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    out_deg = st["out_deg"].to_numpy(dtype=np.int64)[order]
+    seed = st["__seed"].to_numpy(dtype=bool)[order]
+    e = edges.select("src", "dst").toPandas()
+    src_i = np.searchsorted(nodes, e["src"].to_numpy())
+    dst_i = np.searchsorted(nodes, e["dst"].to_numpy())
+    # pre-sort edges by destination ONCE so each round's Σ contrib is
+    # one exact int64 reduceat over contiguous runs
+    eorder = np.argsort(dst_i, kind="stable")
+    sdst = dst_i[eorder]
+    ssrc = src_i[eorder]
+    runs = np.flatnonzero(
+        np.concatenate([[True], sdst[1:] != sdst[:-1]])
+    )
+    run_dst = sdst[runs]
+    inv_deg_src = out_deg[ssrc]
+    rank = np.where(seed, np.int64(scale), np.int64(0))
+    base_v = np.where(seed, np.int64(base), np.int64(0))
+    for _ in range(n_iter):
+        m = np.zeros(nodes.size, dtype=np.int64)
+        if sdst.size:
+            m[run_dst] = np.add.reduceat(rank[ssrc] // inv_deg_src, runs)
+        rank = base_v + (np.int64(damping_pct) * m) // 100
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "rank_fp": rank}),
+        f"node {node_t}, rank_fp long",
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = PAGERANK_ITERS,
     damping_pct: int = PAGERANK_DAMPING_PCT,
     scale: int | None = None,
     seeds: DataFrame | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge table in
     exact integer fixed point (see module docstring). Returns
@@ -109,6 +189,14 @@ def pagerank_fixed_point(
     graphs); a directed graph with dangling nodes must add self-loops
     or sink-redistribution edges first — the operator raises rather
     than silently leaking their mass.
+
+    When the MEASURED directed edge count (Σ out_deg, free from the
+    guard aggregate) fits under `driver_max_edges` (default
+    GRAPH_DRIVER_EDGES), the identical fixed-point recurrence runs on
+    the driver as numpy passes over one collected edge list
+    (_driver_pagerank) — N rounds of join+agg+checkpoint jobs become
+    two collects, with the same BIGINT results (test-pinned against
+    the distributed path).
 
     Scale shape per round (round-13 optimization): the node state
     carries (rank_fp, out_deg, seed flag) in ONE table, so a round is
@@ -158,10 +246,13 @@ def pagerank_fixed_point(
     try:
         # one aggregate answers both guards (node count + dangling
         # presence) — the left join above keeps dangling nodes as
-        # out_deg IS NULL rows, so no separate anti-join/count pass
-        n_nodes, dangling = state.agg(
+        # out_deg IS NULL rows, so no separate anti-join/count pass —
+        # and Σ out_deg is the directed edge count, so the driver-path
+        # gate below costs zero extra jobs
+        n_nodes, dangling, n_edges = state.agg(
             F.count(F.lit(1)),
             F.count(F.when(F.col("out_deg").isNull(), F.lit(1))),
+            F.sum("out_deg"),
         ).first()
         if dangling:
             raise ValueError(
@@ -193,6 +284,15 @@ def pagerank_fixed_point(
         release(graph_ids)
         raise
     base = ((100 - damping_pct) * scale) // 100
+    if driver_max_edges is None:
+        driver_max_edges = GRAPH_DRIVER_EDGES
+    if (n_edges or 0) <= driver_max_edges:
+        try:
+            return _driver_pagerank(
+                edges, state, n_iter, damping_pct, scale, base
+            )
+        finally:
+            release(graph_ids)
     small = n_nodes <= GRAPH_BROADCAST_ROWS
     base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
     cur = state.withColumn(
@@ -232,8 +332,68 @@ def pagerank_fixed_point(
     return cur.select("node", "rank_fp")
 
 
+def _driver_kcore(
+    cur: DataFrame, k: int, rounds: int | None
+) -> DataFrame:
+    """The gated driver path of `kcore`: the identical peel loop —
+    same removal rule (deg < k among nodes still holding an edge),
+    same round cap and no-fixpoint raise, same early stop on an empty
+    removal set — run as numpy bincount/mask passes over one collected
+    copy of the (checkpointed) canonical edge table. Integer degrees
+    either way, so the surviving (node, core_degree) table is
+    identical to the distributed peel's."""
+    import numpy as np
+    import pandas as pd
+
+    spark = cur.sparkSession
+    node_t = cur.schema["lo"].dataType.simpleString()
+    pdf = cur.toPandas()
+    lo = pdf["lo"].to_numpy()
+    hi = pdf["hi"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    lo_i = inv[: lo.size]
+    hi_i = inv[lo.size :]
+    alive = np.ones(lo_i.size, dtype=bool)
+    max_rounds = 64 if rounds is None else rounds
+    deg = np.bincount(lo_i, minlength=nodes.size) + np.bincount(
+        hi_i, minlength=nodes.size
+    )
+    for _ in range(max_rounds):
+        # degrees over the REMAINING edges; a node with no remaining
+        # edge has left the graph and is not "removed" again
+        bad = (deg < k) & (deg > 0)
+        if not bad.any():
+            break
+        alive &= ~(bad[lo_i] | bad[hi_i])
+        deg = np.bincount(lo_i[alive], minlength=nodes.size) + np.bincount(
+            hi_i[alive], minlength=nodes.size
+        )
+    else:
+        # mirrors the distributed loop's for/else exactly: exhausting
+        # the cap without an empty-removal round raises in fixpoint
+        # mode, even if the final peel happened to land on the core
+        if rounds is None:
+            raise RuntimeError(
+                "kcore: no fixpoint within 64 peel rounds — "
+                "pathological chain structure; pass `rounds` "
+                "explicitly."
+            )
+    mask = deg > 0
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"node": nodes[mask], "core_degree": deg[mask].astype(np.int64)}
+        )
+        if mask.any()
+        else pd.DataFrame({"node": [], "core_degree": []}),
+        f"node {node_t}, core_degree long",
+    )
+
+
 def kcore(
-    edges: DataFrame, k: int, rounds: int | None = None
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """k-CORE decomposition by iterative peeling (Seidman, "Network
     structure and minimum degree", Social Networks 1983; the
@@ -279,6 +439,16 @@ def kcore(
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
+    # the canonical table is a materialized checkpoint, so this count
+    # is one cheap scan; under the gate the whole peel runs on the
+    # driver (GRAPH_DRIVER_EDGES — undirected canonical rows here)
+    if driver_max_edges is None:
+        driver_max_edges = GRAPH_DRIVER_EDGES
+    if cur.count() <= driver_max_edges:
+        try:
+            return _driver_kcore(cur, k, rounds)
+        finally:
+            release(held)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -482,8 +652,71 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _driver_bfs(
+    e: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """The gated driver path of `bfs_hops`: the identical fixed-round
+    frontier expansion — seeds at hop 0 (absent-from-graph seeds
+    included), first-discovery hop per node, early stop on an
+    exhausted frontier — as numpy passes over one collected copy of
+    the (checkpointed) directed edge table. BFS discovers nodes in
+    nondecreasing hop order, so first-discovery IS the min-hop the
+    distributed union+min-agg computes."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    node_t = e.schema["src"].dataType.simpleString()
+    epdf = e.toPandas()
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .toPandas()["node"]
+        .to_numpy()
+    )
+    src = epdf["src"].to_numpy()
+    dst = epdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src, dst, s]), return_inverse=True)
+    src_i = inv[: src.size]
+    dst_i = inv[src.size : src.size + dst.size]
+    s_i = np.unique(inv[src.size + dst.size :])
+    # CSR-style adjacency: edges sorted by source once, per-node slices
+    order = np.argsort(src_i, kind="stable")
+    ssrc = src_i[order]
+    sdst = dst_i[order]
+    bounds = np.searchsorted(ssrc, np.arange(nodes.size + 1))
+    hop = np.full(nodes.size, -1, dtype=np.int64)
+    hop[s_i] = 0
+    frontier = s_i
+    for r in range(1, rounds + 1):
+        if frontier.size == 0:
+            break
+        starts = bounds[frontier]
+        cnt = bounds[frontier + 1] - starts
+        total = int(cnt.sum())
+        if total:
+            idx = np.repeat(starts, cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            neigh = sdst[idx]
+            frontier = np.unique(neigh[hop[neigh] < 0])
+            hop[frontier] = r
+        else:
+            frontier = s_i[:0]
+    mask = hop >= 0
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes[mask], "hop": hop[mask]})
+        if mask.any()
+        else pd.DataFrame({"node": [], "hop": []}),
+        f"node {node_t}, hop long",
+    )
+
+
 def bfs_hops(
-    edges: DataFrame, seeds: DataFrame, rounds: int
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Multi-source breadth-first hop distances over an undirected
     graph — "how many co-purchase hops from the seed set is every
@@ -534,6 +767,16 @@ def bfs_hops(
             und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
         )
     )
+    # materialized checkpoint → one cheap count; under the gate the
+    # whole expansion runs on the driver (GRAPH_DRIVER_EDGES —
+    # directed rows here, 2× the undirected edge count)
+    if driver_max_edges is None:
+        driver_max_edges = GRAPH_DRIVER_EDGES
+    if e.count() <= driver_max_edges:
+        try:
+            return _driver_bfs(e, seeds, rounds)
+        finally:
+            release(e_ids)
     dist, held = ckpt(
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()

@@ -1504,3 +1504,63 @@ def test_rfm_migration_matrix_is_consistent(spark):
     assert n_new == len(allc - pre)
     shares = mig.groupby("segment_from")["share_of_from"].sum()
     assert ((shares - 1.0).abs() < 1e-6).all()
+
+
+def test_graph_driver_paths_match_distributed(spark):
+    """Round-13: the gated driver-side iteration paths of pagerank
+    (uniform + personalized), kcore and bfs_hops return tables
+    identical to the distributed rounds (forced past the gate with
+    driver_max_edges=0), and the default gate takes the driver path
+    with far fewer Spark jobs — the point of the gate."""
+    import random
+
+    from realtime0523_spark.operators.graph import (
+        bfs_hops,
+        kcore,
+        pagerank_fixed_point,
+    )
+
+    random.seed(13)
+    raw = {(random.randint(1, 60), random.randint(1, 60)) for _ in range(300)}
+    both = sorted({(a, b) for a, b in raw if a != b}
+                  | {(b, a) for a, b in raw if a != b})
+    e = spark.createDataFrame(both, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (7,), (999,)], "node long")
+    sc = spark.sparkContext
+
+    def njobs():
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    j0 = njobs()
+    pr_drv = {r.node: r.rank_fp for r in pagerank_fixed_point(e).collect()}
+    drv_jobs = njobs() - j0
+    j0 = njobs()
+    pr_dst = {r.node: r.rank_fp
+              for r in pagerank_fixed_point(e, driver_max_edges=0).collect()}
+    dst_jobs = njobs() - j0
+    assert pr_drv == pr_dst and len(pr_drv) == 60
+    assert drv_jobs < dst_jobs
+
+    pp_drv = {r.node: r.rank_fp
+              for r in pagerank_fixed_point(e, seeds=seeds).collect()}
+    pp_dst = {r.node: r.rank_fp
+              for r in pagerank_fixed_point(e, seeds=seeds,
+                                            driver_max_edges=0).collect()}
+    assert pp_drv == pp_dst
+
+    for k in (2, 3):
+        for rounds in (None, 0, 1, 3):
+            kd = sorted(map(tuple, kcore(e, k, rounds=rounds).collect()))
+            kx = sorted(map(tuple,
+                            kcore(e, k, rounds=rounds,
+                                  driver_max_edges=0).collect()))
+            assert kd == kx, (k, rounds)
+
+    for rounds in (0, 1, 2, 5):
+        bd = sorted(map(tuple, bfs_hops(e, seeds, rounds).collect()))
+        bx = sorted(map(tuple,
+                        bfs_hops(e, seeds, rounds,
+                                 driver_max_edges=0).collect()))
+        assert bd == bx, rounds
+    # the isolated seed appears at hop 0 on both paths
+    assert (999, 0) in bd

@@ -418,15 +418,16 @@ def test_resample_ffill_grid_is_generated_not_cross_joined(spark):
 
 
 def test_bfs_hops_final_plan_reads_checkpoint_only(spark):
-    """Each BFS round checkpoints its distance snapshot and releases
-    the superseded one; the returned frame must be the final
-    checkpoint — ExistingRDD, zero parquet scans, zero joins — so plan
-    depth stays O(1) in rounds and the upstream co-purchase self-join
-    is never re-derived."""
+    """The returned frame must be a materialized relation — zero
+    parquet scans, zero joins — so plan depth stays O(1) in rounds and
+    the upstream co-purchase self-join is never re-derived. Under the
+    round-13 driver gate that relation is the collected result
+    (LocalTableScan); above the gate it is the final round's
+    checkpoint (ExistingRDD). Both satisfy the contract."""
     df = REGISTRY["parts_bfs_hops"].fn(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "Scan parquet" not in plan, plan
-    assert "ExistingRDD" in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Join" not in plan, plan
 
 
