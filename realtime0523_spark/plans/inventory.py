@@ -4994,12 +4994,28 @@ def q_customers_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = Catalog(spark, sf_dir).table("orders")
-    a = _rfm_scores(
-        orders.filter(
-            F.col("o_orderdate") <= F.lit(RFM_MIGRATION_CUTOFF).cast("timestamp")
+    # the two snapshot scorers are independent and each internally
+    # eager (anchor collect + three prefix_sums pins); overlapping
+    # them from a 2-thread pool (guide §2.6) lets snapshot B's range
+    # exchanges back-fill the executors snapshot A's stage tails
+    # leave idle — identical results, the scorers share no state
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_a = pool.submit(
+            lambda: _rfm_scores(
+                orders.filter(
+                    F.col("o_orderdate")
+                    <= F.lit(RFM_MIGRATION_CUTOFF).cast("timestamp")
+                )
+            ).select("ck", F.col("segment").alias("seg_a"))
         )
-    ).select("ck", F.col("segment").alias("seg_a"))
-    b = _rfm_scores(orders).select("ck", F.col("segment").alias("seg_b"))
+        f_b = pool.submit(
+            lambda: _rfm_scores(orders).select(
+                "ck", F.col("segment").alias("seg_b")
+            )
+        )
+        a, b = f_a.result(), f_b.result()
     mig = (
         b.join(a, "ck", "left")
         .select(

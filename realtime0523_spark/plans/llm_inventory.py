@@ -5382,20 +5382,34 @@ def _minhash_eval_sql() -> str:
     "(where only the LSH path runs).",
 )
 def q_docs_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from realtime0523_spark.llm.clusters import _ckpt_tools
 
     docs = Catalog(spark, sf_dir).table("documents")
     ckpt, _release = _ckpt_tools(docs)
-    truth, _ = ckpt(
-        D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
-            "doc_a", "doc_b"
+    # the two pair pipelines are independent until the counts; their
+    # eager checkpoint materializations overlap from a 2-thread pool
+    # (guide §2.6 — the second pipeline's tasks back-fill executors
+    # the first one's stage tails leave idle). Results are unchanged:
+    # each side fully materializes before any count reads it.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(
+            lambda: ckpt(
+                D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+                    "doc_a", "doc_b"
+                )
+            )
         )
-    )
-    pred, _ = ckpt(
-        D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD).select(
-            "doc_a", "doc_b"
+        f_pred = pool.submit(
+            lambda: ckpt(
+                D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD).select(
+                    "doc_a", "doc_b"
+                )
+            )
         )
-    )
+        truth, _ = f_truth.result()
+        pred, _ = f_pred.result()
     n_truth = int(truth.count())
     n_pred = int(pred.count())
     n_hit = int(truth.join(pred, ["doc_a", "doc_b"]).count())
