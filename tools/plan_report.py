@@ -23,8 +23,11 @@ AUDITED: dict[str, str] = {
         "corpus is never shuffled whole"
     ),
     "docs_dedup_clusters": (
-        "label propagation = per-round equi-join + partial-agg min; "
-        "round count bounded by component diameter (near-cliques: 2-3)"
+        "component labels come from the gated driver union-find when "
+        "the measured pair-graph edge count is small (round-13; the "
+        "audit-scale plan reads the collected label relation); above "
+        "the gate, label propagation = per-round equi-join + "
+        "partial-agg min, round count bounded by component diameter"
     ),
     "docs_minhash_lsh": (
         "signatures are a map-only Arrow kernel; candidates come from a "
@@ -171,9 +174,10 @@ AUDITED: dict[str, str] = {
         "orderBy+limit -> TakeOrderedAndProject, never a global sort"
     ),
     "docs_leakage_split": (
-        "the near-dup components are duplicate-density-sized and "
-        "broadcast onto the corpus; the split itself is a per-row "
-        "hash — the corpus is never shuffled"
+        "the near-dup components (gated driver union-find at audit "
+        "scale, distributed propagation above it) are duplicate-"
+        "density-sized and broadcast onto the corpus; the split "
+        "itself is a per-row hash — the corpus is never shuffled"
     ),
     "emb_ann_ivfpq": (
         "two map-only index passes (cell assign, PQ encode), "
@@ -255,11 +259,13 @@ AUDITED: dict[str, str] = {
         "zero parquet rescans; top-N plans TakeOrderedAndProject"
     ),
     "parts_copurchase_rank": (
-        "each power-iteration round is one ranks-onto-edges "
-        "equi-join + one partial-agg'd destination groupBy, "
-        "checkpointed with eager release (the explain shows the "
-        "final round over the truncated checkpoint lineage); top-N "
-        "plans TakeOrderedAndProject"
+        "under the round-13 driver gate (audit scale) the integer "
+        "fixed-point rounds run on the driver and the plan reads the "
+        "collected rank relation; above the gate each power-iteration "
+        "round is one ranks-onto-edges equi-join (node state "
+        "broadcast) + one partial-agg'd destination groupBy, "
+        "checkpointed with eager release; top-N plans "
+        "TakeOrderedAndProject"
     ),
     "cdc_retract_agg": (
         "one scan, a stateless signed-delta map, ONE map-side-"
@@ -505,9 +511,11 @@ AUDITED: dict[str, str] = {
     ),
     "customers_rfm_migration": (
         "the shared scorer runs once per snapshot (each a |customers| "
-        "range-exchange quintile pass reading its checkpoints); the "
-        "two score tables join on the customer key and collapse to "
-        "the <=36-cell matrix; the share window runs on that matrix"
+        "range-exchange quintile pass reading its checkpoints), the "
+        "two snapshots overlapped from a 2-thread pool (round-13, "
+        "independent eager subtrees); the two score tables join on "
+        "the customer key and collapse to the <=36-cell matrix; the "
+        "share window runs on that matrix"
     ),
     "docs_kn_score": (
         "the corpus-sized pair table checkpoint-materializes once "
@@ -523,10 +531,13 @@ AUDITED: dict[str, str] = {
         "broadcast"
     ),
     "parts_bfs_hops": (
-        "directed edges materialize once; each round joins only the "
-        "new frontier (|frontier|-proportional, the textbook BFS "
-        "bound) into a partial-agg'd min groupBy with released "
-        "checkpoints — plan depth O(1) in rounds"
+        "directed edges materialize once; under the round-13 driver "
+        "gate (audit scale) the frontier expansion runs on the driver "
+        "and the plan reads the collected hop relation; above the "
+        "gate each round joins only the new frontier "
+        "(|frontier|-proportional, the textbook BFS bound) into a "
+        "partial-agg'd min groupBy with released checkpoints — plan "
+        "depth O(1) in rounds"
     ),
 }
 
