@@ -164,6 +164,22 @@ _PRIORITY: list[str] = [
     "stream_events_trend_slope", "stream_purchase_attribution",
     "stream_segment_overlap_kmv", "stream_trending_anchored",
     "stream_trending_decayed",
+    # ROUND-13 OPTIMIZATION-PHASE NOTE: after this window was set, the
+    # optimization rounds changed code under 10 more queries NOT in
+    # the window (the CC driver union-find: docs_corpus_prep,
+    # docs_dedup_filter/clusters/keep_best, docs_leakage_split,
+    # docs_minhash_eval, emb_semantic_dedup; the graph driver gates +
+    # round restructure: parts_copurchase_rank, parts_related_rank;
+    # the snapshot overlap: customers_rfm_migration — the other
+    # changed graph queries parts_kcore / parts_bfs_hops /
+    # parts_triangle_stats already sit in the stale cohort above).
+    # The window was already at its 50-slot budget with the mandatory
+    # r8-stale cohort, and the optimization driver pass verifies
+    # EVERY declared query (not a 50-row window), so each of these
+    # holds a fresh full-registry row regardless; they also re-verify
+    # against DuckDB in every pytest run. If a future build round
+    # returns to windowed verification, these 10 lead that window per
+    # the changed-code-preempts-staleness rule.
     # ---- post-window: the r9 cohort (40 rows) leads the round-14
     # rotation, then r10+ keep registration order ----
     "customers_rfm_migration", "docs_quality_model_score",
