@@ -501,17 +501,21 @@ def test_connected_components_driver_gate_respected(spark):
     want = {i: 1 for i in range(1, 8)}
     sc = spark.sparkContext
 
-    def njobs():
-        return len(sc.statusTracker().getJobIdsForGroup(None))
+    # job ids are globally increasing, so a max-id delta counts jobs
+    # submitted in between even after the status tracker evicts old
+    # retained jobs (a len() delta breaks in long pytest sessions)
+    def last_job():
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
-    j0 = njobs()
+    j0 = last_job()
     got = {r.doc_id: r.cluster_id for r in connected_components(chain).collect()}
-    driver_jobs = njobs() - j0
+    driver_jobs = last_job() - j0
     assert got == want
-    j0 = njobs()
+    j0 = last_job()
     got = {r.doc_id: r.cluster_id
            for r in connected_components(chain, driver_max_edges=0).collect()}
-    dist_jobs = njobs() - j0
+    dist_jobs = last_job() - j0
     assert got == want
     # the point of the gate: the driver path is a fraction of the jobs
     assert driver_jobs < dist_jobs

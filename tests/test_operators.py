@@ -1528,16 +1528,19 @@ def test_graph_driver_paths_match_distributed(spark):
     seeds = spark.createDataFrame([(1,), (7,), (999,)], "node long")
     sc = spark.sparkContext
 
-    def njobs():
-        return len(sc.statusTracker().getJobIdsForGroup(None))
+    # max-id delta, not len(): the status tracker evicts old retained
+    # jobs in long pytest sessions, which corrupts a length delta
+    def last_job():
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
-    j0 = njobs()
+    j0 = last_job()
     pr_drv = {r.node: r.rank_fp for r in pagerank_fixed_point(e).collect()}
-    drv_jobs = njobs() - j0
-    j0 = njobs()
+    drv_jobs = last_job() - j0
+    j0 = last_job()
     pr_dst = {r.node: r.rank_fp
               for r in pagerank_fixed_point(e, driver_max_edges=0).collect()}
-    dst_jobs = njobs() - j0
+    dst_jobs = last_job() - j0
     assert pr_drv == pr_dst and len(pr_drv) == 60
     assert drv_jobs < dst_jobs
 
