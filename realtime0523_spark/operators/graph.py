@@ -89,24 +89,49 @@ def _bcast(df: DataFrame, small: bool) -> DataFrame:
     return F.broadcast(df) if small else df
 
 
+def _order_part_pairs(lineitem: DataFrame, half: bool) -> DataFrame:
+    """(src, dst) part pairs sharing an order, generated MAP-SIDE from
+    one per-order collect_set aggregation instead of the historical
+    lineitem self-join (round-13, guide §2.3/§2.4: the join's only
+    purpose was the per-order pair fan-out, so aggregate first — the
+    fact rows cross ONE exchange, partial-aggregated map-side, and the
+    bounded per-order part array explodes into pairs inside the same
+    stage; the pair stream itself is never shuffled, and the self-join's
+    second fact exchange plus its sort-merge disappear). Order sizes
+    are bounded (TPC-H ≤ 7 items, real carts similar), so the array and
+    its quadratic explode are a constant factor per order — the same
+    bound the self-join relied on. `half=True` keeps only src < dst
+    (the canonical half-pair stream kcore/triangle/BFS canonicalize +
+    distinct internally); `half=False` emits both directions.
+
+    Equivalence to the self-join: collect_set dedups a part repeated
+    WITHIN an order (the join emitted those as duplicate pair rows);
+    every consumer distincts its edge set, so the derived graph is
+    identical — pinned by the operator tests and the oracle rows."""
+    parts = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    cond = F.col("src") < F.col("dst") if half else F.col("src") != F.col("dst")
+    return (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(cond)
+    )
+
+
+def copurchase_half_pairs(lineitem: DataFrame) -> DataFrame:
+    """Raw src < dst half-pair stream of the co-purchase graph (per-
+    order duplicates across orders kept — consumers canonicalize +
+    distinct). Map-side pair generation; see _order_part_pairs."""
+    return _order_part_pairs(lineitem, half=True)
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct both-direction part pairs sharing an order — the
-    co-occurrence graph (src, dst). The per-order self-join fans out
-    by order size squared; order sizes are bounded (TPC-H ≤ 7 items,
-    real carts similar), so the explode is a constant factor, and the
-    join is an equi-join on the order key, never cartesian."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    return (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    co-occurrence graph (src, dst). Pairs are generated map-side from
+    one per-order aggregation (see _order_part_pairs); the distinct is
+    the only shuffle the pair stream itself pays."""
+    return _order_part_pairs(lineitem, half=False).distinct()
 
 
 def _driver_pagerank(
@@ -201,10 +226,11 @@ def pagerank_fixed_point(
     Scale shape per round (round-13 optimization): the node state
     carries (rank_fp, out_deg, seed flag) in ONE table, so a round is
     a single edges⋈state equi-join (state BROADCAST under the
-    GRAPH_BROADCAST_ROWS gate — the edge table then never shuffles),
-    one partial-agg'd sum groupBy on dst, and one state⋈sums join
-    (sums broadcast under the same gate). Above the gate every join
-    falls back to the shuffle path, keyed as before. Rounds
+    GRAPH_BROADCAST_ROWS gate — the edge table then never shuffles)
+    feeding ONE partial-agg'd groupBy on dst that the state rows ride
+    as zero-contribution carriers — the whole round is one exchange,
+    no second join. Above the gate the edges join falls back to the
+    shuffle path, keyed as before. Rounds
     localCheckpoint alternately with eager release of the superseded
     snapshot (the clusters.py discipline), so plan depth and executor
     memory stay O(1) in n_iter. The seed flag and out-degree ride the
@@ -302,6 +328,18 @@ def pagerank_fixed_point(
         .cast("long"),
     )
     held: set = set()
+    # per-round shape (round-13 fold): the node state rides the SAME
+    # aggregation that sums the contributions — state rows union in as
+    # zero-contribution carriers (c NULL; out_deg/__seed non-null on
+    # exactly the carrier row, so max() recovers them losslessly) and
+    # the old state⋈sums join disappears. One exchange per round (the
+    # partial-agg'd groupBy; carriers add only |nodes| rows to it), one
+    # fewer eager job below the broadcast gate, and above the gate the
+    # sums exchange + merge join are gone too. Integer arithmetic is
+    # unchanged: m = Σ c over exactly the contribution rows (NULL
+    # carriers are ignored by sum), so rank_fp is bit-identical —
+    # pinned by the driver≡distributed grid test and the oracle rows.
+    null_long = F.lit(None).cast("long")
     for _ in range(n_iter):
         contrib = edges.join(
             _bcast(
@@ -314,16 +352,29 @@ def pagerank_fixed_point(
         ).select(
             F.col("dst").alias("node"),
             F.expr("rank_fp div out_deg").alias("c"),
+            null_long.alias("out_deg"),
+            F.lit(None).cast("boolean").alias("__seed"),
         )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("m"))
-        nxt = state.join(_bcast(sums, small), "node", "left").select(
-            "node",
-            "out_deg",
-            "__seed",
-            (
-                base_col
-                + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
-            ).cast("long").alias("rank_fp"),
+        carrier = state.select(
+            "node", null_long.alias("c"), "out_deg", "__seed"
+        )
+        nxt = (
+            contrib.unionByName(carrier)
+            .groupBy("node")
+            .agg(
+                F.sum("c").alias("m"),
+                F.max("out_deg").alias("out_deg"),
+                F.max("__seed").alias("__seed"),
+            )
+            .select(
+                "node",
+                "out_deg",
+                "__seed",
+                (
+                    base_col
+                    + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
         )
         cur, ids = ckpt(nxt)
         release(held)

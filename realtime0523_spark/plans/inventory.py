@@ -2873,13 +2873,12 @@ def _kcore_sql(k: int, rounds: int) -> str:
     "convergence; fixture-scale convergence is test-asserted.",
 )
 def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.operators.graph import kcore
+    from realtime0523_spark.operators.graph import copurchase_half_pairs, kcore
 
     li = Catalog(spark, sf_dir).table("lineitem")
-    # raw half-pair stream; kcore canonicalizes + distincts internally
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # raw half-pair stream (map-side pair generation — round-13);
+    # kcore canonicalizes + distincts internally
+    pairs = copurchase_half_pairs(li)
     return kcore(pairs, KCORE_K, rounds=KCORE_ROUNDS).select(
         F.col("node").alias("part_id"), "core_degree"
     )
@@ -2941,16 +2940,18 @@ TRIANGLE_TOPN = 30
 def q_parts_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from realtime0523_spark.operators.graph import triangle_counts
+    from realtime0523_spark.operators.graph import (
+        copurchase_half_pairs,
+        triangle_counts,
+    )
 
     li = Catalog(spark, sf_dir).table("lineitem")
-    # feed the RAW half-pair stream (src < dst, per-order duplicates
-    # kept): triangle_counts canonicalizes + distincts internally, so
-    # the both-directions copurchase_edges distinct would be a second
-    # full shuffle of the self-join fan-out for the same graph
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # feed the RAW half-pair stream (src < dst, cross-order duplicates
+    # kept; map-side pair generation — round-13): triangle_counts
+    # canonicalizes + distincts internally, so the both-directions
+    # copurchase_edges distinct would be a second full shuffle of the
+    # pair fan-out for the same graph
+    pairs = copurchase_half_pairs(li)
     tc = triangle_counts(pairs)
     clustering = F.when(
         F.col("degree") >= 2,
@@ -4496,16 +4497,14 @@ def _bfs_sql(rounds: int, brand: str) -> str:
     "anywhere (operators/graph.py::bfs_hops).",
 )
 def q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from realtime0523_spark.operators.graph import bfs_hops
+    from realtime0523_spark.operators.graph import bfs_hops, copurchase_half_pairs
 
     cat = Catalog(spark, sf_dir)
     li = cat.table("lineitem")
     part = cat.table("part")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    )
+    # raw half-pair stream (map-side pair generation — round-13);
+    # bfs_hops canonicalizes + distincts internally
+    pairs = copurchase_half_pairs(li)
     seeds = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select("p_partkey")
     return bfs_hops(pairs, seeds, BFS_ROUNDS).select(
         F.col("node").alias("part_id"), F.col("hop").cast("long").alias("hop")
