@@ -1114,12 +1114,17 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime0523_spark.streaming.runner import run_to_memory
     from realtime0523_spark.streaming.sources import stream_table
 
+    # bucketed map-state keying (round-13): one python/state crossing
+    # per key BUCKET per batch instead of per customer — the same
+    # scale shape as stream_allocation_split (the per-key keying is
+    # parity-tested in tests/test_streaming.py)
     return run_to_memory(
         streaming_first_seen(
             stream_table(spark, sf_dir, "orders"),
             "o_custkey",
             "o_orderdate",
             "o_orderkey",
+            n_buckets=64,
         ),
         output_mode="update",
     )

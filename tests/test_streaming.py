@@ -454,6 +454,64 @@ def test_first_seen_state_equals_batch_min(spark, state_provider):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_first_seen_bucketed_matches_per_key(spark, tmp_path, state_provider):
+    """Round-13: the bucketed map-state keying emits EXACTLY the
+    per-key keying's rows, batch for batch — exercising a later batch
+    carrying an earlier event time (the state-update path), an equal
+    ts with a smaller id (the tiebreak), a pure re-sighting that must
+    re-emit the old minimum, and brand-new keys (the insert path)."""
+    base = 1_700_000_000
+
+    def feed(sub):
+        d = str(tmp_path / sub)
+
+        def write(rows):
+            spark.createDataFrame(rows, "k long, ts_s long, oid long").withColumn(
+                "ts", F.timestamp_seconds("ts_s")
+            ).drop("ts_s").coalesce(1).write.mode("append").parquet(d)
+
+        write([(1, base + 500, 11), (2, base + 300, 12), (1, base + 400, 13)])
+        time.sleep(1.1)
+        write([(1, base + 200, 14), (2, base + 300, 10), (4, base + 700, 16)])
+        time.sleep(1.1)
+        write([(2, base + 900, 17), (3, base + 100, 15)])
+        return (
+            spark.readStream.schema("k long, oid long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    per_key = sorted(
+        map(
+            tuple,
+            run_to_memory(
+                streaming_first_seen(feed("a"), "k", "ts", "oid"),
+                output_mode="update",
+            ).collect(),
+        )
+    )
+    bucketed = sorted(
+        map(
+            tuple,
+            run_to_memory(
+                streaming_first_seen(feed("b"), "k", "ts", "oid", n_buckets=3),
+                output_mode="update",
+            ).collect(),
+        )
+    )
+    assert bucketed == per_key
+    # and the fold is right on its own terms: per-key emissions are
+    # monotonically nonincreasing, so each key's minimum emission is
+    # its final state — key 1 ends at the batch-2 (ts=200, id=14) row,
+    # key 2 at the id-10 tiebreak
+    final: dict = {}
+    for k, t, i in per_key:  # sorted → first tuple per key is the min
+        final.setdefault(k, (t, i))
+    assert final[1] == ((base + 200) * 1_000_000, 14)
+    assert final[2] == ((base + 300) * 1_000_000, 10)
+    assert set(final) == {1, 2, 3, 4}
+
+
 def test_idempotent_batch_writer_commits_once(spark, tmp_path):
     out = str(tmp_path / "ads")
     os.makedirs(out)
