@@ -252,20 +252,24 @@ AUDITED: dict[str, str] = {
         "partial agg — the token stream is never re-segmented per row"
     ),
     "parts_triangle_stats": (
-        "the degree-oriented wedge join bounds per-node fan-out by "
-        "O(sqrt m); the derived graph (canonical edges, degrees, "
-        "oriented table) is checkpoint-materialized once before the "
-        "multi-branch fan-out, so the explain reads ExistingRDD with "
-        "zero parquet rescans; top-N plans TakeOrderedAndProject"
+        "pairs generate map-side from one per-order collect_set "
+        "(never a fact self-join — round-13); the degree-oriented "
+        "wedge join bounds per-node fan-out by O(sqrt m); the derived "
+        "graph (canonical edges, degrees, oriented table) is "
+        "checkpoint-materialized once before the multi-branch "
+        "fan-out, so the explain reads ExistingRDD with zero parquet "
+        "rescans; top-N plans TakeOrderedAndProject"
     ),
     "parts_copurchase_rank": (
-        "under the round-13 driver gate (audit scale) the integer "
-        "fixed-point rounds run on the driver and the plan reads the "
-        "collected rank relation; above the gate each power-iteration "
-        "round is one ranks-onto-edges equi-join (node state "
-        "broadcast) + one partial-agg'd destination groupBy, "
-        "checkpointed with eager release; top-N plans "
-        "TakeOrderedAndProject"
+        "pairs generate map-side from one per-order collect_set "
+        "(never a fact self-join — round-13); under the driver gate "
+        "(audit scale) the integer fixed-point rounds run on the "
+        "driver and the plan reads the collected rank relation; above "
+        "the gate each power-iteration round is one ranks-onto-edges "
+        "equi-join (node state broadcast) into ONE partial-agg'd "
+        "destination groupBy that the state rows ride as carriers "
+        "(no second join), checkpointed with eager release; top-N "
+        "plans TakeOrderedAndProject"
     ),
     "cdc_retract_agg": (
         "one scan, a stateless signed-delta map, ONE map-side-"
@@ -531,13 +535,14 @@ AUDITED: dict[str, str] = {
         "broadcast"
     ),
     "parts_bfs_hops": (
-        "directed edges materialize once; under the round-13 driver "
-        "gate (audit scale) the frontier expansion runs on the driver "
-        "and the plan reads the collected hop relation; above the "
-        "gate each round joins only the new frontier "
-        "(|frontier|-proportional, the textbook BFS bound) into a "
-        "partial-agg'd min groupBy with released checkpoints — plan "
-        "depth O(1) in rounds"
+        "pairs generate map-side from one per-order collect_set "
+        "(never a fact self-join — round-13); directed edges "
+        "materialize once; under the driver gate (audit scale) the "
+        "frontier expansion runs on the driver and the plan reads "
+        "the collected hop relation; above the gate each round joins "
+        "only the new frontier (|frontier|-proportional, the "
+        "textbook BFS bound) into a partial-agg'd min groupBy with "
+        "released checkpoints — plan depth O(1) in rounds"
     ),
 }
 
