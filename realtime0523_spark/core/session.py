@@ -57,6 +57,24 @@ def get_spark(
     return spark
 
 
+def state_buckets(spark: SparkSession) -> int:
+    """Bucket count for the bucketed map-state streaming operators
+    (streaming/first_seen.py, streaming/allocation.py — round-13
+    ADVICE: derive from the cluster's shape instead of hardcoding).
+    One bucket is one task and one state row per batch, so the
+    operators' documented sizing rule is "size to the cluster's
+    CORES, never to the key cardinality": 2× defaultParallelism keeps
+    every core busy through a straggling bucket while holding each
+    bucket's fixed Arrow/state crossing cost at ~2 per core per
+    batch — on local[32] that derives exactly the 64 the round-13
+    A/B measured. Env override SPARK_GRAFT_STATE_BUCKETS for cluster
+    tuning (the GRAPH_* gate pattern)."""
+    env = os.environ.get("SPARK_GRAFT_STATE_BUCKETS")
+    if env:
+        return int(env)
+    return 2 * spark.sparkContext.defaultParallelism
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -341,16 +341,23 @@ def segment_dedup(
     )
 
 
-def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, shingle) rows, one per DISTINCT word n-gram per doc.
+def shingle_arrays(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shs) — each doc's DISTINCT word n-gram shingles as one
+    array column, produced by a fused Arrow-batched kernel (identical
+    output to llm.text.word_shingles — same re.ASCII whitespace split,
+    same space join, set() == array_distinct): the JVM higher-order
+    transform/slice/concat chain is interpreted per element and shows
+    up 3× in the Jaccard plan (doc counts + both self-join sides),
+    which made it the dominant cost of the exact-Jaccard baseline.
 
-    The shingle arrays are produced by a fused Arrow-batched kernel
-    (identical output to llm.text.word_shingles — same re.ASCII
-    whitespace split, same space join, set() == array_distinct): the
-    JVM higher-order transform/slice/concat chain is interpreted per
-    element and shows up 3× in the Jaccard plan (doc counts + both
-    self-join sides), which made it the dominant cost of the exact-
-    Jaccard baseline."""
+    Public since round-14 so a query that needs BOTH the exact-Jaccard
+    rows and the MinHash signatures (docs_minhash_eval) can tokenize
+    the corpus ONCE, checkpoint this table, and feed it to
+    `ngram_jaccard_pairs(shingles=...)` and
+    `minhash_lsh_pairs(shingles=...)` (guide §2.4: don't compute
+    things twice). Docs with < n tokens carry an empty array."""
     import re
 
     import pandas as pd
@@ -372,8 +379,16 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
         return pd.Series(out)
 
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_udf(F.col(text_col))).alias("sh"),
+        F.col(id_col).alias("doc_id"), shingles_udf(F.col(text_col)).alias("shs")
+    )
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) rows, one per DISTINCT word n-gram per doc
+    (explode of `shingle_arrays`; empty arrays — docs below the
+    shingle length — vanish in the explode, as before)."""
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -384,6 +399,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_docs: int | None = 100_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-n-gram shingle sets for every
     colliding pair (doc_a < doc_b), filtered to >= threshold.
@@ -398,6 +414,11 @@ def ngram_jaccard_pairs(
     detection on a large corpus belongs to `minhash_lsh_pairs` (same
     semantics, bucketed candidates, linear scan); pass `max_docs=None`
     only to verify the approximate path on a deliberately small sample.
+
+    `shingles`: an optional prebuilt `shingle_arrays(docs, n)` table
+    (round-14) — pass it when another consumer shares the same
+    tokenization so the corpus is shingled once; identical rows either
+    way (the explode of the same kernel's arrays).
     """
     if max_docs is not None:
         probe = docs.limit(max_docs + 1).count()
@@ -408,7 +429,11 @@ def ngram_jaccard_pairs(
                 f"for near-dup detection at scale, or pass max_docs=None "
                 f"to opt into the full exact scan."
             )
-    s = _shingle_rows(docs, id_col, text_col, n)
+    s = (
+        shingles.select("doc_id", F.explode("shs").alias("sh"))
+        if shingles is not None
+        else _shingle_rows(docs, id_col, text_col, n)
+    )
     cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")
     b = s.alias("b")
@@ -432,7 +457,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
     (a_i * md5_int32(sh) + b_i) % P, i in [0, MINHASH_PERMS).
@@ -450,6 +479,12 @@ def minhash_signatures(
     The explode+groupBy formulation this replaces spent its time
     materializing shingle rows through the aggregate; measured ~10×
     slower at sf0.1 than the fused kernel.
+
+    `shingles`: an optional prebuilt `shingle_arrays(docs, n)` table
+    (round-14) — the kernel then skips tokenization and hashes the
+    given shingle sets directly; identical signatures (the min-reduce
+    is order-invariant over the same shingle set, and docs with an
+    empty array get none — exactly the < n-tokens rule).
     """
     import hashlib
     import re
@@ -464,13 +499,26 @@ def minhash_signatures(
     # \s with re.ASCII == Java/RE2 [ \t\n\x0b\f\r] — tokenizer parity
     ws = re.compile(r"\s+", re.ASCII)
 
+    def _mins_from_flat(flat, starts, keep):
+        # every permutation-min via ONE vectorized (a*x+b) % P and
+        # np.minimum.reduceat — the Python loop only tokenizes and
+        # hashes; all arithmetic is numpy.
+        # (a < 2^6, x < 2^32 ⇒ a*x+b < 2^39: exact in int64.)
+        out: list[list[int] | None] = []
+        if starts:
+            x = np.array(flat, dtype=np.int64)
+            hashed = (a_col * x[None, :] + b_col) % MINHASH_PRIME  # (perms, N)
+            mins = np.minimum.reduceat(hashed, np.array(starts), axis=1)  # (perms, docs)
+            sigs = iter(mins.T.tolist())
+            out = [next(sigs) if k else None for k in keep]
+        else:
+            out = [None for _ in keep]
+        return pd.Series(out)
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts):
         # one flat array of shingle hashes for the whole Arrow batch +
-        # per-doc boundaries, then every permutation-min via ONE
-        # vectorized (a*x+b) % P and np.minimum.reduceat — the Python
-        # loop only tokenizes and hashes; all arithmetic is numpy.
-        # (a < 2^6, x < 2^32 ⇒ a*x+b < 2^39: exact in int64.)
+        # per-doc boundaries
         flat: list[int] = []
         starts: list[int] = []
         keep: list[bool] = []
@@ -485,20 +533,33 @@ def minhash_signatures(
                 int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
                 for s in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             )
-        out: list[list[int] | None] = []
-        if starts:
-            x = np.array(flat, dtype=np.int64)
-            hashed = (a_col * x[None, :] + b_col) % MINHASH_PRIME  # (perms, N)
-            mins = np.minimum.reduceat(hashed, np.array(starts), axis=1)  # (perms, docs)
-            sigs = iter(mins.T.tolist())
-            out = [next(sigs) if k else None for k in keep]
-        else:
-            out = [None for _ in keep]
-        return pd.Series(out)
+        return _mins_from_flat(flat, starts, keep)
 
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("__sig")
-    ).filter(F.col("__sig").isNotNull())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_from_arrays_udf(arrs):
+        flat: list[int] = []
+        starts: list[int] = []
+        keep: list[bool] = []
+        for arr in arrs:
+            if arr is None or len(arr) == 0:
+                keep.append(False)
+                continue
+            keep.append(True)
+            starts.append(len(flat))
+            flat.extend(
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                for s in arr
+            )
+        return _mins_from_flat(flat, starts, keep)
+
+    if shingles is not None:
+        sig = shingles.select(
+            "doc_id", sig_from_arrays_udf(F.col("shs")).alias("__sig")
+        ).filter(F.col("__sig").isNotNull())
+    else:
+        sig = docs.select(
+            F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("__sig")
+        ).filter(F.col("__sig").isNotNull())
     return sig.select(
         "doc_id", *[F.col("__sig")[i].alias(f"sig_{i}") for i in range(MINHASH_PERMS)]
     )
@@ -640,6 +701,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified on the full signature.
 
@@ -647,9 +709,10 @@ def minhash_lsh_pairs(
     docs sharing any band's hash become candidates (equi-join on the
     band bucket — never a cross join). Candidates are scored by
     signature agreement est_sim = |{i: sig_a_i = sig_b_i}| / perms and
-    kept when est_sim >= threshold.
+    kept when est_sim >= threshold. `shingles`: optional prebuilt
+    `shingle_arrays` table shared with another consumer (round-14).
     """
-    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    sig = minhash_signatures(docs, n, id_col, text_col, shingles=shingles).cache()
     buckets = band_buckets(sig)
 
     a = buckets.alias("a")

@@ -646,9 +646,14 @@ def q_stream_allocation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucketed map-state keying: one python/state crossing per order
     # BUCKET per batch instead of per order — the scale shape (the
-    # per-order keying is parity-tested in tests/test_streaming.py)
+    # per-order keying is parity-tested in tests/test_streaming.py).
+    # Bucket count derived from the cluster's cores (round-13 ADVICE).
+    from realtime0523_spark.core.session import state_buckets
+
     out = run_to_memory(
-        streaming_allocation_split(src, _DETAIL_ORDER, n_buckets=64),
+        streaming_allocation_split(
+            src, _DETAIL_ORDER, n_buckets=state_buckets(spark)
+        ),
         output_mode="update",
     )
     return detach_and_cleanup(out, work)
@@ -1117,14 +1122,18 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed map-state keying (round-13): one python/state crossing
     # per key BUCKET per batch instead of per customer — the same
     # scale shape as stream_allocation_split (the per-key keying is
-    # parity-tested in tests/test_streaming.py)
+    # parity-tested in tests/test_streaming.py). Bucket count derived
+    # from the cluster's cores (round-13 ADVICE), env-overridable —
+    # on local[32] this derives the 64 the round-13 A/B measured.
+    from realtime0523_spark.core.session import state_buckets
+
     return run_to_memory(
         streaming_first_seen(
             stream_table(spark, sf_dir, "orders"),
             "o_custkey",
             "o_orderdate",
             "o_orderkey",
-            n_buckets=64,
+            n_buckets=state_buckets(spark),
         ),
         output_mode="update",
     )
@@ -4832,13 +4841,91 @@ def _rfm_scores(orders: DataFrame) -> DataFrame:
     return _rfm_scores_from_metrics(_customer_metrics(orders))
 
 
+def _rfm_scores_driver(
+    cust: DataFrame, anchor, n: int
+) -> DataFrame:
+    """Driver-side numpy scorer for a MEASURED-small metric table
+    (round-14, VERDICT r13 item #3 — the connected-components §8
+    precedent: decide with small rows). The distributed scorer pays
+    three sampled range exchanges + three localCheckpoint pins + three
+    offset collects (~18 jobs per snapshot of pure scheduling fixed
+    cost at fixture scale; at 100 TB each job is a barrier); below the
+    gate the identical integer arithmetic runs as numpy passes over
+    one Arrow collect. Exactness carries over verbatim: cum_before
+    under a unique total order (metric, ck) IS the 0-based lexsort
+    rank, bucket = (rank * 5) // n in int64, segment the same CASE
+    ladder — bit-identical scores (pinned by the driver≡distributed
+    parity test in tests/test_operators.py)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = cust.sparkSession
+    pdf = cust.toPandas()
+    ck = pdf["ck"].to_numpy(np.int64)
+    last = pd.to_datetime(pdf["last_day"]).to_numpy().astype("datetime64[D]")
+    r_days = (np.datetime64(anchor, "D") - last).astype(np.int64)
+    freq = pdf["freq"].to_numpy(np.int64)
+    mon = pdf["mon"].to_numpy(np.int64)
+
+    def bucket(v: "np.ndarray") -> "np.ndarray":
+        # rank under the unique total order (v, ck) == exclusive
+        # prefix count of ones == prefix_sums' cum_before
+        order = np.lexsort((ck, v))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        return (rank * RFM_BUCKETS) // n
+
+    r_score = RFM_BUCKETS - bucket(r_days)
+    f_score = bucket(freq) + 1
+    m_score = bucket(mon) + 1
+    seg = np.select(
+        [
+            (r_score >= 4) & (f_score >= 4) & (m_score >= 4),
+            f_score >= 4,
+            m_score >= 4,
+            (r_score <= 2) & (f_score <= 2),
+            r_score <= 2,
+        ],
+        ["champion", "loyal", "big_spender", "hibernating", "at_risk"],
+        default="regular",
+    )
+    out = pd.DataFrame(
+        {
+            "ck": ck,
+            "mon": mon,
+            "r_score": r_score,
+            "f_score": f_score,
+            "m_score": m_score,
+            "segment": seg,
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        "ck long, mon long, r_score long, f_score long, m_score long, "
+        "segment string",
+    )
+
+
 def _rfm_scores_from_metrics(cust: DataFrame) -> DataFrame:
     """Score a (ck, last_day, freq, mon) metric table: the recency
-    anchor is the snapshot max last_day (1-row exact collect); the
-    rest is the exact rank-bucket quintile machinery."""
+    anchor is the snapshot max last_day (1-row exact collect, which
+    now also measures |customers| for the driver-path gate); the rest
+    is the exact rank-bucket quintile machinery — as numpy over one
+    Arrow collect when the measured count fits under
+    SPARK_GRAFT_RFM_DRIVER_ROWS (default 2M — a bounded
+    broadcast-build-side-sized driver hold, the CC gate stance),
+    distributed sampled-range prefix sums above it."""
+    import os
+
     from realtime0523_spark.operators.histogram import prefix_sums
 
-    anchor = cust.agg(F.max("last_day").alias("a")).first()["a"]
+    head = cust.agg(
+        F.max("last_day").alias("a"), F.count(F.lit(1)).alias("n")
+    ).first()
+    anchor, n = head["a"], int(head["n"])
+    gate = int(os.environ.get("SPARK_GRAFT_RFM_DRIVER_ROWS", "2000000"))
+    if 0 < n <= gate:
+        return _rfm_scores_driver(cust, anchor, n)
     cust = cust.select(
         "ck",
         F.datediff(F.lit(anchor), F.col("last_day")).cast("long").alias("r_days"),

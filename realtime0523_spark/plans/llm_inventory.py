@@ -1063,10 +1063,34 @@ _RP_ANN_CTES = f"""
     "deterministic.",
 )
 def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
     emb, queries = _ann_queries(spark, sf_dir)
-    exact = S.cosine_topk(emb, queries, k=TOPK_K, score_transform=r9).select(
-        "qid", "vec_id"
-    )
+    ckpt, _release = _ckpt_tools(emb)
+    # Round-14: the exact truth set, the two codebook trainings and
+    # the label-centroid training are independent eager pipelines —
+    # overlap them from a pool (guide §2.6). label_centroids and
+    # pq_codebooks were previously TRAINED TWICE (once for their solo
+    # index, once for IVFPQ) — compute each once and share (§2.4:
+    # don't compute things you throw away). The exact truth set
+    # materializes ONCE (localCheckpoint): all eight recall branches
+    # join against it twice each, and without the pin every branch
+    # re-executes the full-corpus exact cosine scan (§5).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_exact = pool.submit(
+            lambda: ckpt(
+                S.cosine_topk(
+                    emb, queries, k=TOPK_K, score_transform=r9
+                ).select("qid", "vec_id")
+            )[0]
+        )
+        f_cents = pool.submit(lambda: S.label_centroids(emb))
+        f_cb = pool.submit(lambda: S.pq_codebooks(emb))
+        f_cb_tr = pool.submit(lambda: S.pq_train_codebooks(emb))
+        exact = f_exact.result()
+        cents, cb, cb_tr = f_cents.result(), f_cb.result(), f_cb_tr.result()
     lsh = S.ann_topk_lsh(
         emb, queries, dims=EMB_DIMS, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id")
@@ -1075,24 +1099,24 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         nprobe=IVF_NPROBE,
         k=TOPK_K,
-        centroids=S.label_centroids(emb),
+        centroids=cents,
         score_transform=r9,
     ).select("qid", "vec_id")
     pq = S.ann_topk_pq(
-        emb, queries, codebooks=S.pq_codebooks(emb), k=TOPK_K, score_transform=r9
+        emb, queries, codebooks=cb, k=TOPK_K, score_transform=r9
     ).select("qid", "vec_id")
     pq_trained = S.ann_topk_pq(
         emb,
         queries,
-        codebooks=S.pq_train_codebooks(emb),
+        codebooks=cb_tr,
         k=TOPK_K,
         score_transform=r9,
     ).select("qid", "vec_id")
     ivfpq = S.ann_topk_ivfpq(
         emb,
         queries,
-        centroids=S.label_centroids(emb),
-        codebooks=S.pq_codebooks(emb),
+        centroids=cents,
+        codebooks=cb,
         nprobe=IVF_NPROBE,
         k=TOPK_K,
         score_transform=r9,
@@ -1274,15 +1298,56 @@ def q_emb_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sf0.1). A collapse flips the boolean and fails the hash.",
 )
 def q_emb_ann_ivfopq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime0523_spark.llm.clusters import _ckpt_tools
+
     emb, queries = _ann_queries(spark, sf_dir)
-    exact = S.cosine_topk(
-        emb, queries, k=TOPK_K, score_transform=r9
-    ).select("qid", "vec_id")
-    ivfpq = S.ann_topk_ivfpq(emb, queries, k=TOPK_K).select("qid", "vec_id")
-    ivfopq = S.ann_topk_ivfopq(emb, queries, k=TOPK_K).select("qid", "vec_id")
+    ckpt, _release = _ckpt_tools(emb)
+    # Round-14 (VERDICT r13 item #6): the three pipelines (exact
+    # truth, IVFPQ, IVF-OPQ) are independent until the recall joins,
+    # but each is internally eager — codebook/centroid training
+    # collects (pq/opq/ivf train) anchor jobs at CONSTRUCTION time —
+    # so built serially they serialize ~6 training jobs plus the
+    # exact scan. Submit them from a 3-thread pool (guide §2.6) so
+    # each pipeline's training/scan tasks back-fill the others' stage
+    # tails. The exact truth set additionally materializes ONCE
+    # (localCheckpoint): BOTH hit counts read it, and without the pin
+    # each count re-executes the full-corpus exact cosine scan
+    # (guide §5 — cache only what is reused and expensive). Results
+    # are unchanged: the pipelines share no state, and each side is
+    # fully materialized before any count reads it.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(
+            lambda: ckpt(
+                S.cosine_topk(
+                    emb, queries, k=TOPK_K, score_transform=r9
+                ).select("qid", "vec_id")
+            )[0]
+        )
+        f_base = pool.submit(
+            lambda: S.ann_topk_ivfpq(emb, queries, k=TOPK_K).select(
+                "qid", "vec_id"
+            )
+        )
+        f_opq = pool.submit(
+            lambda: S.ann_topk_ivfopq(emb, queries, k=TOPK_K).select(
+                "qid", "vec_id"
+            )
+        )
+        exact = f_exact.result()
+        ivfpq, ivfopq = f_base.result(), f_opq.result()
     n_q = queries.count()
-    hits_base = ivfpq.join(exact, ["qid", "vec_id"]).count()
-    hits_opq = ivfopq.join(exact, ["qid", "vec_id"]).count()
+    # the two hit counts are independent eager actions over distinct
+    # coded scans — overlap them too (§2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_hb = pool.submit(
+            lambda: ivfpq.join(exact, ["qid", "vec_id"]).count()
+        )
+        f_ho = pool.submit(
+            lambda: ivfopq.join(exact, ["qid", "vec_id"]).count()
+        )
+        hits_base, hits_opq = f_hb.result(), f_ho.result()
     ok = (5 * hits_opq >= 4 * hits_base) and (20 * hits_opq >= n_q * TOPK_K)
     return spark.createDataFrame(
         [(n_q, TOPK_K, ok)],
@@ -5388,6 +5453,14 @@ def q_docs_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).table("documents")
     ckpt, _release = _ckpt_tools(docs)
+    # Round-14 (VERDICT r13 item #8): both sides tokenized the corpus
+    # independently (the truth side's shingle kernel, the LSH side's
+    # fused tokenize+hash signature kernel). Shingle ONCE into a
+    # checkpointed (doc_id, shs) table and feed it to both — the
+    # truth side explodes it, the LSH side hashes it (guide §2.4:
+    # one tokenization pass instead of two; identical rows/signatures
+    # either way, pinned by the shared-shingles parity test).
+    sh, _ = ckpt(D.shingle_arrays(docs))
     # the two pair pipelines are independent until the counts; their
     # eager checkpoint materializations overlap from a 2-thread pool
     # (guide §2.6 — the second pipeline's tasks back-fill executors
@@ -5396,16 +5469,16 @@ def q_docs_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_truth = pool.submit(
             lambda: ckpt(
-                D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
-                    "doc_a", "doc_b"
-                )
+                D.ngram_jaccard_pairs(
+                    docs, JACCARD_THRESHOLD, shingles=sh
+                ).select("doc_a", "doc_b")
             )
         )
         f_pred = pool.submit(
             lambda: ckpt(
-                D.minhash_lsh_pairs(docs, MINHASH_EST_THRESHOLD).select(
-                    "doc_a", "doc_b"
-                )
+                D.minhash_lsh_pairs(
+                    docs, MINHASH_EST_THRESHOLD, shingles=sh
+                ).select("doc_a", "doc_b")
             )
         )
         truth, _ = f_truth.result()

@@ -67,6 +67,20 @@ def _bucketed_first_seen_fn(
     import numpy as np
 
     batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch["key"].isna().any():
+        # round-13 ADVICE: xxhash64(NULL) is non-null, so a null key
+        # would reach this kernel and die in the int64 conversion
+        # below with an opaque worker error. The bucketed keying's
+        # contract is non-null keys (the per-key keying treats a null
+        # key as its own group) — raise the contract by name instead.
+        raise ValueError(
+            "streaming_first_seen(n_buckets=N): null key in batch — "
+            "the bucketed map-state keying requires non-null keys "
+            "(xxhash64 buckets a NULL like a value, but int64 state "
+            "arrays cannot hold one). Filter null keys upstream or "
+            "use the per-key keying (n_buckets=None), which treats "
+            "a null key as its own group."
+        )
     k = batch["key"].to_numpy(dtype=np.int64)
     ts = batch["ts"].to_numpy(dtype=np.int64)
     ids = batch["id"].to_numpy(dtype=np.int64)

@@ -42,6 +42,33 @@ def test_minhash_recall_vs_exact_jaccard(spark):
         assert recall >= 0.8, (recall, exact - approx)
 
 
+def test_shared_shingles_paths_match_fused(spark):
+    """Round-14 (docs_minhash_eval shared tokenization): feeding a
+    prebuilt shingle_arrays table to ngram_jaccard_pairs and
+    minhash_lsh_pairs yields exactly the fused kernels' rows —
+    including the < n-tokens (empty shingle array) docs vanishing."""
+    from realtime0523_spark.llm.dedup import shingle_arrays
+
+    base = Catalog(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    short = spark.createDataFrame(
+        [(990001, "one two")], "doc_id long, text string"
+    )  # below the shingle length: no signature, no rows
+    docs = base.unionByName(short)
+    sh = shingle_arrays(docs).localCheckpoint()
+    t_fused = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, 0.8).collect())
+    )
+    t_shared = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, 0.8, shingles=sh).collect())
+    )
+    assert t_shared == t_fused
+    p_fused = sorted(map(tuple, minhash_lsh_pairs(docs, 0.5).collect()))
+    p_shared = sorted(
+        map(tuple, minhash_lsh_pairs(docs, 0.5, shingles=sh).collect())
+    )
+    assert p_shared == p_fused
+
+
 def test_ngram_jaccard_refuses_large_corpus_by_default(spark):
     """The exact-Jaccard baseline is quadratic in colliding shingles —
     the default gate must refuse a corpus above the cap and point at

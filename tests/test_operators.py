@@ -1567,3 +1567,38 @@ def test_graph_driver_paths_match_distributed(spark):
         assert bd == bx, rounds
     # the isolated seed appears at hop 0 on both paths
     assert (999, 0) in bd
+
+
+def test_rfm_driver_scorer_matches_distributed(spark, monkeypatch):
+    """Round-14 (VERDICT r13 item #3): the gated driver-side numpy RFM
+    scorer is bit-identical to the distributed prefix_sums scorer —
+    ties on each metric (broken by ck), n not divisible by the bucket
+    count, and every segment branch exercised."""
+    import datetime
+
+    from realtime0523_spark.plans.inventory import _rfm_scores_from_metrics
+
+    d0 = datetime.date(2001, 1, 1)
+    rows = []
+    # 23 customers (23 % 5 != 0); deliberate ties in last_day, freq
+    # and mon across different ck values
+    for i in range(23):
+        rows.append(
+            (
+                1000 - i,  # ck descending: rank order != input order
+                d0 + datetime.timedelta(days=(i * 7) % 11),
+                (i % 4) + 1,
+                ((i * 37) % 9) * 1000 + 50,
+            )
+        )
+    cust = spark.createDataFrame(
+        rows, "ck long, last_day date, freq long, mon long"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RFM_DRIVER_ROWS", "1000000")
+    drv = sorted(map(tuple, _rfm_scores_from_metrics(cust).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_RFM_DRIVER_ROWS", "0")
+    dst = sorted(map(tuple, _rfm_scores_from_metrics(cust).collect()))
+    assert drv == dst
+    assert len(drv) == 23
+    # sanity: quintile scores span the full 1..5 range on 23 rows
+    assert {r[2] for r in drv} == set(range(1, 6))

@@ -512,6 +512,41 @@ def test_first_seen_bucketed_matches_per_key(spark, tmp_path, state_provider):
     assert set(final) == {1, 2, 3, 4}
 
 
+def test_first_seen_bucketed_null_key_contract(spark, tmp_path):
+    """Round-13 ADVICE: xxhash64(NULL) buckets a null key like a
+    value, so a null key reaches the bucketed kernel — it must raise
+    the non-null-key contract by name, not an opaque int64-conversion
+    worker error."""
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(None, 1_700_000_000, 1), (2, 1_700_000_000, 2)],
+        "k long, ts_s long, oid long",
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s").coalesce(
+        1
+    ).write.parquet(d)
+    src = (
+        spark.readStream.schema("k long, oid long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    with pytest.raises(Exception, match="non-null keys"):
+        run_to_memory(
+            streaming_first_seen(src, "k", "ts", "oid", n_buckets=3),
+            output_mode="update",
+        )
+
+
+def test_state_buckets_derivation(spark, monkeypatch):
+    """Round-13 ADVICE: the bucketed-keying bucket count derives from
+    the cluster's cores (2× defaultParallelism), env-overridable."""
+    from realtime0523_spark.core.session import state_buckets
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_BUCKETS", raising=False)
+    assert state_buckets(spark) == 2 * spark.sparkContext.defaultParallelism
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BUCKETS", "17")
+    assert state_buckets(spark) == 17
+
+
 def test_idempotent_batch_writer_commits_once(spark, tmp_path):
     out = str(tmp_path / "ads")
     os.makedirs(out)
