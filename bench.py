@@ -179,16 +179,29 @@ def _run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             _release_query_state(spark)
-    return timings
+    # Per-chunk scheduling micro-probe (round-14, VERDICT r13 item
+    # #4): the run-level before/after probes cannot see MID-RUN
+    # regime drift (round-13 evidence: docs_minhash_lsh 2.0 -> 10.0 s
+    # with unchanged code inside one run), so each chunk stamps 10
+    # trivial 32-task jobs taken right after its measurements — a
+    # per-chunk sched_s that localizes WHICH chunks ran degraded
+    # (consumed by tools/perf_normalize.py, relative to the run's
+    # best chunk). Runs AFTER both measured passes: nothing here can
+    # touch a measurement.
+    t0 = time.time()
+    for _ in range(10):
+        spark.range(0, 32, 1, 32).count()
+    chunk_sched_s = round(time.time() - t0, 3)
+    return timings, chunk_sched_s
 
 
 def _chunk_child(names_file: str, out_file: str, sf_dir: str) -> None:
     """Subprocess entrypoint (`bench.py --chunk ...`)."""
     with open(names_file) as fh:
         names = [ln.strip() for ln in fh if ln.strip()]
-    timings = _run_chunk(names, sf_dir)
+    timings, chunk_sched_s = _run_chunk(names, sf_dir)
     with open(out_file, "w") as fh:
-        json.dump(timings, fh)
+        json.dump({"timings": timings, "chunk_sched_s": chunk_sched_s}, fh)
 
 
 def _probe_child(out_file: str) -> None:
@@ -299,6 +312,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     in_process_chunks = 0
     in_process_queries: list[str] = []
+    chunk_probes: list[dict] = []
     with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tdir:
         for ci, names in enumerate(chunks):
             names_file = os.path.join(tdir, f"names_{ci}.txt")
@@ -306,6 +320,7 @@ def main() -> None:
             with open(names_file, "w") as fh:
                 fh.write("\n".join(names))
             got: dict[str, float] | None = None
+            chunk_sched: float | None = None
             for _attempt in range(2):
                 try:
                     subprocess.run(
@@ -322,9 +337,11 @@ def main() -> None:
                         stderr=subprocess.DEVNULL,
                     )
                     with open(out_file) as fh:
-                        got = json.load(fh)
+                        child = json.load(fh)
+                    got = child["timings"]
+                    chunk_sched = child.get("chunk_sched_s")
                     break
-                except (subprocess.CalledProcessError, OSError, ValueError):
+                except (subprocess.CalledProcessError, OSError, ValueError, KeyError):
                     continue
             if got is None:
                 # degraded fallback: measure in-process (still a fresh
@@ -336,7 +353,7 @@ def main() -> None:
                 # session — exactly the long-session drift regime the
                 # fresh-JVM design avoids (round-12 ADVICE).
                 try:
-                    got = _run_chunk(names, sf_dir)
+                    got, chunk_sched = _run_chunk(names, sf_dir)
                 finally:
                     from realtime0523_spark.core.session import stop_spark
 
@@ -344,6 +361,9 @@ def main() -> None:
                 in_process_chunks += 1
                 in_process_queries.extend(names)
             timings.update(got)
+            chunk_probes.append(
+                {"chunk": ci, "queries": names, "sched_s": chunk_sched}
+            )
     total = sum(timings.values())
     probe_after = _run_probe()
 
@@ -363,6 +383,12 @@ def main() -> None:
             # comparisons — see BASELINE.md for the reference values
             "spark_probe_before": probe_before,
             "spark_probe_after": probe_after,
+            # per-chunk scheduling probe (round-14, VERDICT r13 #4):
+            # 10 trivial 32-task jobs timed right AFTER each chunk's
+            # measured passes — localizes mid-run regime drift the
+            # run-level probes cannot see (tools/perf_normalize.py
+            # reads these relative to the run's best chunk)
+            "chunk_probes": chunk_probes,
             # this run's host regime vs the BASELINE quiet-host probe
             # reference (1.0 ≈ the regime the table was recorded in)
             "probe_ref": PROBE_REF,

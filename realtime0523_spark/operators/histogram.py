@@ -82,6 +82,46 @@ def prefix_sums(
     return out, acc
 
 
+def _equidepth_driver(vc: DataFrame, k: int) -> DataFrame | None:
+    """Driver-side numpy finisher for a MEASURED-small value-count
+    table (round-14 — the RFM/CC §8 precedent: decide with small
+    rows). The distributed finisher pays a sampled range exchange, a
+    checkpoint pin, an offsets collect and a window pass to turn the
+    |NDV| table into k rows; below the gate the identical integer
+    arithmetic ((cum_before * k) div total on exact counts) runs over
+    one Arrow collect. Returns None when the driver path cannot
+    guarantee the distributed path's ordering semantics (null values,
+    non-numeric dtype) — the caller falls back."""
+    import numpy as np
+
+    pdf = vc.toPandas()
+    if pdf["v"].isna().any() or pdf["v"].dtype.kind not in "iuf":
+        return None
+    v = pdf["v"].to_numpy()
+    cnt = pdf["cnt"].to_numpy(np.int64)
+    order = np.argsort(v, kind="stable")  # values are distinct
+    v, cnt = v[order], cnt[order]
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt) - cnt  # exclusive prefix counts
+    bucket = (cum * k) // total
+    first = np.concatenate([[True], bucket[1:] != bucket[:-1]])
+    starts = np.flatnonzero(first)
+    ends = np.concatenate([starts[1:], [bucket.size]]) - 1
+    rows = [
+        (
+            int(bucket[s]),
+            float(v[s]),
+            float(v[e]),
+            int(cnt[s : e + 1].sum()),
+            int(e - s + 1),
+        )
+        for s, e in zip(starts, ends)
+    ]
+    return vc.sparkSession.createDataFrame(
+        rows, "bucket int, lo double, hi double, n_rows long, n_distinct long"
+    )
+
+
 def equidepth_histogram(
     df: DataFrame,
     value: Column,
@@ -91,7 +131,13 @@ def equidepth_histogram(
     """k-bucket exact equi-depth histogram of `value`. Output one row
     per non-empty bucket: bucket (int), lo, hi, n_rows, n_distinct.
     Bucket of a value = (rows_before_it * k) div total — pure integer
-    arithmetic on exact cumulative counts."""
+    arithmetic on exact cumulative counts. When the measured |NDV|
+    fits under SPARK_GRAFT_HIST_DRIVER_ROWS (default 2M, the CC/RFM
+    gate stance) the finisher runs driver-side over one Arrow collect
+    (bit-identical buckets, pinned by the parity test); above it the
+    sampled-range prefix-sum machinery runs unchanged."""
+    import os
+
     vc = df.select(value.alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -99,6 +145,12 @@ def equidepth_histogram(
     # partitioner SAMPLES its child, so an unmaterialized vc would run
     # the corpus-sized groupBy twice (once for bounds, once for real)
     vc = vc.localCheckpoint()
+    gate = int(os.environ.get("SPARK_GRAFT_HIST_DRIVER_ROWS", "2000000"))
+    ndv = vc.count()
+    if 0 < ndv <= gate:
+        out = _equidepth_driver(vc, k)
+        if out is not None:
+            return out
     cum, total = prefix_sums(vc, [F.col("v")], "cnt", num_partitions=num_partitions)
     if total == 0:
         return df.sparkSession.createDataFrame(

@@ -1602,3 +1602,27 @@ def test_rfm_driver_scorer_matches_distributed(spark, monkeypatch):
     assert len(drv) == 23
     # sanity: quintile scores span the full 1..5 range on 23 rows
     assert {r[2] for r in drv} == set(range(1, 6))
+
+
+def test_equidepth_driver_matches_distributed(spark, monkeypatch):
+    """Round-14: the gated driver-side equi-depth finisher is
+    bit-identical to the distributed prefix_sums finisher — heavy
+    hitters that overfill a bucket, ties, and totals not divisible by
+    the bucket count."""
+    from realtime0523_spark.operators.histogram import equidepth_histogram
+
+    rows = [(float(i % 13),) for i in range(997)] + [(99.5,)] * 450
+    df = spark.createDataFrame(rows, "x double")
+    monkeypatch.setenv("SPARK_GRAFT_HIST_DRIVER_ROWS", "1000000")
+    drv = sorted(map(tuple, equidepth_histogram(df, F.col("x"), 7).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_HIST_DRIVER_ROWS", "0")
+    dst = sorted(map(tuple, equidepth_histogram(df, F.col("x"), 7).collect()))
+    assert drv == dst
+    assert sum(r[3] for r in drv) == len(rows)
+    # null values must take the distributed path (ordering semantics)
+    dfn = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    monkeypatch.setenv("SPARK_GRAFT_HIST_DRIVER_ROWS", "1000000")
+    drv_n = sorted(map(tuple, equidepth_histogram(dfn, F.col("x")).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_HIST_DRIVER_ROWS", "0")
+    dst_n = sorted(map(tuple, equidepth_histogram(dfn, F.col("x")).collect()))
+    assert drv_n == dst_n

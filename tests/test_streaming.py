@@ -2652,10 +2652,12 @@ def test_stream_allocation_done_set_is_compact(spark):
     from realtime0523_spark.streaming.allocation import (
         _BUCKET_STATE_SCHEMA,
         _bucketed_fn,
+        _decode_bucket_state,
     )
 
-    assert "dks array<long>" in _BUCKET_STATE_SCHEMA
-    assert "dexp array<long>" in _BUCKET_STATE_SCHEMA
+    # v2 encoding (round-14): live and done sets persist as two
+    # binary blobs (memcpy-in/out) — still structurally separate
+    assert _BUCKET_STATE_SCHEMA == "live binary, done binary"
 
     class _FakeState:
         """Minimal GroupState stand-in for the pure state-fn contract."""
@@ -2703,11 +2705,11 @@ def test_stream_allocation_done_set_is_compact(spark):
     state = _FakeState()
     out = pd.concat(list(fn((0,), iter([batch]), state)))
     assert sorted(out["final_detail_amount"].tolist()) == [20.0, 37.5, 62.5]
-    ks, ns, als, exp, dks, dexp = state.get
+    ks, ns, als, exp, dks, dexp = _decode_bucket_state(*state.get)
     # order 1 completed -> compact done-set record, no live entry;
-    # order 2 in flight -> live entry with running sums
+    # order 2 in flight -> live entry with running sums (cents)
     assert list(dks) == [1]
-    assert list(ks) == [2] and list(ns) == [1] and list(als) == [20.0]
+    assert list(ks) == [2] and list(ns) == [1] and list(als) == [2000.0]
     exp_ms = int(ts.value // 1_000_000) + 100_000
     assert list(dexp) == [exp_ms] and list(exp) == [exp_ms]
 

@@ -103,6 +103,23 @@ def main() -> None:
     print(
         f"host_factor: {hf}  (floored at 1.0 per metric for gating)"
     )
+    # Per-chunk sched probes (round-14): localize MID-RUN regime
+    # drift. A query's chunk factor is its chunk's sched probe over
+    # the run's best chunk — relative, so no absolute reference is
+    # needed; applied only to sched-class rows (the shape the drift
+    # mechanism hits hardest).
+    chunk_rel: dict[str, float] = {}
+    probes = [
+        p for p in (side.get("chunk_probes") or [])
+        if isinstance(p.get("sched_s"), (int, float))
+    ]
+    if probes:
+        best = min(p["sched_s"] for p in probes)
+        vals = sorted(round(p["sched_s"] / best, 2) for p in probes)
+        print(f"chunk sched_s rel-to-best: {vals}")
+        for p in probes:
+            for q in p["queries"]:
+                chunk_rel[q] = max(1.0, p["sched_s"] / best)
     flagged_raw, flagged_norm = [], []
     for name, now in sorted(side["queries"].items()):
         base = baseline.get(name)
@@ -111,6 +128,8 @@ def main() -> None:
         raw = now / base
         metric = classify(name, base)
         factor = max(1.0, float(hf.get(metric, 1.0)))
+        if metric == "sched_s":
+            factor *= chunk_rel.get(name, 1.0)
         norm = now / (base * factor)
         if raw > threshold:
             flagged_raw.append((name, raw, metric, factor, norm))
