@@ -134,14 +134,125 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _vocab_driver_gate() -> int:
+    """Measured-count gate for the driver-side trainer/segmenter
+    (round-14 — the CC/RFM §8 precedent): a (word, freq) vocabulary
+    under this many rows collects once (Arrow) and the merge rounds
+    run in Python, replacing n_merges × (groupBy + argmax collect +
+    fold projection + checkpoint) Spark jobs over the |vocab| table.
+    Above it the distributed rounds run unchanged. Env override
+    SPARK_GRAFT_VOCAB_DRIVER_ROWS (default 2M words — a bounded
+    broadcast-build-side-sized driver hold; a 100 TB corpus's raw
+    word vocabulary can exceed it, and then the distributed path is
+    the right shape)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_VOCAB_DRIVER_ROWS", "2000000"))
+
+
+def _greedy_merge(syms: list, a: str, b: str) -> list:
+    """One greedy left-to-right merge pass (segment_word's inner
+    loop — the exact _apply_merge fold semantics, odd self-pair runs
+    included)."""
+    out: list = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_merges_driver(
+    words: "list[tuple[str, int]]", n_merges: int, wordpiece: bool
+) -> list[tuple[str, str]]:
+    """Driver-side merge learning over a collected (word, freq)
+    vocabulary — bit-identical to the distributed rounds:
+
+    - pair counts are freq-weighted adjacent-position counts
+      (overlapping occurrences count, words of one symbol emit none)
+      == pair_counts;
+    - the WordPiece score n/(nl·nr) is the same IEEE double division
+      of exact integer counts (symbol counts include single-symbol
+      words, == wordpiece.symbol_counts);
+    - argmax tie-breaks lexicographically on (left, right) — Python
+      str comparison is code-point order, which equals Spark's
+      binary UTF-8 string order (UTF-8 preserves code-point order);
+    - the merge application is the greedy left-to-right fold
+      (_greedy_merge == _apply_merge == segment_word).
+    """
+    syms_list = [list(w) for w, _ in words]
+    freqs = [f for _, f in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, f in zip(syms_list, freqs):
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+            if wordpiece:
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + f
+        if not pc:
+            break
+        if wordpiece:
+            best = min(
+                pc.items(),
+                key=lambda kv: (
+                    -(kv[1] / (sc[kv[0][0]] * sc[kv[0][1]])),
+                    kv[0][0],
+                    kv[0][1],
+                ),
+            )
+        else:
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        a, b = best[0]
+        merges.append((a, b))
+        pat_a, pat_b = a, b
+        for idx, syms in enumerate(syms_list):
+            # cheap containment test before the fold — the
+            # _apply_merge guard's twin
+            for i in range(len(syms) - 1):
+                if syms[i] == pat_a and syms[i + 1] == pat_b:
+                    syms_list[idx] = _greedy_merge(syms, a, b)
+                    break
+    return merges
+
+
+def _collect_vocab(
+    vocab_wf: DataFrame,
+) -> "tuple[list[tuple[str, int]] | None, DataFrame]":
+    """(words-or-None, pinned): collects the (word, freq) rows when
+    the MEASURED vocabulary fits the driver gate. Either way the
+    corpus-sized pass runs exactly once — `pinned` is the
+    checkpointed |vocab| table, and the over-gate distributed rounds
+    build from it (the original un-pinned shape re-ran the corpus
+    pass in round 1's checkpoint)."""
+    pinned = vocab_wf.localCheckpoint()
+    n = pinned.count()
+    if not (0 < n <= _vocab_driver_gate()):
+        return None, pinned
+    pdf = pinned.toPandas()
+    return list(zip(pdf["w"].tolist(), pdf["freq"].tolist())), pinned
+
+
 def train_bpe(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges; returns [(left, right), …] in
-    learned order. Stops early if no pair remains."""
-    vocab = word_counts(docs, text_col).select(
-        _spaced(F.col("w")).alias("syms"), "freq"
-    )
+    learned order. Stops early if no pair remains. Below the measured
+    vocabulary gate (_vocab_driver_gate) the rounds run driver-side
+    over one Arrow collect (bit-identical merges, parity-tested);
+    above it, distributed rounds over the |vocab| table."""
+    words, pinned = _collect_vocab(word_counts(docs, text_col))
+    if words is not None:
+        return _train_merges_driver(words, n_merges, wordpiece=False)
+    vocab = pinned.select(_spaced(F.col("w")).alias("syms"), "freq")
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -172,10 +283,17 @@ def segmented_vocab(
     learned merge list, by replaying the same greedy fold per merge
     over the |vocab|-row table. This is the production segmentation
     path: the expensive scan is vocabulary-sized, never corpus-sized
-    (segment_word is the driver-side single-word twin)."""
-    vocab = word_counts(docs, text_col).select(
-        "w", _spaced(F.col("w")).alias("syms")
-    )
+    (segment_word is the driver-side single-word twin — and below the
+    measured vocabulary gate it IS the path: one Arrow collect,
+    segment_word per word, one createDataFrame; identical rows,
+    parity-tested)."""
+    words, pinned = _collect_vocab(word_counts(docs, text_col))
+    if words is not None:
+        rows = [(w, segment_word(w, merges)) for w, _ in words]
+        return docs.sparkSession.createDataFrame(
+            rows, "w string, units array<string>"
+        )
+    vocab = pinned.select("w", _spaced(F.col("w")).alias("syms"))
     for i, (a, b) in enumerate(merges):
         vocab = vocab.select("w", _apply_merge(F.col("syms"), a, b).alias("syms"))
         # truncate lineage periodically, mirroring train_bpe: a

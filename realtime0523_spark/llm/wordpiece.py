@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 
 from realtime0523_spark.llm.bpe import (
     _apply_merge,
+    _collect_vocab,
     _spaced,
+    _train_merges_driver,
     pair_counts,
     word_counts,
 )
@@ -62,10 +64,15 @@ def train_wordpiece(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` WordPiece merges; returns [(left, right), …]
-    in learned order. Stops early if no pair remains."""
-    vocab = word_counts(docs, text_col).select(
-        _spaced(F.col("w")).alias("syms"), "freq"
-    )
+    in learned order. Stops early if no pair remains. Below the
+    measured vocabulary gate (bpe._vocab_driver_gate) the rounds run
+    driver-side over one Arrow collect with the identical score,
+    tie-break and greedy fold (bit-identical merges, parity-tested);
+    above it, distributed rounds over the |vocab| table."""
+    words, pinned = _collect_vocab(word_counts(docs, text_col))
+    if words is not None:
+        return _train_merges_driver(words, n_merges, wordpiece=True)
+    vocab = pinned.select(_spaced(F.col("w")).alias("syms"), "freq")
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = pair_counts(vocab)

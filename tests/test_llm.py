@@ -3479,3 +3479,38 @@ def test_jpeg_extended_sequential_sof1_decodes_as_baseline():
     diff5[sof + 1] = 0xC5
     with _pytest.raises(NotImplementedError, match="SOF5"):
         decode_jpeg(bytes(diff5))
+
+
+def test_tokenizer_trainer_driver_matches_distributed(spark, monkeypatch):
+    """Round-14: the gated driver-side merge trainer and segmenter are
+    bit-identical to the distributed rounds — BPE counts, WordPiece
+    likelihood scores (incl. the IEEE tie-break), and the greedy fold
+    with odd self-pair runs ('aaaaa' -> [aaaa, a], never [aa, a, aa])."""
+    from realtime0523_spark.llm.bpe import segmented_vocab, train_bpe
+    from realtime0523_spark.llm.wordpiece import train_wordpiece
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "aaaaa aaa to to to tok"),
+            (3, "newest widest low tok tok"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_DRIVER_ROWS", "1000000")
+    bpe_drv = train_bpe(docs, 6)
+    wp_drv = train_wordpiece(docs, 4)
+    seg_drv = sorted(
+        (r.w, tuple(r.units))
+        for r in segmented_vocab(docs, bpe_drv).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_DRIVER_ROWS", "0")
+    bpe_dst = train_bpe(docs, 6)
+    wp_dst = train_wordpiece(docs, 4)
+    seg_dst = sorted(
+        (r.w, tuple(r.units))
+        for r in segmented_vocab(docs, bpe_dst).collect()
+    )
+    assert bpe_drv == bpe_dst
+    assert wp_drv == wp_dst
+    assert seg_drv == seg_dst

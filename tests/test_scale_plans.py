@@ -478,16 +478,27 @@ def test_keyphrases_materializes_tf_once_no_nested_loop(spark):
     assert "Generate" not in plan, plan
 
 
-def test_rfm_never_plans_ntile_or_single_partition(spark):
+def test_rfm_never_plans_ntile_or_single_partition(spark, monkeypatch):
     """The whole design: exact quintiles via sampled range exchange +
     broadcast offsets, never ntile-over-global-sort. The plan must
     contain no SinglePartition exchange and no parquet rescans (the
-    prefix passes read checkpoints)."""
+    prefix passes read checkpoints). Round-14: the gate is pinned off
+    so this asserts the DISTRIBUTED scorer (the 100 TB path); below
+    the gate the scorer is a driver-computed local relation, asserted
+    separately."""
+    monkeypatch.setenv("SPARK_GRAFT_RFM_DRIVER_ROWS", "0")
     plan = formatted_plan(REGISTRY["customers_rfm"].fn(spark, SF_SMOKE))
     assert "SinglePartition" not in plan, plan
     assert "ntile" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+    # the gated driver path (round-14): scores become a local relation
+    # — still no ntile, no SinglePartition, no parquet rescan
+    monkeypatch.setenv("SPARK_GRAFT_RFM_DRIVER_ROWS", "1000000")
+    plan_drv = formatted_plan(REGISTRY["customers_rfm"].fn(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan_drv, plan_drv
+    assert "ntile" not in plan_drv, plan_drv
+    assert "LocalTableScan" in plan_drv or "ExistingRDD" in plan_drv, plan_drv
 
 
 def test_rolling_dau_fans_out_synopsis_not_corpus(spark):
