@@ -3,10 +3,14 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a cheap count-style action (no driver
-collect of full results — we measure engine execution, not Arrow
-transfer). A warm-up pass on sf0.001 triggers JVM/codegen warm-up so
-the measured numbers reflect steady-state execution.
+Each query is forced with the noop sink (`df.write.format("noop")` —
+guide §1.4: computes every column of every row, discards the result;
+no driver collect, so we measure engine execution, not Arrow
+transfer). Round-14 switched this from count() forcing, which let the
+optimizer prune work on projection/window-shaped queries (see _force);
+BASELINE.md was re-recorded under the noop action in the same session.
+A warm-up pass on sf0.001 triggers JVM/codegen warm-up so the
+measured numbers reflect steady-state execution.
 
 SESSION CHUNKING (round-12): the inventory runs in fixed-size chunks,
 each in a FRESH subprocess (its own JVM). Round 11 established that
@@ -39,6 +43,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from realtime0523_spark.plans.inventory import REGISTRY
 
 CHUNK_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "16"))
+
+
+def _force(df) -> None:
+    """The timed action: the noop sink (guide §1.4) — eagerly computes
+    EVERY column of every row and discards the result. Round-14
+    (VERDICT r13 item #9): the previous count() forcing let the
+    optimizer prune columns whose values don't affect the row count,
+    under-timing projection/window-shaped queries (measured with
+    tools/noop_vs_count.py: running_total 0.13 s under count() vs
+    0.68 s under noop, allocation 0.75→1.69, order_wide 0.41→0.96 —
+    while aggregation-shaped and expensive rows sit at ~1.0×). The
+    BASELINE.md results table was re-recorded in the same session
+    under this timed action (one commit, one protocol — the §1.1
+    discipline); pre-switch per-query history survives in
+    BENCH_LOCAL_r{05..13}.json."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _release_query_state(spark) -> None:
@@ -166,7 +186,7 @@ def _run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
     specs = [(n, REGISTRY[n]) for n in names]
     for name, spec in specs:
         try:
-            spec.fn(spark, "/root/testdata/sf0.001").count()
+            _force(spec.fn(spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
         _release_query_state(spark)
@@ -174,7 +194,7 @@ def _run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
     for _pass in range(2):
         for name, spec in specs:
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            _force(spec.fn(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
