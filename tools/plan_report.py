@@ -397,9 +397,11 @@ AUDITED: dict[str, str] = {
     ),
     "lineitem_equidepth_hist": (
         "the corpus collapses to |NDV| value counts in one partial-"
-        "agg'd pass; prefix sums run on the materialized NDV table "
-        "via sampled range exchange + broadcast offsets — no global "
-        "sort, no single-task stage, final rollup is k rows"
+        "agg'd pass; below the round-14 measured gate the exact "
+        "bucket arithmetic finishes driver-side over one Arrow "
+        "collect (the audited plan's local relation), above it via "
+        "sampled range exchange + broadcast offsets — either way no "
+        "global sort, no single-task stage, final rollup is k rows"
     ),
     "cdc_retract_join": (
         "neither changelog ever joins row-to-row: each side collapses "
@@ -488,11 +490,13 @@ AUDITED: dict[str, str] = {
         "small partitions, no skew, no global sort"
     ),
     "customers_rfm": (
-        "orders collapse to the |customers| metric table once; each "
-        "quintile is the sampled-range-exchange prefix-sum rank "
-        "(reading its checkpoint, no parquet rescans), bucket = "
-        "(rows_before*5) div n in integer arithmetic — no ntile, no "
-        "SinglePartition, no global sort"
+        "orders collapse to the |customers| metric table once; "
+        "below the round-14 measured gate the exact quintile ranks "
+        "finish driver-side over one Arrow collect (the audited "
+        "plan's local relation), above it each quintile is the "
+        "sampled-range-exchange prefix-sum rank — bucket = "
+        "(rows_before*5) div n in integer arithmetic either way, no "
+        "ntile, no SinglePartition, no global sort"
     ),
     "events_rolling_dau": (
         "one corpus pass to distinct (user, day) cells, checkpointed "
@@ -514,8 +518,9 @@ AUDITED: dict[str, str] = {
         "the same projection"
     ),
     "customers_rfm_migration": (
-        "the shared scorer runs once per snapshot (each a |customers| "
-        "range-exchange quintile pass reading its checkpoints), the "
+        "the shared scorer runs once per snapshot (below the "
+        "round-14 gate: a driver-side numpy rank pass per snapshot; "
+        "above it a |customers| range-exchange quintile pass), the "
         "two snapshots overlapped from a 2-thread pool (round-13, "
         "independent eager subtrees); the two score tables join on "
         "the customer key and collapse to the <=36-cell matrix; the "
