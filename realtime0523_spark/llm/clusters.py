@@ -230,11 +230,16 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Component minima via one collect + union-find — the
     `algorithm="auto"` small-graph path. `edges` is the checkpointed
     both-directions loop-free edge set; collecting the u < v half
-    fetches each undirected edge once. Union-by-min-root keeps every
-    tree's root equal to its component minimum (merging always attaches
-    the larger root under the smaller), so `find` after all unions IS
-    the cluster label — identical to the propagation/star contract."""
-    rows = edges.filter(F.col("u") < F.col("v")).collect()
+    fetches each undirected edge once — through Arrow (`toPandas`,
+    round-14: the row-collect held ~10× the payload in Row objects at
+    the 1M-edge gate ceiling; two int64 numpy columns are the honest
+    "16 MB" the gate arithmetic assumes). Union-by-min-root keeps
+    every tree's root equal to its component minimum (merging always
+    attaches the larger root under the smaller), so `find` after all
+    unions IS the cluster label — identical to the propagation/star
+    contract."""
+    pdf = edges.filter(F.col("u") < F.col("v")).toPandas()
+    us, vs = pdf["u"].tolist(), pdf["v"].tolist()
     parent: dict = {}
 
     def find(x):
@@ -245,8 +250,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        ru, rv = find(r[0]), find(r[1])
+    for u, v in zip(us, vs):
+        ru, rv = find(u), find(v)
         if ru != rv:
             if rv < ru:
                 ru, rv = rv, ru
